@@ -1,0 +1,118 @@
+"""Typed table catalog over Parquet.
+
+The reference keeps a name-only catalog — ``HashMap<String, Vec<String>>``
+hardcoded with three tables (reference src/context.rs:17-34) — and planning
+fails when a table is absent (reference tmp/select.rs:357-364: "does not
+exist in database"). We reproduce the *behavior* (register-then-resolve,
+error on unknown tables) but upgrade to real schemas sourced from Parquet
+footers, registered as Spark temp views so ``spark.sql`` resolves them.
+
+Index / constraint DDL in the reference is metadata-only (never executed:
+reference tmp/crud.txt:312-347 builds a CreateIndex plan node and stops), so
+indexes and constraints live here as catalog metadata. CREATE INDEX may
+optionally be honored as *layout advice* (sort-within-partitions on the
+indexed columns) — see :mod:`mesin_spark.dml`.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated star schema + LLM-pipeline tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any realistic scale factor.
+#: (region=5 rows, nation=25 rows at every SF; supplier/part/customer grow
+#: with SF but stay far below fact-table size — broadcast up to the
+#: autoBroadcastJoinThreshold, which AQE also re-checks at runtime.)
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+class CatalogError(ValueError):
+    """Unknown table — mirrors the reference's planning error
+    "Table '{name}' does not exist in database" (tmp/select.rs:357-364)."""
+
+
+@dataclass
+class IndexMeta:
+    """CREATE INDEX metadata (reference logical_plan.rs:68-74): never a
+    physical index — recorded, listable, droppable; optionally applied as
+    sort-layout advice when the table is next written."""
+
+    name: str
+    table: str
+    columns: list[str]
+    unique: bool = False
+
+
+@dataclass
+class TableMeta:
+    name: str
+    path: str | None = None  # None for in-memory (createDataFrame) tables
+    constraints: list[dict] = field(default_factory=list)
+    properties: dict = field(default_factory=dict)
+
+
+class Catalog:
+    """Session-scoped table registry backed by Spark temp views."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, TableMeta] = {}
+        self.indexes: dict[str, IndexMeta] = {}
+
+    # -- registration ------------------------------------------------------
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        from mesin_spark.sources import read_parquet
+
+        df = read_parquet(self.spark, path)
+        df.createOrReplaceTempView(name)
+        self.tables[name] = TableMeta(name=name, path=path)
+        return df
+
+    def register_dataframe(self, name: str, df: DataFrame, path: str | None = None) -> DataFrame:
+        df.createOrReplaceTempView(name)
+        self.tables[name] = TableMeta(name=name, path=path)
+        return df
+
+    def register_dir(self, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Register every testdata table found in ``sf_dir``."""
+        for t in tables:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                self.register_parquet(t, p)
+
+    # -- resolution --------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            raise CatalogError(f"Table '{name}' does not exist in database")
+        return self.spark.table(name)
+
+    def drop_table(self, name: str, if_exists: bool = False) -> None:
+        if name not in self.tables:
+            if if_exists:
+                return
+            raise CatalogError(f"Table '{name}' does not exist in database")
+        self.spark.catalog.dropTempView(name)
+        del self.tables[name]
+        # cascade: drop indexes on the table (reference DROP TABLE has a
+        # CASCADE flag, logical_plan.rs:75-79; indexes are our only dependents)
+        for iname in [i for i, m in self.indexes.items() if m.table == name]:
+            del self.indexes[iname]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.tables

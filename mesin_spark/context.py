@@ -1,0 +1,126 @@
+"""ExecutionContext — the engine's single public entry point.
+
+Mirrors the reference's lifecycle (reference src/context.rs:42-56):
+
+    parse -> guard -> plan -> output
+
+but where the reference stops after pretty-printing the logical plan
+(src/context.rs:53), we hand the SQL to Catalyst and return a real
+DataFrame. Divergences (documented per SURVEY.md §7.3):
+
+- Multi-statement input: the reference silently truncates to ``ast[0]``
+  (src/context.rs:49). We raise instead — silent truncation is a bug.
+- CTE scope: the reference leaks CTE registrations across statements
+  (tmp/select.rs:124 never cleared). Spark scopes CTEs per query; we keep
+  Spark's correct behavior.
+
+The reference's 11-dialect knob (src/lib.rs:9-23, default postgres at
+main.rs:5) is honored as *accepted configuration*: Spark SQL is a single
+dialect, and the reference's planner semantics are dialect-independent, so
+every dialect name maps to the same execution path. Unknown dialect names
+fall back to generic, exactly like ``get_dialect``'s ``_ =>`` arm
+(src/lib.rs:21).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mesin_spark.catalog import TESTDATA_TABLES, Catalog
+from mesin_spark.session import get_session
+
+#: Reference dialect surface (src/lib.rs:9-23).
+DIALECTS = frozenset(
+    {
+        "ansi",
+        "bigquery",
+        "clickhouse",
+        "duckdb",
+        "generic",
+        "hive",
+        "mssql",
+        "postgres",
+        "redshift",
+        "sqlite",
+        "snowflake",
+    }
+)
+
+
+def get_dialect(name: str) -> str:
+    """Dialect selector; unknown names → generic (src/lib.rs:21)."""
+    name = name.lower()
+    return name if name in DIALECTS else "generic"
+
+
+class ExecutionContext:
+    """SQL-string-in, DataFrame-out engine handle.
+
+    >>> ctx = ExecutionContext()
+    >>> ctx.register_dir("/root/testdata/sf0.001")
+    >>> ctx.execute("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1")
+    """
+
+    def __init__(self, dialect: str = "postgres", spark: SparkSession | None = None):
+        self.dialect = get_dialect(dialect)
+        self.spark = spark or get_session()
+        self.catalog = Catalog(self.spark)
+
+    # -- registration ------------------------------------------------------
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        return self.catalog.register_parquet(name, path)
+
+    def register_dir(self, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+        self.catalog.register_dir(sf_dir, tables)
+
+    # -- execution ---------------------------------------------------------
+    def execute(self, sql: str) -> DataFrame:
+        """Parse + plan + (unlike the reference) actually execute.
+
+        Reference parity: empty input errors (src/context.rs:45-47);
+        multi-statement input errors (improvement over the silent ``ast[0]``
+        truncation at src/context.rs:49).
+        """
+        stmts = self._split_statements(sql)
+        if not stmts:
+            raise ValueError("Empty SQL statement")
+        if len(stmts) > 1:
+            raise ValueError(
+                f"Multi-statement input not supported (got {len(stmts)} statements); "
+                "execute them one at a time"
+            )
+        return self.spark.sql(stmts[0])
+
+    def explain(self, sql: str) -> str:
+        """The reference's terminal stage was a pretty-printed logical plan
+        (src/context.rs:53, tmp/select.rs:625-746 ``format_plan``); ours is
+        Catalyst's, which includes the optimized + physical plan."""
+        df = self.execute(sql)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "extended"
+        )
+
+    def sql(self, sql: str) -> DataFrame:
+        return self.execute(sql)
+
+    @staticmethod
+    def _split_statements(sql: str) -> list[str]:
+        """Split on top-level ';' while respecting quoted strings."""
+        out, buf, quote = [], [], None
+        for ch in sql:
+            if quote:
+                buf.append(ch)
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+                buf.append(ch)
+            elif ch == ";":
+                if "".join(buf).strip():
+                    out.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+        if "".join(buf).strip():
+            out.append("".join(buf).strip())
+        return out

@@ -1,0 +1,278 @@
+"""DML / DDL — INSERT, UPDATE, DELETE, CREATE/DROP TABLE, CREATE/DROP INDEX.
+
+Reference parity: SURVEY.md §2.12 — statement dispatcher
+(src/planner/mod.rs:21-38), INSERT (tmp/crud.txt:178-221), UPDATE
+(:223-279), DELETE (:480-504), CREATE TABLE (:281-310), CREATE INDEX
+(:312-347), DROP TABLE (:349-371), DROP INDEX (:372-383).
+
+Spark has no in-place mutation for plain Parquet, so UPDATE/DELETE are
+read → transform → atomic-swap overwrite (write to a sibling temp dir,
+rename into place). That is exactly the copy-on-write strategy Delta Lake /
+Iceberg use per-file; at 100 TB you'd adopt one of them for transactional
+metadata, but the operator shape (rewrite only what changed, swap atomically)
+is the same. Predicate/assignment expressions are parsed by Spark's own
+expression parser via ``F.expr`` — no hand-rolled SQL expression grammar.
+
+CREATE INDEX is metadata-only in the reference (never executed); here it is
+metadata plus optional *layout advice*: ``apply_layout`` sorts the table
+file by the indexed columns (``sortWithinPartitions`` after a repartition on
+the leading column), which is what makes min/max parquet row-group pruning
+effective at scale — the honest Spark analog of a secondary index.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from mesin_spark.catalog import Catalog, CatalogError, IndexMeta, TableMeta
+
+# DataTypeEnum (reference common.rs:69-80) → Spark types; sqlparser mapping
+# at tmp/crud.txt:423-437. Unsupported there (decimal/interval/arrays/...)
+# is supported here for free — noted divergence (SURVEY.md §1.2).
+_DDL_TYPES = {
+    "VARCHAR": Ty.StringType(),
+    "CHAR": Ty.StringType(),
+    "TEXT": Ty.StringType(),
+    "STRING": Ty.StringType(),
+    "INT": Ty.IntegerType(),
+    "INTEGER": Ty.IntegerType(),
+    "BIGINT": Ty.LongType(),
+    "FLOAT": Ty.FloatType(),
+    "REAL": Ty.FloatType(),
+    "DOUBLE": Ty.DoubleType(),
+    "BOOLEAN": Ty.BooleanType(),
+    "DATE": Ty.DateType(),
+    "TIMESTAMP": Ty.TimestampType(),
+}
+
+
+def ddl_type(name: str) -> Ty.DataType:
+    base = re.sub(r"\(.*\)", "", name).strip().upper()
+    base = {"DOUBLE PRECISION": "DOUBLE"}.get(base, base)
+    if base not in _DDL_TYPES:
+        # mirrors the reference's bail on unsupported types (tmp/crud.txt:435)
+        raise ValueError(f"Unsupported data type: {name}")
+    return _DDL_TYPES[base]
+
+
+class ColumnDefinition:
+    """ColumnDefinition {name, data_type, nullable, default, primary_key}
+    (reference common.rs:91-98; option parsing tmp/crud.txt:397-412)."""
+
+    def __init__(self, name, data_type, nullable=True, default=None, primary_key=False):
+        self.name = name
+        self.data_type = data_type  # DDL type string, e.g. "VARCHAR(100)"
+        self.nullable = nullable and not primary_key
+        self.default = default
+        self.primary_key = primary_key
+
+    def to_field(self) -> Ty.StructField:
+        return Ty.StructField(self.name, ddl_type(self.data_type), self.nullable)
+
+
+class ManagedTable:
+    """A parquet-directory-backed mutable table."""
+
+    def __init__(self, spark: SparkSession, name: str, path: str, catalog: Catalog | None = None):
+        self.spark = spark
+        self.name = name
+        self.path = path
+        self.catalog = catalog
+
+    # -- read --------------------------------------------------------------
+    def df(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def _refresh_view(self) -> None:
+        df = self.df()
+        df.createOrReplaceTempView(self.name)
+        if self.catalog is not None:
+            self.catalog.tables[self.name] = TableMeta(name=self.name, path=self.path)
+
+    # -- write plumbing ----------------------------------------------------
+    def _swap_in(self, df: DataFrame) -> None:
+        """Copy-on-write: write the new contents beside the table dir, then
+        swap directories. The rename pair is the commit point."""
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+        self._refresh_view()
+
+    # -- DML ---------------------------------------------------------------
+    def insert_values(self, rows: list[tuple], columns: list[str] | None = None) -> int:
+        """INSERT [cols] VALUES (...),(...) — multi-row with optional column
+        list (reference tmp/crud.txt:178-221). Missing columns get NULL."""
+        schema = self.df().schema
+        if columns:
+            full_rows = []
+            for r in rows:
+                by_name = dict(zip(columns, r))
+                full_rows.append(tuple(by_name.get(f.name) for f in schema.fields))
+            rows = full_rows
+        new = self.spark.createDataFrame(rows, schema=schema)
+        new.write.mode("append").parquet(self.path)
+        self._refresh_view()
+        return len(rows)
+
+    def insert_select(self, source: DataFrame) -> None:
+        """INSERT ... SELECT (reference tmp/crud.txt:192-200) — positional,
+        cast to the target schema like SQL insertion."""
+        schema = self.df().schema
+        aligned = source.select(
+            *[
+                F.col(src).cast(f.dataType).alias(f.name)
+                for src, f in zip(source.columns, schema.fields)
+            ]
+        )
+        aligned.write.mode("append").parquet(self.path)
+        self._refresh_view()
+
+    def update(self, assignments: dict[str, Column | str], where: Column | str | None = None):
+        """UPDATE SET col=expr [WHERE pred] (reference tmp/crud.txt:223-279).
+        Conditional column rewrite + atomic swap; untouched columns are
+        passed through unchanged."""
+        df = self.df()
+        cond = F.expr(where) if isinstance(where, str) else where
+        out = df
+        for col, val in assignments.items():
+            v = F.expr(val) if isinstance(val, str) else val
+            out = out.withColumn(col, F.when(cond, v).otherwise(F.col(col)) if cond is not None else v)
+        self._swap_in(out)
+
+    def delete(self, where: Column | str | None = None) -> None:
+        """DELETE [WHERE pred] (reference tmp/crud.txt:480-504). No WHERE →
+        delete all rows (keep schema)."""
+        df = self.df()
+        if where is None:
+            out = df.limit(0)
+        else:
+            cond = F.expr(where) if isinstance(where, str) else where
+            # keep rows where the predicate is NOT satisfied; null-safe:
+            # a NULL predicate must keep the row (SQL DELETE semantics)
+            out = df.filter(~cond.eqNullSafe(F.lit(True)))
+        self._swap_in(out)
+
+
+class DdlSession:
+    """CREATE/DROP TABLE + CREATE/DROP INDEX against a Catalog, backed by a
+    scratch directory. The statement surface matches the reference's
+    dispatcher (src/planner/mod.rs:21-38 + tmp/crud.txt:161 Drop arm)."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None, base_dir: str | None = None):
+        self.spark = spark
+        self.catalog = catalog or Catalog(spark)
+        self.base_dir = base_dir or tempfile.mkdtemp(prefix="mesin_ddl_")
+
+    # -- CREATE TABLE ------------------------------------------------------
+    def create_table(
+        self,
+        name: str,
+        columns: list[ColumnDefinition],
+        constraints: list[dict] | None = None,
+        if_not_exists: bool = False,
+    ) -> ManagedTable:
+        """CREATE TABLE with duplicate-name check (tmp/crud.txt:281-310).
+        Constraints (PK/FK/UNIQUE/CHECK, common.rs:100-110) are stored as
+        metadata, never enforced — matching the reference."""
+        if name in self.catalog:
+            if if_not_exists:
+                return self.table(name)
+            raise CatalogError(f"Table '{name}' already exists")
+        schema = Ty.StructType([c.to_field() for c in columns])
+        path = os.path.join(self.base_dir, name)
+        self.spark.createDataFrame([], schema=schema).write.mode("overwrite").parquet(path)
+        df = self.spark.read.parquet(path)
+        self.catalog.register_dataframe(name, df, path=path)
+        meta = self.catalog.tables[name]
+        meta.constraints = constraints or []
+        meta.properties["columns"] = [
+            {
+                "name": c.name,
+                "data_type": c.data_type,
+                "nullable": c.nullable,
+                "default": c.default,
+                "primary_key": c.primary_key,
+            }
+            for c in columns
+        ]
+        return ManagedTable(self.spark, name, path, self.catalog)
+
+    def table(self, name: str) -> ManagedTable:
+        meta = self.catalog.tables.get(name)
+        if meta is None or meta.path is None:
+            raise CatalogError(f"Table '{name}' does not exist in database")
+        return ManagedTable(self.spark, name, meta.path, self.catalog)
+
+    def import_parquet(self, name: str, src_path: str) -> ManagedTable:
+        """Copy an existing parquet file/dir into a managed (mutable) table."""
+        path = os.path.join(self.base_dir, name)
+        if os.path.isdir(src_path):
+            shutil.copytree(src_path, path, dirs_exist_ok=True)
+        else:
+            os.makedirs(path, exist_ok=True)
+            shutil.copy(src_path, os.path.join(path, "part-00000.parquet"))
+        df = self.spark.read.parquet(path)
+        self.catalog.register_dataframe(name, df, path=path)
+        return ManagedTable(self.spark, name, path, self.catalog)
+
+    # -- CREATE INDEX ------------------------------------------------------
+    def create_index(
+        self,
+        table: str,
+        columns: list[str],
+        name: str | None = None,
+        unique: bool = False,
+        apply_layout: bool = False,
+    ) -> IndexMeta:
+        """CREATE [UNIQUE] INDEX with auto-name fallback
+        (tmp/crud.txt:312-347: defaults to `idx_{table}_{cols}`), metadata
+        only — plus opt-in layout advice: cluster the table file on the
+        indexed columns so parquet min/max row-group pruning works."""
+        if table not in self.catalog:
+            raise CatalogError(f"Table '{table}' does not exist in database")
+        iname = name or f"idx_{table}_{'_'.join(columns)}"
+        if iname in self.catalog.indexes:
+            raise CatalogError(f"Index '{iname}' already exists")
+        meta = IndexMeta(name=iname, table=table, columns=list(columns), unique=unique)
+        self.catalog.indexes[iname] = meta
+        if apply_layout:
+            mt = self.table(table)
+            clustered = mt.df().repartition(F.col(columns[0])).sortWithinPartitions(*columns)
+            mt._swap_in(clustered)
+        return meta
+
+    # -- DROP --------------------------------------------------------------
+    def drop_table(self, *names: str, if_exists: bool = False, cascade: bool = False) -> None:
+        """DROP TABLE t1[, t2 ...] [IF EXISTS] [CASCADE]
+        (tmp/crud.txt:349-371). CASCADE drops dependent indexes; without it,
+        dependent indexes block the drop."""
+        for name in names:
+            if name not in self.catalog:
+                if if_exists:
+                    continue
+                raise CatalogError(f"Table '{name}' does not exist in database")
+            deps = [i for i, m in self.catalog.indexes.items() if m.table == name]
+            if deps and not cascade:
+                raise CatalogError(
+                    f"Cannot drop table '{name}': dependent indexes {deps} (use CASCADE)"
+                )
+            self.catalog.drop_table(name)
+
+    def drop_index(self, name: str, if_exists: bool = False) -> None:
+        """DROP INDEX (tmp/crud.txt:372-383)."""
+        if name not in self.catalog.indexes:
+            if if_exists:
+                return
+            raise CatalogError(f"Index '{name}' does not exist")
+        del self.catalog.indexes[name]

@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines:
+
+- exact (hash-groupBy) — one shuffle on the content key;
+- MinHash + LSH banding — near-dup candidate generation in O(n·bands)
+  instead of O(n²): shingle → 64 minhashes → 16 bands → band-bucket join →
+  exact-Jaccard verify;
+- SimHash — 64-bit signed-projection fingerprint, chunk-match candidates,
+  Hamming-distance verify;
+- n-gram Jaccard — exact pairwise similarity inside a blocking key.
+
+All signature math is built-in higher-order array functions (JVM,
+codegen'd); hashes are xxhash64 (Spark-native, deterministic for a given
+Spark version). The only shuffles are the band/chunk groupBys and the
+verify join — each keyed on bounded-cardinality keys, with oversized
+buckets capped (a 100 TB guardrail: one degenerate shingle bucket must not
+produce 10^12 candidate pairs).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mesin_spark.ext.text import tokens
+from mesin_spark.functions import stable_round as R
+
+#: 2^61-1 (Mersenne prime) keeps a*h+b inside signed-64 range when
+#: a,b < 2^31 and h < 2^31.
+_MERSENNE = (1 << 61) - 1
+_HASH_SPACE = 1 << 31
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the minimum id per content key, count copies.
+    One hash-aggregate shuffle on the key — the scalable exact method."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-token shingles of a text column (short docs fall back to a single
+    whole-doc shingle)."""
+    t = tokens(col)
+    n = F.size(t)
+    windows = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(windows)).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _HASH_SPACE), rng.randrange(0, _HASH_SPACE)) for _ in range(num_perm)]
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 64, seed: int = 42) -> Column:
+    """num_perm minhashes: min over shingles of (a·h(s)+b) mod M, with
+    h(s) = xxhash64 folded into 31 bits. Array-valued column, all built-in."""
+    hashed = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_HASH_SPACE)))
+    mins = []
+    for a, b in _perm_params(num_perm, seed):
+        mins.append(
+            F.array_min(
+                F.transform(hashed, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE)))
+            )
+        )
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding. Signature split into
+    ``bands`` bands of num_perm/bands rows; docs sharing any band bucket
+    become candidates. Buckets larger than ``max_bucket`` are dropped
+    (degenerate content; at scale a single hot bucket would otherwise
+    explode quadratically). Returns distinct (id_a, id_b), id_a < id_b."""
+    rows_per_band = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(F.col(text_col), shingle_k), num_perm).alias("_sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", j * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])).alias("bkey"),
+            )
+            for j in range(bands)
+        ]
+    )
+    exploded = sig.select("_id", F.explode(band_structs).alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    buckets = exploded.groupBy("band", "bkey").agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+    bounded = buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    # pairs within a bucket: flatten of per-anchor tails
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ids") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 1, F.size("ids")),
+                        lambda x: F.struct(
+                            F.element_at(F.col("ids"), i).alias("id_a"), x.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified with exact shingle Jaccard ≥
+    threshold. Returns (id_a, id_b, jaccard)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("_jid"),
+        shingles(F.col(text_col), shingle_k).alias("_sh"),
+    )
+    a = sh.select(F.col("_jid").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_jid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select("id_a", "id_b", R(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash ---------------------------------------------------------------
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens: per-token xxhash64 votes ±1 on
+    each bit; the sign of the per-bit sum sets the output bit. One aggregate
+    over the token array — no explode, no shuffle."""
+    t = tokens(col)
+    # shiftright/shiftleft take literal bit counts — build the 64-bit vote
+    # vector with a Python loop over bit positions (still one JVM expression)
+    votes = F.aggregate(
+        t,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(tok), b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for b in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bit_cols = [
+        F.when(F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(63)
+    ]
+    # bit 63 is the sign bit: set it via negative literal to stay in long range
+    bit_cols.append(
+        F.when(F.element_at(votes, 64) > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    packed = bit_cols[0]
+    for c in bit_cols[1:]:
+        packed = packed.bitwiseOR(c)
+    return packed
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one of four
+    16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ some chunk is identical),
+    verified by exact Hamming distance. Returns (id_a, id_b, hamming)."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("_sh"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+            )
+            for c in range(4)
+        ]
+    )
+    exploded = sig.select("_id", "_sh", F.explode(chunks).alias("c")).select(
+        "_id", "_sh", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey")
+    )
+    a = exploded.select(
+        F.col("chunk"), F.col("ckey"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    )
+    b = exploded.select(
+        F.col("chunk"), F.col("ckey"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
+    )
+    cands = (
+        a.join(b, on=["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# -- n-gram Jaccard --------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over pairs within a blocking key (blocking
+    bounds the pair space; pass an LSH band or length bucket at scale).
+    Returns (id_a, id_b, jaccard)."""
+    grams = F.array_distinct(shingles(F.col(text_col), n))
+    base = df.select(
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        F.col(id_col).alias("_id"),
+        grams.alias("_g"),
+    )
+    a = base.select(F.col("blk"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    b = base.select(F.col("blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    pairs = a.join(b, on="blk").filter(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        pairs.select("id_a", "id_b", R(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,129 @@
+"""Structured Streaming tier (SURVEY.md §2.10 — absent in the reference;
+charter extension).
+
+The batch event-time window queries in mesin_spark/queries/events.py use
+groupBy(F.window(...)) expressions that run unchanged under readStream —
+these helpers wire the streaming side: file-source readStream, watermarks
+for late data, windowed aggregation, watermark-scoped dedup, and a custom
+stateful operator via applyInPandasWithState.
+
+Local testing drives a parquet directory through the file source with a
+memory sink and processAllAvailable() (synchronous completion); on a real
+cluster the same pipelines run against Kafka/file sources with checkpoint
+dirs — only the source/sink lines change.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from mesin_spark.functions import stable_round as R
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events table (schema pinned from a
+    batch read — streaming sources never infer).
+
+    events.ts is parquet TIMESTAMP(NANOS): read as raw nanos (legacy
+    nanosAsLong conf, same as the batch loader in mesin_spark.queries) and
+    convert to a µs timestamp inside the stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source lists a *directory*; glob-filter to the events
+    # file so sibling tables in sf_dir aren't swept in
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling window counts with a watermark: state for a window is
+    dropped once event time passes window_end + watermark — bounded state,
+    the thing that makes this viable on an unbounded 100 TB/day stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), R(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermark-scoped exact dedup on event_id — state bounded by the
+    watermark horizon instead of growing forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming query to completion against the memory sink and
+    return the materialized result (local smoke-test harness)."""
+    spark = stream_df.sparkSession
+    checkpoint = tempfile.mkdtemp(prefix="mesin_ckpt_")
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# -- custom stateful operator ---------------------------------------------
+SESSION_STATE_SCHEMA = "n_events long, total_value double"
+SESSION_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def _running_totals(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running totals — a custom stateful streaming operator via
+    applyInPandasWithState (the Spark analog of flatMapGroupsWithState)."""
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user aggregation with explicit state management —
+    the extension point for operators Spark's windowed aggs can't express
+    (custom session logic, decaying counters, CEP-ish patterns)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

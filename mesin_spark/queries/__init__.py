@@ -1,0 +1,88 @@
+"""Query registry — the oracle-checked operator inventory.
+
+Every operator from SURVEY.md §2 with status ``impl``/``decl`` (plus the
+extension tier) registers here as a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` and, when SQL-expressible, a matching
+DuckDB oracle SQL string. ``__spark_entry__.py`` re-exports this registry
+verbatim for the driver's correctness gate.
+
+Conventions (SURVEY.md §7.3, FIXTURES.md oracle caveats):
+- every computed column is aliased identically on both sides;
+- double aggregates are rounded on both sides so engine-order summation
+  ulps can't flip the value hash;
+- timestamps are cast to DATE / epoch seconds in outputs (ms vs ns vs us
+  parquet physical types would otherwise hash-mismatch);
+- every ORDER BY that feeds a LIMIT carries a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mesin_spark.functions import stable_round as R  # noqa: F401  (re-exported)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def sr(expr: str, n: int) -> str:
+    """SQL text of the stable-round formula (see functions.stable_round) —
+    inlined into oracle SQL so both engines run the identical arithmetic."""
+    scale = float(10**n)
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle=None`` → driver does a rows-only check
+    (reserved for genuinely non-SQL-expressible ops)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Partition-friendly: plain parquet read —
+    Catalyst handles predicate pushdown + column pruning downstream."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright — the robust source reader converts it to a µs
+    timestamp (see mesin_spark.sources.read_parquet)."""
+    from mesin_spark.sources import read_parquet
+
+    return read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views for the SQL path."""
+    for n in names:
+        T(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def load_all() -> None:
+    """Import every query module (each import populates the registry)."""
+    from mesin_spark.queries import (  # noqa: F401
+        aggregates,
+        dml,
+        events,
+        functions_menu,
+        joins,
+        llm,
+        relational,
+        setops,
+        subqueries,
+        windows,
+    )

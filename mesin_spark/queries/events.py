@@ -1,0 +1,190 @@
+"""Event-time windows over the `events` table — batch equivalents of the
+streaming tier (SURVEY.md §2.10; the reference has no streaming at all).
+
+The same groupBy(F.window(...)) expressions run unchanged under
+readStream — see mesin_spark/ext/streaming.py for the streaming variants
+with watermarks. Batch versions are oracle-checkable.
+
+Precision note (FIXTURES.md): events.ts is ns in parquet; Spark truncates
+to µs, DuckDB keeps TIMESTAMP_NS. All outputs are floor-epoch-seconds
+BIGINT so the precision difference can't reach the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mesin_spark.queries import T, query
+from mesin_spark.queries import R  # stable rounding
+
+
+@query(
+    "q_tumbling_batch",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
+           event_type,
+           count(*) AS n,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_batch(spark, sf_dir):
+    """Tumbling 1-hour windows: F.window(ts, '1 hour') — epoch-aligned in
+    both engines. At scale this is a plain hash aggregate; the window
+    struct is computed row-side (no shuffle beyond the groupBy)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), R(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_sliding_batch",
+    oracle="""
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1)) t(k))
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '15 minutes', ts)
+                            - k * INTERVAL '15 minutes')) AS BIGINT) AS win_start,
+           count(*) AS n,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events CROSS JOIN offsets
+    WHERE ts >= time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+      AND ts <  time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+                + INTERVAL '30 minutes'
+    GROUP BY 1
+    """,
+)
+def q_sliding_batch(spark, sf_dir):
+    """Sliding windows 30min/15min: each event lands in 2 windows. Spark's
+    F.window(ts, '30 minutes', '15 minutes') expands row-side; the oracle
+    reconstructs the same assignment with an explicit offset join."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), R(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_session_batch",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_session_batch(spark, sf_dir):
+    """Session windows, 10-minute gap, per user — F.session_window in batch
+    mode (Spark ≥3.2). Session semantics: an event at exactly start+gap
+    opens a NEW session (window end is exclusive); the oracle's lag-cumsum
+    reconstruction uses >= gap for the same boundary."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT e.event_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS last_purchase_epoch
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (charter extension, SURVEY.md §2.3 'absent' row): for each
+    event, the latest purchase by the same user at or before it.
+
+    Spark lacks a native as-of join; the scalable technique is the
+    union+window method — tag both sides, sort by (ts, side) within each
+    user, and carry the last purchase timestamp forward with
+    last(ignorenulls). ONE shuffle on user_id, no range explosion, no
+    per-group pandas; works at 100 TB wherever a window does. (DuckDB has a
+    native ASOF JOIN — that's the oracle.)
+    """
+    e = T(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("ts"))
+        .withColumn("event_id", F.lit(None).cast("long"))
+        .withColumn("side", F.lit(0))
+        .withColumn("p_ts", F.col("ts"))
+    )
+    probe = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("side", F.lit(1))
+        .withColumn("p_ts", F.lit(None).cast("timestamp"))
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        purchases.unionByName(probe)
+        .withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.unix_timestamp(F.col("last_p_ts")).alias("last_purchase_epoch"),
+        )
+    )
+
+
+@query(
+    "q_event_pivot",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase
+    FROM events GROUP BY 1
+    """,
+)
+def q_event_pivot(spark, sf_dir):
+    """Pivot (extension): event-type counts per user bucket. Spark pivot
+    with an explicit value list = single-pass aggregate, no second scan."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase"])
+    )

@@ -1,0 +1,284 @@
+"""Charter extension queries — dedup, similarity search, text analysis,
+multimodal, streaming (SURVEY.md §2.11).
+
+Oracle strategy: deterministic closed-form operators (exact dedup, token
+stats, quality score, language ID, fingerprint, cosine similarity, n-gram
+Jaccard) are fully DuckDB-checkable. Sketch-based operators (MinHash-LSH,
+SimHash, LSH-ANN) are rows-only by design (engine-native hash functions);
+their *quality* is asserted in tests/test_llm_ops.py (recall vs the exact
+answer, planted-duplicate detection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mesin_spark.ext import dedup as D
+from mesin_spark.ext import multimodal as M
+from mesin_spark.ext import similarity as S
+from mesin_spark.ext import streaming as STR
+from mesin_spark.ext import text as TX
+from mesin_spark.queries import T, query
+
+
+def _docs_with_dups(spark, sf_dir):
+    """documents ∪ shifted copy — planted exact duplicates so dedup queries
+    actually dedup (the raw table has none)."""
+    d = T(spark, sf_dir, "documents")
+    return d.union(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH dup AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT text, MIN(doc_id) AS doc_id, count(*) AS n_copies
+    FROM dup GROUP BY text
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min id (charter op;
+    SURVEY.md §2.11). Input has planted duplicates."""
+    dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    return D.exact_dedup(dup, ["text"], "doc_id")
+
+
+@query("q_dedup_minhash")  # rows-only: xxhash64-based sketches are Spark-native
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard verified at
+    ≥0.7. With planted exact duplicates every (id, id+1e6) pair must
+    surface — asserted in tests; here the driver checks rows/schema."""
+    dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    return D.minhash_lsh_dedup(dup, "doc_id", threshold=0.7).orderBy("id_a", "id_b")
+
+
+@query("q_dedup_simhash")  # rows-only: same reason
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via 16-bit chunk candidates."""
+    dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    return D.simhash_dedup(dup, "doc_id").orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 1, 1) + 1),
+                   i -> tk[i] || ' ' || tk[i + 1]
+               )) AS g
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+            FROM documents
+        )
+        WHERE len(tk) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((len(list_intersect(a.g, b.g))::DOUBLE
+                 / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g))::DOUBLE
+          / len(list_distinct(list_concat(a.g, b.g))) >= 0.2
+    """,
+)
+def q_dedup_ngram(spark, sf_dir):
+    """Word-2-gram Jaccard pairs within a `source` block — exact pairwise
+    similarity, fully oracle-checkable (DuckDB list lambdas)."""
+    docs = T(spark, sf_dir, "documents").filter(TX.token_count("text") >= 2)
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", block_col="source", n=2, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_dedup_embed",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 >= 0.99
+    """,
+)
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (≥0.99) inside label blocks —
+    exact within-block pair scan (at 100 TB the block key becomes an LSH
+    signature; same code path)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs(emb, threshold=0.99).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    SELECT b.vec_id,
+           floor((list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY sim DESC NULLS LAST, b.vec_id ASC NULLS LAST
+    LIMIT 10
+    """,
+)
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vector vec_id=0 — the exact ANN
+    baseline: one codegen'd scan, per-partition k-heaps
+    (TakeOrderedAndProject), no shuffle of the corpus."""
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.brute_force_topk(emb, qvec, k=10)
+
+
+@query("q_ann_lsh")  # rows-only: bucket pruning is approximate by design
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN top-10 (12 hyperplanes, 2-bit multiprobe): exact
+    ranking restricted to probed signature buckets. Recall vs the exact
+    top-k asserted in tests."""
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.lsh_topk(emb, qvec, k=10)
+
+
+# -- text analysis ---------------------------------------------------------
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    )
+    GROUP BY tok
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """Corpus token frequencies: tokenize → explode → count. The shuffle is
+    keyed on token with map-side partial counts — the classic wordcount
+    shape that scales linearly."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Per-document token counts (whitespace tokenizer)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.token_count("text").alias("n_tokens"), "n_chars")
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents
+    )
+    SELECT doc_id,
+           floor((0.4 * least(len(tk) / 100.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN len(tk) > 0
+                 THEN len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(tk)
+                 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN len(tk) > 0
+                 THEN list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+                 ELSE 0.0 END) / 8.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Document quality scoring — closed-form composite of length, stopword
+    ratio, and mean token length (mesin_spark.ext.text.quality_score)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang,
+               len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','that'))) AS s_en,
+               len(list_filter(tk, x -> x IN ('le','la','et','les','des','un','une','du'))) AS s_fr,
+               len(list_filter(tk, x -> x IN ('el','de','que','y','la','en','los','se'))) AS s_es,
+               len(list_filter(tk, x -> x IN ('der','die','und','den','das','nicht','von','ist'))) AS s_de,
+               len(list_filter(tk, x -> x IN ('的','了','是','在','我','有','和','不'))) AS s_zh
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+                WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+                WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_de THEN 'zh'
+                ELSE 'und' END AS lang_pred
+    FROM s
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Heuristic language ID (marker-token argmax, fixed tie-break order) —
+    deterministic, so fully oracle-checked despite being a 'classifier'."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007
+           ) AS fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    """Rolling polynomial document fingerprint — portable arithmetic
+    (h·131+code mod 1e9+7), identical in any engine."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+# -- multimodal + streaming (rows-only) ------------------------------------
+@query("q_multimodal")  # rows-only: binary plumbing + pandas feature extraction
+def q_multimodal(spark, sf_dir):
+    """Multimodal column plumbing: binary payload + metadata struct →
+    mapInPandas feature extraction (deterministic fake decode; real codecs
+    are clearly-marked stubs)."""
+    d = T(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary(d)).orderBy("doc_id")
+
+
+@query("q_stream_tumbling")  # rows-only: streaming execution path
+def q_stream_tumbling(spark, sf_dir):
+    """Structured Streaming: file source → watermark → tumbling windowed
+    aggregation → memory sink, driven to completion. Must equal
+    q_tumbling_batch's rows (asserted in tests/test_streaming.py)."""
+    stream = STR.read_events_stream(spark, sf_dir)
+    agg = STR.windowed_counts(stream, window="1 hour", watermark="30 minutes")
+    return STR.run_to_memory(agg, "q_stream_tumbling_out", output_mode="append")

@@ -1,0 +1,109 @@
+"""Set operations + VALUES — finishing the reference's explicit todo!()s.
+
+Reference parity: SURVEY.md §2.7 — "Set operations (UNION, INTERSECT,
+EXCEPT) are not supported yet" (tmp/select.rs:235-237); VALUES body likewise
+(:238).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as Ty
+
+from mesin_spark.queries import T, query
+
+
+def _hi_lo(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 7000.0).select("c_custkey", "c_mktsegment")
+    lo = c.filter(F.col("c_acctbal") < 3000.0).select("c_custkey", "c_mktsegment")
+    return hi, lo
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 7000.0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 3000.0
+    """,
+)
+def q_union_all(spark, sf_dir):
+    """UNION ALL = df.union (positional, like SQL). unionByName exists for
+    the name-matched variant."""
+    hi, lo = _hi_lo(spark, sf_dir)
+    return hi.union(lo)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000.0
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_union_distinct(spark, sf_dir):
+    """UNION (distinct) = union + distinct; Catalyst plans one hash-dedup
+    shuffle over the concatenation."""
+    a = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    b = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return a.union(b).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_intersect(spark, sf_dir):
+    """INTERSECT (distinct semantics); intersectAll covers the ALL variant."""
+    a = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    b = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return a.intersect(b)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_except(spark, sf_dir):
+    """EXCEPT (distinct semantics) = exceptAll∘distinct ≡ df.subtract... we
+    use exceptAll on distinct input to match SQL EXCEPT exactly."""
+    a = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    b = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return a.distinct().exceptAll(b.distinct())
+
+
+@query(
+    "q_values",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'one', 1.5), (2, 'two', 2.5), (3, 'three', CAST(NULL AS DOUBLE)))
+      AS t(id, name, score)
+    """,
+)
+def q_values(spark, sf_dir):
+    """VALUES list as a query body — todo!() in the reference
+    (tmp/select.rs:238); Spark: createDataFrame with an explicit schema
+    (LocalRelation, no cluster work at all)."""
+    schema = Ty.StructType(
+        [
+            Ty.StructField("id", Ty.IntegerType(), False),
+            Ty.StructField("name", Ty.StringType(), False),
+            Ty.StructField("score", Ty.DoubleType(), True),
+        ]
+    )
+    rows = [Row(id=1, name="one", score=1.5), Row(id=2, name="two", score=2.5), Row(id=3, name="three", score=None)]
+    return spark.createDataFrame(rows, schema)

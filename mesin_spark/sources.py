@@ -1,0 +1,88 @@
+"""File sources — Parquet-first (the driver testdata format), with a
+robust reader for physical types Spark's vectorized reader rejects.
+
+Spark refuses parquet TIMESTAMP(NANOS) columns outright
+(PARQUET_TYPE_ILLEGAL). The fix: read nanos as raw INT64 (legacy
+``spark.sql.legacy.parquet.nanosAsLong`` conf), then convert to µs
+timestamps (integer-division truncation — Spark's own ns behavior
+elsewhere). The parquet footer (via pyarrow, driver-side metadata only —
+no data pulled) tells us which columns need the conversion.
+
+The reference has no readers at all (its catalog is three hardcoded
+tables, src/context.rs:17-34); this module is the engine's actual
+source layer: parquet/csv/json/orc via the standard Spark readers.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Column names with TIMESTAMP(NANOS) physical type, from the footer."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "part-*"))
+        )
+        if not files:
+            return []
+        path = files[0]
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t) == "timestamp[ns]":
+            out.append(field.name)
+    return out
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates ns-timestamp columns."""
+    ns_cols = _nanos_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer division (`div`), not `/1000` — the double round-trip is
+        # off by 1µs at 10^18-nano magnitudes
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV with explicit schema preferred (inference = an extra full scan)."""
+    reader = spark.read.option("header", str(header).lower())
+    return (reader.schema(schema) if schema is not None else reader.option("inferSchema", "true")).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    return (reader.schema(schema) if schema is not None else reader).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Parquet sink with optional layout control: partition columns for
+    partition pruning, sort-within-partitions for min/max row-group
+    pruning — the two levers that matter at 100 TB."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

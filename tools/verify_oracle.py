@@ -1,0 +1,124 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registry query on Spark AND its DuckDB oracle at a given
+sf_dir, then compares: row count, column names (sorted), and exact values
+(columns sorted by name, rows sorted by all columns). Exact-match here is
+strictly stronger than the driver's order-insensitive value hash.
+
+Usage:
+    python tools/verify_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns: spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        bad = [
+            (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not values_equal(x, y)
+        ]
+        if bad:
+            i, x, y = bad[0]
+            problems.append(
+                f"values differ in '{col}': {len(bad)}/{len(av)} rows; first row {i}: spark={x!r} duck={y!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from mesin_spark.session import get_session
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    spark = get_session("verify_oracle")
+    con = duck_connection(sf_dir)
+
+    names = [n for n in qs if not only or n in only]
+    passed, failed, rows_only = [], [], []
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            spdf = sdf.toPandas()
+            if name not in oracles:
+                rows_only.append((name, len(spdf)))
+                print(f"  ROWS-ONLY {name}: {len(spdf)} rows, cols={sorted(spdf.columns)}")
+                continue
+            dpdf = con.execute(oracles[name]).df()
+            problems = compare(spdf, dpdf)
+            if problems:
+                failed.append(name)
+                print(f"  FAIL {name}: " + " | ".join(problems))
+            else:
+                passed.append(name)
+                print(f"  ok   {name} ({len(spdf)} rows)")
+        except Exception as e:
+            failed.append(name)
+            print(f"  ERROR {name}: {type(e).__name__}: {e}")
+            if "-v" in sys.argv:
+                traceback.print_exc()
+    print(
+        f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only "
+        f"(of {len(names)} at {sf_dir})"
+    )
+    if failed:
+        print("failed:", " ".join(failed))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
