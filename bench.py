@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark for the mesin_spark engine.
+
+Runs a representative slice of the query inventory (aggregation, multi-way
+joins, top-k, window functions, event-time windows, dedup, similarity,
+text analysis) at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1)
+on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"q_groupby": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion through a noop sink
+(``df.write.format("noop")``) so the timing covers the full distributed
+plan — scan, shuffle, agg — without driver-side collect overhead skewing
+the number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Perf-representative headline slice (correctness of the full 95-query
+# inventory is the driver's t2 gate; here we time the heavy paths).
+HEADLINE = [
+    "q_groupby",          # TPC-H Q1-style: scan + filter + 8 aggs
+    "q_join_3way",        # fact-dim join chain (broadcast dims)
+    "q_join_semi",        # semi join (IN-subquery shape)
+    "q_topk",             # sort+limit -> TakeOrderedAndProject
+    "q_topk_per_group",   # ranking window + filter
+    "q_running_sum",      # running window aggregate
+    "q_cte_multi",        # multi-CTE composition
+    "q_tumbling_batch",   # event-time tumbling window agg
+    "q_dedup_minhash",    # MinHash-LSH near-dup (documents)
+    "q_sim_topk",         # exact cosine top-k (embeddings)
+    "q_text_tokens",      # tokenize + explode + count
+    "q_rollup",           # grouping-set aggregate
+]
+
+
+def _noop_run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from mesin_spark.session import get_session
+    import __spark_entry__ as entrymod
+
+    spark = get_session("mesin_spark-bench")
+    registry = entrymod.queries()
+
+    # Warm the JVM + parquet footers once so per-query timings measure the
+    # plan, not first-touch JIT / metadata costs.
+    warm = registry["q_groupby"](spark, sf_dir)
+    _noop_run(warm)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        _noop_run(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -115,8 +115,8 @@ def lsh_topk(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 12,
-    probe_flips: int = 2,
+    n_planes: int = 8,
+    probe_flips: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -140,29 +140,60 @@ def lsh_topk(
     )
 
 
+def salted_all_pairs(
+    a: DataFrame, b: DataFrame, salt_col: str, n_salts: int = 16
+) -> DataFrame:
+    """All-pairs join of two sides sharing a low-cardinality ``blk`` key,
+    spread over ``#blocks × n_salts`` tasks instead of ``#blocks``.
+
+    Classic replicated-salting: side a gets a deterministic salt from
+    ``salt_col``; side b is replicated across every salt value, so each
+    (a-row, b-row) pair meets exactly once. This is THE lever for blocked
+    pairwise ops (n-gram Jaccard, embedding near-dup) — without it a
+    5-block corpus runs at most 5-way parallel no matter the cluster size."""
+    a_s = a.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
+    b_s = b.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return a_s.join(b_s, on=["blk", "_salt"]).drop("_salt")
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Exact near-duplicate pairs (cosine ≥ threshold) within a blocking
     key. Blocking bounds the quadratic pair space — at 100 TB use an LSH
     signature as the block key (same code path, cheaper key). Returns
-    (id_a, id_b, sim), id_a < id_b."""
-    a = emb.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
+    (id_a, id_b, sim), id_a < id_b.
+
+    Per-row norms are computed once BEFORE the pair join, so the per-pair
+    work is a single dot-product pass (the naive per-pair cosine costs
+    3 extra array passes × O(pairs))."""
+    # Spread the probe side: with a broadcast pair join the a-side's input
+    # partitioning IS the parallelism, and a single small parquet file
+    # arrives as one partition.
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    b = emb.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
+
+    def side(src: DataFrame, suffix: str) -> DataFrame:
+        vd = _as_double(F.col(vec_col))
+        return src.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias(f"id_{suffix}"),
+            vd.alias(f"vec_{suffix}"),
+            norm(vd).alias(f"nrm_{suffix}"),
+        )
+
+    pairs = salted_all_pairs(side(spread, "a"), side(emb, "b"), "id_a", n_salts).filter(
+        F.col("id_a") < F.col("id_b")
     )
-    pairs = a.join(b, on="blk").filter(F.col("id_a") < F.col("id_b"))
-    sim = R(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    sim = R(
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
     return (
         pairs.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)

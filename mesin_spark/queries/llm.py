@@ -138,7 +138,7 @@ def q_sim_topk(spark, sf_dir):
 
 @query("q_ann_lsh")  # rows-only: bucket pruning is approximate by design
 def q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN top-10 (12 hyperplanes, 2-bit multiprobe): exact
+    """LSH-bucketed ANN top-10 (8 hyperplanes, 3-bit multiprobe): exact
     ranking restricted to probed signature buckets. Recall vs the exact
     top-k asserted in tests."""
     emb = T(spark, sf_dir, "embeddings")

@@ -1,0 +1,153 @@
+"""Quality assertions for the approximate LLM-pipeline operators — the
+checks the value-hash oracle can't do: planted-duplicate detection for the
+sketch dedups, recall for LSH ANN, classifier sanity for lang-id,
+determinism for fingerprints, stub contracts for multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mesin_spark.ext import dedup as D
+from mesin_spark.ext import multimodal as M
+from mesin_spark.ext import similarity as S
+from mesin_spark.ext import text as TX
+from mesin_spark.queries import T
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return T(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return T(spark, SF_DIR, "embeddings")
+
+
+def test_minhash_finds_planted_duplicates(spark, docs):
+    base = docs.select("doc_id", "text").limit(50)
+    dup = base.union(base.withColumn("doc_id", F.col("doc_id") + 10000))
+    pairs = D.minhash_lsh_dedup(dup, "doc_id", threshold=0.9).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(r.doc_id, r.doc_id + 10000) for r in base.collect()}
+    # identical docs have identical signatures in every band → must all surface
+    assert expected <= found
+    assert all(r.jaccard == 1.0 for r in pairs if (r.id_a, r.id_b) in expected)
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    base = docs.select("doc_id", "text").limit(50)
+    dup = base.union(base.withColumn("doc_id", F.col("doc_id") + 10000))
+    pairs = D.simhash_dedup(dup, "doc_id", max_hamming=0).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(r.doc_id, r.doc_id + 10000) for r in base.collect()}
+    assert expected <= found
+
+
+def test_simhash_mutation_within_small_hamming(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, text), (2, text + " extra"), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.s for r in df.select("doc_id", D.simhash64("text").alias("s")).collect()}
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham12 < ham13  # near-dup closer than unrelated
+
+
+def test_exact_dedup_counts(spark, docs):
+    base = docs.select("doc_id", "text").limit(20)
+    tripled = base.union(base.withColumn("doc_id", F.col("doc_id") + 100)).union(
+        base.withColumn("doc_id", F.col("doc_id") + 200)
+    )
+    out = D.exact_dedup(tripled, ["text"], "doc_id").collect()
+    assert len(out) == 20
+    assert all(r.n_copies == 3 for r in out)
+
+
+def test_lsh_ann_recall(spark, emb):
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {r.vec_id for r in S.brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {r.vec_id for r in S.lsh_topk(emb, qvec, k=10).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_cosine_self_similarity(spark, emb):
+    row = emb.limit(1).select(
+        S.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).head()
+    assert abs(row.c - 1.0) < 1e-9
+
+
+def test_lang_id_respects_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "le chat et la maison des amis"),
+            (3, "el perro de la casa y los gatos"),
+            (4, "der hund und die katze von haus"),
+            (5, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.lang for r in df.select("id", TX.lang_id("text").alias("lang")).collect()}
+    assert out == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "und"}
+
+
+def test_fingerprint_deterministic_and_discriminative(spark, docs):
+    a = {r.doc_id: r.fp for r in docs.select("doc_id", TX.fingerprint("text").alias("fp")).collect()}
+    b = {r.doc_id: r.fp for r in docs.select("doc_id", TX.fingerprint("text").alias("fp")).collect()}
+    assert a == b
+    assert len(set(a.values())) > len(a) * 0.9  # few collisions
+
+
+def test_quality_score_bounds(spark, docs):
+    vals = [r.q for r in docs.select(TX.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_bpe_estimate_at_least_whitespace_count(spark, docs):
+    rows = docs.select(
+        TX.token_count("text").alias("ws"), TX.bpe_token_estimate("text").alias("bpe")
+    ).collect()
+    assert all(r.bpe >= r.ws for r in rows)
+
+
+# -- multimodal ------------------------------------------------------------
+def test_multimodal_features_deterministic(spark, docs):
+    feats = M.extract_features(M.attach_binary(docs.limit(20))).collect()
+    by_id = {r.doc_id: r for r in feats}
+    src = {r.doc_id: r.text for r in docs.limit(20).collect()}
+    for i, r in by_id.items():
+        payload = src[i].encode()
+        assert r.n_bytes == len(payload)
+        assert r.checksum == sum(payload) % (1 << 31)
+        assert r.format == "txt"
+
+
+def test_multimodal_unknown_format_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("jpeg").alias("format"),
+            F.lit(2).alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("media"),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        M.extract_features(df).collect()
+
+
+def test_multimodal_stub_operators_marked(spark, docs):
+    mm = M.attach_binary(docs.limit(1))
+    with pytest.raises(NotImplementedError):
+        M.frame_sample(mm)
+    with pytest.raises(NotImplementedError):
+        M.resize_images(mm, 64, 64)

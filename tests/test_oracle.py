@@ -1,0 +1,42 @@
+"""Oracle-differential tests — every registry query vs DuckDB at sf0.001
+(the driver runs the same comparison at sf0.01; exact-match here is
+strictly stronger than its order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+from tools.verify_oracle import compare
+
+
+def _registry():
+    import __spark_entry__ as E
+
+    return E.queries(), E.oracle_sql()
+
+QUERIES, ORACLES = _registry()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_match(name, spark, duck):
+    spdf = QUERIES[name](spark, SF_DIR).toPandas()
+    dpdf = duck.execute(ORACLES[name]).df()
+    problems = compare(spdf, dpdf)
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_runs(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    rows = E.entry(spark).collect()
+    assert len(rows) > 0
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(rows[0].asDict())

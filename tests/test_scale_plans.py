@@ -1,0 +1,104 @@
+"""Physical-plan audits — the 100 TB discipline checks (SURVEY.md §4.2):
+predicate pushdown reaches the parquet scan, column pruning narrows
+ReadSchema, dimension joins broadcast, top-k fuses to
+TakeOrderedAndProject, implicit cross joins don't stay cartesian, and
+whole-stage codegen covers the hot path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mesin_spark.queries import T
+from tests.conftest import SF_DIR
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def simple_physical(df) -> str:
+    return df._jdf.queryExecution().simpleString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        T(spark, SF_DIR, "lineitem")
+        .filter((F.col("l_quantity") > 25) & (F.col("l_discount") < 0.05))
+        .select("l_orderkey")
+    )
+    plan = physical(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_narrows_read_schema(spark):
+    df = T(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    plan = physical(df)
+    seg = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" in seg and "l_quantity" in seg
+    assert "l_comment" not in seg and "l_extendedprice" not in seg
+
+
+def test_dimension_join_broadcasts(spark):
+    from mesin_spark.queries.joins import q_join_inner
+
+    plan = physical(q_join_inner(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_fuses_to_take_ordered(spark):
+    from mesin_spark.queries.relational import q_topk
+
+    plan = physical(q_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_implicit_cross_join_becomes_hash_join(spark):
+    from mesin_spark.queries.joins import q_join_implicit
+
+    plan = physical(q_join_implicit(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_aggregate_is_partial_final(spark):
+    from mesin_spark.queries.aggregates import q_sum
+
+    plan = physical(q_sum(spark, SF_DIR))
+    # two HashAggregate ops (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_flagship_query_stays_in_codegen(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    df.collect()  # AQE: codegen annotations only appear in the final plan
+    plan = physical(df)
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python in hot path
+
+
+def test_no_python_udf_in_llm_text_ops(spark):
+    from mesin_spark.queries.llm import q_quality_score, q_text_tokens
+
+    for q in (q_text_tokens, q_quality_score):
+        plan = physical(q(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, "text ops must stay JVM-side"
+
+
+def test_semi_join_planned(spark):
+    from mesin_spark.queries.joins import q_join_semi
+
+    plan = physical(q_join_semi(spark, SF_DIR))
+    assert "LeftSemi" in plan
+
+
+def test_session_window_uses_single_shuffle(spark):
+    from mesin_spark.queries.events import q_session_batch
+
+    plan = physical(q_session_batch(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial/final agg pair

@@ -1,0 +1,63 @@
+"""Structured Streaming tier: streaming results must agree with their
+batch equivalents (same groupBy(window) expressions), watermark dedup
+works, and the custom stateful operator (applyInPandasWithState) produces
+correct per-key state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mesin_spark.ext import streaming as STR
+from mesin_spark.queries import T, load_events
+from tests.conftest import SF_DIR
+
+pytestmark = pytest.mark.slow
+
+
+def test_stream_tumbling_subset_of_batch(spark):
+    stream = STR.read_events_stream(spark, SF_DIR)
+    out = STR.run_to_memory(
+        STR.windowed_counts(stream, "1 hour", "30 minutes"), "t_stream_tumble"
+    ).collect()
+    batch = (
+        load_events(spark, SF_DIR)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("window.start").alias("win_start"), "event_type", "n"
+        )
+        .collect()
+    )
+    batch_map = {(r.win_start, r.event_type): r.n for r in batch}
+    assert out, "stream produced no closed windows"
+    for r in out:
+        # append mode emits only watermark-closed windows; each must match batch
+        assert batch_map[(r.win_start, r.event_type)] == r.n
+
+
+def test_stream_dedup_within_watermark(spark):
+    ev = STR.read_events_stream(spark, SF_DIR)
+    deduped = STR.dedup_within_watermark(ev, "30 minutes")
+    out = STR.run_to_memory(deduped, "t_stream_dedup")
+    n = out.count()
+    assert n == load_events(spark, SF_DIR).select("event_id").distinct().count()
+
+
+def test_stateful_running_totals(spark):
+    ev = STR.read_events_stream(spark, SF_DIR)
+    out = STR.run_to_memory(STR.running_totals_stream(ev), "t_stream_state", "update")
+    # last update per user must equal the batch totals
+    latest = {}
+    for r in out.collect():
+        latest[r.user_id] = (r.n_events, r.total_value)
+    batch = (
+        load_events(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    )
+    for r in batch:
+        n, v = latest[r.user_id]
+        assert n == r.n
+        assert abs(v - round(r.v, 2)) < 0.05
