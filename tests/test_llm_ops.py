@@ -76,6 +76,28 @@ def test_lsh_ann_recall(spark, emb):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_ann_recall_and_pruning(spark, emb):
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = {r.vec_id for r in S.brute_force_topk(emb, qvec, k=10).collect()}
+    out = S.ivf_topk(emb, qvec, k=10).collect()
+    approx = {r.vec_id for r in out}
+    assert len(out) == 10
+    # query vector is in the corpus: its own list is always probed first
+    assert 0 in approx
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_assignment_deterministic(spark, emb):
+    C = S.ivf_centroids(emb, n_list=8)
+    a = {r.vec_id: r.l for r in emb.select("vec_id", S.ivf_assign(C).alias("l")).collect()}
+    b = {r.vec_id: r.l for r in emb.select("vec_id", S.ivf_assign(C).alias("l")).collect()}
+    assert a == b
+    assert all(0 <= v < 8 for v in a.values())
+
+
 def test_cosine_self_similarity(spark, emb):
     row = emb.limit(1).select(
         S.cosine(F.col("embedding"), F.col("embedding")).alias("c")
