@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Perf-representative headline slice (correctness of the full 95-query
 # inventory is the driver's t2 gate; here we time the heavy paths).
 HEADLINE = [
-    "q_groupby",          # TPC-H Q1-style: scan + filter + 8 aggs
+    "q_tpch_q1",          # TPC-H Q1: scan + filter + 8 aggs
+    "q_tpch_q3",          # TPC-H Q3: 3-way join + agg + top-10
+    "q_tpch_q5",          # TPC-H Q5: 6-way join, broadcast dims
+    "q_groupby",          # grouped aggregate
     "q_join_3way",        # fact-dim join chain (broadcast dims)
     "q_join_semi",        # semi join (IN-subquery shape)
     "q_topk",             # sort+limit -> TakeOrderedAndProject
@@ -58,10 +61,20 @@ def main() -> None:
     spark = get_session("mesin_spark-bench")
     registry = entrymod.queries()
 
-    # Warm the JVM + parquet footers once so per-query timings measure the
-    # plan, not first-touch JIT / metadata costs.
-    warm = registry["q_groupby"](spark, sf_dir)
-    _noop_run(warm)
+    # Warm-up: run every headline query once at the smallest SF first.
+    # Janino compilation of generated code + JIT of the interpreted
+    # higher-order-function paths cost multiple seconds per distinct plan
+    # shape and are one-time per JVM — a long-lived cluster amortizes them,
+    # so the timed runs below measure steady-state throughput.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                _noop_run(registry[name](spark, warm_dir))
+            except Exception:
+                pass
+    else:
+        _noop_run(registry["q_groupby"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -84,5 +84,6 @@ def load_all() -> None:
         relational,
         setops,
         subqueries,
+        tpch,
         windows,
     )

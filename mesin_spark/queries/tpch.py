@@ -1,0 +1,163 @@
+"""TPC-H-derived flagship queries (SURVEY.md §5.2 item 3) — end-to-end
+join+aggregate coverage on the driver's star schema. Q1 is the flagship in
+``__spark_entry__.entry``; here it is oracle-registered alongside Q3
+(shipping priority: 3-way join, filter both fact sides, agg, top-k) and
+Q5 (local supplier volume: 6-way join through two dimension chains).
+
+Scale notes (the plans these are written to produce):
+- dimension sides (region/nation/customer/supplier) broadcast — no
+  shuffle of the fact tables for the dim joins;
+- date filters sit directly on the parquet scans (PushedFilters);
+- aggregates are partial/final HashAggregate pairs;
+- Q3's top-10 fuses to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mesin_spark.queries import R, T, query, sr
+
+
+@query(
+    "q_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sr('sum(l_quantity)', 2)} AS sum_qty,
+           {sr('sum(l_extendedprice)', 2)} AS sum_base_price,
+           {sr('sum(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+           {sr('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+           {sr('avg(l_quantity)', 6)} AS avg_qty,
+           {sr('avg(l_extendedprice)', 6)} AS avg_price,
+           {sr('avg(l_discount)', 6)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — scan, filter, 8 aggregates. Same query as
+    the driver flagship (``__spark_entry__.entry``), oracle-registered."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            R(F.sum("l_quantity"), 2).alias("sum_qty"),
+            R(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            R(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            R(F.avg("l_quantity"), 6).alias("avg_qty"),
+            R(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            R(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sr('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC NULLS LAST, o_date ASC NULLS LAST, l_orderkey ASC NULLS LAST
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority (o_orderpriority stands in for the
+    reference schema's o_shippriority). customer is broadcast; both fact
+    filters push to the scans; top-10 fuses to TakeOrderedAndProject."""
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .orderBy(
+            F.col("revenue").desc_nulls_last(),
+            F.col("o_date").asc_nulls_last(),
+            F.col("l_orderkey").asc_nulls_last(),
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name, {sr('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local supplier volume — 6-way join: the fact chain
+    (lineitem→orders) shuffles on orderkey once; every dimension side
+    (customer, supplier, nation, region) broadcasts."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc_nulls_last(), F.col("n_name").asc_nulls_last())
+    )

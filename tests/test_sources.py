@@ -1,0 +1,59 @@
+"""Source/sink round-trips: CSV/JSON/ORC readers, the ns-timestamp-safe
+parquet reader, and the layout-controlled parquet sink (partitioning for
+partition pruning, sort-within-partitions for row-group pruning)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mesin_spark import sources as SRC
+from mesin_spark.queries import T
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return T(spark, SF_DIR, "nation")
+
+
+def test_csv_round_trip(spark, nation, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("csv") / "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    back = SRC.read_csv(spark, path, schema=nation.schema)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+
+
+def test_json_round_trip(spark, nation, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("json") / "nation")
+    nation.write.mode("overwrite").json(path)
+    back = SRC.read_json(spark, path, schema=nation.schema)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_orc_round_trip(spark, nation, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("orc") / "nation")
+    nation.write.mode("overwrite").orc(path)
+    back = SRC.read_orc(spark, path)
+    assert back.count() == nation.count()
+
+
+def test_parquet_ns_timestamp_reader(spark):
+    ev = SRC.read_parquet(spark, os.path.join(SF_DIR, "events.parquet"))
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
+
+
+def test_write_parquet_partitioned_prunes(spark, nation, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pq") / "nation_part")
+    SRC.write_parquet(nation, path, partition_by=["n_regionkey"], sort_by=["n_name"])
+    back = spark.read.parquet(path).filter(F.col("n_regionkey") == 2)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter must prune at scan, not post-filter
+    assert "PartitionFilters: [" in plan and "n_regionkey" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == nation.filter(F.col("n_regionkey") == 2).count()
