@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from mesin_spark.frame import QueryBuilder
 from mesin_spark.functions import aggregate_function
-from mesin_spark.queries import T, query
+from mesin_spark.queries import T, query, register_views
 from mesin_spark.queries import R  # stable rounding
 
 
@@ -235,6 +235,56 @@ def q_rollup(spark, sf_dir):
         T(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), R(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (extension, SURVEY.md §2.4 — the reference
+    bails on any complex GROUP BY). One Expand + one shuffle for all sets."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT/melt — wide measure columns to (metric, val) rows. Spark's
+    Unpivot operator is pure map-side Expand: no shuffle, linear scan."""
+    li = T(spark, sf_dir, "lineitem")
+    casted = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.col(c).cast("double").alias(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")],
+    )
+    return casted.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
     )
 
 

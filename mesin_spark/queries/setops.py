@@ -88,6 +88,38 @@ def q_except(spark, sf_dir):
 
 
 @query(
+    "q_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000.0
+    INTERSECT ALL
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 2000.0
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics — keeps min multiplicity per side)."""
+    c = T(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000.0).select(F.col("c_nationkey").alias("nk"))
+    b = c.filter(F.col("c_acctbal") > 2000.0).select(F.col("c_nationkey").alias("nk"))
+    return a.intersectAll(b)
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 2000.0
+    EXCEPT ALL
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 5000.0
+    """,
+)
+def q_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag semantics — multiplicity subtraction)."""
+    c = T(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 2000.0).select(F.col("c_nationkey").alias("nk"))
+    b = c.filter(F.col("c_acctbal") > 5000.0).select(F.col("c_nationkey").alias("nk"))
+    return a.exceptAll(b)
+
+
+@query(
     "q_values",
     oracle="""
     SELECT * FROM (VALUES (1, 'one', 1.5), (2, 'two', 2.5), (3, 'three', CAST(NULL AS DOUBLE)))

@@ -49,6 +49,27 @@ def test_parquet_ns_timestamp_reader(spark):
     assert ev.count() > 0
 
 
+def test_bucketed_join_skips_shuffle(spark):
+    li = T(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    od = T(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    SRC.write_bucketed(li, "t_li_bkt", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    SRC.write_bucketed(od, "t_od_bkt", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a merge join so the assertion is about shuffle elimination
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_li_bkt").join(
+            spark.table("t_od_bkt"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_od_bkt")
+
+
 def test_write_parquet_partitioned_prunes(spark, nation, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("pq") / "nation_part")
     SRC.write_parquet(nation, path, partition_by=["n_regionkey"], sort_by=["n_name"])
