@@ -105,6 +105,38 @@ def lang_id(col: Column | str) -> Column:
     return best.otherwise("und")
 
 
+def tf_idf(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+):
+    """Per-(doc, token) TF-IDF over a corpus: tf = in-doc term count,
+    idf = ln((N+1)/(df+1)) + 1 (smooth). Two shuffles total — one keyed on
+    (doc, token) for tf, one on token for document frequency — both with
+    map-side partial aggregation; the doc count N broadcasts as a scalar
+    subquery. Deterministic closed form, fully oracle-checkable.
+
+    Returns (id_col, tok, tf, tfidf)."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.countDistinct(id_col).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    return (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            "tok",
+            "tf",
+            R(F.col("tf") * idf, round_to).alias("tfidf"),
+        )
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Rolling polynomial hash over the document's characters:
     h ← (h·131 + code(char)) mod 1_000_000_007 — a portable document

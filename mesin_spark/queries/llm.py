@@ -275,6 +275,32 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", TX.fingerprint("text").alias("fp"))
 
 
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          t -> len(t) > 0)) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), dft AS (
+        SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+    ), total AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           floor((tf.tf * (ln((total.n_docs + 1) / (dft.df + 1.0)) + 1)) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+    FROM tf JOIN dft ON tf.tok = dft.tok CROSS JOIN total
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Corpus TF-IDF (smooth idf): two keyed shuffles with map-side partial
+    aggregation, token-frequency side broadcast into the join."""
+    d = T(spark, sf_dir, "documents")
+    return TX.tf_idf(d)
+
+
 # -- multimodal + streaming (rows-only) ------------------------------------
 @query("q_multimodal")  # rows-only: binary plumbing + pandas feature extraction
 def q_multimodal(spark, sf_dir):

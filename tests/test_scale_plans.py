@@ -92,6 +92,29 @@ def test_no_python_udf_in_llm_text_ops(spark):
         assert "BatchEvalPython" not in plan, "text ops must stay JVM-side"
 
 
+def test_tpch_q3_topk_fuses_and_broadcasts(spark):
+    from mesin_spark.queries.tpch import q_tpch_q3
+
+    df = q_tpch_q3(spark, SF_DIR)
+    df.collect()
+    plan = physical(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    from mesin_spark.queries.tpch import q_tpch_q5
+
+    df = q_tpch_q5(spark, SF_DIR)
+    df.collect()
+    plan = physical(df)
+    # customer, supplier, nation, region all broadcast: no shuffle for dims
+    assert plan.count("BroadcastHashJoin") >= 4
+    # remaining exchanges: fact join + final agg + sort ordering only
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
 def test_semi_join_planned(spark):
     from mesin_spark.queries.joins import q_join_semi
 
