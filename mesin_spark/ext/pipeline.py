@@ -1,0 +1,88 @@
+"""Training-data pipeline utilities (charter tier, SURVEY.md §2.11):
+deterministic train/val splitting, PII scrubbing, and document chunking.
+
+Everything is a pure map-side projection — no shuffle, linear in corpus
+size, trivially parallel at 100 TB. The split hash is engine-portable
+arithmetic (Knuth multiplicative mix, exact int64) rather than an
+engine-native hash, so the assignment is reproducible anywhere and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mesin_spark.ext.text import tokens
+
+#: Knuth's multiplicative constant (2^32 / phi); mixing mod 2^32.
+_KNUTH = 2654435761
+_MOD32 = 1 << 32
+
+#: Redaction patterns — conservative, RE2/Java-regex compatible.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+
+def split_bucket(id_col: Column | str, n_buckets: int = 10000) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer id:
+    (id * 2654435761) mod 2^32 mod n_buckets. Portable exact-int
+    arithmetic — identical in any engine, unlike xxhash/murmur."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.pmod(c.cast("long") * F.lit(_KNUTH), F.lit(_MOD32)), F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    frac_train: float = 0.9,
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """Adds a 'split' column ('train' / 'val') by deterministic id bucket.
+    Stable across runs, engines, and re-partitioning — the property random
+    sampling lacks; new rows never flip old rows' assignment."""
+    cut = int(frac_train * n_buckets)
+    return df.withColumn(
+        "split",
+        F.when(split_bucket(id_col, n_buckets) < cut, F.lit("train")).otherwise(
+            F.lit("val")
+        ),
+    )
+
+
+def scrub_text(col: Column | str) -> Column:
+    """Redact emails and phone-number-ish digit runs ([EMAIL], [PHONE]) —
+    regexp_replace replaces every occurrence, map-side only."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training chunker. Token windows of ``chunk_tokens`` starting every
+    ``stride`` tokens (the final partial window is kept so no text drops).
+    Explode is map-side; output rows carry (id, chunk_id, chunk_text,
+    n_tokens)."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    starts = F.sequence(F.lit(0), F.greatest(F.ceil((n - chunk_tokens) / stride), F.lit(0)))
+    windows = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(windows).alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from mesin_spark.ext import dedup as D
 from mesin_spark.ext import multimodal as M
+from mesin_spark.ext import pipeline as P
 from mesin_spark.ext import similarity as S
 from mesin_spark.ext import streaming as STR
 from mesin_spark.ext import text as TX
@@ -273,6 +274,74 @@ def q_fingerprint(spark, sf_dir):
     (h·131+code mod 1e9+7), identical in any engine."""
     d = T(spark, sf_dir, "documents")
     return d.select("doc_id", TX.fingerprint("text").alias("fp"))
+
+
+@query(
+    "q_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9000
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val split by portable hash bucket (Knuth mix,
+    exact int64 arithmetic — identical in any engine). Map-side only."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return P.hash_split(d, "doc_id", frac_train=0.9)
+
+
+@query(
+    "q_scrub_text",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def q_scrub_text(spark, sf_dir):
+    """PII scrubbing: redact emails and phone-ish digit runs — map-side
+    regexp_replace, no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", P.scrub_text("text").alias("scrubbed"))
+
+
+@query(
+    "q_chunk_docs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents
+    ), s AS (
+        SELECT doc_id, tk,
+               range(0, greatest(ceil((len(tk) - 64) / 48.0), 0)::BIGINT + 1) AS starts
+        FROM t
+    )
+    SELECT doc_id, i AS chunk_id,
+           array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text,
+           least(len(tk) - i*48, 64) AS n_tokens
+    FROM s, unnest(starts) AS u(i)
+    """,
+)
+def q_chunk_docs(spark, sf_dir):
+    """Pre-training document chunker: overlapping 64-token windows, stride
+    48, final partial window kept. Map-side explode, linear scan."""
+    d = T(spark, sf_dir, "documents")
+    return P.chunk_documents(d, chunk_tokens=64, stride=48)
+
+
+@query("q_dedup_clusters")  # rows-only: iterative algorithm (non-SQL-expressible)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster canonicalization: connected components (min-label
+    propagation) over the MinHash-LSH pair set; every doc maps to its
+    cluster's surviving id. Correctness on chains asserted in tests."""
+    dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    pairs = D.minhash_lsh_dedup(dup, "doc_id", threshold=0.7)
+    return D.dedup_clusters(pairs).orderBy("node")
 
 
 @query(

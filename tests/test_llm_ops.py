@@ -139,6 +139,59 @@ def test_bpe_estimate_at_least_whitespace_count(spark, docs):
     assert all(r.bpe >= r.ws for r in rows)
 
 
+def test_dedup_clusters_chains(spark):
+    # chain a-b-c plus isolated pair d-e: clusters {1,2,3}->1 and {10,11}->10
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.node: r.canonical_id for r in D.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_hash_split_deterministic_and_fractional(spark, docs):
+    from mesin_spark.ext import pipeline as P
+
+    a = {r.doc_id: r.split for r in P.hash_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in P.hash_split(docs, "doc_id").collect()}
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.85 < frac < 0.95
+
+
+def test_scrub_text_redacts(spark):
+    from mesin_spark.ext import pipeline as P
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@example.org or call +1 (555) 123-4567 now")],
+        "id long, text string",
+    )
+    out = df.select(P.scrub_text("text").alias("t")).head().t
+    assert "[EMAIL]" in out and "[PHONE]" in out
+    assert "example.org" not in out and "555" not in out
+
+
+def test_chunk_documents_covers_all_tokens(spark):
+    from mesin_spark.ext import pipeline as P
+    from mesin_spark.ext.text import tokens as TKS
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(150))), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    chunks = P.chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 150 tokens -> starts 0,48,96 -> 3 chunks; last partial has 54
+    assert [r.n_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_id)] == [64, 64, 54]
+    # every token of doc 1 appears in some chunk
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(150)}
+    assert by_doc[2][0].n_tokens == 2
+
+
 # -- multimodal ------------------------------------------------------------
 def test_multimodal_features_deterministic(spark, docs):
     feats = M.extract_features(M.attach_binary(docs.limit(20))).collect()
