@@ -39,9 +39,13 @@ HEADLINE = [
     "q_running_sum",      # running window aggregate
     "q_cte_multi",        # multi-CTE composition
     "q_tumbling_batch",   # event-time tumbling window agg
+    "q_session_batch",    # session windows (gap-based)
+    "q_asof_join",        # as-of join via union+window
     "q_dedup_minhash",    # MinHash-LSH near-dup (documents)
     "q_sim_topk",         # exact cosine top-k (embeddings)
     "q_text_tokens",      # tokenize + explode + count
+    "q_tfidf",            # corpus TF-IDF (two keyed shuffles)
+    "q_chunk_docs",       # pre-training chunker (map-side explode)
     "q_rollup",           # grouping-set aggregate
 ]
 

@@ -106,3 +106,46 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files (the
+    small-files compaction every long-running ingest needs — thousands of
+    KB-sized files destroy scan scheduling and footer-read time at scale).
+
+    File count = ceil(total_bytes / target). Writes to a sibling temp dir
+    and atomically swaps, so readers never observe a half-written table.
+    Returns the new file count."""
+    import glob
+    import math
+    import os
+    import shutil
+    import uuid
+
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ) or sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.startswith("part-")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartition(n_files).sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(n_files) if df.rdd.getNumPartitions() > n_files else df.repartition(n_files)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

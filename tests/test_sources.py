@@ -70,6 +70,20 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS t_od_bkt")
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("compact") / "li")
+    li = T(spark, SF_DIR, "lineitem")
+    li.repartition(64).write.parquet(path)  # simulate a small-files mess
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    before = li.count()
+    SRC.compact_parquet(spark, path, target_file_mb=256, sort_by=["l_orderkey"])
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) <= 4
+    assert spark.read.parquet(path).count() == before
+
+
 def test_write_parquet_partitioned_prunes(spark, nation, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("pq") / "nation_part")
     SRC.write_parquet(nation, path, partition_by=["n_regionkey"], sort_by=["n_name"])
