@@ -48,19 +48,43 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
-    """Tumbling window counts with a watermark: state for a window is
-    dropped once event time passes window_end + watermark — bounded state,
-    the thing that makes this viable on an unbounded 100 TB/day stream."""
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or, with ``slide``, sliding) window counts with a
+    watermark: state for a window is dropped once event time passes
+    window_end + watermark — bounded state, the thing that makes this
+    viable on an unbounded 100 TB/day stream."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), "event_type")
+        .groupBy(win, "event_type")
         .agg(F.count(F.lit(1)).alias("n"), R(F.sum("value"), 2).alias("total_value"))
         .select(
             F.unix_timestamp(F.col("window.start")).alias("win_start"),
             "event_type",
             "n",
             "total_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-based) under a watermark — session
+    state merges as events arrive and closes gap past the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
         )
     )
 

@@ -420,6 +420,28 @@ def q_stream_stateful(spark, sf_dir):
     return latest.orderBy("user_id")
 
 
+@query("q_stream_sliding")  # rows-only: streaming execution path
+def q_stream_sliding(spark, sf_dir):
+    """Streaming sliding windows (30min/15min) with watermark — each event
+    contributes to two windows; closed windows must match q_sliding_batch
+    (asserted in tests/test_streaming.py)."""
+    stream = STR.read_events_stream(spark, sf_dir)
+    agg = STR.windowed_counts(
+        stream, window="30 minutes", watermark="30 minutes", slide="15 minutes"
+    )
+    return STR.run_to_memory(agg, "q_stream_sliding_out", output_mode="append")
+
+
+@query("q_stream_session")  # rows-only: streaming execution path
+def q_stream_session(spark, sf_dir):
+    """Streaming session windows (10-minute gap) per user — merging session
+    state under a watermark; closed sessions must match q_session_batch
+    (asserted in tests/test_streaming.py)."""
+    stream = STR.read_events_stream(spark, sf_dir)
+    agg = STR.session_counts(stream, gap="10 minutes", watermark="30 minutes")
+    return STR.run_to_memory(agg, "q_stream_session_out", output_mode="append")
+
+
 # SURVEY.md §2.11 names the MinHash-LSH near-dup row "q_dedup_near";
 # register the same query under that id so the §2 checklist maps 1:1.
 @query("q_dedup_near")  # rows-only: xxhash64-based sketches are Spark-native

@@ -47,3 +47,61 @@ def test_random_filter_matches_duckdb(pred, spark, duck):
     }
     want = set(map(tuple, duck.execute(sql).fetchall()))
     assert got == want, f"predicate {pred!r}: {len(got)} vs {len(want)} rows"
+
+
+@given(pred=predicates(), key=st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_random_filtered_agg_matches_duckdb(pred, key, spark, duck):
+    """Filter + groupBy + count/sum must agree (integer sums — exact)."""
+    from pyspark.sql import functions as F
+
+    sql = (
+        f"SELECT {key} AS k, count(*) AS n, CAST(sum(l_linenumber) AS BIGINT) AS s "
+        f"FROM lineitem WHERE {pred} GROUP BY 1"
+    )
+    got = {
+        (r.k, r.n, r.s)
+        for r in T(spark, SF_DIR, "lineitem")
+        .filter(pred)
+        .groupBy(F.col(key).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_linenumber").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    want = set(map(tuple, duck.execute(sql).fetchall()))
+    assert got == want, f"predicate {pred!r} key {key}"
+
+
+@given(pred=predicates(), how=st.sampled_from(["inner", "left_semi", "left_anti"]))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_random_filtered_join_matches_duckdb(pred, how, spark, duck):
+    """lineitem (filtered) joined to orders — inner/semi/anti row sets
+    must agree with DuckDB's equivalents."""
+    from pyspark.sql import functions as F
+
+    li = T(spark, SF_DIR, "lineitem").filter(pred)
+    od = T(spark, SF_DIR, "orders").filter("o_totalprice > 50000")
+    joined = li.join(od, li.l_orderkey == od.o_orderkey, how)
+    got_cols = (
+        ["l_orderkey", "l_linenumber"]
+    )
+    got = {tuple(r) for r in joined.select(*got_cols).collect()}
+    if how == "inner":
+        sql = (
+            f"SELECT l_orderkey, l_linenumber FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE ({pred}) AND o_totalprice > 50000"
+        )
+    elif how == "left_semi":
+        sql = (
+            f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE ({pred}) AND l_orderkey IN "
+            f"(SELECT o_orderkey FROM orders WHERE o_totalprice > 50000)"
+        )
+    else:
+        sql = (
+            f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE ({pred}) AND l_orderkey NOT IN "
+            f"(SELECT o_orderkey FROM orders WHERE o_totalprice > 50000)"
+        )
+    want = set(map(tuple, duck.execute(sql).fetchall()))
+    assert got == want, f"predicate {pred!r} how {how}"

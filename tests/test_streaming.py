@@ -36,6 +36,47 @@ def test_stream_tumbling_subset_of_batch(spark):
         assert batch_map[(r.win_start, r.event_type)] == r.n
 
 
+def test_stream_sliding_subset_of_batch(spark):
+    stream = STR.read_events_stream(spark, SF_DIR)
+    out = STR.run_to_memory(
+        STR.windowed_counts(stream, "30 minutes", "30 minutes", slide="15 minutes"),
+        "t_stream_slide",
+    ).collect()
+    batch = (
+        load_events(spark, SF_DIR)
+        .groupBy(F.window("ts", "30 minutes", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("window.start").alias("win_start"), "event_type", "n")
+        .collect()
+    )
+    batch_map = {(r.win_start, r.event_type): r.n for r in batch}
+    assert out, "stream produced no closed windows"
+    for r in out:
+        assert batch_map[(r.win_start, r.event_type)] == r.n
+
+
+def test_stream_session_subset_of_batch(spark):
+    stream = STR.read_events_stream(spark, SF_DIR)
+    out = STR.run_to_memory(
+        STR.session_counts(stream, "10 minutes", "30 minutes"), "t_stream_sess"
+    ).collect()
+    batch = (
+        load_events(spark, SF_DIR)
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .collect()
+    )
+    batch_map = {(r.user_id, r.session_start): r.n_events for r in batch}
+    assert out, "stream produced no closed sessions"
+    for r in out:
+        assert batch_map[(r.user_id, r.session_start)] == r.n_events
+
+
 def test_stream_dedup_within_watermark(spark):
     ev = STR.read_events_stream(spark, SF_DIR)
     deduped = STR.dedup_within_watermark(ev, "30 minutes")
