@@ -1,0 +1,72 @@
+"""Regenerate PLANS.md: formatted physical plans for the bench headline
+queries at sf0.01, annotated with the scale property each plan is expected
+to show (pushed filters, pruned schemas, broadcast joins, top-k fusion).
+
+Usage: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from mesin_spark.session import get_session  # noqa: E402
+
+NOTES = {
+    "q_tpch_q1": "date filter pushed to scan; partial+final HashAggregate; 7-column ReadSchema (pruned from 11)",
+    "q_tpch_q3": "customer broadcast; both fact filters pushed; top-10 fused to TakeOrderedAndProject",
+    "q_tpch_q5": "all four dimension sides broadcast; single fact shuffle on orderkey",
+    "q_join_3way": "fact-fact shuffle join on orderkey; customer broadcast",
+    "q_join_semi": "LeftSemi broadcast join (IN-subquery shape)",
+    "q_topk": "sort+limit fused to TakeOrderedAndProject: per-partition k-heaps, no global sort",
+    "q_topk_per_group": "single shuffle on the window partition key; rank filter applied before projection",
+    "q_running_sum": "one window shuffle; running frame evaluated in a single pass",
+    "q_tumbling_batch": "window struct computed map-side; one grouping shuffle",
+    "q_asof_join": "union+window as-of: ONE shuffle on user_id, no range explosion",
+    "q_dedup_minhash": "repartition spreads shingling; banding groupBy + bounded buckets; verify join on hashed shingles",
+    "q_sim_topk": "brute-force cosine = one codegen'd scan + TakeOrderedAndProject",
+    "q_text_tokens": "explode map-side; token groupBy with partial aggregation",
+    "q_tfidf": "two keyed shuffles (tf, df); document-frequency side broadcast",
+    "q_chunk_docs": "pure map-side explode — zero shuffles",
+    "q_rollup": "Expand computes all grouping sets in one pass, one shuffle",
+}
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    spark = get_session("mesin_spark-plans")
+    registry = entrymod.queries()
+    sf_dir = "/root/testdata/sf0.01"
+
+    out = [
+        "# PLANS — formatted physical plans of the bench headline (sf0.01)",
+        "",
+        "Regenerate with `python tools/dump_plans.py`. Each plan is the",
+        "post-AQE executed plan; the note states the scale property the plan",
+        "must exhibit (asserted for key queries in tests/test_scale_plans.py).",
+        "",
+    ]
+    for name in HEADLINE:
+        if name not in NOTES:
+            continue
+        df = registry[name](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out.append(f"## {name}")
+        out.append("")
+        out.append(f"*{NOTES[name]}*")
+        out.append("")
+        out.append("```")
+        out.append(plan.strip()[:4000])
+        out.append("```")
+        out.append("")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote PLANS.md ({len(out)} lines)")
+
+
+if __name__ == "__main__":
+    main()
