@@ -50,6 +50,35 @@ def hash_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum fraction of
+    rows, selected by portable id-hash bucket — the corpus-mixing /
+    rebalancing primitive (e.g. keep 100% of books, 10% of web crawl).
+    Unlike df.sampleBy this is reproducible across runs, engines, and
+    repartitioning, and never flips a row's fate when data is appended.
+    Map-side only: a single CASE-filter, no shuffle."""
+    bucket = split_bucket(id_col, n_buckets)
+    cut = None
+    for value, frac in fractions.items():
+        branch = F.when(F.col(strata_col) == value, F.lit(int(frac * n_buckets)))
+        cut = branch if cut is None else cut.when(
+            F.col(strata_col) == value, F.lit(int(frac * n_buckets))
+        )
+    cut = (
+        cut.otherwise(F.lit(int(default_fraction * n_buckets)))
+        if cut is not None
+        else F.lit(int(default_fraction * n_buckets))
+    )
+    return df.filter(bucket < cut)
+
+
 def scrub_text(col: Column | str) -> Column:
     """Redact emails and phone-number-ish digit runs ([EMAIL], [PHONE]) —
     regexp_replace replaces every occurrence, map-side only."""

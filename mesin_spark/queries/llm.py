@@ -310,6 +310,28 @@ def q_scrub_text(spark, sf_dir):
 
 
 @query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+          CASE WHEN source = 'src0' THEN 10000
+               WHEN source = 'src1' THEN 5000
+               ELSE 1000 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling by portable hash bucket: keep 100%
+    of src0, 50% of src1, 10% of everything else — the corpus
+    mixing/rebalancing primitive, reproducible across engines and appends.
+    Map-side CASE-filter, no shuffle."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source")
+    return P.stratified_sample(
+        d, "source", {"src0": 1.0, "src1": 0.5}, "doc_id", default_fraction=0.1
+    )
+
+
+@query(
     "q_chunk_docs",
     oracle="""
     WITH t AS (

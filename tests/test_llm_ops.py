@@ -158,6 +158,24 @@ def test_hash_split_deterministic_and_fractional(spark, docs):
     assert 0.85 < frac < 0.95
 
 
+def test_stratified_sample_fractions_and_stability(spark, docs):
+    from mesin_spark.ext import pipeline as P
+
+    d = docs.select("doc_id", "source")
+    out = P.stratified_sample(d, "source", {"src0": 1.0, "src1": 0.5}, "doc_id", 0.1)
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in out.collect()}
+    assert a == b
+    n_src0_all = d.filter("source = 'src0'").count()
+    n_src0_kept = out.filter("source = 'src0'").count()
+    assert n_src0_kept == n_src0_all  # fraction 1.0 keeps everything
+    # adding rows never flips existing assignments
+    half = P.stratified_sample(
+        d.filter("doc_id < 250"), "source", {"src0": 1.0, "src1": 0.5}, "doc_id", 0.1
+    )
+    assert {r.doc_id for r in half.collect()} == {i for i in a if i < 250}
+
+
 def test_scrub_text_redacts(spark):
     from mesin_spark.ext import pipeline as P
 
