@@ -96,6 +96,41 @@ class Catalog:
             if os.path.exists(p):
                 self.register_parquet(t, p)
 
+    def register_demo_catalog(self) -> None:
+        """The reference's hardcoded three-table catalog
+        (src/context.rs:19-34: users(id,name,email),
+        orders(id,user_id,amount), products(id,name,price)) as empty typed
+        tables — so the reference's own smoke query
+        (``SELECT email, name FROM users``, src/main.rs:7) plans and runs
+        here unchanged."""
+        from pyspark.sql import types as Ty
+
+        schemas = {
+            "users": Ty.StructType(
+                [
+                    Ty.StructField("id", Ty.LongType()),
+                    Ty.StructField("name", Ty.StringType()),
+                    Ty.StructField("email", Ty.StringType()),
+                ]
+            ),
+            "orders": Ty.StructType(
+                [
+                    Ty.StructField("id", Ty.LongType()),
+                    Ty.StructField("user_id", Ty.LongType()),
+                    Ty.StructField("amount", Ty.DoubleType()),
+                ]
+            ),
+            "products": Ty.StructType(
+                [
+                    Ty.StructField("id", Ty.LongType()),
+                    Ty.StructField("name", Ty.StringType()),
+                    Ty.StructField("price", Ty.DoubleType()),
+                ]
+            ),
+        }
+        for name, schema in schemas.items():
+            self.register_dataframe(name, self.spark.createDataFrame([], schema))
+
     # -- resolution --------------------------------------------------------
     def table(self, name: str) -> DataFrame:
         if name not in self.tables:

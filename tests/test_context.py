@@ -79,6 +79,23 @@ def test_natural_join_requires_common_columns(spark):
         QueryBuilder.from_(a).natural_join(b)
 
 
+def test_reference_smoke_query_runs(spark):
+    """The reference's main.rs smoke (`SELECT email, name FROM users`,
+    src/main.rs:5-7) against its hardcoded catalog (src/context.rs:19-34)
+    must plan and execute here."""
+    from mesin_spark import ExecutionContext
+
+    ctx = ExecutionContext(dialect="postgres", spark=spark)
+    ctx.catalog.register_demo_catalog()
+    out = ctx.execute("SELECT email, name FROM users")
+    assert out.columns == ["email", "name"]
+    assert out.count() == 0  # reference catalog has schema only, no rows
+    joined = ctx.execute(
+        "SELECT u.name, count(*) AS n FROM users u JOIN orders o ON u.id = o.user_id GROUP BY u.name"
+    )
+    assert joined.columns == ["name", "n"]
+
+
 def test_sort_key_four_combinations(spark):
     df = spark.createDataFrame([(1,), (None,), (3,)], "v int")
     asc_nf = [r.v for r in df.orderBy(sort_key("v", True, True)).collect()]
