@@ -169,6 +169,50 @@ def q_asof_join(spark, sf_dir):
 
 
 @query(
+    "q_range_join",
+    oracle="""
+    WITH campaigns AS (
+        SELECT * FROM (VALUES
+            ('newyear',   TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-03 00:00:00'),
+            ('midmonth',  TIMESTAMP '2024-01-14 12:00:00', TIMESTAMP '2024-01-16 18:30:00'),
+            ('closeout',  TIMESTAMP '2024-01-29 00:00:00', TIMESTAMP '2024-01-31 00:00:00')
+        ) t(campaign, start_ts, end_ts)
+    )
+    SELECT c.campaign, count(*) AS n_events,
+           floor((SUM(e.value)) * 100.0 + 0.5) / 100.0 AS total_value
+    FROM events e JOIN campaigns c
+      ON e.ts >= c.start_ts AND e.ts < c.end_ts
+    GROUP BY c.campaign
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Interval-containment range join (absent in the reference, SURVEY.md
+    §2.3): events matched to overlapping campaign windows via bucket
+    expansion — an equi-join on hour bucket + residual range filter instead
+    of a nested loop (mesin_spark.ext.intervals.bucketed_range_join)."""
+    from mesin_spark.ext.intervals import bucketed_range_join
+
+    e = T(spark, sf_dir, "events")
+    campaigns = spark.createDataFrame(
+        [
+            ("newyear", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+            ("midmonth", "2024-01-14 12:00:00", "2024-01-16 18:30:00"),
+            ("closeout", "2024-01-29 00:00:00", "2024-01-31 00:00:00"),
+        ],
+        "campaign string, start_ts string, end_ts string",
+    ).select(
+        "campaign",
+        F.to_timestamp("start_ts").alias("start_ts"),
+        F.to_timestamp("end_ts").alias("end_ts"),
+    )
+    joined = bucketed_range_join(e, campaigns, bucket_seconds=3600)
+    return joined.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        R(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
     "q_event_pivot",
     oracle="""
     SELECT user_id % 10 AS user_bucket,
