@@ -61,13 +61,11 @@ def aggregate_function(name: str, arg: Column | str | None = None, distinct: boo
         fn = {
             "COUNT": F.count_distinct,
             "SUM": F.sum_distinct,
-            # MIN/MAX/AVG DISTINCT: distinct is a no-op for MIN/MAX; AVG
-            # DISTINCT averages the distinct values.
+            # distinct is a no-op for MIN/MAX; AVG(DISTINCT) averages the
+            # distinct values = sum_distinct / count_distinct
             "MIN": F.min,
             "MAX": F.max,
-            "AVG": lambda c: F.avg(F.col("x")),  # replaced below
+            "AVG": lambda c: F.sum_distinct(c) / F.count_distinct(c),
         }[up]
-        if up == "AVG":
-            raise NotImplementedError("AVG(DISTINCT) — use SQL path: avg(DISTINCT x)")
         return fn(col)
     return {"COUNT": F.count, "SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[up](col)
