@@ -53,6 +53,95 @@ def get_dialect(name: str) -> str:
     return name if name in DIALECTS else "generic"
 
 
+#: Dialects whose identifier quote is the double-quote and that support
+#: the ``expr::type`` cast shorthand.
+_PG_LIKE = frozenset({"postgres", "redshift", "duckdb", "sqlite", "generic", "ansi"})
+
+
+def normalize_dialect(sql: str, dialect: str) -> str:
+    """Minimal dialect normalization so common postgres/duckdb-flavored SQL
+    runs on Spark SQL: ``expr::type`` becomes ``CAST(expr AS type)`` (for
+    simple operands) and double-quoted identifiers become backticked.
+    Single-quoted string literals are never touched (char scanner, not
+    regex-over-everything). Spark-compatible dialects pass through.
+
+    This honors the reference's 11-dialect knob (src/lib.rs:9-23) with
+    actual behavior instead of a no-op for the syntax that differs most
+    often; constructs beyond it surface Spark's parse error unchanged."""
+    if dialect not in _PG_LIKE:
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # string literal: copy verbatim, honoring '' escapes
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == '"':  # quoted identifier -> backticks
+            j = sql.find('"', i + 1)
+            if j == -1:
+                out.append(sql[i:])
+                break
+            out.append("`" + sql[i + 1 : j] + "`")
+            i = j + 1
+        elif ch == ":" and i + 1 < n and sql[i + 1] == ":":
+            # expr::type — rewrite when the operand is a simple token
+            # (identifier, quoted identifier we just emitted, number, or
+            # a parenthesized group ending right before the '::')
+            k = i + 2
+            while k < n and (sql[k].isalnum() or sql[k] in "_("):
+                if sql[k] == "(":  # e.g. ::DECIMAL(10,2)
+                    depth = 1
+                    k += 1
+                    while k < n and depth:
+                        depth += {"(": 1, ")": -1}.get(sql[k], 0)
+                        k += 1
+                    break
+                k += 1
+            typename = sql[i + 2 : k]
+            # walk back over the operand in what we've emitted so far
+            emitted = "".join(out)
+            m = len(emitted)
+            if m and emitted[-1] == ")":
+                depth = 0
+                p = m - 1
+                while p >= 0:
+                    depth += {")": 1, "(": -1}.get(emitted[p], 0)
+                    if depth == 0:
+                        break
+                    p -= 1
+                # include a function name before the parens: fn(x)::T, CAST(..)::T
+                while p > 0 and (emitted[p - 1].isalnum() or emitted[p - 1] in "_.`"):
+                    p -= 1
+                operand_start = p
+            elif m and emitted[-1] == "`":
+                # backtick-quoted identifier (possibly qualified: t.`my col`)
+                p = emitted.rfind("`", 0, m - 1)
+                while p > 0 and (emitted[p - 1].isalnum() or emitted[p - 1] in "_.`"):
+                    p -= 1
+                operand_start = p
+            else:
+                p = m
+                while p > 0 and (emitted[p - 1].isalnum() or emitted[p - 1] in "_.`"):
+                    p -= 1
+                operand_start = p
+            operand = emitted[operand_start:]
+            out = [emitted[:operand_start], f"CAST({operand} AS {typename})"]
+            i = k
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 class ExecutionContext:
     """SQL-string-in, DataFrame-out engine handle.
 
@@ -89,7 +178,7 @@ class ExecutionContext:
                 f"Multi-statement input not supported (got {len(stmts)} statements); "
                 "execute them one at a time"
             )
-        return self.spark.sql(stmts[0])
+        return self.spark.sql(normalize_dialect(stmts[0], self.dialect))
 
     def explain(self, sql: str) -> str:
         """The reference's terminal stage was a pretty-printed logical plan

@@ -79,6 +79,54 @@ def test_natural_join_requires_common_columns(spark):
         QueryBuilder.from_(a).natural_join(b)
 
 
+def test_dialect_normalization_pg_casts_and_quotes(spark):
+    from mesin_spark.context import normalize_dialect
+
+    assert (
+        normalize_dialect("SELECT a::INT FROM t", "postgres")
+        == "SELECT CAST(a AS INT) FROM t"
+    )
+    assert (
+        normalize_dialect('SELECT "my col" FROM "t"', "duckdb")
+        == "SELECT `my col` FROM `t`"
+    )
+    # string literals untouched, even containing :: and quotes
+    assert (
+        normalize_dialect("SELECT 'a::b \"x\"' FROM t", "postgres")
+        == "SELECT 'a::b \"x\"' FROM t"
+    )
+    # parenthesized operand and parameterized type
+    assert (
+        normalize_dialect("SELECT (a + b)::DECIMAL(10,2) FROM t", "postgres")
+        == "SELECT CAST((a + b) AS DECIMAL(10,2)) FROM t"
+    )
+    # quoted identifier directly cast
+    assert (
+        normalize_dialect('SELECT "my col"::INT FROM t', "postgres")
+        == "SELECT CAST(`my col` AS INT) FROM t"
+    )
+    # chained casts
+    assert (
+        normalize_dialect("SELECT a::INT::STRING FROM t", "postgres")
+        == "SELECT CAST(CAST(a AS INT) AS STRING) FROM t"
+    )
+    # non-pg dialects pass through
+    assert normalize_dialect('SELECT "q" FROM t', "hive") == 'SELECT "q" FROM t'
+
+
+def test_dialect_normalization_end_to_end(spark):
+    from mesin_spark import ExecutionContext
+
+    ctx = ExecutionContext(dialect="postgres", spark=spark)
+    ctx.register_dir("/root/testdata/sf0.001")
+    out = ctx.execute(
+        'SELECT n_name AS "nation name", n_nationkey::DOUBLE AS k FROM nation ORDER BY k LIMIT 3'
+    )
+    rows = out.collect()
+    assert out.columns == ["nation name", "k"]
+    assert [r.k for r in rows] == [0.0, 1.0, 2.0]
+
+
 def test_reference_smoke_query_runs(spark):
     """The reference's main.rs smoke (`SELECT email, name FROM users`,
     src/main.rs:5-7) against its hardcoded catalog (src/context.rs:19-34)
