@@ -121,11 +121,18 @@ def _band_pairs(
 ) -> DataFrame:
     """LSH banding over a (_id, _sig) frame → distinct candidate pairs."""
     rows_per_band = num_perm // bands
+    # band key = xxhash64 over the band's signature rows directly (multi-arg
+    # hash of longs — no per-band string building)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", j * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])).alias("bkey"),
+                F.xxhash64(
+                    *[
+                        F.element_at("_sig", j * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bkey"),
             )
             for j in range(bands)
         ]

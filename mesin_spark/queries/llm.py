@@ -54,7 +54,7 @@ def q_dedup_minhash(spark, sf_dir):
     ≥0.7. With planted exact duplicates every (id, id+1e6) pair must
     surface — asserted in tests; here the driver checks rows/schema."""
     dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
-    return D.minhash_lsh_dedup(dup, "doc_id", threshold=0.7).orderBy("id_a", "id_b")
+    return D.minhash_lsh_dedup(dup, "doc_id", threshold=0.7)
 
 
 @query("q_dedup_simhash")  # rows-only: same reason
