@@ -121,6 +121,36 @@ def q_window_range(spark, sf_dir):
 
 
 @query(
+    "q_window_stats",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           floor((PERCENT_RANK() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           floor((CUME_DIST() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC NULLS LAST)
+    """,
+)
+def q_window_stats(spark, sf_dir):
+    """Distribution window functions — ntile/percent_rank/cume_dist/
+    first_value in one window pass (single shuffle on the partition key)."""
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), F.col("c_custkey").asc_nulls_last()
+    )
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        R(F.percent_rank().over(w), 6).alias("pct_rank"),
+        R(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("poorest"),
+    )
+
+
+@query(
     "q_topk_per_group",
     oracle="""
     SELECT * FROM (
