@@ -169,6 +169,37 @@ def q_asof_join(spark, sf_dir):
 
 
 @query(
+    "q_rollup_daily",
+    oracle="""
+    SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
+           event_type,
+           count(*) AS n,
+           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS sum_v,
+           floor((SUM(value) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_daily(spark, sf_dir):
+    """Hypertable-style continuous aggregate (charter op): daily numbers
+    answered from an HOURLY rollup table, not raw events — sums/counts
+    re-aggregate exactly, avg derived from decomposed state
+    (mesin_spark.ext.rollup). The oracle aggregates raw events directly,
+    proving the rollup path is lossless."""
+    from mesin_spark.ext.rollup import reaggregate, time_rollup
+
+    e = T(spark, sf_dir, "events")
+    hourly = time_rollup(e, "1 hour", group_cols=["event_type"])
+    daily = reaggregate(hourly, "1 day", group_cols=["event_type"])
+    return daily.select(
+        F.unix_timestamp("bucket_start").alias("day_start"),
+        "event_type",
+        "n",
+        R(F.col("sum_v"), 2).alias("sum_v"),
+        R(F.col("avg_v"), 6).alias("avg_v"),
+    )
+
+
+@query(
     "q_range_join",
     oracle="""
     WITH campaigns AS (

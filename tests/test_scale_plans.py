@@ -115,6 +115,15 @@ def test_tpch_q5_broadcasts_all_dims(spark):
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
+def test_tpch_q6_all_predicates_pushed(spark):
+    from mesin_spark.queries.tpch import q_tpch_q6
+
+    plan = physical(q_tpch_q6(spark, SF_DIR))
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to parquet scan"
+
+
 def test_semi_join_planned(spark):
     from mesin_spark.queries.joins import q_join_semi
 
