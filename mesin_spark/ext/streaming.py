@@ -114,6 +114,40 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
     return spark.table(name)
 
 
+def purchase_click_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: clicks within ``horizon`` after a purchase
+    by the same user. Both sides carry watermarks and the join condition
+    bounds event time from both directions, so the state store can expire
+    rows — the requirement that makes stream-stream joins viable unbounded.
+    Returns (user_id, purchase_id, click_id, gap_s)."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_s"),
+    )
+
+
 # -- custom stateful operator ---------------------------------------------
 SESSION_STATE_SCHEMA = "n_events long, total_value double"
 SESSION_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"

@@ -44,13 +44,18 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-ish token pattern: alphanumeric runs, or any single non-space
+#: symbol. Plain RE2-compatible alternation (no lookaround), so the same
+#: pattern runs in Spark, DuckDB, and most other engines.
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_token_estimate(col: Column | str) -> Column:
-    """BPE-ish token estimate: split on word/number/punctuation boundaries
-    (each punctuation char its own token, numbers chunked), the standard
-    cheap stand-in for a real tokenizer in data pipelines."""
+    """BPE-ish token estimate: count alphanumeric runs plus individual
+    punctuation/symbol characters — the standard cheap stand-in for a real
+    tokenizer in data pipelines."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(c, r"(?=[^A-Za-z0-9\s])|(?<=[^A-Za-z0-9\s])|\s+")
-    return F.size(F.filter(pieces, lambda t: F.length(t) > 0))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:

@@ -199,6 +199,26 @@ def q_token_count(spark, sf_dir):
 
 
 @query(
+    "q_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+           len(list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)) AS n_ws
+    FROM documents
+    """,
+)
+def q_bpe_tokens(spark, sf_dir):
+    """BPE-ish token estimate next to the whitespace count — the same
+    RE2-portable extraction pattern runs in both engines."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.bpe_token_estimate("text").alias("n_bpe"),
+        TX.token_count("text").alias("n_ws"),
+    )
+
+
+@query(
     "q_quality_score",
     oracle="""
     WITH t AS (
@@ -462,6 +482,23 @@ def q_stream_session(spark, sf_dir):
     stream = STR.read_events_stream(spark, sf_dir)
     agg = STR.session_counts(stream, gap="10 minutes", watermark="30 minutes")
     return STR.run_to_memory(agg, "q_stream_session_out", output_mode="append")
+
+
+@query("q_stream_join")  # rows-only: streaming execution path
+def q_stream_join(spark, sf_dir):
+    """Stream-stream inner join with two-sided event-time bounds and
+    watermarks (clicks within 1h after a purchase, same user) — the state
+    expires, making it viable unbounded. Must equal the batch join
+    (asserted in tests/test_streaming.py)."""
+    ev1 = STR.read_events_stream(spark, sf_dir)
+    ev2 = STR.read_events_stream(spark, sf_dir)
+    joined = STR.purchase_click_join(
+        ev1.filter(F.col("event_type") == "purchase"),
+        ev2.filter(F.col("event_type") == "click"),
+    )
+    return STR.run_to_memory(joined, "q_stream_join_out", output_mode="append").orderBy(
+        "purchase_id", "click_id"
+    )
 
 
 # SURVEY.md §2.11 names the MinHash-LSH near-dup row "q_dedup_near";

@@ -77,6 +77,34 @@ def test_stream_session_subset_of_batch(spark):
         assert batch_map[(r.user_id, r.session_start)] == r.n_events
 
 
+def test_stream_stream_join_matches_batch(spark):
+    ev1 = STR.read_events_stream(spark, SF_DIR)
+    ev2 = STR.read_events_stream(spark, SF_DIR)
+    out = STR.run_to_memory(
+        STR.purchase_click_join(
+            ev1.filter(F.col("event_type") == "purchase"),
+            ev2.filter(F.col("event_type") == "click"),
+        ),
+        "t_stream_join",
+    )
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    e = load_events(spark, SF_DIR)
+    p = e.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    c = e.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    batch = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts"))
+        & (F.col("cts") <= F.col("pts") + F.expr("INTERVAL 1 hour")),
+    )
+    want = {(r.pid, r.cid) for r in batch.collect()}
+    assert got == want
+
+
 def test_stream_dedup_within_watermark(spark):
     ev = STR.read_events_stream(spark, SF_DIR)
     deduped = STR.dedup_within_watermark(ev, "30 minutes")
