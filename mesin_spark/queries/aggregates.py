@@ -239,6 +239,33 @@ def q_rollup(spark, sf_dir):
 
 
 @query(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           floor((stddev_samp(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS sd_qty,
+           floor((var_samp(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS var_qty,
+           floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS corr_qp,
+           floor((covar_samp(l_quantity, l_extendedprice)) * 100.0 + 0.5) / 100.0 AS cov_qp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates — stddev/variance/correlation/covariance in
+    one partial/final hash-aggregate pass (extension; the reference's
+    aggregate menu stops at COUNT/SUM/MIN/MAX/AVG)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            R(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            R(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            R(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            R(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+        )
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT l_returnflag, l_linestatus, count(*) AS n

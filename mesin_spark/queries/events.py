@@ -169,6 +169,59 @@ def q_asof_join(spark, sf_dir):
 
 
 @query(
+    "q_ewma",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id, rn,
+               SUM(value * pow(0.9, -rn)) OVER
+                   (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS srun,
+               FIRST_VALUE(value) OVER
+                   (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS v1
+        FROM o
+    )
+    SELECT user_id, event_id,
+           floor((pow(0.9, rn) * (0.1 * srun + v1)) * 1000000.0 + 0.5) / 1000000.0 AS ewma
+    FROM s
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """Exponentially weighted moving average per user (alpha=0.1),
+    closed-form over ONE ordered running window: with r=1-alpha,
+    ewma_i = r^i·(alpha·Σ v_j·r^(-j) + v_1) ≡ the recursive
+    e_i = alpha·v_i + r·e_(i-1). Running-frame sums evaluate in a fixed
+    order, so both engines produce bit-identical values — the time-series
+    smoothing primitive without a UDF or iteration."""
+    from pyspark.sql import Window as W
+
+    e = T(spark, sf_dir, "events")
+    w_rn = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id", "event_id", "value", F.row_number().over(w_rn).alias("rn")
+    )
+    w_run = (
+        W.partitionBy("user_id").orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
+    )
+    s = o.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.sum(F.col("value") * F.pow(F.lit(0.9), -F.col("rn"))).over(w_run).alias("srun"),
+        F.first("value").over(w_run).alias("v1"),
+    )
+    return s.select(
+        "user_id",
+        "event_id",
+        R(F.pow(F.lit(0.9), F.col("rn")) * (0.1 * F.col("srun") + F.col("v1")), 6).alias(
+            "ewma"
+        ),
+    )
+
+
+@query(
     "q_rollup_daily",
     oracle="""
     SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
