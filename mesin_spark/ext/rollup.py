@@ -45,6 +45,29 @@ def time_rollup(
     )
 
 
+def merge_rollup(
+    existing: DataFrame,
+    delta_events: DataFrame,
+    bucket: str = "1 hour",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Incremental maintenance: fold a batch of new events into an
+    existing rollup. Only the delta is scanned at event granularity; the
+    union re-aggregates per (bucket, group) so late data landing in an
+    already-materialized bucket merges correctly (decomposed state is
+    closed under addition). rollup(all) == merge(rollup(old), new) exactly
+    — asserted in tests."""
+    group_cols = group_cols or []
+    delta = time_rollup(delta_events, bucket, ts_col, group_cols, value_col)
+    return (
+        existing.unionByName(delta)
+        .groupBy("bucket_start", *group_cols)
+        .agg(F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"))
+    )
+
+
 def reaggregate(
     rollup: DataFrame,
     coarser: str,

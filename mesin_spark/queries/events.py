@@ -169,6 +169,37 @@ def q_asof_join(spark, sf_dir):
 
 
 @query(
+    "q_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+)
+def q_json_props(spark, sf_dir):
+    """Semi-structured JSON column: extract a typed field from the props
+    JSON string (get_json_object — JVM-side Jackson parse, no UDF), filter
+    on it, aggregate. The realistic event-payload shape: JSON stays one
+    string column, typed extraction happens at query time."""
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@query(
     "q_ewma",
     oracle="""
     WITH o AS (
