@@ -412,6 +412,73 @@ def q_tfidf(spark, sf_dir):
     return TX.tf_idf(d)
 
 
+@query(
+    "q_pipeline_e2e",
+    oracle="""
+    WITH scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\+?[0-9][0-9()\\-\\s]{6,}[0-9]', '[PHONE]', 'g') AS text
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM scrubbed
+    ), lang AS (
+        SELECT doc_id, text, tk,
+               len(list_filter(tk, x -> x IN ('the','and','of','to','a','in','is','that'))) AS s_en,
+               len(list_filter(tk, x -> x IN ('le','la','et','les','des','un','une','du'))) AS s_fr,
+               len(list_filter(tk, x -> x IN ('el','de','que','y','la','en','los','se'))) AS s_es,
+               len(list_filter(tk, x -> x IN ('der','die','und','den','das','nicht','von','ist'))) AS s_de,
+               len(list_filter(tk, x -> x IN ('的','了','是','在','我','有','和','不'))) AS s_zh
+        FROM toks
+    ), filtered AS (
+        SELECT doc_id, text, tk FROM lang
+        WHERE s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh
+          AND floor((0.4 * least(len(tk) / 100.0, 1.0)
+                + 0.3 * (1.0 - CASE WHEN len(tk) > 0
+                    THEN len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(tk)
+                    ELSE 0.0 END)
+                + 0.3 * least((CASE WHEN len(tk) > 0
+                    THEN list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+                    ELSE 0.0 END) / 8.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+    ), dedup AS (
+        SELECT text, min(doc_id) AS doc_id FROM filtered GROUP BY text
+    ), survivors AS (
+        SELECT d.doc_id, f.tk FROM dedup d JOIN filtered f ON f.doc_id = d.doc_id
+    ), chunks AS (
+        SELECT doc_id, i AS chunk_id, least(len(tk) - i*48, 64) AS n_tokens
+        FROM (
+            SELECT doc_id, tk,
+                   range(0, greatest(ceil((len(tk) - 64) / 48.0), 0)::BIGINT + 1) AS starts
+            FROM survivors
+        ) s, unnest(starts) AS u(i)
+    )
+    SELECT doc_id, chunk_id, n_tokens,
+           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9000
+                THEN 'train' ELSE 'val' END AS split
+    FROM chunks
+    """,
+)
+def q_pipeline_e2e(spark, sf_dir):
+    """End-to-end training-data pipeline composed from the engine's own
+    operators: PII scrub → language filter (en) → quality gate (≥0.5) →
+    exact dedup (keep min id) → 64/48 token chunking → deterministic
+    train/val split. One declarative plan: the only shuffles are the dedup
+    groupBy and its survivor join — everything else stays map-side."""
+    d = T(spark, sf_dir, "documents")
+    scrubbed = d.select("doc_id", P.scrub_text("text").alias("text"))
+    filtered = scrubbed.filter(
+        (TX.lang_id("text") == "en") & (TX.quality_score("text") >= 0.5)
+    )
+    survivors = D.exact_dedup(filtered, ["text"], "doc_id").select("doc_id", "text")
+    chunks = P.chunk_documents(survivors, chunk_tokens=64, stride=48)
+    return P.hash_split(chunks, "doc_id", frac_train=0.9).select(
+        "doc_id", "chunk_id", "n_tokens", "split"
+    )
+
+
 # -- multimodal + streaming (rows-only) ------------------------------------
 @query("q_multimodal")  # rows-only: binary plumbing + pandas feature extraction
 def q_multimodal(spark, sf_dir):
