@@ -54,20 +54,34 @@ def get_dialect(name: str) -> str:
 
 
 #: Dialects whose identifier quote is the double-quote and that support
-#: the ``expr::type`` cast shorthand.
-_PG_LIKE = frozenset({"postgres", "redshift", "duckdb", "sqlite", "generic", "ansi"})
+#: the ``expr::type`` cast shorthand (snowflake shares both idioms).
+_PG_LIKE = frozenset(
+    {"postgres", "redshift", "duckdb", "sqlite", "generic", "ansi", "snowflake"}
+)
+
+#: Dialects whose identifier quote is already Spark's backtick — their
+#: common syntax parses unchanged.
+_BACKTICK = frozenset({"hive", "bigquery", "clickhouse", "mysql"})
 
 
 def normalize_dialect(sql: str, dialect: str) -> str:
-    """Minimal dialect normalization so common postgres/duckdb-flavored SQL
-    runs on Spark SQL: ``expr::type`` becomes ``CAST(expr AS type)`` (for
-    simple operands) and double-quoted identifiers become backticked.
-    Single-quoted string literals are never touched (char scanner, not
-    regex-over-everything). Spark-compatible dialects pass through.
+    """Minimal dialect normalization so the most common per-dialect syntax
+    runs on Spark SQL, honoring the reference's 11-dialect knob
+    (src/lib.rs:9-23) with actual behavior instead of a no-op:
 
-    This honors the reference's 11-dialect knob (src/lib.rs:9-23) with
-    actual behavior instead of a no-op for the syntax that differs most
-    often; constructs beyond it surface Spark's parse error unchanged."""
+    - pg-like (postgres/redshift/duckdb/sqlite/snowflake/ansi/generic):
+      ``expr::type`` → ``CAST(expr AS type)`` (identifiers, numbers,
+      string literals, parenthesized groups) and double-quoted identifiers
+      → backticked. Single-quoted string literals are never touched (char
+      scanner, not regex-over-everything).
+    - mssql: ``SELECT TOP n`` → trailing ``LIMIT n``; ``[bracket]``
+      identifiers → backticked.
+    - hive/bigquery/clickhouse: backtick identifiers already match Spark —
+      passthrough.
+
+    Constructs beyond these surface Spark's parse error unchanged."""
+    if dialect == "mssql":
+        return _normalize_mssql(sql)
     if dialect not in _PG_LIKE:
         return sql
     out: list[str] = []
@@ -110,7 +124,20 @@ def normalize_dialect(sql: str, dialect: str) -> str:
             # walk back over the operand in what we've emitted so far
             emitted = "".join(out)
             m = len(emitted)
-            if m and emitted[-1] == ")":
+            if m and emitted[-1] == "'":
+                # string-literal operand ('2024-01-01'::date): scan back to
+                # the opening quote, honoring '' escapes — the whole literal
+                # is the operand
+                p = m - 2
+                while p >= 0:
+                    if emitted[p] == "'":
+                        if p > 0 and emitted[p - 1] == "'":
+                            p -= 2  # doubled quote inside the literal
+                            continue
+                        break
+                    p -= 1
+                operand_start = max(p, 0)
+            elif m and emitted[-1] == ")":
                 depth = 0
                 p = m - 1
                 while p >= 0:
@@ -134,12 +161,86 @@ def normalize_dialect(sql: str, dialect: str) -> str:
                     p -= 1
                 operand_start = p
             operand = emitted[operand_start:]
+            if not operand.strip() or not typename.strip():
+                # no identifiable operand/type: emit '::' untouched rather
+                # than fabricating CAST( AS T) — Spark's parser gives the
+                # honest error
+                out.append("::")
+                i += 2
+                continue
             out = [emitted[:operand_start], f"CAST({operand} AS {typename})"]
             i = k
         else:
             out.append(ch)
             i += 1
     return "".join(out)
+
+
+def _normalize_mssql(sql: str) -> str:
+    """mssql surface: ``[bracket]`` identifiers → backticks and the
+    top-level ``SELECT TOP n`` → a trailing ``LIMIT n``. Char scanner so
+    brackets/TOP inside string literals are never touched; TOP is only
+    rewritten for the outermost SELECT (subquery TOP would need a real
+    parser — those surface Spark's parse error unchanged)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    limit: str | None = None
+    depth = 0
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # string literal: verbatim, honoring '' escapes
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == "[":  # bracket identifier -> backticks
+            j = sql.find("]", i + 1)
+            if j == -1:
+                out.append(sql[i:])
+                break
+            out.append("`" + sql[i + 1 : j] + "`")
+            i = j + 1
+        elif ch in "()":
+            depth += 1 if ch == "(" else -1
+            out.append(ch)
+            i += 1
+        elif (
+            depth == 0
+            and limit is None
+            and sql[i : i + 6].upper() == "SELECT"
+            and (i + 6 == n or sql[i + 6].isspace())
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+        ):
+            j = i + 6
+            while j < n and sql[j].isspace():
+                j += 1
+            if sql[j : j + 3].upper() == "TOP" and j + 3 < n and sql[j + 3].isspace():
+                k = j + 3
+                while k < n and sql[k].isspace():
+                    k += 1
+                d = k
+                while d < n and sql[d].isdigit():
+                    d += 1
+                if d > k:
+                    limit = sql[k:d]
+                    out.append(sql[i : i + 6] + " ")
+                    i = d
+                    continue
+            out.append(sql[i : i + 6])
+            i += 6
+        else:
+            out.append(ch)
+            i += 1
+    text = "".join(out)
+    if limit is not None:
+        text = text.rstrip().rstrip(";") + f" LIMIT {limit}"
+    return text
 
 
 class ExecutionContext:

@@ -95,12 +95,28 @@ class ManagedTable:
         df = self.df()
         df.createOrReplaceTempView(self.name)
         if self.catalog is not None:
-            self.catalog.tables[self.name] = TableMeta(name=self.name, path=self.path)
+            # mutate the existing TableMeta (don't replace it): constraints
+            # and properties['columns'] recorded by CREATE TABLE must survive
+            # INSERT/UPDATE/DELETE
+            meta = self.catalog.tables.get(self.name)
+            if meta is None:
+                self.catalog.tables[self.name] = TableMeta(name=self.name, path=self.path)
+            else:
+                meta.path = self.path
 
     # -- write plumbing ----------------------------------------------------
     def _swap_in(self, df: DataFrame) -> None:
         """Copy-on-write: write the new contents beside the table dir, then
-        swap directories. The rename pair is the commit point."""
+        swap directories.
+
+        Honest limitation: the rename pair is NOT one atomic commit point —
+        between the two renames the table path briefly does not exist, and
+        os.rename only works on a local POSIX filesystem. This managed-table
+        tier is a local-fs, single-writer facility (the reference's CRUD is
+        likewise single-process, tmp/crud.txt:178-504); concurrent readers
+        or object-store backends need a table format with transactional
+        metadata (Delta/Iceberg), whose per-file copy-on-write strategy this
+        operator shape matches."""
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
@@ -140,15 +156,31 @@ class ManagedTable:
 
     def update(self, assignments: dict[str, Column | str], where: Column | str | None = None):
         """UPDATE SET col=expr [WHERE pred] (reference tmp/crud.txt:223-279).
-        Conditional column rewrite + atomic swap; untouched columns are
-        passed through unchanged."""
+        Conditional column rewrite + swap; untouched columns are passed
+        through unchanged.
+
+        SQL UPDATE semantics: every RHS expression is evaluated against the
+        PRE-update row, so ``SET a=b, b=a`` swaps. All new values are built
+        in one select over the original frame — never sequential
+        withColumn, which would let a later assignment see an earlier
+        assignment's new value."""
         df = self.df()
         cond = F.expr(where) if isinstance(where, str) else where
-        out = df
-        for col, val in assignments.items():
-            v = F.expr(val) if isinstance(val, str) else val
-            out = out.withColumn(col, F.when(cond, v).otherwise(F.col(col)) if cond is not None else v)
-        self._swap_in(out)
+        unknown = set(assignments) - set(df.columns)
+        if unknown:
+            raise ValueError(f"UPDATE references non-existent columns: {sorted(unknown)}")
+        new_vals = {
+            c: (F.expr(v) if isinstance(v, str) else v) for c, v in assignments.items()
+        }
+        select_list = []
+        for c in df.columns:
+            if c in new_vals:
+                v = new_vals[c]
+                guarded = F.when(cond, v).otherwise(F.col(c)) if cond is not None else v
+                select_list.append(guarded.alias(c))
+            else:
+                select_list.append(F.col(c))
+        self._swap_in(df.select(*select_list))
 
     def delete(self, where: Column | str | None = None) -> None:
         """DELETE [WHERE pred] (reference tmp/crud.txt:480-504). No WHERE →

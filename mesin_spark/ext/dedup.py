@@ -140,8 +140,27 @@ def _band_pairs(
     exploded = sig.select("_id", F.explode(band_structs).alias("b")).select(
         "_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
-    buckets = exploded.groupBy("band", "bkey").agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-    bounded = buckets.filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    # Two-pass bucket cap: count per (band, bkey) FIRST, keep only keys with
+    # 2..max_bucket members, and only then collect_list the survivors. A
+    # one-pass collect-then-filter would have a single aggregate task
+    # materialize a degenerate bucket's full id array (10^7 ids for a hot
+    # boilerplate band at 100 TB) before dropping it — the count pass is
+    # map-side-combined and its output is one row per bucket, so oversized
+    # keys never reach the array-building aggregate. The persist keeps the
+    # (cheap, narrow) exploded frame from re-running the minhash fold for
+    # the second pass.
+    exploded = exploded.persist()
+    keep = (
+        exploded.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .select("band", "bkey")
+    )
+    bounded = (
+        exploded.join(keep, ["band", "bkey"], "left_semi")
+        .groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+    )
     # pairs within a bucket: flatten of per-anchor tails
     pairs = bounded.select(
         F.explode(
@@ -278,6 +297,17 @@ def simhash_dedup(
     exploded = sig.select("_id", "_sh", F.explode(chunks).alias("c")).select(
         "_id", "_sh", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey")
     )
+    # Enforce max_bucket BEFORE the self-join (the same guardrail as
+    # _band_pairs): one hot 16-bit chunk — boilerplate/templated docs — would
+    # otherwise produce O(bucket²) candidate pairs. Counting first also
+    # prunes singleton buckets, which can never produce a pair.
+    keep = (
+        exploded.groupBy("chunk", "ckey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .select("chunk", "ckey")
+    )
+    exploded = exploded.join(keep, ["chunk", "ckey"], "left_semi")
     a = exploded.select(
         F.col("chunk"), F.col("ckey"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
     )
@@ -303,14 +333,22 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (node, canonical_id):
     every document in a duplicate cluster maps to the cluster's minimum id
-    (the survivor a pipeline keeps). Iterative min-label propagation — each
-    round is one join + one aggregation, converging in O(cluster diameter)
-    rounds (dup clusters are shallow; max_iter bounds pathological chains).
-    The per-round convergence check is a scalar count, standard for
-    iterative graph algorithms on Spark (same loop shape as Pregel)."""
+    (the survivor a pipeline keeps). Iterative min-label propagation with
+    pointer jumping — each round propagates neighbor minima one hop, then
+    short-circuits label chains (lbl ← lbl[lbl]), so convergence is
+    O(log diameter) rounds, not O(diameter) (a 50-deep chain resolves in
+    ~7 rounds; max_iter bounds pathological graphs). The per-round
+    convergence check is a scalar count, standard for iterative graph
+    algorithms on Spark (same loop shape as Pregel).
+
+    Every ``checkpoint_every`` rounds the label frame is eagerly
+    localCheckpoint'ed, truncating the logical plan — without it the plan
+    doubles per round and the planner (not the data) becomes the bottleneck
+    on deep chains at cluster scale."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -323,13 +361,15 @@ def dedup_clusters(
         .withColumn("lbl", F.col("node"))
         .persist()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        # persisted: hop feeds both sides of the pointer-jump self-join —
+        # without it the neighbor_min aggregate would execute twice a round
+        hop = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 F.col("node"),
@@ -339,6 +379,19 @@ def dedup_clusters(
             )
             .persist()
         )
+        # pointer jumping: lbl ← min(lbl, lbl[lbl]) halves label-chain depth
+        # every round, turning O(diameter) propagation into O(log diameter)
+        parent = hop.select(F.col("node").alias("_pn"), F.col("lbl").alias("_pl"))
+        new_labels = hop.join(parent, hop["lbl"] == parent["_pn"], "left").select(
+            F.col("node"),
+            F.least(F.col("lbl"), F.coalesce(F.col("_pl"), F.col("lbl"))).alias("lbl"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # eager localCheckpoint: materializes AND truncates lineage, so
+            # round i+1 plans against a leaf, not a 2^i-node tree
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -347,6 +400,7 @@ def dedup_clusters(
             .count()
         )
         labels.unpersist()
+        hop.unpersist()
         labels = new_labels
         if changed == 0:
             break

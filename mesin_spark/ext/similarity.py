@@ -143,19 +143,73 @@ def lsh_topk(
 
 
 # -- IVF (inverted-file) ANN ----------------------------------------------
-def ivf_centroids(
-    emb: DataFrame, n_list: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
-):
-    """Deterministic coarse quantizer: the n_list lowest-id vectors,
-    L2-normalized, as a numpy (n_list, dim) matrix. Seed-only (no Lloyd
-    iterations) keeps it reproducible run-to-run; swap in sampled k-means||
-    at scale — every consumer below only needs *some* fixed centroid set.
-    Driver-side collect is n_list rows — bounded, like a broadcast dim."""
-    rows = emb.orderBy(id_col).limit(n_list).select(vec_col).collect()
-    C = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(C, axis=1, keepdims=True)
+def _l2_rows(X: "np.ndarray") -> "np.ndarray":
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    return C / norms
+    return X / norms
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_list: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    n_iter: int = 10,
+    seed: int = 42,
+):
+    """Sampled spherical k-means coarse quantizer, fully deterministic:
+
+    1. a hash-ordered sample of ``sample_size`` vectors (TakeOrdered over
+       xxhash64(id) — one distributed pass, no full sort, bounded driver
+       collect like a broadcast dim; the hash order is a seeded shuffle
+       that is identical run-to-run);
+    2. seeded k-means++ init + ``n_iter`` Lloyd rounds on the sample,
+       driver-side numpy (iterates over the SAMPLE, never the dataset);
+    3. centroids L2-normalized (cosine/inner-product consistent).
+
+    Returns a numpy (k, dim) matrix, k = min(n_list, distinct sample rows).
+    The reference has no ANN tier at all; this mirrors the FAISS-style
+    IVF train/assign/probe split on Spark primitives."""
+    rows = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_r", F.xxhash64(F.col("_id"), F.lit(seed)))
+        .orderBy("_r", "_id")
+        .limit(sample_size)
+        .collect()
+    )
+    X = _l2_rows(np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows]))
+    X = np.unique(X, axis=0)  # dup vectors would collapse k-means++ choices
+    k = min(n_list, len(X))
+    rng = np.random.default_rng(seed)
+
+    # k-means++ init: each next centroid sampled ∝ (1 - max cosine) to the
+    # chosen set — spread over the sphere instead of n_list arbitrary rows
+    chosen = [int(rng.integers(len(X)))]
+    best_sim = X @ X[chosen[0]]
+    while len(chosen) < k:
+        d = np.maximum(1.0 - best_sim, 0.0)
+        total = d.sum()
+        if total <= 0:
+            remaining = [i for i in range(len(X)) if i not in chosen]
+            chosen.append(int(remaining[0]))
+        else:
+            chosen.append(int(rng.choice(len(X), p=d / total)))
+        best_sim = np.maximum(best_sim, X @ X[chosen[-1]])
+    C = X[chosen].copy()
+
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = np.zeros_like(C)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+            else:  # empty list: reseed with the worst-covered sample point
+                worst = int(np.argmin(np.max(X @ C.T, axis=1)))
+                newC[j] = X[worst]
+        C = _l2_rows(newC)
+    return C
 
 
 def ivf_assign(centroids, vec_col: str = "embedding") -> Column:

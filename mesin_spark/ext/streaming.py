@@ -32,8 +32,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch read — streaming sources never infer).
 
     events.ts is parquet TIMESTAMP(NANOS): read as raw nanos (legacy
-    nanosAsLong conf, same as the batch loader in mesin_spark.queries) and
-    convert to a µs timestamp inside the stream."""
+    nanosAsLong conf) and convert to a µs timestamp inside the stream.
+    Unlike the batch reader (sources.read_parquet, which saves/restores the
+    conf around the one-shot read), a stream consults the conf on every
+    micro-batch file read, so it must stay set for the stream's lifetime —
+    it is left set session-wide here, the documented cost of streaming over
+    ns-typed files."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source lists a *directory*; glob-filter to the events
@@ -95,22 +99,40 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int = 8,
+) -> DataFrame:
     """Drive a streaming query to completion against the memory sink and
-    return the materialized result (local smoke-test harness)."""
+    return the materialized result (local smoke-test harness).
+
+    The stateful-operator partition count is fixed at query start by
+    spark.sql.shuffle.partitions; each partition is a state-store instance
+    checkpointed every micro-batch, so the session default (32) spends most
+    of a local run on empty-store bookkeeping. The harness drops it to
+    ``shuffle_partitions`` for the duration of the query and restores the
+    prior value — a production deployment keeps the large count (state
+    parallelism is exactly what you want on a real cluster)."""
     spark = stream_df.sparkSession
     checkpoint = tempfile.mkdtemp(prefix="mesin_ckpt_")
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
 
 

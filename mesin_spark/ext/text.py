@@ -130,8 +130,13 @@ def tf_idf(
     df_t = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.countDistinct(id_col).alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    # No broadcast hint on df_t: the token document-frequency relation is
+    # vocabulary-sized (10^8–10^9 rows at 100 TB), so forcing a broadcast
+    # would OOM the driver. It's a plain tok-keyed equi-join — AQE picks
+    # broadcast at runtime when df_t is actually small. The scalar `total`
+    # (one row) stays an explicit broadcast.
     return (
-        tf.join(F.broadcast(df_t), "tok")
+        tf.join(df_t, "tok")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),

@@ -73,17 +73,25 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 def load_all() -> None:
-    """Import every query module (each import populates the registry)."""
+    """Import every query module (each import populates the registry).
+
+    Registration order == the driver's certification order, and the driver
+    runs under a wall-clock budget (round 1 stopped after the first 50
+    entries). Modules whose queries have no CORRECTNESS row yet register
+    FIRST — cheap relational/setop/window/join/subquery queries up front,
+    then TPC-H, then the heavier llm/dedup/streaming tier, and finally the
+    modules the round-1 driver already certified green.
+    """
     from mesin_spark.queries import (  # noqa: F401
+        relational,
+        setops,
+        subqueries,
+        windows,
+        joins,
+        tpch,
+        llm,
         aggregates,
         dml,
         events,
         functions_menu,
-        joins,
-        llm,
-        relational,
-        setops,
-        subqueries,
-        tpch,
-        windows,
     )

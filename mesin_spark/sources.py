@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 
 def _nanos_columns(path: str) -> list[str]:
-    """Column names with TIMESTAMP(NANOS) physical type, from the footer."""
+    """Column names with TIMESTAMP(NANOS) physical type, from the footers
+    of EVERY file in the directory (mixed-file dirs: a column is ns-typed
+    if any file stores it as ns — one writer upgrading precision mid-ingest
+    must not silently break the read). Footer reads are driver-side
+    metadata only."""
     import glob
     import os
 
@@ -29,25 +33,36 @@ def _nanos_columns(path: str) -> list[str]:
         files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
             glob.glob(os.path.join(path, "part-*"))
         )
-        if not files:
-            return []
-        path = files[0]
-    schema = pq.read_schema(path)
-    out = []
-    for field in schema:
-        t = field.type
-        if str(t) == "timestamp[ns]":
-            out.append(field.name)
+    else:
+        files = [path]
+    out: list[str] = []
+    for f in files:
+        for field in pq.read_schema(f):
+            if str(field.type) == "timestamp[ns]" and field.name not in out:
+                out.append(field.name)
     return out
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read that tolerates ns-timestamp columns."""
+    """Parquet read that tolerates ns-timestamp columns.
+
+    The legacy ``nanosAsLong`` conf is saved and restored around the read
+    (try/finally), so a later plain ``spark.read.parquet`` elsewhere in the
+    session keeps its normal behavior — the captured schema travels with
+    the returned DataFrame, so restoring the conf does not affect its
+    execution (verified: count() after restore yields the long-typed read)."""
     ns_cols = _nanos_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     for c in ns_cols:
         # integer division (`div`), not `/1000` — the double round-trip is
         # off by 1µs at 10^18-nano magnitudes

@@ -154,3 +154,106 @@ def test_sort_key_four_combinations(spark):
     assert asc_nl == [1, 3, None]
     assert desc_nf == [None, 3, 1]
     assert desc_nl == [3, 1, None]
+
+
+def test_string_literal_casts(spark):
+    # the most common postgres cast idiom: a string literal operand —
+    # the whole literal (honoring '' escapes) is the CAST operand
+    from mesin_spark.context import normalize_dialect as nd
+
+    assert nd("SELECT '2024-01-01'::date", "postgres") == "SELECT CAST('2024-01-01' AS date)"
+    assert nd("SELECT 'it''s'::varchar", "postgres") == "SELECT CAST('it''s' AS varchar)"
+    assert nd("SELECT ''::string", "postgres") == "SELECT CAST('' AS string)"
+    # no identifiable operand/type: '::' passes through instead of CAST( AS T)
+    assert nd("SELECT ::int", "postgres") == "SELECT ::int"
+    assert nd("SELECT x::", "postgres") == "SELECT x::"
+
+
+def test_string_literal_cast_executes(spark):
+    from mesin_spark import ExecutionContext
+
+    ctx = ExecutionContext(dialect="postgres", spark=spark)
+    row = ctx.execute("SELECT '2024-01-15'::date AS d, '42'::int AS n").collect()[0]
+    assert str(row.d) == "2024-01-15" and row.n == 42
+
+
+def test_per_dialect_normalization(spark):
+    # one behavior check per reference dialect name (src/lib.rs:9-23)
+    from mesin_spark.context import normalize_dialect as nd
+
+    pg = "SELECT a::INT FROM t"
+    for d in ("postgres", "redshift", "duckdb", "sqlite", "generic", "ansi", "snowflake"):
+        assert nd(pg, d) == "SELECT CAST(a AS INT) FROM t", d
+    for d in ("hive", "bigquery", "clickhouse"):
+        assert nd("SELECT `a col` FROM t", d) == "SELECT `a col` FROM t", d
+    assert (
+        nd("SELECT TOP 5 [col name] FROM [t] WHERE x = 'TOP 3'", "mssql")
+        == "SELECT  `col name` FROM `t` WHERE x = 'TOP 3' LIMIT 5"
+    )
+    assert nd("SELECT TOP 10 * FROM t;", "mssql") == "SELECT  * FROM t LIMIT 10"
+    # TOP in a subquery is out of scope: passes through (Spark raises)
+    assert nd("SELECT (SELECT TOP 2 x FROM u) FROM t", "mssql").count("TOP") == 1
+
+
+def test_mssql_top_executes(spark):
+    from mesin_spark import ExecutionContext
+
+    ctx = ExecutionContext(dialect="mssql", spark=spark)
+    ctx.register_dir("/root/testdata/sf0.001")
+    rows = ctx.execute("SELECT TOP 3 n_nationkey FROM nation ORDER BY n_nationkey").collect()
+    assert [r.n_nationkey for r in rows] == [0, 1, 2]
+
+
+def test_normalize_dialect_properties(spark):
+    # hypothesis fuzz of the char scanner: literals survive verbatim,
+    # cast-free text is untouched, output is idempotent, and no output
+    # ever contains the broken "CAST( AS" shape
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mesin_spark.context import normalize_dialect as nd
+
+    ident = st.text("abcxyz_", min_size=1, max_size=6)
+    lit = st.text("ab:'\"`() ,.0", max_size=8).map(lambda s: "'" + s.replace("'", "''") + "'")
+    atom = st.one_of(
+        ident,
+        lit,
+        st.integers(0, 999).map(str),
+        ident.map(lambda s: f'"{s}"'),
+        st.tuples(ident, ident).map(lambda t: f"({t[0]} + {t[1]})"),
+    )
+    casted = st.tuples(atom, st.sampled_from(["INT", "date", "DECIMAL(10,2)", "STRING"])).map(
+        lambda t: f"{t[0]}::{t[1]}"
+    )
+    term = st.one_of(atom, casted)
+    sql = st.lists(term, min_size=1, max_size=5).map(lambda ts: "SELECT " + ", ".join(ts))
+
+    @given(sql)
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        out = nd(s, "postgres")
+        assert "CAST( AS" not in out
+        assert "::" not in out.replace("'", "")  or "'" in s  # casts rewritten outside literals
+        # idempotent: a second pass over cast-free output changes nothing
+        again = nd(out, "postgres")
+        assert again == out
+
+    check()
+
+
+def test_normalize_dialect_untouched_when_plain(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mesin_spark.context import normalize_dialect as nd
+
+    plain = st.text(
+        st.characters(blacklist_characters=":\"'`"), max_size=60
+    )
+
+    @given(plain)
+    @settings(max_examples=200, deadline=None)
+    def check(s):
+        assert nd(s, "postgres") == s
+
+    check()

@@ -244,3 +244,84 @@ def test_multimodal_stub_operators_marked(spark, docs):
         M.frame_sample(mm)
     with pytest.raises(NotImplementedError):
         M.resize_images(mm, 64, 64)
+
+
+# -- scale guardrails (round-2: hot-bucket caps, cluster convergence) ------
+def _planted_hot_set(spark, n_hot: int):
+    """n_hot identical docs (a degenerate bucket) plus one genuine
+    near-dup pair with distinct content."""
+    hot = [(i, "common boilerplate text repeated verbatim in every document here") for i in range(n_hot)]
+    pair = [
+        (9001, "a genuinely unique sentence about distributed query planning today"),
+        (9002, "a genuinely unique sentence about distributed query planning today"),
+    ]
+    return spark.createDataFrame(hot + pair, "doc_id long, text string")
+
+
+def test_simhash_hot_chunk_bucket_capped(spark):
+    df = _planted_hot_set(spark, 100)
+    pairs = D.simhash_dedup(df, "doc_id", max_hamming=0, max_bucket=64).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # the 100-doc degenerate bucket exceeds max_bucket → contributes ZERO
+    # candidates (not C(100,2)); the small genuine pair still surfaces
+    assert (9001, 9002) in found
+    assert all(a >= 9001 for a, _ in found)
+    # raising the cap restores the hot cluster's pairs
+    pairs_hi = D.simhash_dedup(df, "doc_id", max_hamming=0, max_bucket=512).collect()
+    assert len(pairs_hi) == 100 * 99 // 2 + 1
+
+
+def test_lsh_band_bucket_capped_before_collect(spark):
+    df = _planted_hot_set(spark, 100)
+    cands = D.minhash_lsh_candidates(df, "doc_id", max_bucket=64)
+    found = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (9001, 9002) in found
+    assert all(a >= 9001 for a, _ in found)
+    # the cap must be applied via a pre-aggregation + semi join, BEFORE any
+    # bucket id-array is materialized
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    small = D.minhash_lsh_candidates(df, "doc_id", max_bucket=512)
+    assert small.count() == 100 * 99 // 2 + 1
+
+
+def test_dedup_clusters_deep_chain_converges(spark):
+    # 50-node chain: pointer jumping converges in ~log2(50) rounds, well
+    # inside the default max_iter, with periodic localCheckpoint keeping the
+    # plan flat
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "id_a long, id_b long"
+    )
+    out = {r.node: r.canonical_id for r in D.dedup_clusters(pairs).collect()}
+    assert out == {i: 1 for i in range(1, 51)}
+
+
+def test_ivf_kmeans_centroids_recover_clusters(spark):
+    # on CLUSTERED data (the real embedding-corpus shape) the sampled
+    # k-means quantizer must recover the true centers — the property the
+    # old lowest-id placeholder had no reason to satisfy — and recall
+    # inside probed lists becomes near-exact
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.stack([c / np.linalg.norm(c) for c in rng.normal(size=(4, 16))])
+    rows = []
+    for i in range(400):
+        v = centers[i % 4] + 0.05 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    C = S.ivf_centroids(emb, n_list=4, n_iter=10)
+    # every true center has a learned centroid at cosine > 0.98
+    best = (C @ centers.T).max(axis=0)
+    assert (best > 0.98).all(), best
+    # determinism across runs
+    C2 = S.ivf_centroids(emb, n_list=4, n_iter=10)
+    assert np.array_equal(C, C2)
+    # recall with 1 probe out of 4 lists: clustered data → near-exact
+    qvec = rows[0][1]
+    exact = {r.vec_id for r in S.brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {
+        r.vec_id for r in S.ivf_topk(emb, qvec, k=10, n_list=4, n_probe=1).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.9

@@ -164,3 +164,35 @@ def test_filter_over_cross_optimized_to_real_join(spark):
     physical = q._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in physical
     assert "HashJoin" in physical
+
+
+def test_update_rhs_sees_pre_update_values(sess):
+    # SQL UPDATE semantics: every RHS evaluates against the PRE-update row,
+    # so SET user_id=total, total=user_id swaps (sequential withColumn
+    # would make total = new user_id = old total — a no-op on total)
+    t = sess.table("orders")
+    t.insert_values([(1, 10, 100.0), (2, 20, 200.0)])
+    t.update({"user_id": "CAST(total AS BIGINT)", "total": "CAST(user_id AS DOUBLE)"})
+    rows = {r.id: (r.user_id, r.total) for r in t.df().collect()}
+    assert rows == {1: (100, 10.0), 2: (200, 20.0)}
+
+
+def test_update_unknown_column_errors(sess):
+    t = sess.table("orders")
+    t.insert_values([(1, 10, 100.0)])
+    with pytest.raises(ValueError, match="non-existent"):
+        t.update({"nope": "1"})
+
+
+def test_dml_preserves_table_metadata(sess):
+    # INSERT/UPDATE/DELETE must not wipe constraints/properties recorded by
+    # CREATE TABLE (TableMeta is mutated, not replaced, on refresh)
+    meta = sess.catalog.tables["orders"]
+    cols_before = meta.properties["columns"]
+    t = sess.table("orders")
+    t.insert_values([(1, 10, 100.0), (2, 20, 200.0)])
+    t.update({"total": "total * 2"}, where="id = 1")
+    t.delete("id = 2")
+    meta_after = sess.catalog.tables["orders"]
+    assert meta_after.properties["columns"] == cols_before
+    assert meta_after.constraints == meta.constraints

@@ -92,3 +92,17 @@ def test_write_parquet_partitioned_prunes(spark, nation, tmp_path_factory):
     # partition filter must prune at scan, not post-filter
     assert "PartitionFilters: [" in plan and "n_regionkey" in plan.split("PartitionFilters")[1][:200]
     assert back.count() == nation.filter(F.col("n_regionkey") == 2).count()
+
+
+def test_ns_reader_restores_session_conf(spark):
+    # the legacy nanosAsLong conf must not leak: a later plain
+    # spark.read.parquet in the same session keeps its normal behavior
+    from mesin_spark.sources import read_parquet
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    df = read_parquet(spark, f"{SF_DIR}/events.parquet")
+    assert spark.conf.get(key, None) == before
+    # and the returned frame still executes with converted µs timestamps
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0
