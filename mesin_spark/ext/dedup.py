@@ -140,24 +140,22 @@ def _band_pairs(
     exploded = sig.select("_id", F.explode(band_structs).alias("b")).select(
         "_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
     )
-    # Two-pass bucket cap: count per (band, bkey) FIRST, keep only keys with
-    # 2..max_bucket members, and only then collect_list the survivors. A
-    # one-pass collect-then-filter would have a single aggregate task
-    # materialize a degenerate bucket's full id array (10^7 ids for a hot
-    # boilerplate band at 100 TB) before dropping it — the count pass is
-    # map-side-combined and its output is one row per bucket, so oversized
-    # keys never reach the array-building aggregate. The persist keeps the
-    # (cheap, narrow) exploded frame from re-running the minhash fold for
-    # the second pass.
-    exploded = exploded.persist()
-    keep = (
-        exploded.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
-        .select("band", "bkey")
-    )
+    # Bucket cap BEFORE any id array is built: a window count over
+    # (band, bkey) tags every row with its bucket size, the filter drops
+    # oversized buckets, and only survivors reach collect_list. A
+    # collect-then-filter would have a single aggregate task materialize a
+    # degenerate bucket's full id array (10^7 ids for a hot boilerplate
+    # band at 100 TB) before dropping it; WindowExec instead buffers rows
+    # in a spillable sorter — bounded memory however hot the bucket. One
+    # shuffle total: the window's hashpartitioning(band, bkey) also
+    # satisfies the downstream groupBy, and the expensive minhash fold
+    # below the explode runs exactly once.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bkey")
     bounded = (
-        exploded.join(keep, ["band", "bkey"], "left_semi")
+        exploded.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
         .groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
     )
@@ -299,15 +297,18 @@ def simhash_dedup(
     )
     # Enforce max_bucket BEFORE the self-join (the same guardrail as
     # _band_pairs): one hot 16-bit chunk — boilerplate/templated docs — would
-    # otherwise produce O(bucket²) candidate pairs. Counting first also
-    # prunes singleton buckets, which can never produce a pair.
-    keep = (
-        exploded.groupBy("chunk", "ckey")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # otherwise produce O(bucket²) candidate pairs. The window count tags
+    # each row with its bucket size in the same shuffle the join needs
+    # anyway; the filter also prunes singleton buckets, which can never
+    # produce a pair.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk", "ckey")
+    exploded = (
+        exploded.withColumn("_n", F.count(F.lit(1)).over(w))
         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
-        .select("chunk", "ckey")
+        .drop("_n")
     )
-    exploded = exploded.join(keep, ["chunk", "ckey"], "left_semi")
     a = exploded.select(
         F.col("chunk"), F.col("ckey"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
     )

@@ -42,12 +42,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source lists a *directory*; glob-filter to the events
     # file so sibling tables in sf_dir aren't swept in
-    raw = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("maxFilesPerTrigger", "8")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    raw = open_source(
+        spark,
+        "file",
+        path=sf_dir,
+        schema=schema,
+        path_glob_filter="events.parquet",
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -168,6 +168,109 @@ def purchase_click_join(
         "click_id",
         (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_s"),
     )
+
+
+# -- source/sink abstraction ----------------------------------------------
+#: Source kinds → the Spark readStream format + required options. 'file'
+#: and 'rate' execute locally; 'kafka'/'kinesis' need their connector
+#: package on the cluster classpath (standard on real deployments) — the
+#: interface builds the exact reader so pipelines are written once and
+#: only the source line changes between local test and production.
+SOURCE_KINDS = ("file", "rate", "kafka")
+SINK_KINDS = ("memory", "noop", "file", "kafka", "foreach_batch")
+
+
+class StreamConfigError(ValueError):
+    """Bad source/sink configuration (unknown kind, missing option)."""
+
+
+def open_source(spark: SparkSession, kind: str, **options) -> DataFrame:
+    """Open a streaming source by kind:
+
+    - ``file``: parquet/json/csv directory (options: path, schema,
+      format='parquet', max_files_per_trigger) — the local test source and
+      the object-store landing-zone source at scale;
+    - ``rate``: Spark's built-in load generator (options: rows_per_second)
+      — unbounded, runs anywhere, used for soak tests;
+    - ``kafka``: options bootstrap_servers + (subscribe | assign); value
+      arrives as binary, pair with ``from_json``/``from_avro`` downstream.
+      Requires the spark-sql-kafka connector on the classpath.
+    """
+    if kind == "file":
+        path = options.get("path") or _missing("file", "path")
+        schema = options.get("schema") or _missing("file", "schema")
+        reader = (
+            spark.readStream.format(options.get("format", "parquet"))
+            .schema(schema)
+            .option("maxFilesPerTrigger", str(options.get("max_files_per_trigger", 8)))
+        )
+        if options.get("path_glob_filter"):
+            reader = reader.option("pathGlobFilter", options["path_glob_filter"])
+        return reader.load(path)
+    if kind == "rate":
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(options.get("rows_per_second", 100)))
+            .load()
+        )
+    if kind == "kafka":
+        servers = options.get("bootstrap_servers") or _missing("kafka", "bootstrap_servers")
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("startingOffsets", options.get("starting_offsets", "latest"))
+        )
+        if options.get("subscribe"):
+            reader = reader.option("subscribe", options["subscribe"])
+        elif options.get("assign"):
+            reader = reader.option("assign", options["assign"])
+        else:
+            _missing("kafka", "subscribe (or assign)")
+        return reader.load()
+    raise StreamConfigError(f"unknown source kind {kind!r}; supported: {SOURCE_KINDS}")
+
+
+def open_sink(stream_df: DataFrame, kind: str, **options):
+    """Configure a streaming sink by kind, returning the DataStreamWriter
+    (caller picks trigger and .start()):
+
+    - ``memory``: named in-memory table (local tests; options: name);
+    - ``noop``: discard, timing/soak runs;
+    - ``file``: parquet/json directory with checkpoint (options: path,
+      checkpoint) — exactly-once via the file-sink commit log, the 100 TB
+      landing path;
+    - ``kafka``: options bootstrap_servers + topic (connector package
+      required);
+    - ``foreach_batch``: options fn(batch_df, epoch_id) — the escape hatch
+      for idempotent upserts into external stores.
+    """
+    w = stream_df.writeStream.outputMode(options.get("output_mode", "append"))
+    if options.get("checkpoint"):
+        w = w.option("checkpointLocation", options["checkpoint"])
+    if kind == "memory":
+        return w.format("memory").queryName(options.get("name") or _missing("memory", "name"))
+    if kind == "noop":
+        return w.format("noop")
+    if kind == "file":
+        path = options.get("path") or _missing("file", "path")
+        if not options.get("checkpoint"):
+            _missing("file", "checkpoint")
+        return w.format(options.get("format", "parquet")).option("path", path)
+    if kind == "kafka":
+        servers = options.get("bootstrap_servers") or _missing("kafka", "bootstrap_servers")
+        return (
+            w.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .option("topic", options.get("topic") or _missing("kafka", "topic"))
+        )
+    if kind == "foreach_batch":
+        fn = options.get("fn") or _missing("foreach_batch", "fn")
+        return w.foreachBatch(fn)
+    raise StreamConfigError(f"unknown sink kind {kind!r}; supported: {SINK_KINDS}")
+
+
+def _missing(kind: str, opt: str):
+    raise StreamConfigError(f"source/sink kind {kind!r} requires option {opt!r}")
 
 
 # -- custom stateful operator ---------------------------------------------

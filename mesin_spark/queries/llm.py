@@ -483,10 +483,21 @@ def q_pipeline_e2e(spark, sf_dir):
 @query("q_multimodal")  # rows-only: binary plumbing + pandas feature extraction
 def q_multimodal(spark, sf_dir):
     """Multimodal column plumbing: binary payload + metadata struct →
-    mapInPandas feature extraction (deterministic fake decode; real codecs
-    are clearly-marked stubs)."""
+    mapInPandas feature extraction (deterministic fake decode for txt;
+    real pure-Python codecs for wav/ppm)."""
     d = T(spark, sf_dir, "documents")
     return M.extract_features(M.attach_binary(d)).orderBy("doc_id")
+
+
+@query("q_multimodal_audio")  # rows-only: real binary codec path (RIFF/WAV)
+def q_multimodal_audio(spark, sf_dir):
+    """Real-codec multimodal path end-to-end: synthesize a deterministic
+    WAV payload per document (sine tone keyed on doc_id), decode it with
+    the pure-Python RIFF PCM reader, and extract duration/rms audio
+    features — all inside partition-preserving mapInPandas stages (no
+    shuffle; the 100 TB shape for media feature extraction)."""
+    d = T(spark, sf_dir, "documents").limit(500)
+    return M.extract_audio_features(M.synth_wav(d)).orderBy("doc_id")
 
 
 @query("q_stream_tumbling")  # rows-only: streaming execution path

@@ -551,3 +551,134 @@ def q_tpch_q5(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc_nulls_last(), F.col("n_name").asc_nulls_last())
     )
+
+
+@query(
+    "q_tpch_q17",
+    oracle=f"""
+    SELECT {sr('sum(l_extendedprice) / 7.0', 2)} AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+        SELECT l_partkey AS a_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    ) t ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+      AND l_quantity < qty_thresh
+    """,
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue (adapted: the schema has no
+    p_container, so the second part predicate is p_type). The correlated
+    scalar subquery (per-part avg quantity) decorrelates to a fact-side
+    aggregation joined back on partkey — the plan Spark/Catalyst would
+    produce for the subquery form, written explicitly. The part filter is
+    applied before BOTH fact passes (semi-join pushdown via broadcast), so
+    neither the aggregate nor the probe scans unfiltered lineitem rows at
+    scale."""
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    relevant = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    thresh = relevant.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        relevant.withColumnRenamed("l_partkey", "lp")
+        .join(F.broadcast(thresh), F.col("lp") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(R(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT {sr('sum(l_extendedprice * (1 - l_discount))', 2)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted revenue (adapted: no p_container/l_shipmode/
+    l_shipinstruct columns — the disjunctive-predicate shape is the point).
+    The OR-of-ANDs mixes join-side and fact-side columns, so it cannot be
+    pushed below the join; part broadcasts and the disjunction evaluates
+    in the join's codegen stage — one fact scan, zero shuffles."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disjunct = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disjunct)
+        .agg(
+            R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle=f"""
+    SELECT cntrycode, count(*) AS numcust, {sr('sum(c_acctbal)', 2)} AS totacctbal
+    FROM (
+        SELECT c_nationkey AS cntrycode, c_acctbal
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c_acctbal > (
+              SELECT avg(c_acctbal) FROM customer
+              WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          )
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    ) t
+    GROUP BY cntrycode
+    ORDER BY cntrycode NULLS LAST
+    """,
+)
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity (adapted: no c_phone column, so
+    the country code is c_nationkey directly; 'has never ordered' becomes
+    'has no pending order' because every synthetic customer has orders).
+    Pattern coverage: scalar aggregate subquery (broadcast 1-row cross
+    join) + NOT EXISTS (left_anti on orders) + final aggregation. The
+    anti-join shuffles on custkey; everything else is broadcast or
+    map-side."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            R(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy(F.col("cntrycode").asc_nulls_last())
+    )

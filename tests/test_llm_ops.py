@@ -242,8 +242,10 @@ def test_multimodal_stub_operators_marked(spark, docs):
     mm = M.attach_binary(docs.limit(1))
     with pytest.raises(NotImplementedError):
         M.frame_sample(mm)
-    with pytest.raises(NotImplementedError):
-        M.resize_images(mm, 64, 64)
+    # resize is real for PPM but needs a PPM payload; txt payloads fail in
+    # the decoder at execution time
+    with pytest.raises(Exception, match="P6|PPM"):
+        M.resize_images(mm, 64, 64).collect()
 
 
 # -- scale guardrails (round-2: hot-bucket caps, cluster convergence) ------
@@ -277,10 +279,13 @@ def test_lsh_band_bucket_capped_before_collect(spark):
     found = {(r.id_a, r.id_b) for r in cands.collect()}
     assert (9001, 9002) in found
     assert all(a >= 9001 for a, _ in found)
-    # the cap must be applied via a pre-aggregation + semi join, BEFORE any
-    # bucket id-array is materialized
+    # the cap must be applied BEFORE any bucket id-array is materialized:
+    # a spillable window count + filter sits upstream of the collect_list
+    # aggregate in the physical plan
     plan = cands._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
+    win = plan.index("Window")
+    agg = plan.index("ObjectHashAggregate")
+    assert agg < win, "window cap must be below (after) the collect aggregate"
     small = D.minhash_lsh_candidates(df, "doc_id", max_bucket=512)
     assert small.count() == 100 * 99 // 2 + 1
 
@@ -325,3 +330,78 @@ def test_ivf_kmeans_centroids_recover_clusters(spark):
         r.vec_id for r in S.ivf_topk(emb, qvec, k=10, n_list=4, n_probe=1).collect()
     }
     assert len(exact & approx) / 10 >= 0.9
+
+
+# -- real pure-Python codecs (WAV / PPM) -----------------------------------
+def test_wav_roundtrip_and_features(spark):
+    import math
+
+    import numpy as np
+
+    sr = 8000
+    samples = [int(10000 * math.sin(2 * math.pi * 440 * i / sr)) for i in range(sr // 2)]
+    payload = M.make_wav_payload(samples, sample_rate=sr)
+    data, meta = M.decode_wav(payload)
+    assert meta["n_samples"] == len(samples)
+    assert meta["sample_rate"] == sr
+    assert abs(meta["duration_s"] - 0.5) < 1e-9
+    expect_rms = float(np.sqrt(np.mean(np.array(samples, dtype=np.float64) ** 2)))
+    assert abs(meta["rms"] - expect_rms) < 1e-6
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = M.extract_audio_features(df).collect()[0]
+    assert row.n_samples == len(samples) and row.sample_rate == sr
+    assert abs(row.rms - expect_rms) < 1e-6
+
+    # through the generic feature extractor with format='wav'
+    mm = df.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("wav").alias("format"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(0.5).alias("duration_s"),
+        ).alias("media"),
+    )
+    feat = M.extract_features(mm).collect()[0]
+    assert feat.format == "wav" and feat.n_bytes == 2 * len(samples)
+
+
+def test_ppm_roundtrip_resize_and_features(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    payload = M.make_ppm_payload(px)
+    decoded, meta = M.decode_ppm(payload)
+    assert meta == {"width": 6, "height": 8}
+    assert np.array_equal(decoded, px)
+    # comment-tolerant header parse
+    commented = b"P6\n# a comment\n6 8\n255\n" + px.tobytes()
+    assert np.array_equal(M.decode_ppm(commented)[0], px)
+
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = M.resize_images(df, 3, 4).collect()[0]
+    assert (out.width, out.height) == (3, 4)
+    rpx, rmeta = M.decode_ppm(bytes(out.payload))
+    assert rmeta == {"width": 3, "height": 4}
+    # nearest-neighbor: every output pixel exists in the source
+    src = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in src for p in rpx.reshape(-1, 3))
+
+    mm = df.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("ppm").alias("format"),
+            F.octet_length("payload").alias("n_bytes"),
+            F.lit(6).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("media"),
+    )
+    feat = M.extract_features(mm).collect()[0]
+    assert feat.n_bytes == 8 * 6 * 3
+    assert abs(feat.feature_mean - float(px.mean())) < 1e-9

@@ -130,3 +130,57 @@ def test_stateful_running_totals(spark):
         n, v = latest[r.user_id]
         assert n == r.n
         assert abs(v - round(r.v, 2)) < 0.05
+
+
+def test_source_sink_abstraction_rate_to_memory(spark):
+    # the source/sink interface runs a genuinely unbounded source locally:
+    # rate source → window agg → memory sink, one micro-batch
+    import time
+
+    from mesin_spark.ext import streaming as STR
+
+    stream = STR.open_source(spark, "rate", rows_per_second=50)
+    agg = stream.groupBy().count()
+    q = STR.open_sink(agg, "memory", name="rate_sink_test", output_mode="complete").start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.table("rate_sink_test").collect()
+            if rows and rows[0][0] > 0:
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("rate source produced no rows in 30s")
+    finally:
+        q.stop()
+
+
+def test_source_sink_abstraction_file_source(spark):
+    from mesin_spark.ext import streaming as STR
+    from tests.conftest import SF_DIR
+
+    schema = spark.read.parquet(f"{SF_DIR}/nation.parquet").schema
+    stream = STR.open_source(
+        spark, "file", path=SF_DIR, schema=schema, path_glob_filter="nation.parquet"
+    )
+    out = STR.run_to_memory(stream.select("n_nationkey"), "file_src_test")
+    assert out.count() == 25
+
+
+def test_source_sink_abstraction_config_errors(spark):
+    import pytest as _pytest
+
+    from mesin_spark.ext import streaming as STR
+
+    with _pytest.raises(STR.StreamConfigError, match="unknown source"):
+        STR.open_source(spark, "pulsar")
+    with _pytest.raises(STR.StreamConfigError, match="bootstrap_servers"):
+        STR.open_source(spark, "kafka")
+    with _pytest.raises(STR.StreamConfigError, match="subscribe"):
+        STR.open_source(spark, "kafka", bootstrap_servers="b:9092")
+    with _pytest.raises(STR.StreamConfigError, match="checkpoint"):
+        STR.open_sink(spark.readStream.format("rate").load(), "file", path="/tmp/x")
+    with _pytest.raises(STR.StreamConfigError, match="topic"):
+        STR.open_sink(
+            spark.readStream.format("rate").load(), "kafka", bootstrap_servers="b:9092"
+        )

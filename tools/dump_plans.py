@@ -28,7 +28,7 @@ NOTES = {
     "q_dedup_minhash": "repartition spreads shingling; banding groupBy + bounded buckets; verify join on hashed shingles",
     "q_sim_topk": "brute-force cosine = one codegen'd scan + TakeOrderedAndProject",
     "q_text_tokens": "explode map-side; token groupBy with partial aggregation",
-    "q_tfidf": "two keyed shuffles (tf, df); document-frequency side broadcast",
+    "q_tfidf": "two keyed shuffles (tf, df); no forced broadcast — AQE picks the df join side at runtime",
     "q_chunk_docs": "pure map-side explode — zero shuffles",
     "q_rollup": "Expand computes all grouping sets in one pass, one shuffle",
 }
