@@ -408,6 +408,98 @@ def dedup_clusters(
     return labels.select(F.col("node"), F.col("lbl").alias("canonical_id"))
 
 
+# -- benchmark decontamination ---------------------------------------------
+def contamination_flags(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word ``n``-gram with the benchmark set (the standard guard
+    against eval leakage in pre-training corpora). Returns
+    (id, contaminated) for every training row.
+
+    Shape at scale: distinct n-grams explode off both sides, the benchmark
+    side collapses to its distinct gram set (benchmark suites are tiny next
+    to the corpus — AQE broadcasts it), and a semi-join marks hit ids. The
+    corpus is scanned once; the only corpus-sized shuffle is the distinct
+    on hit ids. Grams join as strings here for oracle portability — at
+    100 TB hash them to longs first (xxhash64) to shrink the shuffle."""
+    grams = F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram")
+    tg = train.select(F.col(id_col), grams)
+    bg = bench.select(grams).distinct()
+    hit = tg.join(bg, "gram", "left_semi").select(id_col).distinct()
+    return train.select(id_col).join(
+        hit.withColumn("contaminated", F.lit(True)), id_col, "left"
+    ).select(id_col, F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"))
+
+
+# -- Bloom-filter membership ------------------------------------------------
+#: Independent odd multipliers for the k Bloom hashes (Knuth + xxhash/
+#: murmur-style primes) — portable exact-int arithmetic, same in any engine.
+BLOOM_SALTS = (2654435761, 2246822519, 3266489917, 668265263)
+_MOD32 = 1 << 32
+
+
+def bloom_positions(key: Column | str, m: int, k: int = 3) -> list[Column]:
+    """k bit positions in [0, m) for an integer key:
+    pos_j = ((key · salt_j) mod 2^32) mod m."""
+    c = F.col(key) if isinstance(key, str) else key
+    return [
+        F.pmod(F.pmod(c.cast("long") * F.lit(BLOOM_SALTS[j]), F.lit(_MOD32)), F.lit(m))
+        for j in range(k)
+    ]
+
+
+def bloom_member_flags(
+    corpus: DataFrame,
+    members: DataFrame,
+    key_col: str,
+    m: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate membership via a distributed Bloom filter: tag every
+    corpus row with ``might_contain`` — True for every true member (no
+    false negatives), occasionally True for non-members (false-positive
+    rate ≈ (1 − e^(−kn/m))^k). The cheap pre-filter for dedup-against-
+    reference-set at 100 TB: the filter is m bits regardless of member
+    count, and the corpus-side check is pure map-side arithmetic.
+
+    Build: one pass over ``members`` sets k bit positions each; the
+    distinct set of positions (≤ m values) is the filter — a bounded
+    driver collect folded into m/64 bitset words, then inlined as an array
+    literal (same bounded-broadcast shape as an ANN centroid table).
+    Probe: each corpus row tests its k positions against the bitset —
+    no join, no shuffle, whole-stage codegen."""
+    pos = members.select(
+        F.explode(F.array(*bloom_positions(key_col, m, k))).alias("pos")
+    ).distinct()
+    words = [0] * ((m + 63) // 64)
+    for r in pos.collect():  # bounded: ≤ m rows, the filter itself
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    # signed-64 wrap for the Spark literal
+    bitset = F.array(
+        *[F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long") for w in words]
+    )
+    # the SQL shiftleft takes expression operands (the Python wrapper
+    # doesn't), hence call_function
+    checks = [
+        F.element_at(bitset, (p / 64).cast("int") + 1)
+        .bitwiseAND(
+            F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+        )
+        != 0
+        for p in bloom_positions(key_col, m, k)
+    ]
+    might = checks[0]
+    for c in checks[1:]:
+        might = might & c
+    return corpus.withColumn("might_contain", might)
+
+
 # -- n-gram Jaccard --------------------------------------------------------
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -110,13 +110,13 @@ def make_ppm_payload(pixels: "np.ndarray") -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
 
 
-def decode_ppm(payload: bytes) -> tuple["np.ndarray", dict]:
-    """Binary PPM (P6) decoder: header parse (whitespace/comment tolerant)
-    + pixel extraction. Returns ((h, w, 3) uint8 array, {width, height})."""
-    if payload[:2] != b"P6":
+def _parse_ppm_at(payload: bytes, pos: int) -> tuple["np.ndarray", dict, int]:
+    """Parse one P6 image starting at ``pos``; returns (pixels, meta,
+    next_pos) so multiple concatenated frames can be walked."""
+    if payload[pos : pos + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     fields: list[int] = []
-    pos = 2
+    pos += 2
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -131,8 +131,34 @@ def decode_ppm(payload: bytes) -> tuple["np.ndarray", dict]:
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
-    px = np.frombuffer(payload[pos : pos + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
-    return px, {"width": w, "height": h}
+    end = pos + w * h * 3
+    px = np.frombuffer(payload[pos:end], dtype=np.uint8).reshape(h, w, 3)
+    return px, {"width": w, "height": h}, end
+
+
+def decode_ppm(payload: bytes) -> tuple["np.ndarray", dict]:
+    """Binary PPM (P6) decoder: header parse (whitespace/comment tolerant)
+    + pixel extraction. Returns ((h, w, 3) uint8 array, {width, height})."""
+    px, meta, _ = _parse_ppm_at(payload, 0)
+    return px, meta
+
+
+# -- video: MPPM (concatenated P6 frames) ----------------------------------
+def make_video_payload(frames: list["np.ndarray"]) -> bytes:
+    """Serialize a frame sequence as MPPM — concatenated binary P6 images
+    (the PPM analogue of MJPEG: every frame self-describing, the format a
+    codec-free pipeline can actually produce and parse)."""
+    return b"".join(make_ppm_payload(f) for f in frames)
+
+
+def decode_video(payload: bytes) -> list["np.ndarray"]:
+    """Decode an MPPM payload to its list of (h, w, 3) uint8 frames by
+    walking the self-describing P6 headers."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        px, _, pos = _parse_ppm_at(payload, pos)
+        frames.append(px)
+    return frames
 
 
 def _decode_payload(fmt: str, payload: bytes) -> bytes:
@@ -259,11 +285,72 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
+def synth_video(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 12,
+    width: int = 8,
+    height: int = 6,
+) -> DataFrame:
+    """Synthesize a deterministic MPPM video per row (a moving gradient
+    keyed on the id and frame index) — the ingest-side stand-in that lets
+    the real frame-walk decode path run end-to-end without video files."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                frames = [
+                    np.stack(
+                        [
+                            (yy * 31 + xx * 7 + int(i) + f * 13) % 256,
+                            (yy * 13 + xx * 17 + int(i) * 3 + f * 5) % 256,
+                            (yy * 5 + xx * 29 + int(i) * 7 + f * 11) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                payloads.append(make_video_payload(frames))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, f"{id_col} long, payload binary")
+
+
+FRAME_SCHEMA = (
+    "doc_id long, n_frames int, n_sampled int, frames array<binary>, "
+    "frame_means array<double>"
+)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """STUB: video frame sampling — requires a video codec. The Spark-side
-    contract (binary in, array-of-binary frames out via mapInPandas) is the
-    documented shape; raises until a codec is plugged in."""
-    raise NotImplementedError(
-        "frame_sample requires ffmpeg/pyav (absent in this container); "
-        "implement as mapInPandas over payload returning array<binary> frames"
-    )
+    """Video frame sampling: decode the MPPM payload, keep every
+    ``every_n``-th frame (always including frame 0), and emit the sampled
+    frames as array<binary> (re-encoded P6) plus a per-sampled-frame mean
+    pixel value — binary in, binary out via mapInPandas: per-partition,
+    Arrow-batched, no shuffle, the 100 TB shape for frame extraction.
+    Formats needing a native codec (mp4/webm) would plug into
+    ``decode_video``; everything Spark-side stays identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_frames, n_sampled, frames_out, means = [], [], [], []
+            for pl in pdf["payload"]:
+                frames = decode_video(bytes(pl))
+                sampled = frames[::every_n]
+                n_frames.append(len(frames))
+                n_sampled.append(len(sampled))
+                frames_out.append([make_ppm_payload(f) for f in sampled])
+                means.append([float(f.mean()) for f in sampled])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": n_frames,
+                    "n_sampled": n_sampled,
+                    "frames": frames_out,
+                    "frame_means": means,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

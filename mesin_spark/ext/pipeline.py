@@ -10,10 +10,11 @@ oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mesin_spark.ext.text import tokens
+from mesin_spark.ext.text import token_count, tokens
+from mesin_spark.functions import stable_round as R
 
 #: Knuth's multiplicative constant (2^32 / phi); mixing mod 2^32.
 _KNUTH = 2654435761
@@ -84,6 +85,72 @@ def scrub_text(col: Column | str) -> Column:
     regexp_replace replaces every occurrence, map-side only."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]")
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    tok_col: str = "n_tokens",
+    capacity: int = 512,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Sequence packing (concatenate-and-chunk): lay the chunks of a corpus
+    end-to-end in deterministic order and cut the stream into fixed-capacity
+    training sequences. Each chunk gets (shard, bin_id, bin_offset): the
+    training sequence it starts in and its token offset there — a chunk may
+    straddle a bin boundary, exactly like the standard concat-then-chunk
+    packing used to build pre-training batches (no padding waste).
+
+    Parallel at scale: packing order is per-shard (deterministic hash bucket
+    of the doc id), so the running-sum window is ``n_shards``-way parallel
+    and each shard's bins are independent — raise n_shards with the cluster.
+    One shuffle (the window partition)."""
+    shard = split_bucket(F.col(id_col), n_shards)
+    w = Window.partitionBy("shard").orderBy(F.col(id_col), F.col(order_col))
+    start = F.sum(F.col(tok_col)).over(w) - F.col(tok_col)
+    return (
+        chunks.withColumn("shard", shard)
+        .withColumn("bin_id", F.floor(start / capacity))
+        .withColumn("bin_offset", (start % capacity).cast("long"))
+    )
+
+
+def domain_mixture(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    target: dict[str, float] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-domain corpus statistics + resampling weights toward a target
+    mixture: (domain, n_docs, n_tokens, token_share, mix_weight) where
+    mix_weight = target_share / token_share — the factor to up/down-sample
+    each domain so the token mixture matches ``target`` (uniform across
+    observed domains when None). Two tiny shuffles: one partial-agg groupBy
+    on the domain key, then a global window over the #domains-row result —
+    nothing here grows with corpus size except the first scan."""
+    stats = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    if target is None:
+        target_share = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    else:
+        expr = None
+        for dom, t in target.items():
+            branch = F.when(F.col("domain") == dom, F.lit(float(t)))
+            expr = branch if expr is None else expr.when(F.col("domain") == dom, F.lit(float(t)))
+        target_share = expr.otherwise(F.lit(0.0))
+    return stats.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        R(share, round_to).alias("token_share"),
+        R(target_share / share, round_to).alias("mix_weight"),
+    )
 
 
 def chunk_documents(

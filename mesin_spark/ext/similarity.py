@@ -70,6 +70,31 @@ def brute_force_topk(
     )
 
 
+def radius_search(
+    emb: DataFrame,
+    query_vec: list[float],
+    radius: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range similarity search: every vector with cosine ≥ ``radius`` of
+    the query — the 'all near neighbors' companion to top-k (retrieval
+    dedup, coverage analysis). Same single codegen'd scan as
+    brute_force_topk with a filter in place of the k-heap; embarrassingly
+    parallel, no shuffle at all (filters don't need TakeOrdered's driver
+    merge). At scale, stack the LSH/IVF bucket filter in front to prune
+    the scan — the radius filter composes unchanged. Returns (id, sim)."""
+    q = lit_vector(query_vec)
+    return (
+        emb.select(
+            F.col(id_col),
+            R(cosine(F.col(vec_col), q), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= radius)
+        .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col).asc_nulls_last())
+    )
+
+
 # -- LSH (random hyperplanes) ---------------------------------------------
 def _plane_component(plane: int, dim: int) -> int:
     """Deterministic ±1 hyperplane component from a stable hash (md5) — no

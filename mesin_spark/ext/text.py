@@ -110,6 +110,54 @@ def lang_id(col: Column | str) -> Column:
     return best.otherwise("und")
 
 
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Word n-grams of a text column (array<string>); empty array for docs
+    with fewer than n tokens. Pure higher-order functions — map-side."""
+    t = tokens(col)
+    cnt = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def dup_token_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    1 − distinct/total (0 for empty docs). The cheap Gopher-style
+    repetition signal — heavily templated/boilerplate text scores high."""
+    t = tokens(col)
+    n = F.size(t)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(t)) / n).otherwise(F.lit(0.0))
+
+
+def top_ngram_ratio(col: Column | str, n: int = 2) -> Column:
+    """Fraction of the document's word n-grams taken by the single most
+    frequent n-gram (0 when fewer than n tokens) — the Gopher 'top n-gram
+    coverage' repetition signal. Per-row O(d·g) over distinct grams d and
+    grams g: bounded by document length, map-side, no shuffle. (At scale
+    this per-row form beats the explode→groupBy alternative precisely
+    because it never shuffles the gram space.)"""
+    g = word_ngrams(col, n)
+    total = F.size(g)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+        )
+    )
+    return F.when(total > 0, top / total).otherwise(F.lit(0.0))
+
+
+def repetition_signals(col: Column | str, round_to: int = 6) -> list[Column]:
+    """Both repetition-quality columns, rounded for oracle comparison:
+    (dup_token_ratio, top_bigram_ratio). Compose with a threshold filter
+    for the classic 'drop the most repetitious x%' pipeline gate."""
+    return [
+        R(dup_token_ratio(col), round_to).alias("dup_token_ratio"),
+        R(top_ngram_ratio(col, 2), round_to).alias("top_bigram_ratio"),
+    ]
+
+
 def tf_idf(
     docs,
     id_col: str = "doc_id",

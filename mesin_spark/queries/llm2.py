@@ -1,0 +1,230 @@
+"""Round-2 training-data pipeline operators (SURVEY.md §2.11 extension
+tier): repetition quality signals, benchmark decontamination, Bloom-filter
+membership, sequence packing, domain mixture weighting, radius similarity
+search, and real video frame sampling.
+
+Everything except the video path is deterministic closed-form arithmetic,
+so each query carries an exact DuckDB oracle. The video query is rows-only
+(binary codec path); its frame-exactness is asserted in
+tests/test_llm2_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mesin_spark.ext import dedup as D
+from mesin_spark.ext import multimodal as M
+from mesin_spark.ext import pipeline as P
+from mesin_spark.ext import similarity as S
+from mesin_spark.ext import text as TX
+from mesin_spark.queries import T, query
+
+#: DuckDB fragment: whitespace tokens of lower(text), empties dropped —
+#: mirror of mesin_spark.ext.text.tokens.
+_TK = "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+
+
+@query(
+    "q_quality_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    g AS (
+        SELECT doc_id, tk,
+               CASE WHEN len(tk) >= 2
+                    THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS gg
+        FROM t
+    )
+    SELECT doc_id,
+           floor((CASE WHEN len(tk) > 0
+                       THEN 1.0 - len(list_distinct(tk))::DOUBLE / len(tk)
+                       ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_token_ratio,
+           floor((CASE WHEN len(gg) > 0
+                       THEN list_max(list_transform(list_distinct(gg),
+                                x -> len(list_filter(gg, y -> y = x))))::DOUBLE / len(gg)
+                       ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_ratio
+    FROM g
+    """,
+)
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition signals per document: duplicate-token ratio
+    and top-bigram coverage — the standard boilerplate/templated-text
+    filters. Pure map-side higher-order functions, no shuffle."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", *TX.repetition_signals("text"))
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(tk) >= 5
+                    THEN list_distinct(list_transform(range(1, len(tk) - 3),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))
+                    ELSE [array_to_string(tk, ' ')] END AS g
+        FROM tk
+    ),
+    bench AS (SELECT doc_id, g FROM g WHERE doc_id % 97 = 0),
+    train AS (
+        SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, g FROM bench
+    ),
+    bgrams AS (SELECT DISTINCT unnest(g) AS gram FROM bench),
+    hit AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM train)
+        WHERE gram IN (SELECT gram FROM bgrams)
+    )
+    SELECT t.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM train t LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 97th doc is the 'benchmark suite';
+    the training corpus is the rest plus planted leaked copies of the
+    benchmark (id+1e6). A doc is contaminated iff it shares any word
+    5-gram with the benchmark — each planted copy MUST flag true."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0).union(
+        bench.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return D.contamination_flags(train, bench, "doc_id", n=5).orderBy("doc_id")
+
+
+@query(
+    "q_bloom_dedup",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT unnest([
+            ((doc_id * 2654435761) % 4294967296) % 4096,
+            ((doc_id * 2246822519) % 4294967296) % 4096,
+            ((doc_id * 3266489917) % 4294967296) % 4096]) AS p
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           (((doc_id * 2654435761) % 4294967296) % 4096 IN (SELECT p FROM pos)
+            AND ((doc_id * 2246822519) % 4294967296) % 4096 IN (SELECT p FROM pos)
+            AND ((doc_id * 3266489917) % 4294967296) % 4096 IN (SELECT p FROM pos)
+           ) AS might_contain,
+           (doc_id % 7 = 0) AS is_member
+    FROM documents
+    """,
+)
+def q_bloom_dedup(spark, sf_dir):
+    """Approximate membership against a reference set (every 7th doc) via a
+    distributed Bloom filter (m=4096 bits, k=3 portable hashes): zero false
+    negatives guaranteed, false positives bounded — the map-side pre-filter
+    for dedup-against-reference at 100 TB. The corpus-side probe is pure
+    codegen arithmetic against an inlined m-bit set; no join, no shuffle."""
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    members = docs.filter(F.col("doc_id") % 7 == 0)
+    return (
+        D.bloom_member_flags(docs, members, "doc_id", m=4096, k=3)
+        .withColumn("is_member", F.col("doc_id") % 7 == 0)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    s AS (
+        SELECT doc_id, tk,
+               range(0, greatest(ceil((len(tk) - 64) / 48.0), 0)::BIGINT + 1) AS starts
+        FROM t
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id, least(len(tk) - i*48, 64) AS n_tokens,
+               ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+        FROM s, unnest(starts) AS u(i)
+    ),
+    packed AS (
+        SELECT doc_id, chunk_id, n_tokens, shard,
+               sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id) - n_tokens AS strt
+        FROM chunks
+    )
+    SELECT doc_id, chunk_id, shard,
+           CAST(floor(strt / 512.0) AS BIGINT) AS bin_id,
+           CAST(strt % 512 AS BIGINT) AS bin_offset,
+           n_tokens
+    FROM packed
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training batches: chunk the corpus (64/48),
+    then concatenate-and-cut into 512-token bins, 16-way shard-parallel.
+    Every chunk gets (shard, bin_id, bin_offset); deterministic and
+    padding-free. One window shuffle, parallel across shards."""
+    d = T(spark, sf_dir, "documents")
+    chunks = P.chunk_documents(d, chunk_tokens=64, stride=48)
+    return P.pack_sequences(chunks, capacity=512, n_shards=16).select(
+        "doc_id", "chunk_id", "shard", "bin_id", "bin_offset", "n_tokens"
+    )
+
+
+@query(
+    "q_domain_mix",
+    oracle=f"""
+    WITH s AS (
+        SELECT source AS domain, count(*) AS n_docs,
+               sum(len({_TK})) AS n_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT domain, n_docs, n_tokens,
+           floor((n_tokens::DOUBLE / sum(n_tokens) OVER ()) * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+           floor(((1.0 / count(*) OVER ()) / (n_tokens::DOUBLE / sum(n_tokens) OVER ())) * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
+    FROM s
+    """,
+)
+def q_domain_mix(spark, sf_dir):
+    """Domain mixture statistics + resampling weights toward a uniform
+    token mixture across sources — the corpus-rebalancing planner. One
+    partial-agg groupBy; the window runs over the #domains-row result."""
+    d = T(spark, sf_dir, "documents")
+    return P.domain_mixture(d, domain_col="source").orderBy("domain")
+
+
+@query(
+    "q_sim_radius",
+    oracle="""
+    SELECT b.vec_id,
+           floor((list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 AS sim
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE floor((list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                       CAST(q.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 >= 0.25
+    ORDER BY sim DESC NULLS LAST, b.vec_id ASC NULLS LAST
+    """,
+)
+def q_sim_radius(spark, sf_dir):
+    """Range similarity search: all vectors with cosine ≥ 0.25 of query
+    vec_id=0 — the 'all near neighbors' companion to top-k. Single
+    codegen'd scan + filter; no shuffle, no driver merge."""
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.radius_search(emb, qvec, radius=0.25)
+
+
+@query("q_multimodal_video")  # rows-only: real binary codec path (MPPM frames)
+def q_multimodal_video(spark, sf_dir):
+    """Real video frame-sampling end-to-end: synthesize a deterministic
+    12-frame MPPM video per document (concatenated P6 frames — the
+    codec-free MJPEG analogue), walk the self-describing frame headers,
+    keep every 3rd frame, and emit per-frame mean pixel values — all in
+    partition-preserving mapInPandas (binary in, features out, no
+    shuffle). Frame-exact decode asserted in tests/test_llm2_ops.py."""
+    d = T(spark, sf_dir, "documents").limit(200)
+    sampled = M.frame_sample(M.synth_video(d), every_n=3)
+    return sampled.select(
+        "doc_id",
+        "n_frames",
+        "n_sampled",
+        F.round(F.element_at("frame_means", 1), 6).alias("first_frame_mean"),
+        F.round(F.element_at("frame_means", -1), 6).alias("last_frame_mean"),
+    ).orderBy("doc_id")

@@ -1,0 +1,177 @@
+"""Quality assertions for the round-2 pipeline operators — planted-case
+checks the value-hash oracle can't express: repetition ordering, guaranteed
+decontamination hits, Bloom no-false-negatives, packing invariants, mixture
+algebra, radius⊇top-k consistency, frame-exact video decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mesin_spark.ext import dedup as D
+from mesin_spark.ext import multimodal as M
+from mesin_spark.ext import pipeline as P
+from mesin_spark.ext import similarity as S
+from mesin_spark.ext import text as TX
+from mesin_spark.queries import T
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return T(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return T(spark, SF_DIR, "embeddings")
+
+
+# -- repetition signals -----------------------------------------------------
+def test_repetition_orders_boilerplate_above_prose(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now buy now"),
+            (2, "the quick brown fox jumps over a lazy dog near riverbanks"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in df.select("doc_id", *TX.repetition_signals("text")).collect()}
+    assert rows[1].dup_token_ratio > rows[2].dup_token_ratio
+    assert rows[1].top_bigram_ratio > rows[2].top_bigram_ratio
+    # 'buy now' ×5: 2 distinct of 10 tokens; 'buy now' is 5 of 9 bigrams
+    assert rows[1].dup_token_ratio == pytest.approx(0.8)
+    assert rows[1].top_bigram_ratio == pytest.approx(5 / 9, abs=1e-6)
+
+
+def test_repetition_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "single"), (3, "two words")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in df.select("doc_id", *TX.repetition_signals("text")).collect()}
+    assert rows[1].dup_token_ratio == 0.0 and rows[1].top_bigram_ratio == 0.0
+    assert rows[2].top_bigram_ratio == 0.0  # one token → no bigrams
+    assert rows[3].top_bigram_ratio == 1.0  # exactly one bigram
+
+
+# -- decontamination --------------------------------------------------------
+def test_contamination_flags_planted_leak(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "beta gamma delta epsilon zeta"
+            (1, "prefix words beta gamma delta epsilon zeta suffix here"),
+            (2, "totally unrelated content about distributed query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.contaminated for r in D.contamination_flags(train, bench, "doc_id").collect()}
+    assert out == {1: True, 2: False}
+
+
+# -- Bloom filter -----------------------------------------------------------
+def test_bloom_no_false_negatives_and_bounded_fp(spark, docs):
+    corpus = docs.select("doc_id")
+    members = corpus.filter(F.col("doc_id") % 7 == 0)
+    out = D.bloom_member_flags(corpus, members, "doc_id", m=4096, k=3).collect()
+    fn = [r.doc_id for r in out if r.doc_id % 7 == 0 and not r.might_contain]
+    assert fn == []  # Bloom guarantee: zero false negatives
+    n_nonmember = sum(1 for r in out if r.doc_id % 7 != 0)
+    fp = sum(1 for r in out if r.doc_id % 7 != 0 and r.might_contain)
+    # 500 docs → ~71 members → kn/m ≈ 0.05 → fp rate well under 5%
+    assert fp / n_nonmember < 0.05
+
+
+def test_bloom_plan_is_mapside(spark, docs):
+    out = D.bloom_member_flags(
+        docs.select("doc_id"), docs.select("doc_id").limit(10), "doc_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # probe is pure map-side codegen
+
+
+# -- sequence packing -------------------------------------------------------
+def test_pack_sequences_invariants(spark, docs):
+    chunks = P.chunk_documents(docs, chunk_tokens=64, stride=48)
+    packed = P.pack_sequences(chunks, capacity=512, n_shards=4).collect()
+    assert all(0 <= r.bin_offset < 512 for r in packed)
+    # per shard: offsets are the running token stream cut at 512 boundaries
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        start = 0
+        for r in rows:
+            assert r.bin_id == start // 512
+            assert r.bin_offset == start % 512
+            start += r.n_tokens
+
+
+# -- domain mixture ---------------------------------------------------------
+def test_domain_mixture_algebra(spark, docs):
+    out = P.domain_mixture(docs).collect()
+    shares = [r.token_share for r in out]
+    assert sum(shares) == pytest.approx(1.0, abs=1e-4)
+    n = len(out)
+    for r in out:
+        # weight × share ≈ uniform target share
+        assert r.mix_weight * r.token_share == pytest.approx(1.0 / n, abs=1e-4)
+    # explicit target overrides uniform
+    t = {out[0].domain: 1.0}
+    out2 = {r.domain: r for r in P.domain_mixture(docs, target=t).collect()}
+    assert out2[out[0].domain].mix_weight > 0
+    others = [r for d, r in out2.items() if d != out[0].domain]
+    assert all(r.mix_weight == 0.0 for r in others)
+
+
+# -- radius search ----------------------------------------------------------
+def test_radius_contains_topk_above_radius(spark, emb):
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    topk = S.brute_force_topk(emb, qvec, k=10).collect()
+    radius = 0.25
+    in_radius = {r.vec_id for r in S.radius_search(emb, qvec, radius=radius).collect()}
+    for r in topk:
+        if r.sim >= radius:
+            assert r.vec_id in in_radius
+    # every radius hit really is ≥ radius (exactness)
+    sims = {r.vec_id: r.sim for r in S.radius_search(emb, qvec, radius=radius).collect()}
+    assert all(s >= radius for s in sims.values())
+
+
+# -- video codec ------------------------------------------------------------
+def test_video_roundtrip_exact():
+    frames = [
+        (np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3) + i) % 256
+        for i in range(5)
+    ]
+    payload = M.make_video_payload([f.astype(np.uint8) for f in frames])
+    decoded = M.decode_video(payload)
+    assert len(decoded) == 5
+    for orig, dec in zip(frames, decoded):
+        assert np.array_equal(orig.astype(np.uint8), dec)
+
+
+def test_frame_sample_spark_path(spark, docs):
+    d = docs.limit(20)
+    out = M.frame_sample(M.synth_video(d, n_frames=10), every_n=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.n_frames == 10
+        assert r.n_sampled == 3  # frames 0, 4, 8
+        # sampled frames decode back to real P6 images with exact means
+        for fb, mean in zip(r.frames, r.frame_means):
+            px, meta = M.decode_ppm(bytes(fb))
+            assert (meta["width"], meta["height"]) == (8, 6)
+            assert float(px.mean()) == pytest.approx(mean, abs=1e-9)
+
+
+def test_frame_sample_deterministic(spark, docs):
+    d = docs.limit(5)
+    a = M.frame_sample(M.synth_video(d), every_n=3).collect()
+    b = M.frame_sample(M.synth_video(d), every_n=3).collect()
+    assert [(r.doc_id, r.frame_means) for r in a] == [(r.doc_id, r.frame_means) for r in b]
