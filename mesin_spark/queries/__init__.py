@@ -84,6 +84,7 @@ def load_all() -> None:
     """
     from mesin_spark.queries import (  # noqa: F401
         llm2,
+        sql_menu2,
         relational,
         setops,
         subqueries,

@@ -1,0 +1,139 @@
+"""Round-2 SQL-surface widening: EXISTS / NOT EXISTS correlated
+predicates, ordered string aggregation, median, the regex function
+family, and LATERAL table generation — each with an exact DuckDB oracle.
+
+These extend the reference's SELECT surface (tmp/select.rs handles only
+plain predicates; EXISTS/LATERAL never appear) the way a user of a
+Postgres-dialect engine would expect; Catalyst plans EXISTS/NOT EXISTS
+as semi/anti joins and LATERAL VIEW explode as Generate — the scalable
+shapes, no correlated re-execution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mesin_spark.queries import T, query, register_views, sr
+
+
+@query(
+    "q_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    """,
+)
+def q_exists(spark, sf_dir):
+    """Correlated EXISTS — planned as a left-semi join (no per-row
+    re-execution; one shuffle on the correlation key)."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+        )
+        """
+    )
+
+
+@query(
+    "q_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+def q_not_exists(spark, sf_dir):
+    """Correlated NOT EXISTS (customers with no orders) — planned as a
+    left-anti join."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+        """
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (string_agg/listagg): collect_list →
+    array_sort → concat_ws gives the deterministic ORDER BY semantics the
+    streaming-aggregate listagg can't guarantee distributed."""
+    n = T(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@query(
+    "q_median",
+    oracle=f"""
+    SELECT l_returnflag, {sr("median(l_quantity)", 6)} AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_median(spark, sf_dir):
+    """Exact interpolated median per group (percentile_cont 0.5 under the
+    hood — a sort-based aggregate; at scale prefer approx_percentile,
+    which q_percentile/q_approx_distinct demonstrate on sketches)."""
+    from mesin_spark.functions import stable_round as R
+
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        R(F.median("l_quantity"), 6).alias("med_qty")
+    )
+
+
+@query(
+    "q_fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+           regexp_matches(p_name, 'widget') AS has_widget
+    FROM part
+    """,
+)
+def q_fn_regex(spark, sf_dir):
+    """Regex function family: extract (group ref), replace-all, and match
+    predicate — all RE2-compatible patterns so both engines agree."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devowel"),
+        F.col("p_name").rlike("widget").alias("has_widget"),
+    )
+
+
+@query(
+    "q_lateral",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part
+    """,
+)
+def q_lateral(spark, sf_dir):
+    """LATERAL table generation (LATERAL VIEW explode ≡ LATERAL unnest) —
+    Catalyst's Generate operator: map-side row expansion, no shuffle."""
+    register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, w.word
+        FROM part LATERAL VIEW explode(split(p_name, ' ')) w AS word
+        """
+    )
