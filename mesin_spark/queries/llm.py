@@ -469,9 +469,8 @@ def q_pipeline_e2e(spark, sf_dir):
     groupBy and its survivor join — everything else stays map-side."""
     d = T(spark, sf_dir, "documents")
     scrubbed = d.select("doc_id", P.scrub_text("text").alias("text"))
-    filtered = scrubbed.filter(
-        (TX.lang_id("text") == "en") & (TX.quality_score("text") >= 0.5)
-    )
+    # one signal fold evaluates both gate predicates (see text.pipeline_keep)
+    filtered = scrubbed.filter(TX.pipeline_keep("text", "en", 0.5))
     survivors = D.exact_dedup(filtered, ["text"], "doc_id").select("doc_id", "text")
     chunks = P.chunk_documents(survivors, chunk_tokens=64, stride=48)
     return P.hash_split(chunks, "doc_id", frac_train=0.9).select(

@@ -238,12 +238,15 @@ def test_multimodal_unknown_format_raises(spark):
         M.extract_features(df).collect()
 
 
-def test_multimodal_stub_operators_marked(spark, docs):
+def test_multimodal_codec_boundaries_marked(spark, docs):
     mm = M.attach_binary(docs.limit(1))
-    with pytest.raises(NotImplementedError):
-        M.frame_sample(mm)
-    # resize is real for PPM but needs a PPM payload; txt payloads fail in
-    # the decoder at execution time
+    # native-codec formats still raise a clearly-marked NotImplementedError
+    with pytest.raises(NotImplementedError, match="codec"):
+        M._decode_payload("jpeg", b"\xff\xd8")
+    # frame_sample and resize are real for MPPM/PPM payloads but txt
+    # payloads fail in the decoder at execution time
+    with pytest.raises(Exception, match="P6|PPM"):
+        M.frame_sample(mm).collect()
     with pytest.raises(Exception, match="P6|PPM"):
         M.resize_images(mm, 64, 64).collect()
 
