@@ -198,16 +198,33 @@ def dup_token_ratio(col: Column | str) -> Column:
 def top_ngram_ratio(col: Column | str, n: int = 2) -> Column:
     """Fraction of the document's word n-grams taken by the single most
     frequent n-gram (0 when fewer than n tokens) — the Gopher 'top n-gram
-    coverage' repetition signal. Per-row O(d·g) over distinct grams d and
-    grams g: bounded by document length, map-side, no shuffle. (At scale
-    this per-row form beats the explode→groupBy alternative precisely
-    because it never shuffles the gram space.)"""
+    coverage' repetition signal. Map-side, no shuffle.
+
+    Shape matters: the count of the most frequent gram equals the longest
+    equal-run in the SORTED gram array, so this is one array_sort plus one
+    fold tracking (prev, run, best) — O(g log g) per row. The obvious
+    `transform(distinct, x -> count of x in g)` form nests the gram-array
+    expression inside the lambda, re-evaluating it per distinct element —
+    O(g²·tokens) per row, measured 38s vs <1s for the whole documents
+    table at sf0.01."""
     g = word_ngrams(col, n)
     total = F.size(g)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+
+    def merge(a: Column, x: Column) -> Column:
+        run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
         )
+
+    top = F.aggregate(
+        F.array_sort(g),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        merge,
+        lambda a: a["best"],
     )
     return F.when(total > 0, top / total).otherwise(F.lit(0.0))
 
