@@ -50,6 +50,8 @@ HEADLINE = [
     "q_chunk_docs",       # pre-training chunker (map-side explode)
     "q_rollup",           # grouping-set aggregate
     "q_pipeline_e2e",     # full training-data pipeline (scrub→…→split)
+    "q_decontaminate",    # benchmark n-gram overlap (semi-join on grams)
+    "q_pack_sequences",   # sequence packing (shard-parallel window)
 ]
 
 
