@@ -121,6 +121,41 @@ def q_fn_regex(spark, sf_dir):
     )
 
 
+def _zorder_sql(cols: list[str], bits: int) -> str:
+    """DuckDB text of the same Morton interleave zorder_key computes."""
+    k = len(cols)
+    # DuckDB's << binds looser than +, so each term is fully parenthesized
+    terms = [
+        f"(((({c} % {1 << bits}) >> {b}) & 1) << {b * k + j})"
+        for b in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           {_zorder_sql(['l_partkey', 'l_suppkey'], 10)} AS z
+    FROM lineitem
+    """,
+)
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) layout key over (l_partkey, l_suppkey): the sort
+    key for multi-dimensional row-group pruning —
+    write_parquet(sort_by=[z]) clusters both dimensions at once. Pure
+    codegen'd shift/mask arithmetic, map-side."""
+    from mesin_spark.sources import zorder_key
+
+    li = T(spark, sf_dir, "lineitem")
+    z = zorder_key(
+        [F.pmod(F.col("l_partkey"), F.lit(1 << 10)), F.pmod(F.col("l_suppkey"), F.lit(1 << 10))],
+        bits=10,
+    )
+    return li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", z.alias("z"))
+
+
 @query(
     "q_lateral",
     oracle="""

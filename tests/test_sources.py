@@ -106,3 +106,47 @@ def test_ns_reader_restores_session_conf(spark):
     # and the returned frame still executes with converted µs timestamps
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
+
+
+def test_zorder_key_exact_interleave(spark):
+    df = spark.createDataFrame([(3, 1), (0, 3), (5, 5)], "x long, y long")
+    out = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", SRC.zorder_key(["x", "y"], bits=4)).collect()
+    }
+    # x bits land at even positions, y bits at odd: z(3,1)=0b111=7,
+    # z(0,3)=0b1010=10, z(5,5)=0b110011=51
+    assert out == {(3, 1): 7, (0, 3): 10, (5, 5): 51}
+
+
+def test_zorder_sort_clusters_both_dims(spark):
+    # on a 32x32 grid, walking in z order must stay closer in (x, y) than
+    # walking in plain x-major order stays in y — the pruning property
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    rows = (
+        grid.withColumn("z", SRC.zorder_key(["x", "y"], bits=5))
+        .orderBy("z")
+        .collect()
+    )
+
+    def max_bbox_side(ordered, block=64):
+        # worst bounding-box side over contiguous 'row groups' — what
+        # min/max pruning actually sees
+        worst = 0
+        for i in range(0, len(ordered), block):
+            blk = ordered[i : i + block]
+            worst = max(
+                worst,
+                max(r.x for r in blk) - min(r.x for r in blk),
+                max(r.y for r in blk) - min(r.y for r in blk),
+            )
+        return worst
+
+    xmajor = sorted(rows, key=lambda r: (r.x, r.y))
+    # z order: every 64-row block is an 8x8 tile (side 7); x-major blocks
+    # span the full y range (side 31) — pruning works on BOTH dims only
+    # under the z sort
+    assert max_bbox_side(rows) == 7
+    assert max_bbox_side(xmajor) == 31
