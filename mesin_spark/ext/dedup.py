@@ -521,10 +521,20 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard over pairs within a blocking key (blocking
     bounds the pair space; pass an LSH band or length bucket at scale).
     Salted all-pairs join (ext.similarity.salted_all_pairs) spreads each
-    block over n_salts tasks. Returns (id_a, id_b, jaccard)."""
+    block over n_salts tasks. Returns (id_a, id_b, jaccard).
+
+    Grams fold to sorted xxhash64 longs BEFORE the pair join, so the
+    per-pair set ops compare longs instead of re-hashing ~g gram strings
+    per pair — measured 5× at sf0.1 (same trick as the MinHash verify,
+    which uses an even smaller 31-bit space; at 64 bits a cross-collision
+    perturbing one pair's Jaccard is ~1e-15 per pair)."""
     from mesin_spark.ext.similarity import salted_all_pairs
 
-    grams = F.array_distinct(shingles(F.col(text_col), n))
+    grams = F.array_sort(
+        F.transform(
+            F.array_distinct(shingles(F.col(text_col), n)), lambda s: F.xxhash64(s)
+        )
+    )
     base = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     ).select(

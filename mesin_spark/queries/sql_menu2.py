@@ -121,6 +121,143 @@ def q_fn_regex(spark, sf_dir):
     )
 
 
+@query(
+    "q_window_nav",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           first_value(l_extendedprice) OVER w AS first_price,
+           last_value(l_extendedprice) OVER w AS last_price,
+           nth_value(l_extendedprice, 2) OVER w AS second_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_nav(spark, sf_dir):
+    """Navigation window functions (first/last/nth value) over an explicit
+    whole-partition ROWS frame — the default growing frame would make
+    last_value the current row; the unique order key makes all three
+    deterministic."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return T(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w).alias("last_price"),
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "q_window_dist",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           ntile(4) OVER w AS quartile,
+           {sr("percent_rank() OVER w", 6)} AS pct_rank,
+           {sr("cume_dist() OVER w", 6)} AS cdist
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_quantity, l_orderkey, l_linenumber)
+    """,
+)
+def q_window_dist(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist) —
+    the unique order key pins ntile's tie assignment so both engines
+    agree exactly."""
+    from pyspark.sql import Window as W
+
+    from mesin_spark.functions import stable_round as R
+
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(4).over(w).alias("quartile"),
+        R(F.percent_rank().over(w), 6).alias("pct_rank"),
+        R(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "q_bit_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS band,
+           bit_or(l_linenumber) AS bor,
+           bit_xor(l_linenumber) AS bxor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_bit_aggs(spark, sf_dir):
+    """Bitwise aggregates (AND/OR/XOR fold) — order-independent, exact."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").alias("band"),
+            F.bit_or("l_linenumber").alias("bor"),
+            F.bit_xor("l_linenumber").alias("bxor"),
+        )
+    )
+
+
+@query(
+    "q_gapfill",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        FROM events
+    ),
+    hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(floor(epoch(hours.h)) AS BIGINT) AS hour_ts,
+           types.event_type,
+           coalesce(hourly.n, 0) AS n
+    FROM hours CROSS JOIN types
+    LEFT JOIN hourly ON hourly.h = hours.h AND hourly.event_type = types.event_type
+    """,
+)
+def q_gapfill(spark, sf_dir):
+    """Time-series gap filling: a generated hour spine × the event-type
+    dimension, left-joined to hourly counts so silent hours surface as
+    explicit zeros — the resample primitive dashboards and downstream
+    models need. The spine is sequence()+explode off a 1-row bound
+    aggregate (broadcast); the only data-sized shuffle is the hourly
+    groupBy."""
+    ev = T(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = hours.crossJoin(F.broadcast(types))
+    return spine.join(hourly, ["h", "event_type"], "left").select(
+        F.unix_timestamp("h").alias("hour_ts"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
 def _zorder_sql(cols: list[str], bits: int) -> str:
     """DuckDB text of the same Morton interleave zorder_key computes."""
     k = len(cols)

@@ -31,6 +31,10 @@ NOTES = {
     "q_tfidf": "two keyed shuffles (tf, df); no forced broadcast — AQE picks the df join side at runtime",
     "q_chunk_docs": "pure map-side explode — zero shuffles",
     "q_rollup": "Expand computes all grouping sets in one pass, one shuffle",
+    "q_dedup_ngram": "grams hashed to sorted longs before the salted pair join; per-pair set ops on longs",
+    "q_pipeline_e2e": "one signal-fold filter; only the dedup groupBy and survivor join shuffle",
+    "q_decontaminate": "repartition spreads shingling; bench gram set broadcast into the semi-join",
+    "q_pack_sequences": "single window shuffle partitioned by shard — n_shards-way parallel packing",
 }
 
 
