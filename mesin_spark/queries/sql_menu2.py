@@ -212,6 +212,66 @@ def q_bit_aggs(spark, sf_dir):
 
 
 @query(
+    "q_argminmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_argminmax(spark, sf_dir):
+    """arg_max / arg_min (max_by / min_by): keep the key of the extreme
+    row per group in one hash aggregate — no self-join or window needed.
+    Deterministic here because o_totalprice is tie-free per customer at
+    every test scale (verified); with ties, order by a composite."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q_fn_lambda",
+    oracle="""
+    SELECT o_orderkey,
+           list_transform([1, 2, 3], x -> x * o_orderkey) AS scaled,
+           len(list_filter([1, 2, 3, 4, 5, 6], x -> x % 2 = 0)) AS n_even,
+           list_reduce([CAST(o_custkey AS BIGINT), 10, 100], (a, b) -> a + b) AS folded
+    FROM orders
+    """,
+)
+def q_fn_lambda(spark, sf_dir):
+    """SQL higher-order functions (transform / filter / aggregate ≡
+    DuckDB list_transform / list_filter / list_reduce) — lambda
+    expressions as first-class query surface, all JVM-side."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.transform(
+            F.array(F.lit(1), F.lit(2), F.lit(3)),
+            lambda x: x.cast("long") * F.col("o_orderkey"),
+        ).alias("scaled"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(i) for i in range(1, 7)]), lambda x: x % 2 == 0
+            )
+        ).alias("n_even"),
+        F.aggregate(
+            F.array(F.col("o_custkey").cast("long"), F.lit(10).cast("long"), F.lit(100).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("folded"),
+    )
+
+
+@query(
     "q_gapfill",
     oracle="""
     WITH b AS (
