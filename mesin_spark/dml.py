@@ -182,6 +182,34 @@ class ManagedTable:
                 select_list.append(F.col(c))
         self._swap_in(df.select(*select_list))
 
+    # -- DDL: ALTER TABLE --------------------------------------------------
+    # The reference rejects ALTER outright ("Unsupported Statement",
+    # src/planner/mod.rs:36); added as an extension. Each variant is the
+    # same copy-on-write swap the DML uses — at 100 TB a table format with
+    # schema-evolution metadata (Delta/Iceberg) makes add/rename/drop
+    # metadata-only, but the operator shape is identical.
+    def alter_add_column(
+        self, name: str, data_type: str, default=None
+    ) -> None:
+        """ALTER TABLE ADD COLUMN name type [DEFAULT literal] — existing
+        rows get the default (NULL if none)."""
+        dt = ddl_type(data_type)
+        self._swap_in(self.df().withColumn(name, F.lit(default).cast(dt)))
+
+    def alter_drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN name."""
+        df = self.df()
+        if name not in df.columns:
+            raise CatalogError(f"column {name!r} does not exist in {self.name!r}")
+        self._swap_in(df.drop(name))
+
+    def alter_rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN old TO new."""
+        df = self.df()
+        if old not in df.columns:
+            raise CatalogError(f"column {old!r} does not exist in {self.name!r}")
+        self._swap_in(df.withColumnRenamed(old, new))
+
     def delete(self, where: Column | str | None = None) -> None:
         """DELETE [WHERE pred] (reference tmp/crud.txt:480-504). No WHERE →
         delete all rows (keep schema)."""

@@ -318,6 +318,66 @@ def q_gapfill(spark, sf_dir):
     )
 
 
+@query(
+    "q_alter_table",
+    oracle="""
+    SELECT n_nationkey, region_key, upper(n_name) AS display_name, 'active' AS status
+    FROM (SELECT n_nationkey, n_regionkey AS region_key, n_name FROM nation)
+    """,
+)
+def q_alter_table(spark, sf_dir):
+    """ALTER TABLE extension (the reference rejects ALTER outright,
+    src/planner/mod.rs:36): ADD COLUMN with default, RENAME COLUMN, DROP
+    COLUMN, then an UPDATE against the evolved schema — each a
+    copy-on-write swap (metadata-only under Delta/Iceberg at scale)."""
+    from mesin_spark.queries.dml import _scratch
+
+    _, mt = _scratch(spark, sf_dir, "nation")
+    mt.alter_add_column("status", "VARCHAR", default="active")
+    mt.alter_rename_column("n_regionkey", "region_key")
+    mt.alter_add_column("display_name", "VARCHAR")
+    mt.update({"display_name": "upper(n_name)"})
+    mt.alter_drop_column("n_name")
+    return mt.df().select("n_nationkey", "region_key", "display_name", "status")
+
+
+@query(
+    "q_udaf_geomean",
+    oracle=f"""
+    SELECT l_returnflag, {sr("exp(avg(ln(l_quantity)))", 6)} AS geo_mean_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_geomean(spark, sf_dir):
+    """Custom UDAF via applyInPandas (grouped map → one row per group):
+    per-group geometric mean computed in Arrow-batched numpy — the
+    user-defined-aggregate surface (§2.11). Group data arrives as one
+    pandas frame per key; the shuffle is the same single hash partition
+    a built-in aggregate needs (no map-side partials — the honest cost
+    of an opaque UDAF, which is why the built-in fold tier exists)."""
+    import pandas as pd
+    import numpy as np
+
+    from mesin_spark.functions import stable_round as R  # noqa: F401
+
+    def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.log(pdf["l_quantity"].to_numpy(dtype=np.float64))
+        g = float(np.exp(v.mean()))
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "geo_mean_qty": [np.floor(g * 1e6 + 0.5) / 1e6],
+                "n": [len(pdf)],
+            }
+        )
+
+    li = T(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(
+        geomean, "l_returnflag string, geo_mean_qty double, n long"
+    )
+
+
 def _zorder_sql(cols: list[str], bits: int) -> str:
     """DuckDB text of the same Morton interleave zorder_key computes."""
     k = len(cols)
