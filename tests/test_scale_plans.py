@@ -136,3 +136,44 @@ def test_session_window_uses_single_shuffle(spark):
 
     plan = physical(q_session_batch(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") <= 2  # partial/final agg pair
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    from mesin_spark.queries.llm2 import q_decontaminate
+
+    plan = physical(q_decontaminate(spark, SF_DIR))
+    # the benchmark gram set is tiny next to the corpus -> AQE must pick a
+    # broadcast semi-join, never a shuffled one
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    from mesin_spark.queries.llm2 import q_pack_sequences
+
+    plan = physical(q_pack_sequences(spark, SF_DIR))
+    # shard-partitioned window: exactly one data shuffle, keyed on shard
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "shard" in plan[plan.index("Exchange hashpartitioning") :].splitlines()[0]
+
+
+def test_zorder_and_radius_stay_mapside_scan(spark):
+    from mesin_spark.queries.llm2 import q_sim_radius
+    from mesin_spark.queries.sql_menu2 import q_zorder
+
+    # zorder key: pure projection over the scan, no exchange of any kind
+    assert "Exchange" not in physical(q_zorder(spark, SF_DIR))
+    # radius search: filter + scan; the orderBy is driver-side collect
+    # ordering over the filtered (small) result, never a global sort of
+    # the corpus scan side
+    plan = physical(q_sim_radius(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_gapfill_broadcasts_spine(spark):
+    from mesin_spark.queries.sql_menu2 import q_gapfill
+
+    plan = physical(q_gapfill(spark, SF_DIR))
+    # hour-spine x types dimension is broadcast; the only fact-sized
+    # shuffle is the hourly aggregate
+    assert "Broadcast" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
