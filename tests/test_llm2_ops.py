@@ -175,3 +175,27 @@ def test_frame_sample_deterministic(spark, docs):
     a = M.frame_sample(M.synth_video(d), every_n=3).collect()
     b = M.frame_sample(M.synth_video(d), every_n=3).collect()
     assert [(r.doc_id, r.frame_means) for r in a] == [(r.doc_id, r.frame_means) for r in b]
+
+
+# -- minhash numpy/fold equivalence ----------------------------------------
+def test_minhash_numpy_matches_fold(spark, docs):
+    from mesin_spark.ext.dedup import (
+        _hashed_shingle_frame,
+        minhash_signature_from_hashes,
+        minhash_signature_numpy,
+    )
+
+    hashed = _hashed_shingle_frame(docs.limit(100), "doc_id", "text", 3)
+    fold = {
+        r._id: list(r.s)
+        for r in hashed.select(
+            "_id", minhash_signature_from_hashes(F.col("_h"), 64).alias("s")
+        ).collect()
+    }
+    np_ = {
+        r._id: list(r.s)
+        for r in hashed.select(
+            "_id", minhash_signature_numpy(64)(F.col("_h")).alias("s")
+        ).collect()
+    }
+    assert fold == np_  # bit-identical signatures, both paths
