@@ -319,6 +319,55 @@ def q_gapfill(spark, sf_dir):
 
 
 @query(
+    "q_try_cast",
+    oracle="""
+    SELECT o_orderkey,
+           try_cast(o_orderpriority AS BIGINT) AS bad_cast,
+           try_cast('12' AS BIGINT) AS good_cast,
+           try_cast(o_orderstatus AS DOUBLE) AS status_num
+    FROM orders
+    """,
+)
+def q_try_cast(spark, sf_dir):
+    """TRY_CAST — NULL instead of error on malformed input, the ingest
+    survival tool for dirty columns (identical NULL semantics both
+    engines)."""
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("bigint").alias("bad_cast"),
+        F.lit("12").try_cast("bigint").alias("good_cast"),
+        F.col("o_orderstatus").try_cast("double").alias("status_num"),
+    )
+
+
+@query(
+    "q_interval_arith",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts + INTERVAL 90 MINUTE)) AS BIGINT) AS plus_90m,
+           CAST(floor(epoch(ts - INTERVAL 1 DAY)) AS BIGINT) AS minus_1d,
+           CAST(floor(date_diff('second', ts, ts + INTERVAL 2 HOUR)) AS BIGINT) AS delta_s
+    FROM events
+    """,
+)
+def q_interval_arith(spark, sf_dir):
+    """Interval arithmetic on event time (± INTERVAL, timestamp diff) —
+    outputs as epoch seconds per the fixture convention (parquet physical
+    timestamp units differ across engines)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.unix_timestamp(F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
+        F.unix_timestamp(F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("minus_1d"),
+        (
+            F.unix_timestamp(F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+            - F.unix_timestamp("ts")
+        ).alias("delta_s"),
+    )
+
+
+@query(
     "q_alter_table",
     oracle="""
     SELECT n_nationkey, region_key, upper(n_name) AS display_name, 'active' AS status
