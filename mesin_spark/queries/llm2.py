@@ -50,9 +50,13 @@ _TK = "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
 def q_quality_repetition(spark, sf_dir):
     """Gopher-style repetition signals per document: duplicate-token ratio
     and top-bigram coverage — the standard boilerplate/templated-text
-    filters. Pure map-side higher-order functions, no shuffle."""
+    filters. Pure map-side higher-order functions. The repartition exists
+    only because one small parquet file arrives as one input partition
+    locally (measured 12.9s single-core → sub-second spread at sf0.1); a
+    real corpus has thousands of splits and needs no shuffle here."""
     d = T(spark, sf_dir, "documents")
-    return d.select("doc_id", *TX.repetition_signals("text"))
+    spread = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    return spread.select("doc_id", *TX.repetition_signals("text"))
 
 
 @query(
