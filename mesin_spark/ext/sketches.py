@@ -1,0 +1,88 @@
+"""Count-Min sketch: fixed-size frequency estimation over an unbounded
+token stream — the classic heavy-hitters sketch for 100 TB corpora where
+an exact token count table no longer fits anywhere.
+
+Build: every token increments d counters, one per hash row, at position
+((fp · salt_j) mod 2^32) mod w — expressed as an explode + one hash-agg
+shuffle on (row, pos), so the sketch materializes as a (d·w)-row table
+regardless of corpus size (mergeable across shards/days by simple
+addition: counters are sums).
+
+Estimate: min over the d counters a token maps to; always ≥ the true
+count (collisions only inflate). All hashes are portable exact-int
+arithmetic (the polynomial fingerprint + Knuth-style mixes), so estimates
+are bit-reproducible in any engine — the oracle recomputes them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mesin_spark.ext.text import FINGERPRINT_BASE, FINGERPRINT_MOD
+
+#: Independent odd multipliers for the d sketch rows (same family as the
+#: Bloom salts).
+CMS_SALTS = (2654435761, 2246822519, 3266489917, 668265263)
+_MOD32 = 1 << 32
+
+
+def token_fingerprint(col: Column | str) -> Column:
+    """Polynomial rolling hash of a (short) token string —
+    h ← (h·131 + code) mod 1e9+7, the same portable arithmetic as
+    text.fingerprint, applied per token."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
+    )
+
+
+def cms_position(fp: Column, row: int, w: int) -> Column:
+    """Counter position of fingerprint ``fp`` in sketch row ``row``."""
+    return F.pmod(F.pmod(fp * F.lit(CMS_SALTS[row]), F.lit(_MOD32)), F.lit(w))
+
+
+def cms_build(
+    toks: DataFrame, tok_col: str = "tok", w: int = 512, d: int = 4
+) -> DataFrame:
+    """Build the sketch from a token stream: returns (row, pos, cnt),
+    ≤ d·w rows total. One explode (d rows per token) + one hash-agg
+    shuffle with map-side partial counts."""
+    fp = token_fingerprint(tok_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(j).alias("row"), cms_position(fp, j, w).alias("pos"))
+            for j in range(d)
+        ]
+    )
+    return (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, queries: DataFrame, tok_col: str = "tok", w: int = 512, d: int = 4
+) -> DataFrame:
+    """Estimated count per query token: min over its d counters. The
+    sketch is ≤ d·w rows — broadcast — so estimation is d map-side joins
+    folded into one via explode + groupBy-min keyed on the query token."""
+    fp = token_fingerprint(tok_col)
+    cells = F.array(
+        *[
+            F.struct(F.lit(j).alias("row"), cms_position(fp, j, w).alias("pos"))
+            for j in range(d)
+        ]
+    )
+    exploded = queries.select(F.col(tok_col), F.explode(cells).alias("c")).select(
+        tok_col, F.col("c.row").alias("row"), F.col("c.pos").alias("pos")
+    )
+    joined = exploded.join(F.broadcast(sketch), ["row", "pos"], "left")
+    return (
+        joined.groupBy(tok_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+    )

@@ -215,6 +215,62 @@ def q_sim_radius(spark, sf_dir):
     return S.radius_search(emb, qvec, radius=0.25)
 
 
+#: DuckDB fragment: polynomial token fingerprint (mirror of
+#: sketches.token_fingerprint).
+_FP = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))), "
+    "(h, c) -> (h * 131 + c) % 1000000007)"
+)
+
+
+def _cms_oracle(w: int = 512) -> str:
+    salts = (2654435761, 2246822519, 3266489917, 668265263)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {j} AS row, ((fp * {s}) % 4294967296) % {w} AS pos, n FROM all_fp"
+        for j, s in enumerate(salts)
+    )
+    ests = ",\n".join(
+        f"((fp * {s}) % 4294967296) % {w} AS p{j}" for j, s in enumerate(salts)
+    )
+    mins = ", ".join(
+        f"(SELECT sum(n) FROM sketch s WHERE s.row = {j} AND s.pos = q.p{j})"
+        for j in range(len(salts))
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> len(t) > 0)) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+    all_fp AS (SELECT tok, n, {_FP} AS fp FROM counts),
+    sketch AS ({rows}),
+    heavy AS (SELECT tok, n AS true_n, fp FROM all_fp WHERE n >= 20),
+    q AS (SELECT tok, true_n, {ests} FROM heavy)
+    SELECT tok, true_n, CAST(least({mins}) AS BIGINT) AS est_n FROM q
+    """
+
+
+@query("q_countmin", oracle=_cms_oracle())
+def q_countmin(spark, sf_dir):
+    """Count-Min sketch frequency estimation: build a fixed d=4 × w=512
+    counter table from the corpus token stream (one explode + one
+    hash-agg; the sketch is ≤ 2048 rows no matter the corpus size and
+    merges across shards by addition), then estimate the heavy tokens'
+    counts as the min over their d counters — always ≥ the true count.
+    Portable hashes make the estimates bit-reproducible in any engine."""
+    from mesin_spark.ext import sketches as SK
+
+    d_ = T(spark, sf_dir, "documents")
+    toks = d_.select(F.explode(TX.tokens("text")).alias("tok"))
+    true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    heavy = true_counts.filter(F.col("true_n") >= 20)
+    sketch = SK.cms_build(toks, "tok", w=512, d=4)
+    est = SK.cms_estimate(sketch, heavy.select("tok"), "tok", w=512, d=4)
+    return heavy.join(est, "tok").select("tok", "true_n", "est_n")
+
+
 @query("q_multimodal_video")  # rows-only: real binary codec path (MPPM frames)
 def q_multimodal_video(spark, sf_dir):
     """Real video frame-sampling end-to-end: synthesize a deterministic

@@ -199,3 +199,33 @@ def test_minhash_numpy_matches_fold(spark, docs):
         ).collect()
     }
     assert fold == np_  # bit-identical signatures, both paths
+
+
+# -- count-min sketch -------------------------------------------------------
+def test_cms_never_underestimates(spark, docs):
+    from mesin_spark.ext import sketches as SK
+
+    toks = docs.select(F.explode(TX.tokens("text")).alias("tok"))
+    true = {r.tok: r.n for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sketch = SK.cms_build(toks, w=256, d=4)
+    qdf = spark.createDataFrame([(t,) for t in list(true)[:200]], "tok string")
+    est = {r.tok: r.est_n for r in SK.cms_estimate(sketch, qdf, w=256, d=4).collect()}
+    assert all(est[t] >= true[t] for t in est)  # CMS guarantee
+    # small vocab vs 1024 counters: most estimates exact
+    exact = sum(1 for t in est if est[t] == true[t])
+    assert exact / len(est) > 0.5
+
+
+def test_cms_merges_by_addition(spark, docs):
+    from mesin_spark.ext import sketches as SK
+
+    toks = docs.select(F.explode(TX.tokens("text")).alias("tok"))
+    a, b = toks.limit(2000), toks.offset(2000)
+    merged = (
+        SK.cms_build(a, w=128, d=2)
+        .union(SK.cms_build(b, w=128, d=2))
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = SK.cms_build(toks, w=128, d=2)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
