@@ -319,6 +319,52 @@ def q_gapfill(spark, sf_dir):
 
 
 @query(
+    "q_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(*) AS n,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           CAST(min(l_quantity) AS VARCHAR) AS min_s,
+           CAST(max(l_quantity) AS VARCHAR) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+           count(DISTINCT l_returnflag),
+           CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+           count(DISTINCT l_linenumber),
+           CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    """,
+)
+def q_profile(spark, sf_dir):
+    """Table profiling (the describe/summarize data-quality primitive):
+    per-column row count, null count, distinct count, min/max — one
+    aggregate pass per profiled column over a single cached scan, results
+    as strings so one schema fits every column type. At scale swap
+    count(DISTINCT) for approx_count_distinct; the shape is unchanged."""
+    li = T(spark, sf_dir, "lineitem")
+    parts = []
+    for c in ("l_quantity", "l_returnflag", "l_linenumber"):
+        parts.append(
+            li.agg(
+                F.lit(c).alias("col"),
+                F.count(F.lit(1)).alias("n"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_s"),
+                F.max(c).cast("string").alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+@query(
     "q_try_cast",
     oracle="""
     SELECT o_orderkey,
