@@ -272,6 +272,39 @@ def q_fn_lambda(spark, sf_dir):
 
 
 @query(
+    "q_sessionize",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_no
+    FROM gaps
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Per-event sessionization: label every event with its session number
+    (gap > 10 min starts a new one) via lag + running sum — the per-row
+    companion to session_window's per-session aggregates (q_session_batch).
+    One shuffle on user_id serves both windows."""
+    from pyspark.sql import Window as W
+
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(new_s).over(w).alias("session_no"),
+    )
+
+
+@query(
     "q_gapfill",
     oracle="""
     WITH b AS (

@@ -229,3 +229,21 @@ def test_cms_merges_by_addition(spark, docs):
     )
     whole = SK.cms_build(toks, w=128, d=2)
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+# -- sessionize vs session_window consistency ------------------------------
+def test_sessionize_matches_session_window_counts(spark):
+    from mesin_spark.queries.events import q_session_batch
+    from mesin_spark.queries.sql_menu2 import q_sessionize
+
+    sf = SF_DIR
+    per_event = q_sessionize(spark, sf)
+    n_sessions = (
+        per_event.groupBy("user_id")
+        .agg(F.countDistinct("session_no").alias("n"))
+        .collect()
+    )
+    windowed = q_session_batch(spark, sf).groupBy("user_id").count().collect()
+    a = {r.user_id: r.n for r in n_sessions}
+    b = {r.user_id: r["count"] for r in windowed}
+    assert a == b  # lag+cumsum labels and session_window agree per user
