@@ -271,6 +271,53 @@ def q_countmin(spark, sf_dir):
     return heavy.join(est, "tok").select("tok", "true_n", "est_n")
 
 
+@query(
+    "q_quantize_embed",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(embedding AS DOUBLE[]) AS e,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+        FROM embeddings
+    ),
+    quant AS (
+        SELECT vec_id, e, scale,
+               list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+        FROM q WHERE scale > 0
+    )
+    SELECT vec_id,
+           floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           floor((list_cosine_similarity(e, list_transform(qv, v -> v * scale)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS recon_cos
+    FROM quant
+    """,
+)
+def q_quantize_embed(spark, sf_dir):
+    """Int8 embedding quantization (per-vector max-abs scale): 4× storage
+    reduction for the ANN corpus at 100 TB, with the reconstruction
+    cosine as the quality gate. All IEEE-deterministic arithmetic
+    (identical divisions and floor-rounding in both engines), map-side
+    only. Returns (vec_id, scale, q_sum, recon_cos ≈ 1)."""
+    from mesin_spark.ext.similarity import _as_double, cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    e = _as_double(F.col("embedding"))
+    scale = (F.array_max(F.transform(e, F.abs)) / 127.0).alias("scale")
+    base = emb.select("vec_id", e.alias("e"), scale).filter(F.col("scale") > 0)
+    qv = F.transform(F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("long"))
+    quant = base.withColumn("qv", qv)
+    dequant = F.transform(F.col("qv"), lambda v: v * F.col("scale"))
+    from mesin_spark.functions import stable_round as R
+
+    return quant.select(
+        "vec_id",
+        R(F.col("scale"), 6).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        R(cosine(F.col("e"), dequant), 6).alias("recon_cos"),
+    )
+
+
 @query("q_multimodal_video")  # rows-only: real binary codec path (MPPM frames)
 def q_multimodal_video(spark, sf_dir):
     """Real video frame-sampling end-to-end: synthesize a deterministic

@@ -272,6 +272,43 @@ def q_fn_lambda(spark, sf_dir):
 
 
 @query(
+    "q_posexplode",
+    oracle="""
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+    SELECT p_partkey, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS word
+    FROM t, unnest(range(1, len(w) + 1)) AS u(i)
+    """,
+)
+def q_posexplode(spark, sf_dir):
+    """posexplode (index-preserving row expansion — chunk ids, frame
+    numbers); the oracle spells it as a lateral range-unnest since this
+    DuckDB build lacks WITH ORDINALITY. Map-side Generate."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+
+
+@query(
+    "q_union_byname",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    UNION ALL BY NAME
+    SELECT n_name, n_nationkey + 100 AS n_nationkey FROM nation WHERE n_regionkey = 0
+    """,
+)
+def q_union_byname(spark, sf_dir):
+    """UNION ALL BY NAME (column-name-aligned union) — schema-drift-safe
+    appends across sources whose column order differs."""
+    n = T(spark, sf_dir, "nation")
+    a = n.select("n_nationkey", "n_name")
+    b = n.filter(F.col("n_regionkey") == 0).select(
+        "n_name", (F.col("n_nationkey") + 100).alias("n_nationkey")
+    )
+    return a.unionByName(b)
+
+
+@query(
     "q_sessionize",
     oracle="""
     WITH gaps AS (
