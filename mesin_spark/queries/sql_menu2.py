@@ -272,6 +272,55 @@ def q_fn_lambda(spark, sf_dir):
 
 
 @query(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT 1 AS m UNION ALL SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m, count(o_orderkey) AS n
+    FROM months LEFT JOIN orders ON month(o_orderdate) = m
+    GROUP BY m
+    """,
+)
+def q_recursive_cte(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4's recursive CTE): generate a month spine
+    recursively and left-join order counts onto it — iterative expansion
+    planned as UnionLoop, no driver-side loop."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT 1 AS m UNION ALL SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT m, count(o_orderkey) AS n
+        FROM months LEFT JOIN orders ON month(o_orderdate) = m
+        GROUP BY m
+        """
+    )
+
+
+@query(
+    "q_grouping_fn",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_grouping_fn(spark, sf_dir):
+    """GROUPING() indicator columns over ROLLUP — distinguishes a real
+    NULL group key from a subtotal row, the standard report-query idiom."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+
+
+@query(
     "q_posexplode",
     oracle="""
     WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
