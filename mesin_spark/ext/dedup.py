@@ -484,12 +484,12 @@ _MOD32 = 1 << 32
 
 def bloom_positions(key: Column | str, m: int, k: int = 3) -> list[Column]:
     """k bit positions in [0, m) for an integer key:
-    pos_j = ((key · salt_j) mod 2^32) mod m."""
+    pos_j = ((key · salt_j) mod 2^32) mod m. Overflow-safe for any int64
+    key (functions.mul_mod32) — the naive product errors past key ≈ 3.5e9."""
+    from mesin_spark.functions import mul_mod32
+
     c = F.col(key) if isinstance(key, str) else key
-    return [
-        F.pmod(F.pmod(c.cast("long") * F.lit(BLOOM_SALTS[j]), F.lit(_MOD32)), F.lit(m))
-        for j in range(k)
-    ]
+    return [F.pmod(mul_mod32(c, BLOOM_SALTS[j]), F.lit(m)) for j in range(k)]
 
 
 def bloom_member_flags(

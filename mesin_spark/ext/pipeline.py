@@ -28,9 +28,13 @@ PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
 def split_bucket(id_col: Column | str, n_buckets: int = 10000) -> Column:
     """Deterministic bucket in [0, n_buckets) from an integer id:
     (id * 2654435761) mod 2^32 mod n_buckets. Portable exact-int
-    arithmetic — identical in any engine, unlike xxhash/murmur."""
+    arithmetic — identical in any engine, unlike xxhash/murmur.
+    Overflow-safe for any int64 id (functions.mul_mod32): the naive
+    product errors under ANSI once id exceeds ~3.5e9."""
+    from mesin_spark.functions import mul_mod32
+
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(F.pmod(c.cast("long") * F.lit(_KNUTH), F.lit(_MOD32)), F.lit(n_buckets))
+    return F.pmod(mul_mod32(c, _KNUTH), F.lit(n_buckets))
 
 
 def hash_split(

@@ -36,6 +36,25 @@ def stable_round(col: Column, n: int) -> Column:
     return (F.floor(col * scale + F.lit(0.5))).cast("double") / scale
 
 
+def mul_mod32(col: Column, mult: int) -> Column:
+    """(col · mult) mod 2^32 without int64 overflow for ANY non-negative
+    long key — the safe form of the Knuth-style multiplicative mixes used
+    by hash split, Bloom positions, and sketch rows.
+
+    The naive ``col * mult`` overflows (ANSI error) once col exceeds
+    2^63 / mult ≈ 3.5e9 — squarely inside the id range of a 100 TB
+    corpus (found by a hypothesis property test). Splitting the reduced
+    key into 16-bit halves keeps every intermediate < 2^48:
+    (k·m) mod 2^32 = (((hi·m) mod 2^16)·2^16 + lo·m) mod 2^32
+    where k = hi·2^16 + lo, k = col mod 2^32. Bit-identical to the
+    arbitrary-precision product mod 2^32 (property-tested)."""
+    k = F.pmod(col.cast("long"), F.lit(1 << 32))
+    hi = F.shiftright(k, 16)
+    lo = k.bitwiseAND(F.lit((1 << 16) - 1))
+    part = F.pmod(hi * F.lit(mult), F.lit(1 << 16)) * F.lit(1 << 16)
+    return F.pmod(part + lo * F.lit(mult), F.lit(1 << 32))
+
+
 def is_aggregate(name: str) -> bool:
     """Name-based aggregate detection (tmp/select.rs:431-432)."""
     return name.upper() in AGGREGATE_FUNCTIONS

@@ -105,3 +105,59 @@ def test_random_filtered_join_matches_duckdb(pred, how, spark, duck):
         )
     want = set(map(tuple, duck.execute(sql).fetchall()))
     assert got == want, f"predicate {pred!r} how {how}"
+
+
+# -- portable bit arithmetic vs pure-Python reference ----------------------
+@given(pairs=st.lists(st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_zorder_matches_python_reference(pairs, spark):
+    from mesin_spark.sources import zorder_key
+
+    def py_z(x, y, bits=10):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_key(["x", "y"], bits=10)).collect()
+    }
+    for x, y in pairs:
+        assert got[(x, y)] == py_z(x, y)
+
+
+@given(keys=st.lists(st.integers(0, 2**40), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bloom_positions_match_python_reference(keys, spark):
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext.dedup import BLOOM_SALTS, bloom_positions
+
+    m, k = 4096, 3
+    df = spark.createDataFrame([(x,) for x in keys], "key long")
+    got = {
+        r.key: (r.p0, r.p1, r.p2)
+        for r in df.select(
+            "key",
+            *[p.alias(f"p{j}") for j, p in enumerate(bloom_positions("key", m, k))],
+        ).collect()
+    }
+    for x in set(keys):
+        expect = tuple(((x * BLOOM_SALTS[j]) % (1 << 32)) % m for j in range(k))
+        assert got[x] == expect
+
+
+@given(keys=st.lists(st.integers(0, 2**62), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_split_bucket_matches_python_reference(keys, spark):
+    from mesin_spark.ext.pipeline import _KNUTH, split_bucket
+
+    df = spark.createDataFrame([(x,) for x in keys], "key long")
+    got = {r.key: r.b for r in df.select("key", split_bucket("key").alias("b")).collect()}
+    for x in set(keys):
+        assert got[x] == ((x * _KNUTH) % (1 << 32)) % 10000
