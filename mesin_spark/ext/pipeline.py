@@ -157,6 +157,38 @@ def domain_mixture(
     )
 
 
+def apply_mixture(
+    docs: DataFrame,
+    weights: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """Materialize a target mixture (the executor for domain_mixture's
+    plan): every document keeps floor(w) copies plus one more iff its
+    deterministic id bucket falls under frac(w) — downsampling (w<1) and
+    upsampling (w>1) in one explode, reproducible across runs/engines/
+    appends. ``weights`` is (domain, mix_weight), broadcast-sized (#domains
+    rows). Output adds ``copy_no`` (1..n); dropped docs emit no rows.
+    Map-side after the broadcast join — no corpus shuffle."""
+    w = weights.select(
+        F.col("domain").alias(domain_col), F.col("mix_weight").alias("_w")
+    )
+    joined = docs.join(F.broadcast(w), domain_col)
+    frac = F.col("_w") - F.floor("_w")
+    n_copies = (
+        F.floor("_w").cast("long")
+        + F.when(split_bucket(id_col, n_buckets) < frac * n_buckets, 1).otherwise(0)
+    )
+    copies = F.when(n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return (
+        joined.withColumn("copy_no", F.explode(copies))
+        .drop("_w")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

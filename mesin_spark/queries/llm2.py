@@ -195,6 +195,43 @@ def q_domain_mix(spark, sf_dir):
 
 
 @query(
+    "q_apply_mixture",
+    oracle=f"""
+    WITH s AS (
+        SELECT source AS domain, sum(len({_TK})) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT domain,
+               floor(((1.0 / count(*) OVER ()) / (n_tokens::DOUBLE / sum(n_tokens) OVER ()))
+                     * 1000000.0 + 0.5) / 1000000.0 AS mw
+        FROM s
+    ),
+    j AS (
+        SELECT d.doc_id, d.source,
+               CAST(floor(mw) AS BIGINT)
+               + CASE WHEN ((d.doc_id * 2654435761) % 4294967296) % 10000
+                           < (mw - floor(mw)) * 10000
+                      THEN 1 ELSE 0 END AS nc
+        FROM documents d JOIN w ON d.source = w.domain
+    )
+    SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy_no
+    FROM j, unnest(range(1, nc + 1)) AS u(i)
+    """,
+)
+def q_apply_mixture(spark, sf_dir):
+    """Execute the mixture plan q_domain_mix produces: resample the corpus
+    to a uniform token mixture — floor(w) copies per doc plus one more by
+    deterministic hash bucket (handles up- AND down-sampling). Broadcast
+    join + map-side explode; no corpus shuffle."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    weights = P.domain_mixture(d).select("domain", "mix_weight")
+    return P.apply_mixture(d.select("doc_id", "source"), weights).select(
+        "doc_id", "source", "copy_no"
+    )
+
+
+@query(
     "q_sim_radius",
     oracle="""
     SELECT b.vec_id,

@@ -247,3 +247,25 @@ def test_sessionize_matches_session_window_counts(spark):
     a = {r.user_id: r.n for r in n_sessions}
     b = {r.user_id: r["count"] for r in windowed}
     assert a == b  # lag+cumsum labels and session_window agree per user
+
+
+def test_apply_mixture_up_and_downsamples(spark):
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 800 else "small") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    weights = spark.createDataFrame(
+        [("big", 0.25), ("small", 2.5)], "domain string, mix_weight double"
+    )
+    out = P.apply_mixture(docs, weights).collect()
+    big = [r for r in out if r.source == "big"]
+    small = [r for r in out if r.source == "small"]
+    # downsample: ~25% of 800 kept, exactly one copy each
+    assert 150 <= len(big) <= 250 and all(r.copy_no == 1 for r in big)
+    # upsample: every small doc keeps 2 or 3 copies, ~2.5x overall
+    per_doc = {}
+    for r in small:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_no)
+    assert all(sorted(v) in ([1, 2], [1, 2, 3]) for v in per_doc.values())
+    assert len(per_doc) == 200  # upsampling never drops a doc
+    assert 450 <= len(small) <= 550
