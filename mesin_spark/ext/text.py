@@ -276,6 +276,54 @@ def tf_idf(
     )
 
 
+def bigram_lm_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    round_to: int = 6,
+):
+    """Perplexity-proxy quality scoring with a bigram LM trained on the
+    corpus itself: score(doc) = mean over its bigram instances of
+    ln((c(w1,w2) + α) / (c(w1,·) + α·V)) — add-α smoothing, V = distinct
+    unigram vocabulary. The standard cheap stand-in for a real LM quality
+    filter; docs of templated/garbled text score far below fluent text
+    *from the same distribution*.
+
+    Train and score in one plan: bigram counts (one keyed shuffle with
+    map-side partials), context counts derived from them (second small
+    shuffle), V as a broadcast scalar, then a join back to the exploded
+    bigram stream and a per-doc average. Everything is counts + one log —
+    deterministic and oracle-exact. Docs with <2 tokens have no bigrams
+    and drop out (inner-join semantics). Returns (id, n_bigrams, lm_score)."""
+    from pyspark.sql import functions as F
+
+    bi = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+    ).select(
+        id_col,
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+    logp = F.log((F.col("c12") + alpha) / (F.col("c1") + alpha * F.col("v")))
+    return (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            R(F.avg(logp), round_to).alias("lm_score"),
+        )
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Rolling polynomial hash over the document's characters:
     h ← (h·131 + code(char)) mod 1_000_000_007 — a portable document

@@ -252,6 +252,34 @@ def q_sim_radius(spark, sf_dir):
     return S.radius_search(emb, qvec, radius=0.25)
 
 
+@query(
+    "q_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TK} AS tk FROM documents),
+    bi AS (
+        SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        FROM t, unnest(range(1, len(tk))) AS u(i)
+        WHERE len(tk) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(tk) AS tok FROM t))
+    SELECT bi.doc_id, count(*) AS n_bigrams,
+           floor(avg(ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v))) * 1000000.0 + 0.5)
+               / 1000000.0 AS lm_score
+    FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY bi.doc_id
+    """,
+)
+def q_lm_score(spark, sf_dir):
+    """Perplexity-proxy quality filter: train an add-1-smoothed bigram LM
+    on the corpus and score every document by its mean bigram
+    log-probability — train + score in one declarative plan (two keyed
+    count shuffles, broadcast vocabulary scalar, per-doc average)."""
+    d = T(spark, sf_dir, "documents")
+    return TX.bigram_lm_scores(d)
+
+
 #: DuckDB fragment: polynomial token fingerprint (mirror of
 #: sketches.token_fingerprint).
 _FP = (

@@ -269,3 +269,20 @@ def test_apply_mixture_up_and_downsamples(spark):
     assert all(sorted(v) in ([1, 2], [1, 2, 3]) for v in per_doc.values())
     assert len(per_doc) == 200  # upsampling never drops a doc
     assert 450 <= len(small) <= 550
+
+
+def test_lm_score_ranks_fluent_above_scrambled(spark, docs):
+    base = docs.select("doc_id", "text").limit(50)
+    first = base.head()
+    words = first.text.lower().split()
+    scrambled = " ".join(words[::2][::-1] + words[1::2])  # unseen bigrams
+    probes = spark.createDataFrame(
+        [(900001, first.text), (900002, scrambled)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.lm_score
+        for r in TX.bigram_lm_scores(base.union(probes)).collect()
+    }
+    # a verbatim corpus doc has frequent bigrams; the scrambled version of
+    # the same words has mostly unseen ones
+    assert out[900001] > out[900002]
