@@ -170,6 +170,16 @@ def purchase_click_join(
     )
 
 
+def enrich_with_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (re-read) static side — no watermark and no state store needed on
+    either side, because the static relation is complete at every trigger.
+    Spark broadcasts the dim per batch when it's small: THE pattern for
+    attaching reference data (user tier, geo, model-version routing) to an
+    event stream at scale."""
+    return stream.join(F.broadcast(dim), on)
+
+
 # -- source/sink abstraction ----------------------------------------------
 #: Source kinds → the Spark readStream format + required options. 'file'
 #: and 'rate' execute locally; 'kafka'/'kinesis' need their connector

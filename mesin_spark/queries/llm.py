@@ -578,6 +578,24 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+@query("q_stream_enrich")  # rows-only: streaming execution path
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins a static segment
+    dimension (broadcast per micro-batch, no state store) — the
+    reference-data-attach pattern. Must equal the batch join (asserted in
+    tests/test_streaming.py)."""
+    stream = STR.read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(10)], "seg_key long, segment string"
+    )
+    enriched = STR.enrich_with_static(
+        stream.withColumn("seg_key", F.col("user_id") % 10), dim, "seg_key"
+    ).select("event_id", "user_id", "segment")
+    return STR.run_to_memory(enriched, "q_stream_enrich_out", output_mode="append").orderBy(
+        "event_id"
+    )
+
+
 # SURVEY.md §2.11 names the MinHash-LSH near-dup row "q_dedup_near";
 # register the same query under that id so the §2 checklist maps 1:1.
 @query("q_dedup_near")  # rows-only: xxhash64-based sketches are Spark-native

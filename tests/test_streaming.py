@@ -184,3 +184,16 @@ def test_source_sink_abstraction_config_errors(spark):
         STR.open_sink(
             spark.readStream.format("rate").load(), "kafka", bootstrap_servers="b:9092"
         )
+
+
+def test_stream_enrich_matches_batch(spark):
+    from mesin_spark.queries import load_events
+    from mesin_spark.queries.llm import q_stream_enrich
+
+    got = {(r.event_id, r.segment) for r in q_stream_enrich(spark, SF_DIR).collect()}
+    ev = load_events(spark, SF_DIR).withColumn("seg_key", F.col("user_id") % 10)
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(10)], "seg_key long, segment string"
+    )
+    want = {(r.event_id, r.segment) for r in ev.join(dim, "seg_key").collect()}
+    assert got == want  # stream-static join == batch join over the same data
