@@ -212,6 +212,65 @@ def q_bit_aggs(spark, sf_dir):
 
 
 @query(
+    "q_histogram",
+    oracle="""
+    WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+    SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bucket,
+           count(*) AS n
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Equi-width histogram (20 bins over [min, max]) — the bounds come
+    from a 1-row broadcast aggregate, binning is a map-side closed form,
+    one grouping shuffle. The profiling companion to q_percentile."""
+    o = T(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"), F.lit(19)
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_quantiles",
+    # DuckDB's quantile_cont needs a constant p → one SELECT per quantile
+    oracle="\nUNION ALL\n".join(
+        f"SELECT {p} AS p, {sr(f'quantile_cont(o_totalprice, {p})', 4)} AS q FROM orders"
+        for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    ),
+)
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated quantile table (p10..p99) — one row per
+    requested quantile; Spark's percentile ≡ DuckDB's quantile_cont
+    (linear interpolation). At 100 TB use approx_percentile
+    (q_percentile shows the sketch path); this is the exact companion."""
+    from mesin_spark.functions import stable_round as R
+
+    o = T(spark, sf_dir, "orders")
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    parts = [
+        o.agg(
+            F.lit(p).alias("p"),
+            R(F.expr(f"percentile(o_totalprice, {p})"), 4).alias("q"),
+        )
+        for p in ps
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.union(df)
+    return out
+
+
+@query(
     "q_argminmax",
     oracle="""
     SELECT o_custkey,
