@@ -52,6 +52,8 @@ HEADLINE = [
     "q_pipeline_e2e",     # full training-data pipeline (scrub→…→split)
     "q_decontaminate",    # benchmark n-gram overlap (semi-join on grams)
     "q_pack_sequences",   # sequence packing (shard-parallel window)
+    "q_skew_join",        # salted replicated join + agg (hot-key path)
+    "q_knn_join",         # batch k-NN join (broadcast probe, 2-phase top-k)
 ]
 
 

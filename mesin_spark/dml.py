@@ -182,6 +182,65 @@ class ManagedTable:
                 select_list.append(F.col(c))
         self._swap_in(df.select(*select_list))
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        update_cols: list[str] | None = None,
+        when_matched: str = "update",
+        insert_unmatched: bool = True,
+    ) -> None:
+        """MERGE INTO (upsert) — WHEN MATCHED THEN UPDATE/DELETE, WHEN NOT
+        MATCHED THEN INSERT. The reference rejects MERGE (its dispatcher,
+        src/planner/mod.rs:36, has no arm for it); added as an extension
+        because it is the standard incremental-load primitive.
+
+        Single full-outer join on the key columns — one shuffle at any
+        scale, and AQE broadcasts the source side when it is small (the
+        common trickle-upsert case). Matched rows take the source's values
+        for ``update_cols`` (default: every non-key column); unmatched
+        target rows pass through; unmatched source rows are appended when
+        ``insert_unmatched``. ``when_matched='delete'`` drops matched rows
+        instead (the anti-join MERGE form)."""
+        tgt = self.df()
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be 'update' or 'delete', got {when_matched!r}")
+        missing = set(on) - set(tgt.columns)
+        if missing:
+            raise ValueError(f"MERGE keys not in target: {sorted(missing)}")
+        if set(source.columns) != set(tgt.columns):
+            raise ValueError(
+                f"MERGE source schema {sorted(source.columns)} != target {sorted(tgt.columns)}"
+            )
+        upd = update_cols if update_cols is not None else [c for c in tgt.columns if c not in on]
+        t = tgt.withColumn("_t", F.lit(1)).alias("t")
+        s = source.withColumn("_s", F.lit(1)).alias("s")
+        j = t.join(s, on=on, how="full_outer")
+        matched = F.col("t._t").isNotNull() & F.col("s._s").isNotNull()
+        out_cols = []
+        for c in tgt.columns:
+            if c in on:
+                out_cols.append(F.col(c))  # coalesced join key
+            elif when_matched == "update" and c in upd:
+                out_cols.append(
+                    F.when(matched, F.col(f"s.{c}"))
+                    .when(F.col("t._t").isNotNull(), F.col(f"t.{c}"))
+                    .otherwise(F.col(f"s.{c}"))
+                    .alias(c)
+                )
+            else:
+                out_cols.append(
+                    F.when(F.col("t._t").isNotNull(), F.col(f"t.{c}"))
+                    .otherwise(F.col(f"s.{c}"))
+                    .alias(c)
+                )
+        keep = F.lit(True)
+        if when_matched == "delete":
+            keep = keep & ~matched
+        if not insert_unmatched:
+            keep = keep & F.col("t._t").isNotNull()
+        self._swap_in(j.filter(keep).select(*out_cols))
+
     # -- DDL: ALTER TABLE --------------------------------------------------
     # The reference rejects ALTER outright ("Unsupported Statement",
     # src/planner/mod.rs:36); added as an extension. Each variant is the

@@ -84,6 +84,41 @@ def stratified_sample(
     return df.filter(bucket < cut)
 
 
+def bernoulli_sample(
+    df: DataFrame, id_col: str, fraction: float, n_buckets: int = 10000
+) -> DataFrame:
+    """Deterministic TABLESAMPLE BERNOULLI: keep a row iff its portable
+    id-hash bucket falls under ``fraction`` — reproducible across runs,
+    engines, and repartitioning (df.sample is none of those). Map-side
+    filter, no shuffle; composes with any downstream plan and the filter
+    reaches the parquet scan when id_col is a stored column."""
+    return df.filter(split_bucket(id_col, n_buckets) < int(fraction * n_buckets))
+
+
+def grouped_sample(
+    df: DataFrame, strata_col: str, id_col: str, n_per_group: int
+) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample (the reservoir-sampling
+    use case, but reproducible): rank rows within each stratum by portable
+    id-hash (id tie-break) and keep the first ``n_per_group``. Appending
+    data only ever displaces rows at the tail of the hash order — far more
+    stable than a true reservoir. Adds 'rn' (1-based rank within stratum).
+
+    Scale note: one shuffle on the stratum key; each stratum is ranked by a
+    single reducer, so this is for cardinality-bounded strata (sources,
+    languages, shards). For huge strata, pre-thin with bernoulli_sample at
+    a fraction safely above n_per_group/|stratum| first — determinism makes
+    the composition exact."""
+    from mesin_spark.functions import mul_mod32
+
+    order_hash = F.pmod(mul_mod32(F.col(id_col), _KNUTH), F.lit(_MOD32))
+    w = Window.partitionBy(strata_col).orderBy(order_hash.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_per_group)
+    )
+
+
 def scrub_text(col: Column | str) -> Column:
     """Redact emails and phone-number-ish digit runs ([EMAIL], [PHONE]) —
     regexp_replace replaces every occurrence, map-side only."""

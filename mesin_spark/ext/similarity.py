@@ -95,6 +95,62 @@ def radius_search(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """k-NN join: for every query vector, its ``k`` nearest corpus vectors
+    by cosine (self-matches on equal ids excluded). Returns
+    (q_id, vec_id, sim, rank).
+
+    Scale shape: the query side is broadcast (it is the small side — a
+    probe batch), so the corpus is scanned ONCE for all queries with no
+    corpus shuffle for scoring. Top-k per query is two-phase: the first
+    row_number ranks within (query, input-partition), spreading the ranking
+    shuffle over |Q|·numPartitions keys so no reducer ever sorts more than
+    one partition's candidates (a single per-query window would funnel the
+    whole corpus through |Q| reducers); the final ranking then sees only
+    k·numPartitions rows per query — the per-group analog of
+    TakeOrderedAndProject. Ranking orders on the 6-dp rounded sim with an
+    id tie-break, so it is deterministic across engines and partitionings."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias(q_id_col), F.col(vec_col).alias(q_vec_col)
+        )
+    )
+    scored = (
+        corpus.join(q, F.col(id_col) != F.col(q_id_col))
+        .select(
+            q_id_col,
+            id_col,
+            R(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("sim"),
+        )
+        .withColumn("_p", F.spark_partition_id())
+    )
+    w_part = Window.partitionBy(q_id_col, "_p").orderBy(
+        F.col("sim").desc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
+    pruned = (
+        scored.withColumn("_rn", F.row_number().over(w_part))
+        .filter(F.col("_rn") <= k)
+        .drop("_p", "_rn")
+    )
+    w_final = Window.partitionBy(q_id_col).orderBy(
+        F.col("sim").desc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # -- LSH (random hyperplanes) ---------------------------------------------
 def _plane_component(plane: int, dim: int) -> int:
     """Deterministic ±1 hyperplane component from a stable hash (md5) — no

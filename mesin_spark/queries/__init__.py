@@ -83,6 +83,9 @@ def load_all() -> None:
     modules the round-1 driver already certified green.
     """
     from mesin_spark.queries import (  # noqa: F401
+        sql_menu3,
+        connectors,
+        llm3,
         llm2,
         sql_menu2,
         relational,

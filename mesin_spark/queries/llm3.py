@@ -1,0 +1,120 @@
+"""Round-2 wave 3 — embedding-pipeline operators: k-NN join (batch ANN
+companion), per-dimension corpus statistics, and Johnson-Lindenstrauss
+random projection with engine-portable deterministic signs.
+
+Charter tier (similarity search / training-data pipeline); the reference
+has no array/vector surface at all. All vector math is JVM higher-order
+functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mesin_spark.ext import similarity as S
+from mesin_spark.queries import R, T, query, sr
+
+#: Knuth multiplicative constant and a second odd mix constant
+#: (xxhash prime2) for the 2-D sign hash; portable exact-int arithmetic.
+_KNUTH = 2654435761
+_PRIME2 = 2246822519
+
+
+@query(
+    "q_knn_join",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+    ), s AS (
+        SELECT q.q_id, b.vec_id,
+               {sr("list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[]))", 6)} AS sim
+        FROM embeddings b, q
+        WHERE b.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, sim, "rank" FROM (
+        SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS "rank"
+        FROM s
+    ) WHERE "rank" <= 3
+    """,
+)
+def q_knn_join(spark, sf_dir):
+    """Batch k-NN join: top-3 cosine neighbors for each of 5 query vectors
+    in ONE corpus scan (query side broadcast, two-phase per-query top-k —
+    see similarity.knn_join for the shuffle-spreading shape)."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.knn_join(emb, queries, k=3)
+
+
+@query(
+    "q_embed_stats",
+    oracle=f"""
+    SELECT i AS dim, {sr("avg(v)", 6)} AS mu, {sr("stddev_samp(v)", 6)} AS sigma,
+           {sr("min(v)", 6)} AS lo, {sr("max(v)", 6)} AS hi
+    FROM (
+        SELECT generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    )
+    GROUP BY i
+    """,
+)
+def q_embed_stats(spark, sf_dir):
+    """Per-dimension corpus statistics (mean/std/min/max over each of the
+    64 embedding dimensions) — the normalization/whitening precursor and
+    drift monitor for an embedding pipeline. posexplode + one partial-agg
+    shuffle on the 64-value dim key; linear scan, no corpus shuffle."""
+    emb = T(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    return ex.groupBy("dim").agg(
+        R(F.avg("v"), 6).alias("mu"),
+        R(F.stddev_samp("v"), 6).alias("sigma"),
+        R(F.min("v"), 6).alias("lo"),
+        R(F.max("v"), 6).alias("hi"),
+    )
+
+
+@query(
+    "q_random_projection",
+    oracle=f"""
+    SELECT vec_id,
+           list_transform(range(0, 8), j ->
+               floor(list_sum(list_transform(range(1, 65), i ->
+                   CAST(embedding[i] AS DOUBLE) *
+                   (CASE WHEN ((((i - 1) * {_KNUTH} + j * {_PRIME2}) % 4294967296) >> 16) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END)
+               )) * 10000.0 + 0.5) / 10000.0
+           ) AS proj
+    FROM embeddings
+    """,
+)
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 → 8 dims with ±1 signs
+    derived from a portable 2-D hash (high bit of a Knuth mix — the low
+    bit of a product of odd constants is a degenerate checkerboard), so
+    both engines materialize the identical projection with no RNG state.
+    Map-side only: one fold per output dim, summed in index order — the
+    dimensionality-reduction front-end for cheap ANN / clustering at
+    100 TB."""
+    emb = F.col("embedding")
+
+    def sign(i, j):
+        mix = F.pmod((i - 1) * F.lit(_KNUTH) + j * F.lit(_PRIME2), F.lit(1 << 32))
+        bit = F.pmod(F.shiftright(mix.cast("long"), 16), F.lit(2))
+        return F.when(bit == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: R(
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(emb)),
+                F.lit(0.0),
+                lambda acc, i: acc + F.element_at(emb, i).cast("double") * sign(i, j),
+            ),
+            4,
+        ),
+    )
+    return T(spark, sf_dir, "embeddings").select("vec_id", proj.alias("proj"))

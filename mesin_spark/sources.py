@@ -85,6 +85,18 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
+    """CSV sink (one file per partition — a distributed write, no driver
+    funnel). CSV is schema-less: pair with an explicit schema on read."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of most LLM data tooling
+    (one object per line, splittable, appendable). Distributed write."""
+    df.write.mode(mode).json(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

