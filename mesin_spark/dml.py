@@ -87,9 +87,82 @@ class ManagedTable:
         self.path = path
         self.catalog = catalog
 
+    # -- versioned layout --------------------------------------------------
+    # Optional Delta/Iceberg-style commit protocol: the table directory
+    # holds immutable version dirs (v00001, v00002, ...) plus a _VERSION
+    # pointer file naming the current one. A commit writes the new version
+    # dir COMPLETELY, then swaps the pointer with os.replace — a genuinely
+    # atomic single commit point on POSIX, so a concurrent reader always
+    # resolves either the old or the new version, never a half state (this
+    # replaces the rename-pair swap whose gap a reader could observe).
+    # Old versions stay readable (time travel) until vacuum().
+    _VERSION_FILE = "_VERSION"
+
+    def _version_path(self) -> str:
+        return os.path.join(self.path, self._VERSION_FILE)
+
+    def current_version(self) -> int | None:
+        """Current committed version, or None for the legacy flat layout."""
+        try:
+            with open(self._version_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def _data_dir(self, version: int | None = None) -> str:
+        v = self.current_version() if version is None else version
+        return self.path if v is None else os.path.join(self.path, f"v{v:05d}")
+
+    def _commit(self, version: int) -> None:
+        """Atomically advance the pointer to ``version`` (write-temp +
+        os.replace — one atomic commit point)."""
+        tmp = self._version_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._version_path())
+        self._refresh_view()
+
+    def enable_versioning(self) -> int:
+        """Convert a flat table directory to the versioned layout (the
+        current contents become v00001). Idempotent."""
+        cur = self.current_version()
+        if cur is not None:
+            return cur
+        v1 = os.path.join(self.path, "v00001")
+        os.makedirs(v1)
+        for entry in os.listdir(self.path):
+            if entry != "v00001":
+                os.rename(os.path.join(self.path, entry), os.path.join(v1, entry))
+        self._commit(1)
+        return 1
+
+    def time_travel(self, version: int) -> DataFrame:
+        """Read a past committed version (versioned tables only)."""
+        if self.current_version() is None:
+            raise CatalogError(f"table {self.name!r} is not versioned")
+        d = self._data_dir(version)
+        if not os.path.isdir(d):
+            raise CatalogError(f"version {version} of {self.name!r} does not exist (vacuumed?)")
+        return self.spark.read.parquet(d)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the last ``keep_last`` versions; returns removed
+        version numbers. Never touches the current version."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        removed = []
+        for entry in sorted(os.listdir(self.path)):
+            if entry.startswith("v") and entry[1:].isdigit():
+                v = int(entry[1:])
+                if v <= cur - keep_last and v != cur:
+                    shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+                    removed.append(v)
+        return removed
+
     # -- read --------------------------------------------------------------
     def df(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(self._data_dir())
 
     def _refresh_view(self) -> None:
         df = self.df()
@@ -116,7 +189,15 @@ class ManagedTable:
         likewise single-process, tmp/crud.txt:178-504); concurrent readers
         or object-store backends need a table format with transactional
         metadata (Delta/Iceberg), whose per-file copy-on-write strategy this
-        operator shape matches."""
+        operator shape matches. ``enable_versioning()`` upgrades the table
+        to the versioned pointer-commit layout, which IS atomic (and keeps
+        history for time_travel)."""
+        cur = self.current_version()
+        if cur is not None:
+            nxt = os.path.join(self.path, f"v{cur + 1:05d}")
+            df.write.mode("overwrite").parquet(nxt)
+            self._commit(cur + 1)
+            return
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
@@ -124,6 +205,25 @@ class ManagedTable:
         os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
         self._refresh_view()
+
+    def _append(self, writer_df: DataFrame) -> None:
+        """Append files to the table. Versioned layout: hard-link the
+        current version's files into a new version dir (metadata-only — no
+        data copy, the Delta 'add file' analog), write the new files there,
+        then pointer-commit. Flat layout: plain parquet append."""
+        cur = self.current_version()
+        if cur is None:
+            writer_df.write.mode("append").parquet(self.path)
+            self._refresh_view()
+            return
+        src, nxt_v = self._data_dir(cur), cur + 1
+        nxt = os.path.join(self.path, f"v{nxt_v:05d}")
+        os.makedirs(nxt)
+        for entry in os.listdir(src):
+            if entry.endswith(".parquet") or entry.startswith("part-"):
+                os.link(os.path.join(src, entry), os.path.join(nxt, entry))
+        writer_df.write.mode("append").parquet(nxt)
+        self._commit(nxt_v)
 
     # -- DML ---------------------------------------------------------------
     def insert_values(self, rows: list[tuple], columns: list[str] | None = None) -> int:
@@ -137,8 +237,7 @@ class ManagedTable:
                 full_rows.append(tuple(by_name.get(f.name) for f in schema.fields))
             rows = full_rows
         new = self.spark.createDataFrame(rows, schema=schema)
-        new.write.mode("append").parquet(self.path)
-        self._refresh_view()
+        self._append(new)
         return len(rows)
 
     def insert_select(self, source: DataFrame) -> None:
@@ -151,8 +250,7 @@ class ManagedTable:
                 for src, f in zip(source.columns, schema.fields)
             ]
         )
-        aligned.write.mode("append").parquet(self.path)
-        self._refresh_view()
+        self._append(aligned)
 
     def update(self, assignments: dict[str, Column | str], where: Column | str | None = None):
         """UPDATE SET col=expr [WHERE pred] (reference tmp/crud.txt:223-279).

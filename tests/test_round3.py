@@ -236,3 +236,62 @@ def test_random_projection_preserves_distance_rank(spark):
     assert all(len(v) == 8 for v in p1.values())
     # not degenerate: projections differ across vectors
     assert len({tuple(v) for v in p1.values()}) > 400
+
+
+# -- versioned tables / time travel ---------------------------------------
+def test_versioned_commits_and_time_travel(spark):
+    from mesin_spark.dml import DdlSession
+
+    base = tempfile.mkdtemp(prefix="mesin_tt_")
+    sess = DdlSession(spark, base_dir=base)
+    mt = sess.import_parquet("tt_nation", os.path.join(SF_DIR, "nation.parquet"))
+    n0 = mt.df().count()
+    assert mt.current_version() is None  # legacy flat layout
+    assert mt.enable_versioning() == 1
+    assert mt.enable_versioning() == 1  # idempotent
+    mt.insert_values([(700, "A", 0), (701, "B", 1)],
+                     columns=["n_nationkey", "n_name", "n_regionkey"])
+    assert mt.current_version() == 2
+    mt.delete("n_nationkey >= 700")
+    assert mt.current_version() == 3
+    # snapshots: v1 original, v2 post-insert, v3 == current
+    assert mt.time_travel(1).count() == n0
+    assert mt.time_travel(2).count() == n0 + 2
+    assert rows(mt.time_travel(3), "n_nationkey") == rows(mt.df(), "n_nationkey")
+    # appends hard-link prior files (no data copy): v2 shares v1's inodes
+    v1 = os.path.join(mt.path, "v00001")
+    v2 = os.path.join(mt.path, "v00002")
+    shared = [f for f in os.listdir(v1) if f.endswith(".parquet")
+              and os.path.exists(os.path.join(v2, f))
+              and os.path.samefile(os.path.join(v1, f), os.path.join(v2, f))]
+    assert shared, "append should hard-link, not copy, prior version files"
+
+
+def test_versioned_vacuum_and_missing_version(spark):
+    import pytest as _pytest
+
+    from mesin_spark.catalog import CatalogError
+    from mesin_spark.dml import DdlSession
+
+    base = tempfile.mkdtemp(prefix="mesin_vac_")
+    sess = DdlSession(spark, base_dir=base)
+    mt = sess.import_parquet("vac_nation", os.path.join(SF_DIR, "nation.parquet"))
+    mt.enable_versioning()
+    mt.update({"n_name": "upper(n_name)"})
+    mt.update({"n_name": "lower(n_name)"})
+    assert mt.current_version() == 3
+    assert mt.vacuum(keep_last=1) == [1, 2]
+    assert mt.df().count() == 25 or mt.df().count() > 0  # current still readable
+    with _pytest.raises(CatalogError, match="does not exist"):
+        mt.time_travel(1)
+
+
+def test_unversioned_time_travel_rejected(spark):
+    from mesin_spark.catalog import CatalogError
+    from mesin_spark.dml import DdlSession
+
+    base = tempfile.mkdtemp(prefix="mesin_fl_")
+    sess = DdlSession(spark, base_dir=base)
+    mt = sess.import_parquet("fl_nation", os.path.join(SF_DIR, "nation.parquet"))
+    with pytest.raises(CatalogError, match="not versioned"):
+        mt.time_travel(1)
