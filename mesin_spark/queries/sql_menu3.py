@@ -238,6 +238,57 @@ def q_heavy_hitters(spark, sf_dir):
 
 
 @query(
+    "q_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                      THEN 1 END) AS n_even
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: parse_json once into
+    the binary VARIANT encoding, then typed variant_get extraction — the
+    100 TB pattern (parse at ingest, store VARIANT in parquet, cheap typed
+    access per query) vs q_json_props' per-query string parse."""
+    e = T(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return v.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count(F.when(F.col("k") % 2 == 0, 1)).alias("n_even"),
+    )
+
+
+@query(
+    "q_pivot_dynamic",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {sr("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)} AS F,
+           {sr("sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)", 2)} AS O,
+           {sr("sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)", 2)} AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_dynamic(spark, sf_dir):
+    """Dynamic PIVOT: the status columns are discovered from the data
+    (Spark runs a distinct pre-pass), not declared — then a single
+    partial-aggregating pivot. At 100 TB pass the values explicitly to
+    skip the discovery scan; semantics are identical."""
+    o = T(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus")
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[R(F.col(c), 2).alias(c) for c in piv.columns if c != "o_orderpriority"],
+    )
+
+
+@query(
     "q_outliers",
     oracle=f"""
     SELECT event_id, event_type, z FROM (
