@@ -45,6 +45,37 @@ def q_csv_roundtrip(spark, sf_dir):
 
 
 @query(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT l.l_orderkey, {sr("sum(l.l_quantity)", 2)} AS qty,
+           {sr("max(o.o_totalprice)", 2)} AS price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Co-located fact-fact join via bucketed layout: both tables written
+    bucketBy(16, orderkey), so the join needs NO Exchange (verified in
+    tests/test_sources.py) and the groupBy on the same key reuses the
+    bucket distribution — the layout lever that removes the single
+    biggest shuffle of a 100 TB star join. Values identical to the plain
+    join (the oracle IS the plain join)."""
+    from mesin_spark.sources import write_bucketed
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "q_bkt_li", ["l_orderkey"], num_buckets=16)
+    write_bucketed(od, "q_bkt_od", ["o_orderkey"], num_buckets=16)
+    j = spark.table("q_bkt_li").join(
+        spark.table("q_bkt_od"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("l_orderkey").agg(
+        R(F.sum("l_quantity"), 2).alias("qty"),
+        R(F.max("o_totalprice"), 2).alias("price"),
+    )
+
+
+@query(
     "q_jsonl_roundtrip",
     oracle=f"""
     SELECT event_type, count(*) AS n, {sr("sum(value)", 4)} AS total_value
