@@ -421,7 +421,7 @@ def q_union_byname(spark, sf_dir):
     oracle="""
     WITH gaps AS (
         SELECT event_id, user_id, ts,
-               CASE WHEN ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 600000000
                     OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -440,8 +440,11 @@ def q_sessionize(spark, sf_dir):
 
     e = T(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_s = F.when(gap.isNull() | (gap > 600), 1).otherwise(0)
+    # microsecond precision: a seconds-truncating cast("long") would put a
+    # 600.3s gap in the SAME session while exact arithmetic starts a new
+    # one (bit us at sf0.01 — 70/10000 rows)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_s = F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0)
     return e.select(
         "event_id",
         "user_id",

@@ -15,6 +15,9 @@ source layer: parquet/csv/json/orc via the standard Spark readers.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,6 +114,16 @@ def write_bucketed(
     THE layout lever for repeated fact-fact joins at 100 TB (e.g.
     lineitem⋈orders on orderkey). ``sort_cols`` additionally sorts within
     buckets, upgrading sort-merge joins to zero-sort merges."""
+    if mode == "overwrite":
+        # a warehouse dir left by a previous session (table no longer in
+        # this session's in-memory catalog) would fail saveAsTable with
+        # LOCATION_ALREADY_EXISTS — drop both the entry and the orphan dir
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(warehouse.removeprefix("file:"), table_name)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
