@@ -35,6 +35,8 @@ NOTES = {
     "q_pipeline_e2e": "one signal-fold filter; only the dedup groupBy and survivor join shuffle",
     "q_decontaminate": "repartition spreads shingling; bench gram set broadcast into the semi-join",
     "q_pack_sequences": "single window shuffle partitioned by shard — n_shards-way parallel packing",
+    "q_skew_join": "small side exploded across 8 salts then broadcast; hot-key probe stream splits 8 ways; one partial+final agg pair after",
+    "q_knn_join": "probe batch broadcast into one corpus scan; two-phase per-query ranking — first window keyed (q_id, partition), final sees k·partitions rows",
 }
 
 
