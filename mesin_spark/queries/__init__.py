@@ -83,6 +83,7 @@ def load_all() -> None:
     modules the round-1 driver already certified green.
     """
     from mesin_spark.queries import (  # noqa: F401
+        events2,
         sql_menu3,
         connectors,
         llm3,

@@ -1,0 +1,325 @@
+"""Event-analytics operators round 2: funnel analysis, cohort retention,
+purchase attribution, linear gap interpolation, and SCD Type-2 state
+history. These are the product-analytics queries a TimescaleDB/ClickHouse
+user of the reference's event tier would expect (SURVEY.md §2.10 batch
+extension; reference has only the logical-plan shell, tmp/select.rs has no
+event tier at all).
+
+All five are deterministic closed-form arithmetic over `events`, so each
+carries an exact DuckDB oracle. Timestamps are emitted as floor-epoch
+seconds (events.ts is TIMESTAMP(NANOS) in parquet; Spark reads µs via
+sources.read_parquet, DuckDB keeps ns — epoch seconds compare exactly).
+
+Scale design: every query shuffles on ``user_id`` once (funnel: three
+successively-smaller per-user aggregates that AQE broadcasts; retention /
+attribution / SCD2: one window or groupBy partitioned by user). No
+driver-side loops, no Python UDFs; event-time ordering uses (ts, event_id)
+so plans are deterministic under parallel reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mesin_spark.queries import R, T, query, sr
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT '1_view' AS step, count(*) AS users FROM v
+    UNION ALL SELECT '2_click', count(*) FROM c
+    UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: a user counts at step N
+    only with an event AFTER their step-N-1 time (strict event-time
+    sequencing, the semantics ClickHouse's windowFunnel implements).
+
+    Three per-user min-aggregates, each joined to the previous stage:
+    one user_id shuffle for the first, then AQE broadcasts the shrinking
+    stage frames (distinct users ≤ step-1 survivors) into the filtered
+    event scans — no fact-fact shuffle at any step."""
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df, label):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(label).alias("step"), "users"
+        )
+
+    return (
+        step(v, "1_view")
+        .unionAll(step(c, "2_click"))
+        .unionAll(step(p, "3_purchase"))
+    )
+
+
+@query(
+    "q_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT CAST(floor(epoch(f.cohort)) AS BIGINT) AS cohort_week,
+           CAST(date_diff('day', f.cohort, a.w) / 7 AS BIGINT) AS week_offset,
+           count(DISTINCT a.user_id) AS users
+    FROM first_seen f JOIN active a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention(spark, sf_dir):
+    """Cohort retention: users bucketed by first-seen week, counted in
+    each later week they were active — the triangle every growth dashboard
+    plots. Both date_trunc('week') engines are ISO-Monday-based.
+
+    One user_id shuffle builds both per-user frames; the cohort×offset
+    re-aggregation runs on the already-distinct (user, week) rows. The
+    first_seen side is |users| rows → AQE broadcasts it into the join."""
+    ev = T(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            F.unix_timestamp("cohort").alias("cohort_week"),
+            (F.datediff("w", "cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts,
+               first_value(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+        FROM events
+    )
+    SELECT first_touch,
+           coalesce(prev_et, 'direct') AS last_touch,
+           count(*) AS purchases
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """Marketing attribution: every purchase credited to the user's FIRST
+    event ever (first-touch) and the event immediately BEFORE the purchase
+    (last-touch); purchases with no prior event are 'direct'. Ordering is
+    (ts, event_id) so the window is deterministic.
+
+    One window shuffle on user_id computes both touches in a single pass;
+    the (first, last) matrix aggregation afterwards is partial-agg'd
+    map-side."""
+    ev = T(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.first("event_type").over(win).alias("first_touch"),
+        F.lag("event_type").over(win).alias("prev_et"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "first_touch",
+            F.coalesce("prev_et", F.lit("direct")).alias("last_touch"),
+        )
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
+
+
+@query(
+    "q_interpolate",
+    oracle=f"""
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, avg(value) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (
+        SELECT spine.h, hourly.v,
+               last_value(hourly.v IGNORE NULLS) OVER w AS pv,
+               last_value(CASE WHEN hourly.v IS NOT NULL THEN spine.h END
+                          IGNORE NULLS) OVER w AS ph,
+               first_value(hourly.v IGNORE NULLS) OVER w2 AS nv,
+               first_value(CASE WHEN hourly.v IS NOT NULL THEN spine.h END
+                           IGNORE NULLS) OVER w2 AS nh
+        FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+        WINDOW w AS (ORDER BY spine.h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (ORDER BY spine.h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT CAST(floor(epoch(h)) AS BIGINT) AS hour_ts,
+           (v IS NOT NULL) AS observed,
+           {sr('''CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE pv + (nv - pv) * (epoch(h) - epoch(ph))
+                                   / (epoch(nh) - epoch(ph))
+           END''', 6)} AS v_interp
+    FROM j
+    """,
+)
+def q_interpolate(spark, sf_dir):
+    """Linear interpolation over a gap-filled hourly series: hours with no
+    purchases get the time-weighted line between the surrounding observed
+    hours (leading/trailing gaps extend the nearest observation) — the
+    `interpolate()` resample primitive (reference tier: timeseries; Spark
+    has no built-in, composed from ignore-nulls window carries).
+
+    The spine is sequence()+explode off a 1-row bounds aggregate; the only
+    data shuffle is the hourly groupBy. The two unbounded carries run in
+    one global-window pass each — fine here because the spine is
+    hours-sized (tiny), NOT data-sized; at 100 TB the spine stays small
+    while the hourly agg does the heavy lifting."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.avg("value").alias("v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    j = spine.join(hourly, "h", "left")
+    wb = W.orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.orderBy("h").rowsBetween(W.currentRow, W.unboundedFollowing)
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    j = j.select(
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.unix_timestamp("h") - F.unix_timestamp("ph"))
+            / (F.unix_timestamp("nh") - F.unix_timestamp("ph"))
+        )
+    )
+    return j.select(
+        F.unix_timestamp("h").alias("hour_ts"),
+        F.col("v").isNotNull().alias("observed"),
+        R(interp, 6).alias("v_interp"),
+    )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type AS state, ts
+        FROM seq WHERE prev_et IS NULL OR prev_et <> event_type
+    )
+    SELECT user_id, state,
+           CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+           CAST(floor(epoch(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+               AS is_current
+    FROM changes
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """SCD Type-2 history build: collapse each user's event stream into
+    versioned state intervals — a row per run of equal event_type with
+    [valid_from, valid_to) validity and an is_current flag. This is the
+    standard dimension-history pattern (Kimball type 2) the reference's
+    CRUD tier stops short of (tmp/crud.txt has plain UPDATE only).
+
+    Single shuffle: change-point detection (lag), versioning (row_number)
+    and interval close (lead) all share the user_id window partitioning,
+    so Catalyst plans ONE exchange and three Window ops back-to-back on
+    the same sort order."""
+    ev = T(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(win).alias("prev_et"),
+    )
+    changes = seq.filter(
+        F.col("prev_et").isNull() | (F.col("prev_et") != F.col("event_type"))
+    ).select("user_id", F.col("event_type").alias("state"), "ts")
+    cwin = W.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        "state",
+        F.row_number().over(cwin).cast("long").alias("version"),
+        F.unix_timestamp("ts").alias("valid_from"),
+        F.unix_timestamp(F.lead("ts").over(cwin)).alias("valid_to"),
+        F.lead("ts").over(cwin).isNull().alias("is_current"),
+    )
