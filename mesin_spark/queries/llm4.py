@@ -1,0 +1,130 @@
+"""Round-2 training-data operators, part 3: exact duplicated-span
+statistics and removal (Lee et al. ExactSubstr dedup, ext/spans.py) and
+product-quantization ANN (ext/pq.py).
+
+The two span queries are deterministic string/position arithmetic, so
+both carry exact DuckDB oracles (the oracle groups on shingle STRINGS
+while Spark groups on xxhash64 longs — outputs agree unless xxhash64
+collides, which over ~10^5 shingles is ~10^-9). q_pq_ann is rows-only:
+codebooks come from seeded k-means, meaningless to re-derive in SQL;
+recall-vs-exact and determinism are asserted in tests/test_llm4_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mesin_spark.ext import pq as PQ
+from mesin_spark.ext import spans as SP
+from mesin_spark.queries import T, query, sr
+
+#: DuckDB mirror of ext.text.tokens
+_TK = "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
+
+_W = 8
+
+#: shared oracle CTEs: per-position shingle instances + shingle owners
+_SPAN_CTES = f"""
+    tk AS (SELECT doc_id, {_TK} AS w FROM documents),
+    inst AS (
+        SELECT doc_id, i AS pos,
+               list_aggregate(w[i:i+{_W}-1], 'string_agg', ' ') AS s
+        FROM tk, unnest(generate_series(1, len(w) - {_W} + 1)) t(i)
+    ),
+    owners AS (SELECT s, min(doc_id) AS owner FROM inst GROUP BY s)
+"""
+
+
+@query(
+    "q_span_stats",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    per_doc AS (
+        SELECT i.doc_id,
+               count(*) AS n_shingles,
+               count(CASE WHEN i.doc_id <> o.owner THEN 1 END) AS n_dup_spans
+        FROM inst i JOIN owners o ON i.s = o.s
+        GROUP BY i.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_shingles, 0) AS n_shingles,
+           coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+           {sr("coalesce(p.n_dup_spans::DOUBLE / p.n_shingles, 0.0)", 6)}
+               AS dup_ratio
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def q_span_stats(spark, sf_dir):
+    """Per-document duplicated-span profile at w=8 tokens: how much of
+    each document is verbatim text owned by an earlier document. The
+    corpus-health gate before exact-substring dedup (Lee et al. 2021).
+    One shingle-hash groupBy + one equi-join; see ext/spans.py for the
+    100 TB shape."""
+    from mesin_spark.functions import stable_round as R
+
+    d = T(spark, sf_dir, "documents")
+    spread = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    s = SP.span_stats(spread, w=_W)
+    return s.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        R(F.col("dup_ratio").cast("double"), 6).alias("dup_ratio"),
+    )
+
+
+@query(
+    "q_span_removal",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    dup AS (
+        SELECT i.doc_id, i.pos FROM inst i JOIN owners o ON i.s = o.s
+        WHERE i.doc_id <> o.owner
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + off AS wi
+        FROM dup, unnest(generate_series(0, {_W} - 1)) g(off)
+    ),
+    words AS (
+        SELECT doc_id, i AS wi, w[i] AS word
+        FROM tk, unnest(generate_series(1, len(w))) t(i)
+    ),
+    kept AS (
+        SELECT wo.doc_id, wo.wi, wo.word
+        FROM words wo ANTI JOIN cov ON wo.doc_id = cov.doc_id AND wo.wi = cov.wi
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(word, ' ' ORDER BY wi) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           len(t.w) AS n_tokens,
+           len(t.w) - coalesce(r.n_kept, 0) AS n_removed
+    FROM tk t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def q_span_removal(spark, sf_dir):
+    """Exact duplicated-span REMOVAL: every document rebuilt with the
+    w=8-token spans already owned by an earlier document cut out — one
+    corpus-wide copy of every duplicated span survives. This is the
+    operator the MinHash tier approximates; here it is exact, via
+    explode→hash-join→anti-join→reassemble (no suffix array, no
+    all-pairs). Shuffles only on shingle hash and doc_id."""
+    d = T(spark, sf_dir, "documents")
+    spread = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    return SP.remove_spans(spread, w=_W)
+
+
+@query("q_pq_ann")  # rows-only: seeded-k-means codebooks have no SQL mirror
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN top-10 for query vec_id=0: corpus
+    compressed to m=8 4-bit-style codes, ranked by ADC lookup-table sums.
+    The query-time scan is pure JVM over the codes column (Python only in
+    the one-time encode pass); recall vs the exact scan is asserted in
+    tests/test_llm4_ops.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return PQ.pq_topk(emb, qvec, topk=10, m=8, k=16)

@@ -1,0 +1,118 @@
+"""Properties for the llm4 tier: exact crafted-input semantics for span
+removal, corpus invariants, and PQ-ANN recall/determinism. The two span
+queries' full-output exactness vs DuckDB is covered by test_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_remove_spans_crafted_exact(spark):
+    from mesin_spark.ext.spans import remove_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h x"),
+            (1, "a b c d e f g h y"),  # first 8 tokens owned by doc 0
+            (2, "totally different tokens only here"),
+            (3, "a b c d e f g h"),  # nothing but the duplicated span
+            (4, "tiny"),  # shorter than w: untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in remove_spans(docs, w=8).collect()}
+    assert out[0]["clean_text"] == "a b c d e f g h x"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "y"
+    assert out[1]["n_removed"] == 8
+    assert out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_removed"] == 8
+    assert out[4]["clean_text"] == "tiny"
+    assert out[4]["n_removed"] == 0
+
+
+def test_remove_spans_overlapping_spans_merge(spark):
+    from mesin_spark.ext.spans import remove_spans
+
+    # doc 1 repeats a 9-token run of doc 0: two overlapping 8-shingles;
+    # covered positions must merge to 9 removed tokens, not 16
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i"), (1, "z a b c d e f g h i")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in remove_spans(docs, w=8).collect()}
+    assert out[1]["clean_text"] == "z"
+    assert out[1]["n_removed"] == 9
+
+
+def test_remove_spans_corpus_invariants(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["q_span_removal"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    min_doc = min(r["doc_id"] for r in rows)
+    total_removed = 0
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+        n_clean = len([t for t in r["clean_text"].split(" ") if t])
+        assert n_clean == r["n_tokens"] - r["n_removed"]
+        if r["doc_id"] == min_doc:
+            assert r["n_removed"] == 0  # the first doc owns its shingles
+        total_removed += r["n_removed"]
+    assert total_removed > 0  # the synthetic corpus does contain dup spans
+
+
+def test_span_stats_matches_removal_scale(spark):
+    import __spark_entry__ as E
+
+    stats = {
+        r["doc_id"]: r for r in E.queries()["q_span_stats"](spark, SF_DIR).collect()
+    }
+    removal = {
+        r["doc_id"]: r
+        for r in E.queries()["q_span_removal"](spark, SF_DIR).collect()
+    }
+    for doc_id, s in stats.items():
+        r = removal[doc_id]
+        if s["n_dup_spans"] == 0:
+            assert r["n_removed"] == 0
+        else:
+            # w overlapping dup shingles cover between w and dup+w-1 tokens
+            assert r["n_removed"] >= 1
+            assert r["n_removed"] <= min(
+                s["n_dup_spans"] + 8 - 1, r["n_tokens"]
+            )
+
+
+def test_pq_ann_recall_and_determinism(spark):
+    from mesin_spark.ext.pq import pq_topk
+    from mesin_spark.ext.similarity import brute_force_topk
+    from mesin_spark.queries import T
+
+    emb = T(spark, SF_DIR, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    approx1 = [r["vec_id"] for r in pq_topk(emb, qvec, topk=10).collect()]
+    approx2 = [r["vec_id"] for r in pq_topk(emb, qvec, topk=10).collect()]
+    assert approx1 == approx2  # seeded end-to-end
+    assert 0 in approx1  # the query vector itself must survive quantization
+    recall = len(set(exact) & set(approx1)) / 10
+    assert recall >= 0.4, f"PQ recall@10 too low: {recall}"
+
+
+def test_pq_codes_shape_and_range(spark):
+    from mesin_spark.ext.pq import pq_codebooks, pq_encode
+    from mesin_spark.queries import T
+
+    emb = T(spark, SF_DIR, "embeddings")
+    B = pq_codebooks(emb, m=8, k=16)
+    assert B.shape == (8, 16, 8)
+    codes = emb.select(pq_encode(B).alias("c")).collect()
+    for r in codes:
+        assert len(r["c"]) == 8
+        assert all(0 <= c < 16 for c in r["c"])
