@@ -54,6 +54,8 @@ HEADLINE = [
     "q_pack_sequences",   # sequence packing (shard-parallel window)
     "q_skew_join",        # salted replicated join + agg (hot-key path)
     "q_knn_join",         # batch k-NN join (broadcast probe, 2-phase top-k)
+    "q_span_removal",     # exact duplicated-span dedup (shingle-join rebuild)
+    "q_funnel",           # ordered event funnel (stage aggregates)
 ]
 
 

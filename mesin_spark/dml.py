@@ -145,6 +145,65 @@ class ManagedTable:
             raise CatalogError(f"version {version} of {self.name!r} does not exist (vacuumed?)")
         return self.spark.read.parquet(d)
 
+    def changes(self, v_from: int, v_to: int, key_cols: list[str]) -> DataFrame:
+        """CDC change feed between two committed versions — the
+        `table_changes` / readChangeFeed primitive (Delta CDF analog; the
+        reference has no versioning at all). Returns the row images with a
+        ``change_type`` column: 'insert', 'delete', 'update_pre',
+        'update_post' (pre AND post images for updates, like Delta CDF).
+
+        ONE full-outer join on the key columns classifies every row; the
+        four change kinds are emitted by a single array-build + explode
+        projection over the join output — the join is computed once, not
+        four times. At scale this is one key shuffle over the two
+        snapshots; AQE broadcasts whichever side is small."""
+        if v_from >= v_to:
+            raise CatalogError(f"changes requires v_from < v_to, got {v_from} >= {v_to}")
+        old = self.time_travel(v_from)
+        new = self.time_travel(v_to)
+        if set(old.columns) != set(new.columns):
+            raise CatalogError(
+                f"schema changed between v{v_from} and v{v_to}: "
+                f"{sorted(old.columns)} vs {sorted(new.columns)} — "
+                "run changes per schema epoch"
+            )
+        cols = new.columns
+        missing = set(key_cols) - set(cols)
+        if missing:
+            raise CatalogError(f"change-feed keys not in table: {sorted(missing)}")
+        non_key = [c for c in cols if c not in key_cols]
+        o = old.withColumn("_o", F.lit(1)).alias("o")
+        n = new.withColumn("_n", F.lit(1)).alias("n")
+        j = o.join(n, on=key_cols, how="full_outer")
+        in_old = F.col("o._o").isNotNull()
+        in_new = F.col("n._n").isNotNull()
+        differs = F.lit(False)
+        for c in non_key:
+            differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+
+        def image(label: str, side: str):
+            fields = [F.lit(label).alias("change_type")]
+            fields += [F.col(c).alias(c) for c in key_cols]  # coalesced keys
+            fields += [F.col(f"{side}.{c}").alias(c) for c in non_key]
+            return F.struct(*fields)
+
+        # each change kind is a 0/1-element array (typed empty via a
+        # zero-length slice of a prototype), concatenated then exploded —
+        # one projection over the single join
+        empty_arr = F.slice(F.array(image("proto", "n")), 1, 0)
+        upd = in_old & in_new & differs
+        all_entries = F.concat(
+            F.when(in_new & ~in_old, F.array(image("insert", "n"))).otherwise(empty_arr),
+            F.when(in_old & ~in_new, F.array(image("delete", "o"))).otherwise(empty_arr),
+            F.when(upd, F.array(image("update_pre", "o"))).otherwise(empty_arr),
+            F.when(upd, F.array(image("update_post", "n"))).otherwise(empty_arr),
+        )
+        return (
+            j.select(F.explode(all_entries).alias("c"))
+            .select("c.*")
+            .select("change_type", *cols)
+        )
+
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last ``keep_last`` versions; returns removed
         version numbers. Never touches the current version."""

@@ -320,3 +320,59 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_upsert_to_table(
+    stream_df: DataFrame,
+    table,
+    key_cols: list[str],
+    order_cols: list[str],
+    shuffle_partitions: int = 8,
+):
+    """foreachBatch upsert sink: drive the stream to completion, folding
+    every micro-batch into a ManagedTable as latest-row-per-key state
+    (ordered by ``order_cols``, e.g. [ts, event_id]).
+
+    Each batch recomputes latest = max_by(row, order) over
+    (current table ∪ batch) and swaps it in — idempotent per key and
+    correct under out-of-order batch arrival, unlike a blind MERGE (which
+    would let a LATE batch overwrite a newer row). This is the streaming
+    CDC-apply pattern; at scale the same fold runs against a Delta/Iceberg
+    target with the union replaced by a keyed MERGE + ts guard."""
+    spark = stream_df.sparkSession
+    cols = [c for c in stream_df.columns]
+    ordkey = F.struct(*[F.col(c) for c in order_cols])
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        batch_latest = batch_df.groupBy(*key_cols).agg(
+            F.max_by(F.struct(*[F.col(c) for c in cols]), ordkey).alias("_r")
+        ).select("_r.*")
+        merged = (
+            table.df().select(*cols).unionByName(batch_latest)
+            .groupBy(*key_cols)
+            .agg(F.max_by(F.struct(*[F.col(c) for c in cols]), ordkey).alias("_r"))
+            .select("_r.*")
+        )
+        # safe: _swap_in writes to a fresh dir BEFORE the pointer swap, so
+        # the plan may read the current table contents while writing
+        table._swap_in(merged)
+
+    checkpoint = tempfile.mkdtemp(prefix="mesin_upsert_ckpt_")
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode("update")
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return table.df()

@@ -84,6 +84,7 @@ def load_all() -> None:
     """
     from mesin_spark.queries import (  # noqa: F401
         events2,
+        storage,
         llm4,
         sql_menu4,
         sql_menu3,

@@ -1,0 +1,145 @@
+"""Storage-tier operators round 2: CDC change feed between table
+versions, zone-map file pruning, and a streaming foreachBatch upsert
+sink. These extend the CRUD/versioning tier (SURVEY.md §2.12; reference
+dispatcher src/planner/mod.rs:21-38 rejects everything beyond basic CRUD)
+with the table-format primitives a lakehouse user expects.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mesin_spark.queries import T, query, sr
+from mesin_spark.queries.dml import _scratch
+
+
+@query(
+    "q_table_changes",
+    oracle="""
+    SELECT 'insert' AS change_type, CAST(500 AS BIGINT) AS n_nationkey,
+           'LEMURIA' AS n_name, 2 AS n_regionkey
+    UNION ALL
+    SELECT 'update_pre', n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey = 3
+    UNION ALL
+    SELECT 'update_post', n_nationkey, 'ZEALANDIA', n_regionkey
+    FROM nation WHERE n_nationkey = 3
+    UNION ALL
+    SELECT 'delete', n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey = 10
+    """,
+)
+def q_table_changes(spark, sf_dir):
+    """CDC change feed (Delta readChangeFeed analog): version the scratch
+    table, apply an insert + an update + a delete, then diff v1 → v4 into
+    typed change rows with pre AND post images for updates. One full-outer
+    key join over the two snapshots, classified in a single array-build +
+    explode projection (ManagedTable.changes)."""
+    _, mt = _scratch(spark, sf_dir, "nation")
+    mt.enable_versioning()
+    mt.insert_values(
+        [(500, "LEMURIA", 2)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    mt.update({"n_name": "'ZEALANDIA'"}, where="n_nationkey = 3")
+    mt.delete(where="n_nationkey = 10")
+    return mt.changes(1, 4, key_cols=["n_nationkey"])
+
+
+@query(
+    "q_pruned_scan",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST({sr("sum(l_quantity)", 4)} AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 100 AND 300
+    GROUP BY l_returnflag
+    """,
+)
+def q_pruned_scan(spark, sf_dir):
+    """Zone-map data skipping: lay lineitem out range-partitioned + sorted
+    by l_orderkey (8 files), build the per-file min/max zone map in one
+    scan, then answer a key-range aggregate reading ONLY the overlapping
+    files (+ residual filter). The pruning itself is asserted in
+    tests/test_storage.py (files read < files on disk); here the oracle
+    proves the pruned answer equals the full-table answer — the invariant
+    data skipping must preserve. At 100 TB the zone map lives in the
+    commit log and this is every query's scan path."""
+    from mesin_spark.sources import pruned_parquet, write_parquet, zone_map
+
+    li = T(spark, sf_dir, "lineitem")
+    layout = os.path.join(
+        tempfile.mkdtemp(prefix="mesin_zone_"), "lineitem_sorted"
+    )
+    write_parquet(
+        li.repartitionByRange(8, "l_orderkey"), layout, sort_by=["l_orderkey"]
+    )
+    zm = zone_map(spark, layout, ["l_orderkey"])
+    lo, hi = 100, 300  # present at every SF; prunes 7/8 files
+    pruned = pruned_parquet(spark, layout, "l_orderkey", lo, hi, zm=zm)
+    from mesin_spark.functions import stable_round as R
+
+    return (
+        pruned.filter(F.col("l_orderkey").between(lo, hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R(F.sum("l_quantity").cast("double"), 4).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_stream_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+           event_type AS last_type,
+           value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_upsert(spark, sf_dir):
+    """Streaming upsert sink: readStream over events → foreachBatch folds
+    each micro-batch into a versioned ManagedTable as latest-row-per-user
+    state (max_by over (ts, event_id)) — the streaming CDC-apply pattern.
+    The final materialized state is deterministic (latest event per user),
+    so unusually for a streaming path this query IS oracle-checked.
+    Multi-batch arrival-order robustness is asserted separately in
+    tests/test_storage.py."""
+    from mesin_spark.dml import ColumnDefinition, DdlSession
+    from mesin_spark.ext.streaming import read_events_stream, run_upsert_to_table
+
+    base = tempfile.mkdtemp(prefix="mesin_upsert_")
+    sess = DdlSession(spark, base_dir=base)
+    target = sess.create_table(
+        "user_state",
+        [
+            ColumnDefinition("event_id", "bigint"),
+            ColumnDefinition("ts", "timestamp"),
+            ColumnDefinition("user_id", "bigint"),
+            ColumnDefinition("event_type", "string"),
+            ColumnDefinition("value", "double"),
+            ColumnDefinition("props", "string"),
+        ],
+    )
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    final = run_upsert_to_table(
+        stream, target, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+    return final.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

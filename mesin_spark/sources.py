@@ -212,3 +212,49 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def zone_map(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-FILE min/max/count statistics (zone map) for ``cols``, built in
+    one distributed scan over the hidden ``_metadata.file_path`` column.
+
+    This is the data-skipping index a table format keeps in its commit log
+    (Delta/Iceberg file stats): build it once after ingest/compaction,
+    persist it, and prune file lists against predicates BEFORE the read —
+    complementary to zorder_key, which makes these min/max ranges tight
+    for multi-column predicates. The map is one row per file (metadata
+    scale, ~10^5 rows for a 100 TB table), so it broadcasts."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return (
+        df.select(F.col("_metadata.file_path").alias("file"), *cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def pruned_parquet(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    zm: DataFrame | None = None,
+) -> DataFrame:
+    """Read only the files whose [min, max] zone overlaps [lo, hi] —
+    file-level data skipping on top of parquet. The surviving-file list is
+    a bounded driver collect over the file-count-sized zone map (the same
+    metadata-sized collect a format's log replay does). The caller still
+    applies the residual predicate: zones only prove which files CANNOT
+    match."""
+    zm = zone_map(spark, path, [col]) if zm is None else zm
+    keep = zm.filter(
+        (F.col(f"{col}_min") <= F.lit(hi)) & (F.col(f"{col}_max") >= F.lit(lo))
+    )
+    files = [r["file"] for r in keep.select("file").collect()]
+    if not files:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*files)

