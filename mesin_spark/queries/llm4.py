@@ -128,3 +128,27 @@ def q_pq_ann(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     return PQ.pq_topk(emb, qvec, topk=10, m=8, k=16)
+
+
+@query("q_bpe_train")  # rows-only: iterative training has no SQL mirror
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): 12
+    merges learned from the corpus word-frequency table. Each iteration is
+    one pair-count shuffle over the DISTINCT-word table + a 1-row argmax
+    collect; exact equivalence with a pure-Python reference trainer on the
+    same corpus (at 24 merges) is asserted in tests/test_llm4_ops.py.
+    Returns the merge table (the trained artifact). The merge count is
+    data-independent per-round cost (~0.8s/merge locally), so the
+    registered query trains 12 — the test tier goes deeper."""
+    from mesin_spark.ext.bpe import train_bpe
+
+    d = T(spark, sf_dir, "documents")
+    spread = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    merges = train_bpe(spread, n_merges=12, min_count=2)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank int, left string, right string, merged string, pair_count long",
+    )

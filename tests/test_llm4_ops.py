@@ -116,3 +116,92 @@ def test_pq_codes_shape_and_range(spark):
     for r in codes:
         assert len(r["c"]) == 8
         assert all(0 <= c < 16 for c in r["c"])
+
+
+def _python_bpe(word_counts: dict, n_merges: int, min_count: int):
+    """Pure-Python reference BPE trainer (Sennrich et al.), greedy
+    left-to-right apply, tie-break (count desc, pair lexicographic)."""
+    syms = {w: tuple(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_count:
+            break
+        merges.append((rank, a, b, a + b, n))
+        for w, s in syms.items():
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from mesin_spark.ext.bpe import word_counts
+    from mesin_spark.queries import T
+
+    from mesin_spark.ext.bpe import train_bpe
+
+    docs = T(spark, SF_DIR, "documents")
+    wc = {r["word"]: r["wcount"] for r in word_counts(docs).collect()}
+
+    # deep check: the distributed trainer reproduces the reference trainer
+    # merge-for-merge at 24 rounds
+    expected24 = _python_bpe(wc, n_merges=24, min_count=2)
+    got24 = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+        for m in train_bpe(docs, n_merges=24, min_count=2)
+    ]
+    assert got24 == expected24
+
+    # and the registered query exposes the same artifact (12 rounds)
+    import __spark_entry__ as E
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in E.queries()["q_bpe_train"](spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected24[:12]
+
+
+def test_bpe_apply_merge_greedy_left_to_right(spark):
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext.bpe import apply_merge
+
+    df = spark.createDataFrame([(["a", "a", "a"],), (["a", "b", "a", "b"],)], ["s"])
+    out = df.select(apply_merge(F.col("s"), "a", "a").alias("m")).collect()
+    assert out[0]["m"] == ["aa", "a"]  # greedy: merge once, keep scanning
+    out2 = df.select(apply_merge(F.col("s"), "a", "b").alias("m")).collect()
+    assert out2[1]["m"] == ["ab", "ab"]
+
+
+def test_bpe_encode_words_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext.bpe import encode_words, train_bpe
+    from mesin_spark.queries import T
+
+    docs = T(spark, SF_DIR, "documents")
+    merges = train_bpe(docs, n_merges=10, min_count=2)
+    assert merges  # corpus is repetitive enough to learn something
+    words = spark.createDataFrame([("the",), ("scan",)], ["word"])
+    enc = {r["word"]: r["pieces"] for r in encode_words(words, merges).collect()}
+    for w, pieces in enc.items():
+        assert "".join(pieces) == w  # lossless
