@@ -79,7 +79,14 @@ def normalize_dialect(sql: str, dialect: str) -> str:
     - hive/bigquery/clickhouse: backtick identifiers already match Spark —
       passthrough.
 
+    - all dialects: a top-level ``QUALIFY <pred>`` (Teradata-origin;
+      duckdb/snowflake/bigquery surface) → wrapped subquery with the
+      predicate as an outer WHERE — Spark has no QUALIFY at all, and the
+      standard usage filters on a window alias from the select list, which
+      the subquery form preserves exactly.
+
     Constructs beyond these surface Spark's parse error unchanged."""
+    sql = _rewrite_qualify(sql)
     if dialect == "mssql":
         return _normalize_mssql(sql)
     if dialect not in _PG_LIKE:
@@ -174,6 +181,73 @@ def normalize_dialect(sql: str, dialect: str) -> str:
             out.append(ch)
             i += 1
     return "".join(out)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """Rewrite a TOP-LEVEL ``... QUALIFY <pred> [ORDER BY ...] [LIMIT n]``
+    into ``SELECT * FROM (...) _qualify WHERE <pred> [ORDER BY/LIMIT]``.
+    Char scanner: QUALIFY inside string literals, quoted identifiers or
+    parentheses (subqueries) is left alone — nested QUALIFY would need a
+    real parser and surfaces Spark's parse error instead."""
+    n = len(sql)
+    i, depth = 0, 0
+    q_start = q_end = -1
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'" and i + 1 < n and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                if sql[i] == "'":
+                    break
+                i += 1
+            i += 1
+        elif ch in "\"`":
+            j = sql.find(ch, i + 1)
+            i = n if j == -1 else j + 1
+        elif ch in "()":
+            depth += 1 if ch == "(" else -1
+            i += 1
+        elif (
+            depth == 0
+            and sql[i : i + 7].upper() == "QUALIFY"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and (i + 7 == n or not (sql[i + 7].isalnum() or sql[i + 7] == "_"))
+        ):
+            q_start, q_end = i, i + 7
+            break
+        else:
+            i += 1
+    if q_start == -1:
+        return sql
+    head = sql[:q_start].rstrip().rstrip(";")
+    rest = sql[q_end:]
+    # the predicate runs until a top-level ORDER BY / LIMIT (those move to
+    # the outer query), or the end of the statement
+    tail_at = len(rest)
+    i, depth = 0, 0
+    while i < len(rest):
+        ch = rest[i]
+        if ch == "'":
+            i += 1
+            while i < len(rest) and rest[i] != "'":
+                i += 1
+            i += 1
+        elif ch in "()":
+            depth += 1 if ch == "(" else -1
+            i += 1
+        elif depth == 0 and (
+            rest[i : i + 8].upper() == "ORDER BY" or rest[i : i + 5].upper() == "LIMIT"
+        ):
+            tail_at = i
+            break
+        else:
+            i += 1
+    pred = rest[:tail_at].strip().rstrip(";")
+    tail = rest[tail_at:].strip().rstrip(";")
+    return f"SELECT * FROM ({head}) _qualify WHERE {pred}" + (f" {tail}" if tail else "")
 
 
 def _normalize_mssql(sql: str) -> str:

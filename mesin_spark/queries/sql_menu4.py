@@ -273,3 +273,36 @@ def q_quality_checks(spark, sf_dir):
             check("volume_at_least_100", c("n_rows"), c("n_rows") >= 100)
         )
     )
+
+
+@query(
+    "q_qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 2
+    """,
+)
+def q_qualify(spark, sf_dir):
+    """QUALIFY clause (Teradata/duckdb/snowflake/bigquery dialect): filter
+    on a window alias without a subquery. Spark has no QUALIFY; the
+    dialect normalizer rewrites the top-level clause into the wrapped
+    subquery + outer WHERE (context._rewrite_qualify), which plans to the
+    same single window shuffle + filter. The oracle runs DuckDB's NATIVE
+    QUALIFY on the identical text — the rewrite must agree with a real
+    implementation."""
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(dialect="duckdb", spark=spark)
+    ctx.register_parquet("orders", f"{sf_dir}/orders.parquet")
+    return ctx.execute(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+        QUALIFY rn <= 2
+        """
+    )

@@ -257,3 +257,59 @@ def test_normalize_dialect_untouched_when_plain(spark):
         assert nd(s, "postgres") == s
 
     check()
+
+
+class TestQualifyRewrite:
+    def test_basic(self):
+        from mesin_spark.context import _rewrite_qualify
+
+        out = _rewrite_qualify("SELECT a, rn FROM t QUALIFY rn = 1")
+        assert out == "SELECT * FROM (SELECT a, rn FROM t) _qualify WHERE rn = 1"
+
+    def test_order_and_limit_move_outside(self):
+        from mesin_spark.context import _rewrite_qualify
+
+        out = _rewrite_qualify(
+            "SELECT a, rn FROM t QUALIFY rn <= 2 ORDER BY a LIMIT 5"
+        )
+        assert out == (
+            "SELECT * FROM (SELECT a, rn FROM t) _qualify "
+            "WHERE rn <= 2 ORDER BY a LIMIT 5"
+        )
+
+    def test_literal_and_identifier_untouched(self):
+        from mesin_spark.context import _rewrite_qualify
+
+        s = "SELECT 'we QUALIFY leads' AS tag, \"QUALIFY\" FROM t"
+        assert _rewrite_qualify(s) == s
+
+    def test_subquery_qualify_untouched(self):
+        from mesin_spark.context import _rewrite_qualify
+
+        s = "SELECT * FROM (SELECT a FROM t QUALIFY rn = 1) x"
+        assert _rewrite_qualify(s) == s
+
+    def test_word_boundary(self):
+        from mesin_spark.context import _rewrite_qualify
+
+        s = "SELECT qualify_flag FROM t WHERE disqualify = 1"
+        assert _rewrite_qualify(s) == s
+
+    def test_end_to_end_execute(self, spark):
+        from mesin_spark.context import ExecutionContext
+        from tests.conftest import SF_DIR
+
+        ctx = ExecutionContext(dialect="snowflake", spark=spark)
+        ctx.register_parquet("orders_q", f"{SF_DIR}/orders.parquet")
+        rows = ctx.execute(
+            """
+            SELECT o_custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC) AS rn
+            FROM orders_q
+            QUALIFY rn = 1
+            """
+        ).collect()
+        assert rows
+        assert all(r["rn"] == 1 for r in rows)
+        assert len({r["o_custkey"] for r in rows}) == len(rows)
