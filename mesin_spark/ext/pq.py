@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from mesin_spark.ext.similarity import _l2_rows
 from mesin_spark.functions import stable_round as R
 
-__all__ = ["pq_codebooks", "pq_encode", "pq_topk"]
+__all__ = ["pq_codebooks", "pq_encode", "pq_topk", "ivfpq_topk"]
 
 
 def _kmeans_euclid(X: np.ndarray, k: int, n_iter: int, rng) -> np.ndarray:
@@ -154,6 +154,58 @@ def pq_topk(
             F.transform(
                 "codes", lambda c, j: F.element_at(flat, j * k + c + 1)
             ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("approx_sim"),
+    )
+    return scored.select(
+        id_col, R(F.col("approx_sim"), 6).alias("approx_sim")
+    ).orderBy(
+        F.col("approx_sim").desc_nulls_last(), F.col(id_col).asc_nulls_last()
+    ).limit(topk)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    topk: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full FAISS IVF-PQ composition: coarse-quantize the corpus into
+    ``n_list`` IVF lists, PQ-compress every vector to ``m`` codes, then
+    answer a query by probing its ``n_probe`` nearest lists and ADC-ranking
+    ONLY those candidates — the two prunings multiply: the scan touches
+    n_probe/n_list of the rows and reads codes instead of floats. At scale
+    the corpus is written partitioned by ``ivf_list`` with the codes
+    column, so the probe filter is partition pruning and raw embeddings
+    never leave storage. Returns (id, approx_sim)."""
+    import numpy as np
+
+    from mesin_spark.ext.similarity import ivf_assign, ivf_centroids
+
+    C = ivf_centroids(emb, n_list, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = [int(i) for i in np.argsort(-(C @ qn))[:n_probe]]
+
+    B = pq_codebooks(emb, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    dsub = B.shape[2]
+    lut = np.einsum("jkd,jd->jk", B, qn.reshape(m, dsub))
+    flat = F.array(*[F.lit(float(v)) for v in lut.reshape(-1)])
+
+    assigned = emb.withColumn("ivf_list", ivf_assign(C, vec_col)).withColumn(
+        "codes", pq_encode(B, vec_col)
+    )
+    cands = assigned.filter(F.col("ivf_list").isin(probe))
+    scored = cands.select(
+        F.col(id_col),
+        F.aggregate(
+            F.transform("codes", lambda c, j: F.element_at(flat, j * k + c + 1)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("approx_sim"),

@@ -152,3 +152,14 @@ def q_bpe_train(spark, sf_dir):
         ],
         "rank int, left string, right string, merged string, pair_count long",
     )
+
+
+@query("q_ivfpq_ann")  # rows-only: seeded trainers have no SQL mirror
+def q_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ ANN top-10 (the full FAISS composition): probe the 4 nearest
+    of 16 coarse lists, ADC-rank only those candidates over m=8 PQ codes.
+    Scan cost = (n_probe/n_list) x codes-width — both prunings multiply.
+    Recall vs the exact scan asserted in tests/test_llm4_ops.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return PQ.ivfpq_topk(emb, qvec, topk=10, n_list=16, n_probe=4, m=8, k=16)

@@ -205,3 +205,21 @@ def test_bpe_encode_words_roundtrip(spark):
     enc = {r["word"]: r["pieces"] for r in encode_words(words, merges).collect()}
     for w, pieces in enc.items():
         assert "".join(pieces) == w  # lossless
+
+
+def test_ivfpq_recall_and_pruning(spark):
+    from mesin_spark.ext.pq import ivfpq_topk
+    from mesin_spark.ext.similarity import brute_force_topk
+    from mesin_spark.queries import T
+
+    emb = T(spark, SF_DIR, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"] for r in ivfpq_topk(emb, qvec, topk=10).collect()
+    ]
+    assert 0 in approx  # query vector is in its own probed list
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"IVF-PQ recall@10 too low: {recall}"
