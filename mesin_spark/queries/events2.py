@@ -323,3 +323,49 @@ def q_scd2(spark, sf_dir):
         F.unix_timestamp(F.lead("ts").over(cwin)).alias("valid_to"),
         F.lead("ts").over(cwin).isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_event_pattern",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(left(event_type, 1), '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT) AS n_patterns
+    FROM seq
+    WHERE len(regexp_extract_all(s, 'vc*p')) > 0
+    """,
+)
+def q_event_pattern(spark, sf_dir):
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): each user's
+    event stream becomes an ordered symbol string (first letter of
+    event_type), and the pattern `view (click)* purchase` is counted as
+    the regex ``vc*p`` — non-overlapping matches, exactly the
+    MATCH_RECOGNIZE ONE ROW PER MATCH semantics for this pattern. One
+    groupBy(user) shuffle builds the string; the regex runs map-side.
+    At 100 TB per-user sequences are bounded (sessions), so the
+    collect_list stays cell-sized — the standard symbolization trick for
+    pattern queries Spark lacks natively."""
+    ev = T(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("s")
+    )
+    counted = seq.select(
+        "user_id", F.regexp_count("s", F.lit("vc*p")).cast("long").alias("n_patterns")
+    )
+    return counted.filter(F.col("n_patterns") > 0)

@@ -83,3 +83,23 @@ def test_scd2_intervals_contiguous(spark):
             assert not a["is_current"]
         assert user_rows[-1]["is_current"]
         assert user_rows[-1]["valid_to"] is None
+
+
+def test_event_pattern_matches_brute_force(spark):
+    """q_event_pattern counts non-overlapping `view (click)* purchase`
+    runs per user. Re-derive each user's symbol string with DuckDB and
+    count with Python's regex engine — the counts must agree exactly."""
+    import re
+
+    import duckdb
+
+    rows = {r["user_id"]: r["n_patterns"] for r in _rows(spark, "q_event_pattern")}
+    seqs = duckdb.sql(
+        "SELECT user_id, string_agg(left(event_type, 1), '' ORDER BY ts, event_id)"
+        f" FROM '{SF_DIR}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    expected = {
+        uid: len(re.findall("vc*p", s)) for uid, s in seqs if re.search("vc*p", s)
+    }
+    assert rows == expected
+    assert len(expected) > 0

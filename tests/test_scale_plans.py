@@ -177,3 +177,59 @@ def test_gapfill_broadcasts_spine(spark):
     # shuffle is the hourly aggregate
     assert "Broadcast" in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_span_removal_no_cartesian_no_python(spark):
+    """The ExactSubstr path must stay keyed joins: no CartesianProduct,
+    no Python eval anywhere, and the ownership aggregate is partial+final
+    on the shingle hash."""
+    from mesin_spark.queries.llm4 import q_span_removal
+
+    plan = physical(q_span_removal(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_funnel_broadcasts_stage_frames(spark):
+    """Funnel stages join shrinking per-user frames back to filtered event
+    scans — the stage side must broadcast, never shuffle the fact twice."""
+    from mesin_spark.queries.events2 import q_funnel
+
+    plan = physical(q_funnel(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange_for_three_windows(spark):
+    """Change detection (lag), versioning (row_number) and interval close
+    (lead) share the user_id partitioning: exactly ONE hashpartitioning
+    exchange on user_id in the plan."""
+    from mesin_spark.queries.events2 import q_scd2
+
+    plan = physical(q_scd2(spark, SF_DIR))
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(exchanges) == 1, f"expected 1 user_id exchange, got {len(exchanges)}"
+
+
+def test_agg_filter_single_scan_single_aggregate_pair(spark):
+    """All FILTERed aggregates must plan into one scan — no self-join
+    fan-out (the filtered-DISTINCT adds its own expand, not a re-scan)."""
+    from mesin_spark.queries.sql_menu4 import q_agg_filter
+
+    plan = physical(q_agg_filter(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_pq_adc_scan_fuses_to_take_ordered(spark):
+    """PQ query-time ranking: ADC sums over the codes column fuse into
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus."""
+    from mesin_spark.queries.llm4 import q_pq_ann
+
+    df = q_pq_ann(spark, SF_DIR)
+    plan = physical(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
