@@ -31,13 +31,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events table (schema pinned from a
     batch read — streaming sources never infer).
 
-    events.ts is parquet TIMESTAMP(NANOS): read as raw nanos (legacy
-    nanosAsLong conf) and convert to a µs timestamp inside the stream.
-    Unlike the batch reader (sources.read_parquet, which saves/restores the
-    conf around the one-shot read), a stream consults the conf on every
-    micro-batch file read, so it must stay set for the stream's lifetime —
-    it is left set session-wide here, the documented cost of streaming over
-    ns-typed files."""
+    The ts column normalizes to TIMESTAMP (LTZ) whatever the file stores:
+
+    - parquet TIMESTAMP(NANOS): read as raw nanos (legacy nanosAsLong
+      conf) and div-1000 to µs inside the stream. Unlike the batch reader
+      (sources.read_parquet, which saves/restores the conf around the
+      one-shot read), a stream consults the conf on every micro-batch file
+      read, so it stays set for the stream's lifetime — the documented
+      cost of streaming over ns-typed files;
+    - parquet µs with isAdjustedToUTC=false: surfaces as TIMESTAMP_NTZ,
+      which watermarks/window arithmetic reject against LTZ operands —
+      cast (value-preserving under the pinned UTC session timezone).
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source lists a *directory*; glob-filter to the events
@@ -49,7 +56,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=schema,
         path_glob_filter="events.parquet",
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(

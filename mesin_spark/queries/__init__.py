@@ -50,11 +50,13 @@ def query(name: str, oracle: str | None = None):
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table. Partition-friendly: plain parquet read —
-    Catalyst handles predicate pushdown + column pruning downstream."""
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one testdata table through the robust source reader (ns
+    timestamps → µs, NTZ → LTZ under the UTC session) — plain parquet
+    underneath, so Catalyst predicate pushdown + column pruning still
+    reach the scan."""
+    from mesin_spark.sources import read_parquet
+
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,7 +56,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     execution (verified: count() after restore yields the long-typed read)."""
     ns_cols = _nanos_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ntz_to_ltz(spark.read.parquet(path))
     prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -70,6 +70,22 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # integer division (`div`), not `/1000` — the double round-trip is
         # off by 1µs at 10^18-nano magnitudes
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _ntz_to_ltz(df)
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ). Parquet µs timestamps
+    with isAdjustedToUTC=false surface as NTZ, which half the timestamp
+    function surface (unix_micros, window vs current_timestamp, stream
+    watermarks) rejects in binary ops against LTZ. The session timezone is
+    pinned to UTC (session.py), so the cast is value-preserving: the naive
+    wall-clock IS the UTC instant, matching what DuckDB computes on the
+    same files."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
