@@ -682,3 +682,454 @@ def q_tpch_q22(spark, sf_dir):
         )
         .orderBy(F.col("cntrycode").asc_nulls_last())
     )
+
+
+@query(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    elig AS (
+        SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name, supplycost,
+               min(supplycost) OVER (PARTITION BY l_partkey) AS best
+        FROM cost
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT {sr('s_acctbal', 2)} AS s_acctbal, s_name, n_name,
+           p_partkey, {sr('supplycost', 4)} AS supplycost
+    FROM elig JOIN part ON l_partkey = p_partkey
+    WHERE supplycost = best AND p_size <= 15 AND p_type = 'SMALL'
+    ORDER BY s_acctbal DESC NULLS LAST, n_name ASC NULLS LAST,
+             s_name ASC NULLS LAST, p_partkey ASC NULLS LAST
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier (adapted: the schema has no partsupp
+    table, so supply cost derives from lineitem as each (part, supplier)
+    pair's minimum observed unit price — the correlated-MIN-subquery shape
+    is the point and is preserved exactly).
+
+    Scale plan: the (part,supplier) cost table aggregates fact-side (one
+    shuffle on the pair key); supplier/nation/region broadcast; the
+    per-part minimum is a window over the partkey shuffle (no second
+    self-join); only the filtered part slice broadcasts into the probe."""
+    from pyspark.sql import Window as W
+
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                             "l_extendedprice", "l_quantity")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = (
+        T(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    elig = (
+        cost.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("best", F.min("supplycost").over(W.partitionBy("l_partkey")))
+    )
+    return (
+        elig.filter(F.col("supplycost") == F.col("best"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            R(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            R(F.col("supplycost"), 4).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc_nulls_last(),
+            F.col("n_name").asc_nulls_last(),
+            F.col("s_name").asc_nulls_last(),
+            F.col("p_partkey").asc_nulls_last(),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    SELECT n_name AS nation, o_year, {sr('sum(amount)', 2)} AS sum_profit
+    FROM (
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY n_name, o_year
+    ORDER BY nation ASC NULLS LAST, o_year DESC NULLS LAST
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit (adapted: no partsupp, so unit cost is
+    0.6 * p_retailprice instead of ps_supplycost — the LIKE-filtered
+    5-way join + nation/year profit rollup shape is unchanged).
+
+    Scale plan: the part LIKE filter cannot push to parquet as a range but
+    prunes before the join; part/supplier/nation broadcast; lineitem⋈orders
+    is the single fact-fact shuffle; one partial/final agg pair."""
+    part = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nat = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(R(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy(F.col("nation").asc_nulls_last(), F.col("o_year").desc_nulls_last())
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH v AS (
+        SELECT l_partkey,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                        AS BIGINT)) AS pennies
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey, pennies / 100.0 AS val
+    FROM v
+    WHERE pennies * 1000 > (SELECT sum(pennies) FROM v)
+    ORDER BY val DESC NULLS LAST, ps_partkey ASC NULLS LAST
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock (adapted: no partsupp, so a part's held
+    value is the revenue shipped by NATION_7 suppliers; the
+    HAVING-against-a-scalar-fraction-of-total subquery is preserved).
+
+    Per-row revenue quantizes to integer pennies (the stable_round
+    formula, floor(x*100+0.5)) and aggregates as BIGINT, so the 0.1%%
+    threshold comparison is integer-exact in both engines — a double
+    sum's ulp jitter could otherwise flip rows on the boundary.
+
+    Scale plan: supplier/nation broadcast; one shuffle on partkey; the
+    grand total is a 1-row re-aggregation of the per-part frame (computed
+    once, broadcast into the filter) — not a second fact scan."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey",
+                                             "l_extendedprice", "l_discount")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (
+        T(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    pennies = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("long")
+    v = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(pennies).alias("pennies"))
+    )
+    thresh = v.agg(F.sum("pennies").alias("total_pennies"))
+    return (
+        v.crossJoin(F.broadcast(thresh))
+        .filter(F.col("pennies") * 1000 > F.col("total_pennies"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            (F.col("pennies") / 100.0).alias("val"),
+        )
+        .orderBy(F.col("val").desc_nulls_last(), F.col("ps_partkey").asc_nulls_last())
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l_linestatus AS shipclass,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY shipclass ASC NULLS LAST
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping modes and order priority (adapted: the schema
+    has no l_shipmode/l_commitdate/l_receiptdate, so the class column is
+    l_linestatus and 'late' means shipped >60 days after the order date —
+    the join + dual conditional-count shape is unchanged).
+
+    Scale plan: the shipdate year filter pushes to the parquet scan; the
+    late predicate (two-table columns) evaluates in the join stage;
+    lineitem⋈orders is the one shuffle (bucketing both on orderkey would
+    remove it); counts are map-side partial."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                               "o_orderpriority")
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("shipclass"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy(F.col("shipclass").asc_nulls_last())
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC NULLS LAST, p_brand ASC NULLS LAST,
+             p_type ASC NULLS LAST, p_size ASC NULLS LAST
+    """,
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship (adapted: part-supplier pairs
+    come from DISTINCT lineitem instead of partsupp, and the excluded
+    suppliers are those with negative balances instead of complaint
+    comments — NOT IN + distinct-count-per-attribute shape unchanged).
+
+    Scale plan: the distinct pair projection is the one fact shuffle; the
+    exclusion list (filtered supplier) is a broadcast anti-join, never a
+    per-row subquery; the filtered part slice broadcasts; count(DISTINCT)
+    re-shuffles only the already-deduped pairs."""
+    pairs = (
+        T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    bad = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    return (
+        pairs.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                   "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc_nulls_last(),
+            F.col("p_brand").asc_nulls_last(),
+            F.col("p_type").asc_nulls_last(),
+            F.col("p_size").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+        GROUP BY l_partkey, l_suppkey
+    ),
+    dominant AS (
+        SELECT l_suppkey FROM (
+            SELECT l_suppkey, sq,
+                   sum(sq) OVER (PARTITION BY l_partkey) AS tq
+            FROM q
+        ) WHERE sq > 0.5 * tq
+    )
+    SELECT s_name, {sr('s_acctbal', 2)} AS s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+    ORDER BY s_name ASC NULLS LAST
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 potential part promotion (adapted: no partsupp/availqty,
+    so the threshold test becomes 'this supplier shipped more than half of
+    the part's 1996 volume' — nested IN-subqueries over a quantity
+    aggregate, as in the original).
+
+    Quantities sum as DECIMAL(18,2) so the 50%-share comparison is exact
+    in both engines. Scale plan: the part LIKE slice broadcasts into a
+    semi-join BEFORE the quantity aggregation (fact rows for other parts
+    never shuffle); the share test is a window over the same partkey
+    shuffle; the dominant-supplier set is a broadcast semi-join against
+    the supplier dimension."""
+    from pyspark.sql import Window as W
+
+    part = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    q = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sq")
+    )
+    dominant = (
+        q.withColumn("tq", F.sum("sq").over(W.partitionBy("l_partkey")))
+        .filter(F.col("sq") > F.lit(0.5) * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
+        .select("s_name", R(F.col("s_acctbal"), 2).alias("s_acctbal"))
+        .orderBy(F.col("s_name").asc_nulls_last())
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    WITH waiting AS (
+        SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM waiting
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY s_name
+    ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: 'late' means
+    shipped >90 days after the order date instead of receipt-past-commit).
+    The oracle keeps the original EXISTS / NOT-EXISTS double self-join;
+    the Spark plan is the decorrelated rewrite — per-order supplier and
+    late-supplier distinct counts computed ONCE, then a filter
+    (n_supp >= 2 AND n_late_supp = 1) — because two correlated self-joins
+    of the fact table is exactly the plan that dies at 100 TB.
+
+    Scale plan: lineitem⋈orders('F') is one shuffle on orderkey; both
+    distinct counts ride the same orderkey aggregation; supplier/nation/
+    region broadcast at the end over the (small) waiting set."""
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiting = (
+        lo.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc_nulls_last(), F.col("s_name").asc_nulls_last())
+        .limit(100)
+    )
