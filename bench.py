@@ -32,6 +32,8 @@ HEADLINE = [
     "q_tpch_q3",          # TPC-H Q3: 3-way join + agg + top-10
     "q_tpch_q5",          # TPC-H Q5: 6-way join, broadcast dims
     "q_tpch_q18",         # TPC-H Q18: semi-join on grouped HAVING + re-agg
+    "q_tpch_q9",          # TPC-H Q9: 5-way join, LIKE-filtered dim, profit rollup
+    "q_tpch_q21",         # TPC-H Q21: decorrelated EXISTS/NOT-EXISTS (waiting suppliers)
     "q_groupby",          # grouped aggregate
     "q_join_3way",        # fact-dim join chain (broadcast dims)
     "q_join_semi",        # semi join (IN-subquery shape)

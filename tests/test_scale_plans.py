@@ -233,3 +233,61 @@ def test_pq_adc_scan_fuses_to_take_ordered(spark):
     plan = physical(df)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_tpch_q2_no_cartesian_all_dims_broadcast(spark):
+    """Q2's per-part minimum must ride the window over the partkey
+    shuffle — no second self-join of the cost table, no cartesian, and
+    supplier/nation/region/part all broadcast."""
+    from mesin_spark.queries.tpch import q_tpch_q2
+
+    plan = physical(q_tpch_q2(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_tpch_q9_single_fact_fact_shuffle(spark):
+    """Q9's only shuffle join is lineitem⋈orders; part/supplier/nation
+    broadcast, so exactly one join keys on a sort-merge/shuffle side."""
+    from mesin_spark.queries.tpch import q_tpch_q9
+
+    plan = physical(q_tpch_q9(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q12_shipdate_filter_pushed(spark):
+    """Q12's shipdate year range must reach the parquet scan even through
+    the NTZ→LTZ source cast (Spark unwraps the cast in the comparison)."""
+    from mesin_spark.queries.tpch import q_tpch_q12
+
+    plan = physical(q_tpch_q12(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or (
+        "GreaterThanOrEqual(l_shipdate" in plan
+    )
+
+
+def test_tpch_q16_exclusion_is_broadcast_anti_join(spark):
+    """Q16's NOT IN must plan as a broadcast anti-join against the
+    filtered supplier slice — never a per-row subquery or shuffle."""
+    from mesin_spark.queries.tpch import q_tpch_q16
+
+    plan = physical(q_tpch_q16(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q21_decorrelated_two_fact_scans_max(spark):
+    """Q21's EXISTS/NOT-EXISTS pair decorrelates to per-order aggregates:
+    lineitem may scan at most twice (once per branch of the reused
+    join), never the 3+ scans of a naive double self-join, and no
+    nested-loop join anywhere."""
+    from mesin_spark.queries.tpch import q_tpch_q21
+
+    plan = physical(q_tpch_q21(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    li_scans = len(re.findall(r"FileScan parquet.*lineitem", plan))
+    assert li_scans <= 2, f"expected <=2 lineitem scans, got {li_scans}"
