@@ -581,3 +581,41 @@ def ngram_jaccard_pairs(
         pairs.select("id_a", "id_b", R(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def suppress_lower_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Greedy pairwise suppression: given near-duplicate pairs
+    (``id_a`` < ``id_b``) and a per-document quality score, drop the
+    lower-quality endpoint of every pair (ties break to the higher id, so
+    the earliest-ingested copy survives). Returns the surviving rows of
+    ``docs``.
+
+    This is the canonical-selection step real dedup filters run after
+    candidate generation — unlike min-id clustering (dedup_clusters), the
+    kept document is the BEST copy, not an arbitrary one. Pairwise (not
+    transitive): a mid-quality doc paired with both a better and a worse
+    copy is still dropped. Scale shape: two broadcast-ready joins of the
+    (small) pair set against the quality projection, one distinct on the
+    loser ids, one anti-join back — the corpus itself never self-joins."""
+    q = docs.select(F.col(id_col), F.col(quality_col))
+    qa = q.select(F.col(id_col).alias("id_a"), F.col(quality_col).alias("_qa"))
+    qb = q.select(F.col(id_col).alias("id_b"), F.col(quality_col).alias("_qb"))
+    losers = (
+        pairs.join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            F.when(F.col("_qa") < F.col("_qb"), F.col("id_a"))
+            .when(F.col("_qb") < F.col("_qa"), F.col("id_b"))
+            .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+            .alias("_loser")
+        )
+        .distinct()
+    )
+    return docs.join(
+        losers, F.col(id_col) == F.col("_loser"), "left_anti"
+    )

@@ -253,3 +253,28 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global training shuffle: every row gets a pseudorandom
+    shard in [0, n_shards) and a dense position within its shard, both pure
+    functions of the id (Knuth mix — portable exact-int arithmetic, so the
+    order is reproducible in any engine and stable under re-runs).
+
+    This is the corpus-order randomizer in front of sequence packing: a
+    training job reads shard files in pos order and sees a uniform shuffle
+    without any global sort. One hash-partition window shuffle on the
+    shard key; each shard numbers independently (n_shards-way parallel) —
+    no single-task global row_number bottleneck at 100 TB."""
+    from mesin_spark.functions import mul_mod32
+
+    hkey = F.pmod(mul_mod32(F.col(id_col), _KNUTH), F.lit(_MOD32))
+    out = df.withColumn("_h", hkey).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")

@@ -79,30 +79,33 @@ def load_all() -> None:
 
     Registration order == the driver's certification order, and the driver
     runs under a wall-clock budget (round 1 stopped after the first 50
-    entries). Modules whose queries have no CORRECTNESS row yet register
-    FIRST — cheap relational/setop/window/join/subquery queries up front,
-    then TPC-H, then the heavier llm/dedup/streaming tier, and finally the
-    modules the round-1 driver already certified green.
+    entries). Cheapest queries register FIRST so a budget cutoff certifies
+    the maximum count: sub-second relational/setop/window/join/subquery/
+    function/aggregate queries, then TPC-H and the SQL-surface menus, then
+    event analytics and storage (writes), and last the llm/dedup/ANN/
+    streaming tier whose Arrow-UDF cold starts and stream drives dominate
+    per-query wall time (sf0.01 profile: first ~170 queries ≈ 90s, llm
+    tier ≈ 110s).
     """
     from mesin_spark.queries import (  # noqa: F401
-        events2,
-        storage,
-        llm4,
-        sql_menu4,
-        sql_menu3,
-        connectors,
-        llm3,
-        llm2,
-        sql_menu2,
         relational,
         setops,
         subqueries,
         windows,
         joins,
-        tpch,
-        llm,
-        aggregates,
-        dml,
-        events,
         functions_menu,
+        aggregates,
+        tpch,
+        sql_menu2,
+        sql_menu3,
+        sql_menu4,
+        events,
+        events2,
+        connectors,
+        storage,
+        dml,
+        llm3,
+        llm2,
+        llm,
+        llm4,
     )

@@ -118,3 +118,95 @@ def q_random_projection(spark, sf_dir):
         ),
     )
     return T(spark, sf_dir, "embeddings").select("vec_id", proj.alias("proj"))
+
+
+@query(
+    "q_shuffle_shards",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hkey
+        FROM documents
+    )
+    SELECT doc_id, CAST(hkey % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hkey % 8
+                                   ORDER BY hkey ASC, doc_id ASC) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global training shuffle: pseudorandom shard + dense
+    in-shard position from a portable Knuth id-mix (ext.pipeline.
+    shuffle_shards). The training reader consumes shards in pos order and
+    sees a uniform corpus shuffle with NO global sort — one window
+    shuffle on the shard key, shards numbered independently."""
+    from mesin_spark.ext.pipeline import shuffle_shards
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(d, "doc_id", n_shards=8)
+
+
+_QUALITY_SQL = """floor((0.4 * least(len(tk) / 100.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN len(tk) > 0
+                 THEN len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(tk)
+                 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN len(tk) > 0
+                 THEN list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+                 ELSE 0.0 END) / 8.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0"""
+
+
+@query(
+    "q_dedup_suppress",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents
+    ),
+    base AS (SELECT doc_id, source, tk FROM t WHERE len(tk) >= 2),
+    toks AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 1, 1) + 1),
+                   i -> tk[i] || ' ' || tk[i + 1]
+               )) AS g
+        FROM base
+    ),
+    q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM base),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(list_concat(a.g, b.g))) >= 0.2
+    ),
+    losers AS (
+        SELECT DISTINCT CASE WHEN qa.quality < qb.quality THEN p.id_a
+                             WHEN qb.quality < qa.quality THEN p.id_b
+                             ELSE greatest(p.id_a, p.id_b) END AS doc_id
+        FROM pairs p
+        JOIN q qa ON qa.doc_id = p.id_a
+        JOIN q qb ON qb.doc_id = p.id_b
+    )
+    SELECT q.doc_id, q.quality
+    FROM q
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def q_dedup_suppress(spark, sf_dir):
+    """Quality-aware dedup canonicalization: n-gram Jaccard near-dup pairs
+    (the q_dedup_ngram candidate generator), then drop the LOWER-quality
+    endpoint of every pair (ext.dedup.suppress_lower_quality) — the keep-
+    best-copy selection real cleanup pipelines run, vs min-id clustering's
+    arbitrary survivor. Fully oracle-checked: pair generation, the quality
+    formula, and the suppression rule are all exact closed forms."""
+    from mesin_spark.ext import dedup as D
+    from mesin_spark.ext import text as TX
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(TX.token_count("text") >= 2)
+        .select("doc_id", "source", "text")
+    )
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", block_col="source", n=2,
+                                  threshold=0.2)
+    scored = docs.select("doc_id", TX.quality_score("text").alias("quality"))
+    return D.suppress_lower_quality(scored, pairs, "doc_id", "quality")

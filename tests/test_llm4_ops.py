@@ -223,3 +223,67 @@ def test_ivfpq_recall_and_pruning(spark):
     assert 0 in approx  # query vector is in its own probed list
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.3, f"IVF-PQ recall@10 too low: {recall}"
+
+
+# -- shuffle_shards -----------------------------------------------------
+def test_shuffle_shards_dense_positions_and_determinism(spark):
+    from mesin_spark.ext.pipeline import shuffle_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    out = shuffle_shards(docs, "doc_id", n_shards=8).collect()
+    assert len(out) == 1000
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # every id lands in exactly one of 8 shards; positions are dense 1..n
+    assert set(by_shard) <= set(range(8))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # roughly balanced (uniform hash): no shard more than 2x the mean
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 2 * (1000 // 8)
+    # deterministic: identical assignment on re-run
+    out2 = shuffle_shards(docs, "doc_id", n_shards=8).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out2
+    }
+
+
+def test_shuffle_shards_not_id_ordered(spark):
+    """The in-shard order must be a genuine shuffle, not id order."""
+    from mesin_spark.ext.pipeline import shuffle_shards
+
+    docs = spark.createDataFrame([(i,) for i in range(1000)], ["doc_id"])
+    rows = shuffle_shards(docs, "doc_id", n_shards=1).orderBy("pos").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids != sorted(ids)
+
+
+# -- suppress_lower_quality ---------------------------------------------
+def test_suppress_drops_lower_quality_endpoint(spark):
+    from mesin_spark.ext.dedup import suppress_lower_quality
+
+    docs = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.7), (4, 0.7), (10, 0.1)],
+        ["doc_id", "quality"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], ["id_a", "id_b"]
+    )
+    kept = {r["doc_id"] for r in suppress_lower_quality(docs, pairs).collect()}
+    # (1,2): 2 has lower quality -> dropped; (3,4): tie -> higher id 4 dropped
+    # 10 is in no pair -> survives
+    assert kept == {1, 3, 10}
+
+
+def test_suppress_mid_quality_doc_paired_both_ways_is_dropped(spark):
+    """Pairwise (not transitive): a doc losing ANY pair is dropped even if
+    it wins another."""
+    from mesin_spark.ext.dedup import suppress_lower_quality
+
+    docs = spark.createDataFrame(
+        [(1, 0.9), (2, 0.5), (3, 0.2)], ["doc_id", "quality"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = {r["doc_id"] for r in suppress_lower_quality(docs, pairs).collect()}
+    assert kept == {1}
