@@ -182,14 +182,21 @@ def purchase_click_join(
     )
 
 
-def enrich_with_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, on: str, broadcast: bool = True
+) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     (re-read) static side — no watermark and no state store needed on
     either side, because the static relation is complete at every trigger.
-    Spark broadcasts the dim per batch when it's small: THE pattern for
-    attaching reference data (user tier, geo, model-version routing) to an
-    event stream at scale."""
-    return stream.join(F.broadcast(dim), on)
+    THE pattern for attaching reference data (user tier, geo,
+    model-version routing) to an event stream at scale.
+
+    ``broadcast=True`` (default) hints the dim side — right for the
+    dimension-sized tables this is meant for. Pass ``broadcast=False``
+    for an unbounded enrichment side (e.g. a billion-row user table):
+    the per-batch planner then picks the join strategy itself instead of
+    being forced into an OOM-sized broadcast."""
+    return stream.join(F.broadcast(dim) if broadcast else dim, on)
 
 
 # -- source/sink abstraction ----------------------------------------------

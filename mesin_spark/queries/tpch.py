@@ -830,19 +830,24 @@ def q_tpch_q9(spark, sf_dir):
     )
     SELECT l_partkey AS ps_partkey, pennies / 100.0 AS val
     FROM v
-    WHERE pennies * 1000 > (SELECT sum(pennies) FROM v)
+    WHERE pennies * (SELECT count(*) FROM v) > 2 * (SELECT sum(pennies) FROM v)
     ORDER BY val DESC NULLS LAST, ps_partkey ASC NULLS LAST
     """,
 )
 def q_tpch_q11(spark, sf_dir):
     """TPC-H Q11 important stock (adapted: no partsupp, so a part's held
     value is the revenue shipped by NATION_7 suppliers; the
-    HAVING-against-a-scalar-fraction-of-total subquery is preserved).
+    HAVING-against-a-scalar-aggregate subquery is preserved). The cut is
+    mean-relative (value > 2x the per-part average) rather than the
+    original's fixed fraction of the total, so the selectivity is
+    scale-free: a fixed 0.1%%-of-total cut returns 0 rows as soon as the
+    part count grows 10x.
 
     Per-row revenue quantizes to integer pennies (the stable_round
-    formula, floor(x*100+0.5)) and aggregates as BIGINT, so the 0.1%%
-    threshold comparison is integer-exact in both engines — a double
-    sum's ulp jitter could otherwise flip rows on the boundary.
+    formula, floor(x*100+0.5)) and aggregates as BIGINT; the comparison
+    cross-multiplies (pennies*count > 2*total) so it is integer-exact in
+    both engines — a double mean's ulp jitter could otherwise flip rows
+    on the boundary.
 
     Scale plan: supplier/nation broadcast; one shuffle on partkey; the
     grand total is a 1-row re-aggregation of the per-part frame (computed
@@ -864,10 +869,13 @@ def q_tpch_q11(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(pennies).alias("pennies"))
     )
-    thresh = v.agg(F.sum("pennies").alias("total_pennies"))
+    thresh = v.agg(
+        F.sum("pennies").alias("total_pennies"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         v.crossJoin(F.broadcast(thresh))
-        .filter(F.col("pennies") * 1000 > F.col("total_pennies"))
+        .filter(F.col("pennies") * F.col("n_parts") > 2 * F.col("total_pennies"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             (F.col("pennies") / 100.0).alias("val"),
@@ -1092,14 +1100,16 @@ def q_tpch_q21(spark, sf_dir):
     """TPC-H Q21 suppliers who kept orders waiting (adapted: 'late' means
     shipped >90 days after the order date instead of receipt-past-commit).
     The oracle keeps the original EXISTS / NOT-EXISTS double self-join;
-    the Spark plan is the decorrelated rewrite — per-order supplier and
-    late-supplier distinct counts computed ONCE, then a filter
-    (n_supp >= 2 AND n_late_supp = 1) — because two correlated self-joins
-    of the fact table is exactly the plan that dies at 100 TB.
+    the Spark plan is the decorrelated rewrite — per-order supplier count
+    and the late-supplier SET computed in one aggregation, then a filter
+    (n_supp >= 2 AND exactly one late supplier) — because two correlated
+    self-joins of the fact table is exactly the plan that dies at 100 TB.
 
-    Scale plan: lineitem⋈orders('F') is one shuffle on orderkey; both
-    distinct counts ride the same orderkey aggregation; supplier/nation/
-    region broadcast at the end over the (small) waiting set."""
+    Scale plan: lineitem⋈orders('F') is ONE scan and one shuffle on
+    orderkey; the late-supplier collect_set is bounded by suppliers-per-
+    order (single digits), so the waiting pairs explode out of the same
+    aggregate with no second fact pass; supplier/nation/region broadcast
+    at the end over the (small) waiting set."""
     orders = (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -1112,14 +1122,11 @@ def q_tpch_q21(spark, sf_dir):
     )
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supps"),
     )
     waiting = (
-        lo.filter(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        per_order.filter((F.col("n_supp") >= 2) & (F.size("late_supps") == 1))
+        .select("l_orderkey", F.explode("late_supps").alias("l_suppkey"))
     )
     supp = T(spark, sf_dir, "supplier")
     nat = T(spark, sf_dir, "nation")

@@ -184,7 +184,7 @@ def test_per_dialect_normalization(spark):
     pg = "SELECT a::INT FROM t"
     for d in ("postgres", "redshift", "duckdb", "sqlite", "generic", "ansi", "snowflake"):
         assert nd(pg, d) == "SELECT CAST(a AS INT) FROM t", d
-    for d in ("hive", "bigquery", "clickhouse"):
+    for d in ("hive", "bigquery", "clickhouse", "mysql"):
         assert nd("SELECT `a col` FROM t", d) == "SELECT `a col` FROM t", d
     assert (
         nd("SELECT TOP 5 [col name] FROM [t] WHERE x = 'TOP 3'", "mssql")

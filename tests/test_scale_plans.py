@@ -277,11 +277,11 @@ def test_tpch_q16_exclusion_is_broadcast_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
-def test_tpch_q21_decorrelated_two_fact_scans_max(spark):
-    """Q21's EXISTS/NOT-EXISTS pair decorrelates to per-order aggregates:
-    lineitem may scan at most twice (once per branch of the reused
-    join), never the 3+ scans of a naive double self-join, and no
-    nested-loop join anywhere."""
+def test_tpch_q21_decorrelated_single_fact_scan(spark):
+    """Q21's EXISTS/NOT-EXISTS pair decorrelates to ONE per-order
+    aggregation (supplier count + bounded late-supplier set), so lineitem
+    scans exactly once — never the 3 scans of a naive double self-join —
+    and no nested-loop join appears anywhere."""
     from mesin_spark.queries.tpch import q_tpch_q21
 
     plan = physical(q_tpch_q21(spark, SF_DIR))
@@ -290,4 +290,4 @@ def test_tpch_q21_decorrelated_two_fact_scans_max(spark):
     import re
 
     li_scans = len(re.findall(r"FileScan parquet.*lineitem", plan))
-    assert li_scans <= 2, f"expected <=2 lineitem scans, got {li_scans}"
+    assert li_scans == 1, f"expected 1 lineitem scan, got {li_scans}"

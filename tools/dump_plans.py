@@ -19,7 +19,7 @@ NOTES = {
     "q_tpch_q5": "all four dimension sides broadcast; single fact shuffle on orderkey",
     "q_tpch_q18": "IN-over-HAVING planned as aggregate + left-semi join; re-aggregation after; top-100 fused",
     "q_tpch_q9": "part LIKE slice + supplier/nation broadcast; lineitem⋈orders the single fact-fact shuffle",
-    "q_tpch_q21": "decorrelated EXISTS/NOT-EXISTS: per-order distinct counts on one orderkey shuffle, <=2 lineitem scans",
+    "q_tpch_q21": "decorrelated EXISTS/NOT-EXISTS: one orderkey aggregation (count + bounded late-set), single lineitem scan",
     "q_join_3way": "fact-fact shuffle join on orderkey; customer broadcast",
     "q_join_semi": "LeftSemi broadcast join (IN-subquery shape)",
     "q_topk": "sort+limit fused to TakeOrderedAndProject: per-partition k-heaps, no global sort",
