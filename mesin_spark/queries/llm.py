@@ -509,7 +509,13 @@ def q_stream_tumbling(spark, sf_dir):
     return STR.run_to_memory(agg, "q_stream_tumbling_out", output_mode="append")
 
 
-@query("q_stream_dedup")  # rows-only: streaming execution path
+@query(
+    "q_stream_dedup",
+    # the streamed result is deterministic and complete (single finite
+    # file -> one micro-batch; event_id is unique so dedup passes every
+    # row through), so the streaming PATH itself is oracle-checked
+    oracle="SELECT event_id, event_type, user_id FROM events",
+)
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup with watermark-bounded state
     (dropDuplicatesWithinWatermark on event_id) — row count must equal the
@@ -561,7 +567,20 @@ def q_stream_session(spark, sf_dir):
     return STR.run_to_memory(agg, "q_stream_session_out", output_mode="append")
 
 
-@query("q_stream_join")  # rows-only: streaming execution path
+@query(
+    "q_stream_join",
+    # stream-stream INNER joins emit eagerly on match (no watermark wait),
+    # so a finite single-batch input yields the complete deterministic
+    # join — checkable against the plain SQL join
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT)
+             - CAST(floor(epoch(p.ts)) AS BIGINT) AS gap_s
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    """,
+)
 def q_stream_join(spark, sf_dir):
     """Stream-stream inner join with two-sided event-time bounds and
     watermarks (clicks within 1h after a purchase, same user) — the state
@@ -578,7 +597,16 @@ def q_stream_join(spark, sf_dir):
     )
 
 
-@query("q_stream_enrich")  # rows-only: streaming execution path
+@query(
+    "q_stream_enrich",
+    # pass-through enrichment: every event emits exactly once in append
+    # mode, so the streamed output equals the batch join
+    oracle="""
+    SELECT event_id, user_id,
+           'segment_' || CAST((user_id % 10) % 3 AS VARCHAR) AS segment
+    FROM events
+    """,
+)
 def q_stream_enrich(spark, sf_dir):
     """Stream-static enrichment: the event stream joins a static segment
     dimension (broadcast per micro-batch, no state store) — the

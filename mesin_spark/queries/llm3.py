@@ -210,3 +210,70 @@ def q_dedup_suppress(spark, sf_dir):
                                   threshold=0.2)
     scored = docs.select("doc_id", TX.quality_score("text").alias("quality"))
     return D.suppress_lower_quality(scored, pairs, "doc_id", "quality")
+
+
+@query(
+    "q_cluster_components",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, source, text FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 1, 1) + 1),
+                   i -> tk[i] || ' ' || tk[i + 1]
+               )) AS g
+        FROM (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> len(t) > 0) AS tk
+            FROM corpus
+        )
+        WHERE len(tk) >= 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(list_concat(a.g, b.g))) >= 0.1
+    ),
+    nodes AS (
+        SELECT DISTINCT id FROM (
+            SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs
+        )
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach AS (
+        SELECT id, id AS r FROM nodes
+        UNION
+        SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS node, min(r) AS canonical_id FROM reach GROUP BY id
+    """,
+)
+def q_cluster_components(spark, sf_dir):
+    """Connected components over an EXACT near-dup pair set (word-2-gram
+    Jaccard >= 0.1 on the planted-duplicate corpus), so the full iterative
+    clustering path is oracle-checked end to end: the DuckDB oracle
+    computes the same components by recursive-CTE transitive closure,
+    while the Spark side runs ext.dedup.dedup_clusters' checkpointed
+    min-label propagation with pointer jumping (O(log diameter) rounds).
+    q_dedup_clusters stays the MinHash-fed production composition (rows-
+    only by nature of engine-native sketches); this query certifies the
+    component algorithm itself against an independent implementation."""
+    from mesin_spark.ext import dedup as D
+    from mesin_spark.ext import text as TX
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1000000)).filter(
+        TX.token_count("text") >= 2
+    )
+    pairs = D.ngram_jaccard_pairs(dup, "doc_id", block_col="source", n=2,
+                                  threshold=0.1)
+    return D.dedup_clusters(pairs).orderBy("node")
