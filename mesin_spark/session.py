@@ -43,3 +43,48 @@ def get_session(app_name: str = "mesin_spark", cpus: int | None = None) -> Spark
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+#: Deployment profile for a large cluster (the 100 TB target this engine
+#: is designed for: ~1000 executors x 4 cores). Returned as a plain dict
+#: so callers feed it to SparkSession.builder.config(map=...) or their
+#: submit tooling; get_session applies the local analogs of the same keys.
+#: Rationale per key:
+#: - shuffle.partitions ~2x total cores: AQE coalesces DOWN from this
+#:   ceiling at runtime, so oversizing costs little and undersizing
+#:   serializes the largest shuffles;
+#: - initialPartitionNum lets AQE split before the first shuffle lands;
+#: - maxPartitionBytes 256m: scan tasks sized so a full executor core set
+#:   stays busy on 100 TB (~400k input splits) without task-launch storms;
+#: - autoBroadcastJoinThreshold 64m: every TPC-H-shaped dimension
+#:   (region/nation/supplier/part/customer slices) broadcasts; fact-fact
+#:   joins still shuffle (or use bucketed layouts, sources.write_bucketed);
+#: - skewJoin thresholds: AQE splits a straggler partition when it's 4x
+#:   the median and >256m — the salting fallback in ext/skew.py is for
+#:   aggregations, where AQE can't help;
+#: - shuffle.service + dynamicAllocation: executors scale with stage
+#:   demand, shuffle files survive executor loss;
+#: - adaptive.forceOptimizeSkewedJoin: accept an extra shuffle to fix
+#:   catastrophic skew (default off upstream; on at this scale).
+def cluster_conf(total_cores: int = 4000) -> dict[str, str]:
+    """Recommended Spark conf for the 100 TB deployment tier."""
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(4 * total_cores),
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "4",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.shuffle.service.enabled": "true",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.speculation": "true",
+        "spark.speculation.multiplier": "3",
+    }

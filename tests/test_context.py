@@ -313,3 +313,19 @@ class TestQualifyRewrite:
         assert rows
         assert all(r["rn"] == 1 for r in rows)
         assert len({r["o_custkey"] for r in rows}) == len(rows)
+
+
+def test_cluster_conf_profile():
+    """The deployment profile stays consistent with the local session's
+    scale posture: AQE + skew handling on, UTC, Arrow, dimension-sized
+    broadcast threshold; partition counts scale with the core budget."""
+    from mesin_spark.session import cluster_conf
+
+    conf = cluster_conf(total_cores=4000)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert int(conf["spark.sql.shuffle.partitions"]) == 8000
+    assert int(conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]) == 16000
+    assert conf["spark.sql.session.timeZone"] == "UTC"
+    # a smaller cluster scales the shuffle width down with it
+    assert int(cluster_conf(total_cores=400)["spark.sql.shuffle.partitions"]) == 800

@@ -287,3 +287,32 @@ def test_suppress_mid_quality_doc_paired_both_ways_is_dropped(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
     kept = {r["doc_id"] for r in suppress_lower_quality(docs, pairs).collect()}
     assert kept == {1}
+
+
+def test_shuffle_shards_matches_pure_python_mix(spark):
+    """Engine-portability: shard and position must equal a pure-Python
+    evaluation of the documented arithmetic ((id*2654435761) mod 2^32,
+    shard = mod 8, pos = rank of (h, id) within shard) — including
+    negative and near-int64 ids where naive multiplication overflows."""
+    import random
+
+    from mesin_spark.ext.pipeline import shuffle_shards
+
+    rng = random.Random(7)
+    ids = {rng.randrange(-(2**62), 2**62) for _ in range(200)}
+    ids |= {0, 1, -1, 2**62, -(2**62), 3_500_000_000}
+    ids = sorted(ids)
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(docs, "doc_id", n_shards=8).collect()
+    }
+    by_shard = {}
+    for i in ids:
+        h = (i * 2654435761) % (1 << 32)
+        by_shard.setdefault(h % 8, []).append((h, i))
+    expected = {}
+    for shard, entries in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(entries), start=1):
+            expected[i] = (shard, pos)
+    assert got == expected

@@ -1,0 +1,71 @@
+"""Compare two bench JSON outputs and flag per-query regressions.
+
+The driver records ``BENCH_r{N}.json`` each round; this tool diffs the
+current ``python bench.py`` line (or a saved file) against a previous
+round's record so a slow query shows up as a named delta, not a buried
+total.
+
+Usage:
+    python bench.py | tail -1 > /tmp/bench_now.json
+    python tools/compare_bench.py BENCH_r01.json /tmp/bench_now.json
+
+Exit code 1 if any shared query slowed more than THRESHOLD (default 1.5x,
+override with $BENCH_REGRESSION_THRESHOLD) — usable as a CI-style gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+THRESHOLD = float(os.environ.get("BENCH_REGRESSION_THRESHOLD", "1.5"))
+
+
+def load(path: str) -> dict:
+    """Accept either a raw bench JSON line or the driver's BENCH_r{N}
+    wrapper (which stores the JSON line inside a "tail" text field)."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    for line in reversed(doc.get("tail", "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            inner = json.loads(line)
+            if "queries" in inner:
+                return inner
+    raise SystemExit(f"{path}: no bench record found")
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    prev, curr = load(sys.argv[1]), load(sys.argv[2])
+    pq, cq = prev["queries"], curr["queries"]
+    shared = sorted(set(pq) & set(cq))
+    regressions = []
+    print(f"{'query':28s} {'prev':>8s} {'curr':>8s} {'ratio':>7s}")
+    for name in shared:
+        ratio = cq[name] / pq[name] if pq[name] > 0 else float("inf")
+        mark = " <-- REGRESSION" if ratio > THRESHOLD else ""
+        print(f"{name:28s} {pq[name]:8.3f} {cq[name]:8.3f} {ratio:6.2f}x{mark}")
+        if ratio > THRESHOLD:
+            regressions.append(name)
+    only_prev, only_curr = set(pq) - set(cq), set(cq) - set(pq)
+    if only_curr:
+        print(f"new queries (no baseline): {sorted(only_curr)}")
+    if only_prev:
+        print(f"dropped queries: {sorted(only_prev)}")
+    pt = sum(pq[n] for n in shared)
+    ct = sum(cq[n] for n in shared)
+    print(f"\nshared-query total: {pt:.2f}s -> {ct:.2f}s ({ct / pt:.2f}x)")
+    if regressions:
+        print(f"REGRESSED (> {THRESHOLD}x): {regressions}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
