@@ -269,7 +269,12 @@ def shuffle_shards(
     training job reads shard files in pos order and sees a uniform shuffle
     without any global sort. One hash-partition window shuffle on the
     shard key; each shard numbers independently (n_shards-way parallel) —
-    no single-task global row_number bottleneck at 100 TB."""
+    no single-task global row_number bottleneck at 100 TB.
+
+    Size ``n_shards`` so one shard's rows fit a single task's sort
+    (corpus_rows / n_shards ≈ a few million): ~100k shards at 100 TB.
+    The parameter is the parallelism knob — the default 8 matches the
+    local testdata, not a deployment."""
     from mesin_spark.functions import mul_mod32
 
     hkey = F.pmod(mul_mod32(F.col(id_col), _KNUTH), F.lit(_MOD32))
