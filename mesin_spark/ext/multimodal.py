@@ -354,3 +354,74 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def synth_image(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 12,
+    dup_offset: int = 1_000_000,
+) -> DataFrame:
+    """Synthesize a deterministic high-contrast PPM per row. Ids at or
+    above ``dup_offset`` render the SAME base image as ``id - dup_offset``
+    plus small per-pixel noise — planted near-duplicates that survive a
+    perceptual hash but not an exact byte hash, the ingest-side stand-in
+    for re-encoded/re-compressed copies of one photo."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col]:
+                base = int(i) % dup_offset
+                px = np.stack(
+                    [
+                        ((yy * 23 + base * 37) % 5 < 2) * 255,
+                        ((xx * 19 + base * 11) % 3 < 1) * 255,
+                        ((yy * 7 + xx * 13 + base) % 4 < 2) * 255,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                if int(i) >= dup_offset:
+                    noise = (yy * 3 + xx * 5 + int(i)) % 7 == 0
+                    px = np.clip(
+                        px.astype(np.int16) + noise[..., None] * 2, 0, 255
+                    ).astype(np.uint8)
+                payloads.append(make_ppm_payload(px))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, f"{id_col} long, payload binary")
+
+
+AHASH_SCHEMA = "doc_id long, ahash long"
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over PPM payloads: decode → grayscale →
+    8x8 nearest-neighbor downsample → one bit per cell (above the cell
+    mean) → 64-bit signed long. Re-encoding noise flips no bits because
+    the threshold is the image's own mean — so near-identical images
+    collide on the hash and exact grouping finds them. Map-side
+    (mapInPandas); the only shuffle downstream is the hash groupBy."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for pl in pdf["payload"]:
+                px, _ = decode_ppm(bytes(pl))
+                gray = px.astype(np.float64).mean(axis=-1)
+                h, w = gray.shape
+                yi = (np.arange(8) * h // 8).clip(0, h - 1)
+                xi = (np.arange(8) * w // 8).clip(0, w - 1)
+                cells = gray[yi][:, xi]
+                bits = (cells > cells.mean()).flatten()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                hashes.append(val)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    return df.mapInPandas(batches, schema=AHASH_SCHEMA)

@@ -163,3 +163,30 @@ def q_ivfpq_ann(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     return PQ.ivfpq_topk(emb, qvec, topk=10, n_list=16, n_probe=4, m=8, k=16)
+
+
+@query("q_image_dedup")  # rows-only: binary codec + perceptual hash (no SQL analogue)
+def q_image_dedup(spark, sf_dir):
+    """Image near-dup detection on real decoded bytes: synthesize a PPM
+    per document (ids +1e6 get the same image re-encoded with pixel
+    noise — planted near-dups an exact byte-hash misses), perceptual
+    average-hash each (ext.multimodal.image_ahash: decode → gray → 8x8 →
+    threshold bits), and group on the hash. Decode+hash are map-side
+    mapInPandas; the groupBy on the 64-bit hash is the only shuffle —
+    the 100 TB image-dedup shape (at scale, bucket by hash prefix and
+    verify within buckets). Planted-pair recall is asserted in
+    tests/test_llm4_ops.py."""
+    from mesin_spark.ext import multimodal as MM
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    hashed = MM.image_ahash(MM.synth_image(dup))
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy(F.element_at("ids", 1))
+    )

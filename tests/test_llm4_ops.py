@@ -316,3 +316,32 @@ def test_shuffle_shards_matches_pure_python_mix(spark):
         for pos, (_, i) in enumerate(sorted(entries), start=1):
             expected[i] = (shard, pos)
     assert got == expected
+
+
+# -- image perceptual-hash dedup ----------------------------------------
+def test_image_ahash_groups_noisy_copies(spark):
+    """Every planted (i, i+1e6) noisy re-encode must share its base
+    image's perceptual hash; distinct base images must mostly differ."""
+    from mesin_spark.ext import multimodal as MM
+
+    ids = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    dup = ids.union(ids.selectExpr("doc_id + 1000000 AS doc_id"))
+    hashed = MM.image_ahash(MM.synth_image(dup))
+    h = {r["doc_id"]: r["ahash"] for r in hashed.collect()}
+    assert all(h[i] == h[i + 1_000_000] for i in range(60))
+    # base images are high-contrast and keyed on the id: few collisions
+    assert len({h[i] for i in range(60)}) >= 54
+
+
+def test_q_image_dedup_recalls_all_planted_pairs(spark):
+    from mesin_spark.queries.llm4 import q_image_dedup
+
+    groups = q_image_dedup(spark, SF_DIR).collect()
+    paired = set()
+    for g in groups:
+        ids = set(g["ids"])
+        for i in ids:
+            if i < 1_000_000 and i + 1_000_000 in ids:
+                paired.add(i)
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(paired) == n_docs
