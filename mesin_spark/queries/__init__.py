@@ -101,6 +101,7 @@ def load_all() -> None:
         sql_menu4,
         events,
         events2,
+        llm5,
         connectors,
         storage,
         dml,

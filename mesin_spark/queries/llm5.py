@@ -1,0 +1,233 @@
+"""Round-2 training-data operators, part 4: corpus phrase mining (PMI
+bigrams), behavioral Markov transitions, deterministic mode, and
+incremental dedup against an existing corpus snapshot.
+
+All four are pure built-in-function plans (no Python UDFs) and carry
+exact DuckDB oracles. Extension tier — the reference has no text or
+event analytics (SURVEY.md §2.11); these are charter operators for the
+100 TB training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mesin_spark.functions import stable_round as R
+from mesin_spark.queries import T, load_events, query, sr
+
+#: DuckDB mirror of ext.text.tokens (whitespace split, lowercased,
+#: empties dropped) — the same helper llm.py's oracles use.
+_TK = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TK} AS w FROM documents),
+    uni AS (
+        SELECT unnest(w) AS tok FROM tk
+    ),
+    ucount AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+    utot AS (SELECT count(*) AS n_uni FROM uni),
+    bi AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM tk, unnest(generate_series(1, len(w) - 1)) t(i)
+    ),
+    bcount AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2),
+    btot AS (SELECT count(*) AS n_bi FROM bi)
+    SELECT b.w1, b.w2, b.n_pair,
+           {sr(
+               "ln((b.n_pair::DOUBLE / btot.n_bi)"
+               " / ((u1.n::DOUBLE / utot.n_uni) * (u2.n::DOUBLE / utot.n_uni)))",
+               6,
+           )} AS pmi
+    FROM bcount b
+    JOIN ucount u1 ON b.w1 = u1.tok
+    JOIN ucount u2 ON b.w2 = u2.tok
+    CROSS JOIN utot CROSS JOIN btot
+    WHERE b.n_pair >= 5
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+)
+def q_pmi_bigrams(spark, sf_dir):
+    """Corpus phrase mining: top-20 bigrams by pointwise mutual
+    information (min support 5) — the classic collocation detector
+    (Church & Hanks 1990) used to find multi-word units worth a single
+    token. Plan shape: one map-side explode into bigram instances, two
+    token-keyed hash-agg shuffles (unigram + bigram counts), the
+    unigram count table joined back twice (token-keyed equi-joins AQE
+    can broadcast when the vocabulary is small), 1-row totals cross-
+    joined, and a TakeOrderedAndProject for the top-20. At 100 TB the
+    only dimension that grows is the pair-count shuffle, which stays
+    keyed and partial-aggregated — never all-pairs."""
+    from mesin_spark.ext import text as TX
+
+    d = T(spark, sf_dir, "documents")
+    tk = d.select(TX.tokens("text").alias("w")).filter(F.size("w") >= 2)
+    uni = tk.select(F.explode("w").alias("tok"))
+    ucount = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    utot = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    bi = tk.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("w1"),
+                F.slice("w", 2, F.size("w") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bcount = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    btot = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    u1 = ucount.withColumnsRenamed({"tok": "w1", "n": "n1"})
+    u2 = ucount.withColumnsRenamed({"tok": "w2", "n": "n2"})
+    return (
+        bcount.filter(F.col("n_pair") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            R(
+                F.log(
+                    (F.col("n_pair") / F.col("n_bi"))
+                    / ((F.col("n1") / F.col("n_uni")) * (F.col("n2") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "q_transitions",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           {sr("n::DOUBLE / sum(n) OVER (PARTITION BY prev_type)", 6)} AS prob
+    FROM pairs
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type). The behavioral
+    model behind next-action prediction and anomaly scoring. One
+    user-keyed window (lag, deterministic ts+event_id order), one
+    (prev, next)-keyed hash agg over at most |types|² rows, and a
+    trivially small row-frame window for the row-normalization — the
+    only data-sized shuffle is the per-user sort, which at 100 TB is
+    the same partitioning sessionization already needs (and can be
+    shared with it)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        R(F.col("n") / F.sum("n").over(wp), 6).alias("prob"),
+    ).orderBy("prev_type", "next_type")
+
+
+@query(
+    "q_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+        ) AS rn
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+    FROM ranked WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def q_mode(spark, sf_dir):
+    """Deterministic MODE() (most frequent value per group, ties broken
+    by value order) — built as count + row_number rather than Spark's
+    native ``mode()`` because the native aggregate is documented
+    non-deterministic on ties, which would make the oracle flaky.
+    Plan: one partial/final hash agg over (group, value) — bounded by
+    distinct-pair count, not row count — then a window over that tiny
+    aggregate. Scale-safe for any cardinality the agg itself survives."""
+    o = T(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH base AS (
+        SELECT md5(trim(lower(text))) AS content_hash
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(trim(lower(text))) AS content_hash
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT b.doc_id, b.content_hash
+    FROM batch b
+    ANTI JOIN (SELECT DISTINCT content_hash FROM base) s
+        ON b.content_hash = s.content_hash
+    ORDER BY b.doc_id
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: keep only the new-batch documents
+    (doc_id % 3 = 0 plays the arriving batch) whose normalized content
+    hash is NOT already in the existing corpus snapshot (the other
+    two-thirds). This is the steady-state shape of corpus building —
+    you never re-dedup 100 TB, you anti-join each day's batch against
+    the snapshot's hash index. The plan is a single hash-keyed
+    LeftAnti shuffle; at scale the snapshot side is a pre-bucketed
+    hash table so only the (small) batch moves."""
+    d = T(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.md5(F.trim(F.lower(F.col("text")))).alias("content_hash")
+    )
+    base = hashed.filter(F.col("doc_id") % 3 != 0).select("content_hash").distinct()
+    batch = hashed.filter(F.col("doc_id") % 3 == 0)
+    return batch.join(base, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    ).orderBy("doc_id")
