@@ -24,11 +24,17 @@ from pyspark.sql import functions as F
 
 
 def _nanos_columns(path: str) -> list[str]:
-    """Column names with TIMESTAMP(NANOS) physical type, from the footers
+    """Column names stored as INT64 TIMESTAMP(NANOS), from the footers
     of EVERY file in the directory (mixed-file dirs: a column is ns-typed
     if any file stores it as ns — one writer upgrading precision mid-ingest
     must not silently break the read). Footer reads are driver-side
-    metadata only."""
+    metadata only.
+
+    The check is against the parquet PHYSICAL+LOGICAL type, not the
+    arrow-mapped type: pyarrow also reports legacy INT96 timestamps
+    (Spark's own default writer output) as ``timestamp[ns]``, but Spark
+    reads INT96 natively — flagging those would route a plain TIMESTAMP
+    column into the nanos-as-long conversion and break on `ts div 1000`."""
     import glob
     import os
 
@@ -40,9 +46,15 @@ def _nanos_columns(path: str) -> list[str]:
         files = [path]
     out: list[str] = []
     for f in files:
-        for field in pq.read_schema(f):
-            if str(field.type) == "timestamp[ns]" and field.name not in out:
-                out.append(field.name)
+        sch = pq.ParquetFile(f).schema
+        for i in range(len(sch)):
+            col = sch.column(i)
+            if (
+                col.physical_type == "INT64"
+                and "nanos" in str(col.logical_type).lower()
+                and col.path not in out
+            ):
+                out.append(col.path)
     return out
 
 

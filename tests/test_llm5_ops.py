@@ -1,0 +1,127 @@
+"""Planted-case semantics for the llm5 tier (PMI phrases, Markov
+transitions, deterministic mode, incremental dedup) — the oracle sweep
+proves engine-equivalence on testdata; these tests prove the operators
+compute the RIGHT thing on corpora where the answer is known by
+construction."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _write_documents(spark, tmp_path, rows):
+    path = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    return path
+
+
+def test_pmi_ranks_planted_collocation_first(spark, tmp_path):
+    """'zq' and 'xv' only ever appear together (6 times) in a corpus of
+    otherwise-common fillers, so 'zq xv' has the maximal possible PMI and
+    must rank first; the filler bigram 'aa aa' has PMI ~0 and must rank
+    below it."""
+    from mesin_spark.queries.llm5 import q_pmi_bigrams
+
+    filler = "aa bb aa bb aa bb"
+    rows = [(i, filler, "en", "src0", len(filler)) for i in range(20)]
+    rows += [(100 + i, "zq xv", "en", "src0", 5) for i in range(6)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = q_pmi_bigrams(spark, sf).collect()
+    assert out, "no bigrams survived min-support"
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("zq", "xv")
+    pmis = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    assert pmis[("zq", "xv")] > pmis.get(("aa", "bb"), float("-inf"))
+
+
+def test_transitions_known_chain(spark, tmp_path):
+    """A user emitting the strict cycle a→b→a→b… yields P(b|a)=P(a|b)=1;
+    mixing in a second user with a→a keeps rows normalized per prev."""
+    path = str(tmp_path)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    seq = ["a", "b", "a", "b", "a"]
+    for i, t in enumerate(seq):
+        rows.append((i, base + dt.timedelta(minutes=i), 1, t, 1.0, "{}"))
+    for i, t in enumerate(["a", "a", "a"]):
+        rows.append((100 + i, base + dt.timedelta(minutes=i), 2, t, 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "events.parquet")
+    )
+    from mesin_spark.queries.llm5 import q_transitions
+
+    out = {(r["prev_type"], r["next_type"]): r for r in q_transitions(spark, path).collect()}
+    assert out[("b", "a")]["prob"] == 1.0
+    # from 'a': 2 a→b hops (user 1) + 2 a→a hops (user 2)
+    assert out[("a", "b")]["n"] == 2 and out[("a", "a")]["n"] == 2
+    assert out[("a", "b")]["prob"] == 0.5
+    # rows normalize: per-prev probabilities sum to 1
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (prev, _nxt), r in out.items():
+        sums[prev] += r["prob"]
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_mode_breaks_ties_by_value_order(spark, duck):
+    """Against testdata, the deterministic mode must equal the DuckDB
+    formulation with the same tie-break (count DESC, value ASC) — and a
+    constructed tie must pick the lexicographically smaller value."""
+    from pyspark.sql import functions as F
+    from mesin_spark.queries.llm5 import q_mode
+
+    got = {r["o_orderstatus"]: (r["mode_priority"], r["mode_count"])
+           for r in q_mode(spark, SF_DIR).collect()}
+    want = {s: (p, n) for s, p, n in duck.execute(
+        """
+        SELECT o_orderstatus, o_orderpriority, n FROM (
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY count(*) DESC, o_orderpriority) rn
+            FROM orders GROUP BY 1, 2) WHERE rn = 1
+        """
+    ).fetchall()}
+    assert got == want
+
+    tie = spark.createDataFrame(
+        [("O", "3-MEDIUM"), ("O", "1-URGENT")], "o_orderstatus string, o_orderpriority string"
+    )
+    counts = tie.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    top = counts.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    assert top[0]["o_orderpriority"] == "1-URGENT"
+
+
+def test_incremental_dedup_plants(spark, tmp_path):
+    """Batch docs (doc_id%3==0) drop iff their normalized text already
+    exists in the snapshot: doc 3 duplicates doc 1 modulo case/trim and
+    must drop; doc 6 is novel and must survive; doc 9 duplicates doc 12
+    (both in-batch) and BOTH survive — incremental dedup only guards
+    against the snapshot, in-batch dedup is q_dedup_exact's job."""
+    from mesin_spark.queries.llm5 import q_dedup_incremental
+
+    rows = [
+        (1, "Hello World ", "en", "s", 11),
+        (2, "other snapshot doc", "en", "s", 18),
+        (3, "  hello world", "en", "s", 13),
+        (6, "novel batch doc", "en", "s", 15),
+        (9, "twin batch doc", "en", "s", 14),
+        (12, "twin batch doc", "en", "s", 14),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    kept = sorted(r["doc_id"] for r in q_dedup_incremental(spark, sf).collect())
+    assert kept == [6, 9, 12]

@@ -291,3 +291,42 @@ def test_tpch_q21_decorrelated_single_fact_scan(spark):
 
     li_scans = len(re.findall(r"FileScan parquet.*lineitem", plan))
     assert li_scans == 1, f"expected 1 lineitem scan, got {li_scans}"
+
+
+def test_pmi_topk_fuses_no_cartesian(spark):
+    """q_pmi_bigrams: the top-20 must fuse to TakeOrderedAndProject (no
+    global sort shuffle), the two count-table joins must be hash joins,
+    and the only nested-loop joins are the broadcast 1-row totals."""
+    from mesin_spark.queries.llm5 import q_pmi_bigrams
+
+    plan = physical(q_pmi_bigrams(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_transitions_single_user_sort_no_python(spark):
+    """q_transitions: one user-keyed window sort is the only data-sized
+    exchange; the pair agg and row-normalization run over the tiny
+    |types|^2 aggregate. No Python anywhere."""
+    import re
+
+    from mesin_spark.queries.llm5 import q_transitions
+
+    plan = physical(q_transitions(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    ev_scans = len(re.findall(r"FileScan parquet.*events", plan))
+    assert ev_scans == 1, f"expected 1 events scan, got {ev_scans}"
+
+
+def test_incremental_dedup_is_single_anti_join(spark):
+    """q_dedup_incremental: one LeftAnti hash join on the content hash —
+    no sort, no cartesian, and the doc_id%3 partition filters pushed to
+    both scan sides."""
+    from mesin_spark.queries.llm5 import q_dedup_incremental
+
+    plan = physical(q_dedup_incremental(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
