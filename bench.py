@@ -58,6 +58,8 @@ HEADLINE = [
     "q_knn_join",         # batch k-NN join (broadcast probe, 2-phase top-k)
     "q_span_removal",     # exact duplicated-span dedup (shingle-join rebuild)
     "q_funnel",           # ordered event funnel (stage aggregates)
+    "q_pmi_bigrams",      # PMI collocations (bigram explode + 2 count shuffles)
+    "q_dedup_incremental",# batch-vs-snapshot anti-join dedup
 ]
 
 

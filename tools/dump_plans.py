@@ -41,6 +41,8 @@ NOTES = {
     "q_knn_join": "probe batch broadcast into one corpus scan; two-phase per-query ranking — first window keyed (q_id, partition), final sees k·partitions rows",
     "q_span_removal": "shingle instances map-side; ownership = one hash groupBy; dup marking equi-join (AQE-broadcast owners); anti-join rebuild keyed on doc_id",
     "q_funnel": "three shrinking per-user min-aggregates; AQE broadcasts each stage frame into the next filtered scan — no fact-fact shuffle",
+    "q_pmi_bigrams": "map-side bigram explode; two token-keyed count shuffles; count tables AQE-broadcast back; top-20 fused to TakeOrderedAndProject",
+    "q_dedup_incremental": "single LeftAnti hash join on content hash — only the arriving batch shuffles against the snapshot's hash index",
 }
 
 
