@@ -99,6 +99,7 @@ def load_all() -> None:
         sql_menu2,
         sql_menu3,
         sql_menu4,
+        sql_menu5,
         events,
         events2,
         llm5,

@@ -1,0 +1,146 @@
+"""SQL-surface menu, part 5: linear-regression aggregates, conditional/
+boolean aggregates, null-safe equality joins, and NOT IN's three-valued
+NULL semantics.
+
+Extension tier (the reference's aggregate menu stops at COUNT/SUM/MIN/
+MAX/AVG, tmp/select.rs:333-344; it has no NULL handling at all since it
+never executes). All four are oracle-checked; the NULL-bearing inputs
+are synthesized with nullif()/CASE because the driver testdata is fully
+non-null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mesin_spark.functions import stable_round as R
+from mesin_spark.queries import T, query, sr
+
+
+@query(
+    "q_regr_aggs",
+    oracle=f"""
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           {sr("regr_slope(l_extendedprice, l_quantity)", 4)} AS slope,
+           {sr("regr_intercept(l_extendedprice, l_quantity)", 4)} AS icept,
+           {sr("regr_r2(l_extendedprice, l_quantity)", 6)} AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_regr_aggs(spark, sf_dir):
+    """Linear-regression aggregates (ANSI bivariate family): slope,
+    intercept and R² of extendedprice ~ quantity per return flag — the
+    in-engine replacement for collect-and-numpy trend fitting. One
+    partial/final hash agg like any SUM: the regression moments
+    (n, Σx, Σy, Σxx, Σxy, Σyy) are algebraic, so the shuffle carries
+    six doubles per group at any scale."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        R(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        R(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("icept"),
+        R(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_bool_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big,
+           bool_and(o_totalprice > 900) AS all_over_900,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_bool_aggs(spark, sf_dir):
+    """Conditional and boolean aggregates: count_if / bool_and (ANSI
+    EVERY) / bool_or — predicate summaries without a CASE pyramid.
+    Booleans fold to one byte of aggregate state per group; same
+    partial/final shape as COUNT."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, nullif(c_nationkey, 5) AS nk FROM customer
+    ),
+    n AS (
+        SELECT nullif(n_nationkey, 5) AS nk, n_name FROM nation
+    )
+    SELECT coalesce(cast(c.nk AS VARCHAR), 'NULL') AS join_key,
+           count(*) AS n_pairs
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    GROUP BY 1
+    """,
+)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the join you need when NULL
+    is a real category (here nation 5 is nulled on both sides and its
+    customers still pair up). Spark plans EqualNullSafe as an ordinary
+    hash-join key, so the scale story is identical to an equi-join —
+    but note every NULL lands in ONE hash bucket, so a NULL-heavy key
+    is a skew key: salt it like any other hot value."""
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(5)).alias("nk")
+    )
+    n = T(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(5)).alias("nk"), "n_name"
+    )
+    return (
+        c.join(n, c["nk"].eqNullSafe(n["nk"]))
+        .groupBy(
+            F.coalesce(c["nk"].cast("string"), F.lit("NULL")).alias("join_key")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "q_not_in_nulls",
+    oracle="""
+    WITH excl AS (
+        SELECT nullif(n_nationkey, 3) AS nk FROM nation WHERE n_nationkey < 10
+    )
+    SELECT 'subquery_has_null' AS variant, count(*) AS n_rows
+    FROM customer WHERE c_nationkey NOT IN (SELECT nk FROM excl)
+    UNION ALL
+    SELECT 'nulls_filtered' AS variant, count(*) AS n_rows
+    FROM customer
+    WHERE c_nationkey NOT IN (SELECT nk FROM excl WHERE nk IS NOT NULL)
+    """,
+)
+def q_not_in_nulls(spark, sf_dir):
+    """NOT IN three-valued logic: one NULL in the subquery makes
+    `x NOT IN (...)` UNKNOWN for every row (0 rows survive), while the
+    NULL-filtered variant behaves like the anti-join people expect.
+    Spark plans the first variant as a null-aware anti join — at scale
+    that join degrades to a broadcast of the whole right side, which is
+    exactly why pipelines should write `NOT IN (... WHERE k IS NOT
+    NULL)` or NOT EXISTS; this query documents both behaviors."""
+    c = T(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_nin_customer")
+    T(spark, sf_dir, "nation").createOrReplaceTempView("_nin_nation")
+    return spark.sql(
+        """
+        WITH excl AS (
+            SELECT nullif(n_nationkey, 3) AS nk FROM _nin_nation
+            WHERE n_nationkey < 10
+        )
+        SELECT 'subquery_has_null' AS variant, count(*) AS n_rows
+        FROM _nin_customer WHERE c_nationkey NOT IN (SELECT nk FROM excl)
+        UNION ALL
+        SELECT 'nulls_filtered' AS variant, count(*) AS n_rows
+        FROM _nin_customer
+        WHERE c_nationkey NOT IN (SELECT nk FROM excl WHERE nk IS NOT NULL)
+        """
+    )
