@@ -402,3 +402,46 @@ def embedding_neardup_pairs(
         pairs.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_salts: int = 16,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication with NO prior
+    block key — learn one with spherical k-means, then prune near-identical
+    vectors within each learned cluster.
+
+    1. train centroids on a seeded sample (ivf_centroids — bounded driver
+       work, deterministic);
+    2. assign every vector its cluster (Arrow-batched pandas UDF);
+    3. exact cosine pairs WITHIN clusters only (embedding_neardup_pairs
+       with the learned cluster as the block key — salted, never corpus
+       all-pairs);
+    4. drop the higher id of every pair ≥ threshold (keep-lowest policy:
+       deterministic, transitive-safe — any dropped row has a surviving
+       lower-id witness).
+
+    Returns the kept rows (id, sem_cluster). The quadratic pair space is
+    bounded by the largest cluster, ~n/k on mixing data: at 100 TB you
+    raise n_clusters so n/k stays bench-sized (FAISS guidance sqrt(n)),
+    which ALSO caps the per-cluster candidate join — the same knob tunes
+    recall and cost."""
+    C = ivf_centroids(emb, n_clusters, id_col, vec_col)
+    assigned = emb.withColumn("sem_cluster", ivf_assign(C, vec_col))
+    pairs = embedding_neardup_pairs(
+        assigned,
+        threshold=threshold,
+        block_col="sem_cluster",
+        id_col=id_col,
+        vec_col=vec_col,
+        n_salts=n_salts,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.select(id_col, "sem_cluster").join(
+        losers, id_col, "left_anti"
+    )

@@ -231,3 +231,17 @@ def q_dedup_incremental(spark, sf_dir):
     return batch.join(base, "content_hash", "left_anti").select(
         "doc_id", "content_hash"
     ).orderBy("doc_id")
+
+
+@query("q_semdedup")  # rows-only: seeded k-means clusters have no SQL mirror
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: learn 16
+    spherical-k-means clusters, prune vectors with cosine >= 0.99 to a
+    lower-id row in the SAME cluster. Unlike q_dedup_embed (which blocks
+    on the given label column) this needs no prior block key — the
+    cluster assignment IS the learned blocking. Planted-duplicate recall
+    and determinism are asserted in tests/test_llm5_ops.py."""
+    from mesin_spark.ext import similarity as SIM
+
+    emb = T(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(emb, n_clusters=16, threshold=0.99).orderBy("vec_id")

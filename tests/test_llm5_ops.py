@@ -125,3 +125,32 @@ def test_incremental_dedup_plants(spark, tmp_path):
     sf = _write_documents(spark, tmp_path, rows)
     kept = sorted(r["doc_id"] for r in q_dedup_incremental(spark, sf).collect())
     assert kept == [6, 9, 12]
+
+
+def test_semdedup_drops_planted_near_duplicates(spark):
+    """Clone 20 embeddings at ids +10^6 with a tiny perturbation: every
+    clone must be pruned (its original is a ≥0.999-cosine lower-id witness
+    in the same cluster), no original may be pruned on account of a clone,
+    and the result must be deterministic across two runs."""
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext.similarity import semantic_dedup
+    from mesin_spark.queries import T
+
+    emb = T(spark, SF_DIR, "embeddings")
+    base = emb.limit(20)
+    clones = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x * (1.0 + (i % 7) * 1e-4)
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(clones)
+    kept = semantic_dedup(corpus, n_clusters=8, threshold=0.999)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    clone_ids = {r["vec_id"] + 1_000_000 for r in base.collect()}
+    assert not (kept_ids & clone_ids), "a planted clone survived"
+    assert {r["vec_id"] for r in emb.collect()} <= kept_ids | clone_ids
+    kept2 = {r["vec_id"] for r in semantic_dedup(corpus, n_clusters=8, threshold=0.999).collect()}
+    assert kept_ids == kept2
