@@ -143,3 +143,45 @@ def q_stream_upsert(spark, sf_dir):
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "q_partition_prune",
+    oracle=f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           count(*) AS n,
+           CAST({sr("sum(value)", 4)} AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_partition_prune(spark, sf_dir):
+    """Hive-style partition pruning: write events partitioned by
+    event_type (directory-per-value layout), then aggregate ONE type —
+    Catalyst turns the predicate into a PartitionFilter, so the scan
+    lists and reads only that directory and the filter never executes
+    per-row. This is the coarse-grained sibling of q_pruned_scan's
+    zone maps (partition dirs prune at file-listing time; zone maps at
+    row-group time) and the default layout for 100 TB event stores:
+    partition by low-cardinality routing keys (date, type), sort within
+    partitions for the high-cardinality rest. The PartitionFilters plan
+    fragment is asserted in tests/test_storage.py; the oracle proves
+    the partitioned answer equals the full-table answer."""
+    from mesin_spark.functions import stable_round as R
+    from mesin_spark.sources import write_parquet
+
+    ev = T(spark, sf_dir, "events")
+    layout = os.path.join(
+        tempfile.mkdtemp(prefix="mesin_part_"), "events_by_type"
+    )
+    write_parquet(ev, layout, partition_by=["event_type"])
+    part = spark.read.parquet(layout)
+    return (
+        part.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R(F.sum("value").cast("double"), 4).alias("sum_value"),
+        )
+    )

@@ -140,3 +140,29 @@ def test_upsert_out_of_order_batches(spark):
     assert got[1]["val"] == "new" and got[1]["ts"] == 200
     assert set(got) == {1, 2, 3}
     _ = run_upsert_to_table  # the streaming wrapper is exercised by q_stream_upsert
+
+
+def test_partition_prune_scan_uses_partition_filters(spark, tmp_path):
+    """The event_type predicate over a partitionBy('event_type') layout
+    must become a PartitionFilter (pruned at file-listing time) — NOT a
+    pushed data filter — and only the matching directory's files are
+    read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mesin_spark.queries import T
+    from mesin_spark.sources import write_parquet
+    from tests.conftest import SF_DIR
+
+    layout = os.path.join(str(tmp_path), "events_by_type")
+    write_parquet(T(spark, SF_DIR, "events"), layout, partition_by=["event_type"])
+    df = spark.read.parquet(layout).filter(F.col("event_type") == "purchase")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "event_type" in seg
+    # the row-level PushedFilters must NOT carry the partition predicate
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    assert "event_type" not in pushed
+    assert df.count() == T(spark, SF_DIR, "events").filter("event_type = 'purchase'").count()
