@@ -369,3 +369,85 @@ def q_event_pattern(spark, sf_dir):
         "user_id", F.regexp_count("s", F.lit("vc*p")).cast("long").alias("n_patterns")
     )
     return counted.filter(F.col("n_patterns") > 0)
+
+
+@query(
+    "q_pit_features",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ),
+    with_click AS (
+        SELECT p.event_id, p.user_id, p.ts, c.value AS last_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT w.event_id,
+           w.last_click_value,
+           v.value AS last_view_value
+    FROM with_click w
+    ASOF LEFT JOIN views v ON w.user_id = v.user_id AND w.ts >= v.ts
+    """,
+)
+def q_pit_features(spark, sf_dir):
+    """Point-in-time feature lookup (the feature-store join): for every
+    purchase, the value of each feature stream (last click, last view)
+    AS OF purchase time — no leakage from the future. The scalable shape
+    is N feature streams in ONE union+window pass: tag each stream, sort
+    (ts, side) per user, carry every feature forward with
+    last(ignorenulls). One user_id shuffle TOTAL, vs one as-of join per
+    feature (N shuffles) in the naive plan — at 100 TB with dozens of
+    features this is the difference between one sort and a join
+    pipeline. (DuckDB oracle: chained native ASOF joins.)"""
+    e = T(spark, sf_dir, "events")
+
+    def stream(etype: str, col: str):
+        # keep the real event_id: it pins the (ts, side, event_id) window
+        # order, so same-timestamp feature rows carry deterministically
+        return (
+            e.filter(F.col("event_type") == etype)
+            .select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.lit(0).alias("side"),
+                F.col("value").alias(col),
+            )
+        )
+
+    clicks = stream("click", "c_val").withColumn(
+        "v_val", F.lit(None).cast("double")
+    )
+    views = stream("view", "v_val").withColumn(
+        "c_val", F.lit(None).cast("double")
+    )
+    probe = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("double").alias("c_val"),
+            F.lit(None).cast("double").alias("v_val"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(views, allowMissingColumns=False)
+        .unionByName(probe)
+        .withColumn("last_click_value", F.last("c_val", ignorenulls=True).over(w))
+        .withColumn("last_view_value", F.last("v_val", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select("event_id", "last_click_value", "last_view_value")
+    )
