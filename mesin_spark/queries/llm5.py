@@ -245,3 +245,101 @@ def q_semdedup(spark, sf_dir):
 
     emb = T(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(emb, n_clusters=16, threshold=0.99).orderBy("vec_id")
+
+
+@query(
+    "q_decontaminate_embed",
+    oracle=f"""
+    WITH bench AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 50 <> 0
+    ),
+    hits AS (
+        SELECT c.vec_id,
+               {sr("list_cosine_similarity(c.v, b.v)", 6)} AS sim
+        FROM corpus c, bench b
+        WHERE {sr("list_cosine_similarity(c.v, b.v)", 6)} >= 0.35
+    )
+    SELECT vec_id, count(*) AS n_hits, max(sim) AS max_sim
+    FROM hits GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def q_decontaminate_embed(spark, sf_dir):
+    """Semantic benchmark decontamination: flag corpus vectors whose
+    cosine to ANY benchmark-set vector (every 50th id plays the eval
+    set) reaches the threshold — the embedding-space complement of
+    q_decontaminate's n-gram overlap, catching paraphrased leakage that
+    shares no 5-gram. Plan: the benchmark side is small BY DEFINITION
+    (an eval set), so it broadcasts into a single corpus scan
+    (BroadcastNestedLoopJoin — the one join type where that's the
+    designed shape, same as q_knn_join); per-pair work is one fused
+    dot/norm pass, and the per-corpus-row aggregate needs no shuffle
+    beyond the flagged survivors. At 100 TB: corpus scans once,
+    nothing else moves."""
+    from mesin_spark.ext import similarity as SIM
+
+    emb = T(spark, sf_dir, "embeddings")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    bench = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("b_id"), vd.alias("b_v"))
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % 50 != 0)
+        .select("vec_id", vd.alias("c_v"))
+        .repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+    )
+    sim = R(SIM.cosine(F.col("c_v"), F.col("b_v")), 6)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"), F.max("sim").alias("max_sim"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               {sr(
+                   "pow((((doc_id * 2654435761) % 4294967296) % 1024 + 0.5)"
+                   " / 1024.0, 1.0 / n_chars)",
+                   6,
+               )} AS es_key
+        FROM documents
+    )
+    SELECT doc_id, n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-Res):
+    priority u^(1/w) with u a portable-hash uniform and w = n_chars, so
+    longer documents win proportionally more — importance sampling for
+    corpus mixing. Unlike rand()-based weighted sampling this is
+    reproducible across runs, engines, and repartitioning (the same
+    property q_hash_split provides for uniform splits). Map-side key
+    computation + TakeOrderedAndProject top-k: no shuffle, no sort —
+    the same plan shape at any corpus size; for a top-k per stratum,
+    add the stratum to the window key (cf. q_grouped_sample)."""
+    from mesin_spark.ext.pipeline import split_bucket
+
+    d = T(spark, sf_dir, "documents")
+    u = (split_bucket("doc_id", 1024).cast("double") + F.lit(0.5)) / F.lit(1024.0)
+    key = R(F.pow(u, F.lit(1.0) / F.col("n_chars")), 6)
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(20)
+    )
