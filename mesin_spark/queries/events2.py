@@ -404,39 +404,21 @@ def q_pit_features(spark, sf_dir):
     last(ignorenulls). One user_id shuffle TOTAL, vs one as-of join per
     feature (N shuffles) in the naive plan — at 100 TB with dozens of
     features this is the difference between one sort and a join
-    pipeline. (DuckDB oracle: chained native ASOF joins.)"""
+    pipeline. And because the streams are disjoint event types, the
+    union itself is ONE conditional projection over ONE events scan
+    (asserted in tests/test_scale_plans.py) — not a scan per stream.
+    The real event_id pins the (ts, side, event_id) window order, so
+    same-timestamp feature rows carry deterministically. (DuckDB
+    oracle: chained native ASOF joins.)"""
     e = T(spark, sf_dir, "events")
-
-    def stream(etype: str, col: str):
-        # keep the real event_id: it pins the (ts, side, event_id) window
-        # order, so same-timestamp feature rows carry deterministically
-        return (
-            e.filter(F.col("event_type") == etype)
-            .select(
-                "user_id",
-                "ts",
-                "event_id",
-                F.lit(0).alias("side"),
-                F.col("value").alias(col),
-            )
-        )
-
-    clicks = stream("click", "c_val").withColumn(
-        "v_val", F.lit(None).cast("double")
-    )
-    views = stream("view", "v_val").withColumn(
-        "c_val", F.lit(None).cast("double")
-    )
-    probe = (
-        e.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            "ts",
-            "event_id",
-            F.lit(1).alias("side"),
-            F.lit(None).cast("double").alias("c_val"),
-            F.lit(None).cast("double").alias("v_val"),
-        )
+    t = F.col("event_type")
+    tagged = e.filter(t.isin("click", "view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(t == "purchase", F.lit(1)).otherwise(F.lit(0)).alias("side"),
+        F.when(t == "click", F.col("value")).alias("c_val"),
+        F.when(t == "view", F.col("value")).alias("v_val"),
     )
     w = (
         W.partitionBy("user_id")
@@ -444,9 +426,9 @@ def q_pit_features(spark, sf_dir):
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return (
-        clicks.unionByName(views, allowMissingColumns=False)
-        .unionByName(probe)
-        .withColumn("last_click_value", F.last("c_val", ignorenulls=True).over(w))
+        tagged.withColumn(
+            "last_click_value", F.last("c_val", ignorenulls=True).over(w)
+        )
         .withColumn("last_view_value", F.last("v_val", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
         .select("event_id", "last_click_value", "last_view_value")

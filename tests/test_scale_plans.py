@@ -330,3 +330,42 @@ def test_incremental_dedup_is_single_anti_join(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pit_features_single_events_scan_one_shuffle(spark):
+    """q_pit_features: the N feature streams must come from ONE events
+    scan (conditional projection, not a scan per stream), with the
+    user_id window sort the only data-sized exchange."""
+    import re
+
+    from mesin_spark.queries.events2 import q_pit_features
+
+    plan = physical(q_pit_features(spark, SF_DIR))
+    ev_scans = len(re.findall(r"FileScan parquet.*events", plan))
+    assert ev_scans == 1, f"expected 1 events scan, got {ev_scans}"
+    assert "BatchEvalPython" not in plan
+    exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert exchanges == 1, f"expected 1 hash exchange, got {exchanges}"
+
+
+def test_weighted_sample_fuses_to_take_ordered(spark):
+    """q_weighted_sample: map-side key computation + TakeOrderedAndProject
+    — no shuffle, no global sort, at any corpus size."""
+    from mesin_spark.queries.llm5 import q_weighted_sample
+
+    plan = physical(q_weighted_sample(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_decontaminate_embed_broadcasts_bench_side(spark):
+    """q_decontaminate_embed: the benchmark side must broadcast (BNLJ over
+    ONE corpus scan — the designed shape for a small-by-definition eval
+    set); no cartesian product, no Python."""
+    from mesin_spark.queries.llm5 import q_decontaminate_embed
+
+    plan = physical(q_decontaminate_embed(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
