@@ -134,21 +134,25 @@ def q_asof_join(spark, sf_dir):
     union+window method — tag both sides, sort by (ts, side) within each
     user, and carry the last purchase timestamp forward with
     last(ignorenulls). ONE shuffle on user_id, no range explosion, no
-    per-group pandas; works at 100 TB wherever a window does. (DuckDB has a
-    native ASOF JOIN — that's the oracle.)
+    per-group pandas; works at 100 TB wherever a window does. The two
+    sides come from ONE events scan: purchase rows map-side explode into
+    (reference, probe) twins while everything else stays a single probe
+    row — not a scan per side. (DuckDB has a native ASOF JOIN — that's
+    the oracle.)
     """
     e = T(spark, sf_dir, "events")
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.col("ts").alias("ts"))
-        .withColumn("event_id", F.lit(None).cast("long"))
-        .withColumn("side", F.lit(0))
-        .withColumn("p_ts", F.col("ts"))
-    )
-    probe = (
-        e.select("user_id", "ts", "event_id")
-        .withColumn("side", F.lit(1))
-        .withColumn("p_ts", F.lit(None).cast("timestamp"))
+    is_p = F.col("event_type") == "purchase"
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.explode(
+            F.when(is_p, F.array(F.lit(0), F.lit(1))).otherwise(
+                F.array(F.lit(1))
+            )
+        ).alias("side"),
+    ).withColumn(
+        "p_ts", F.when(F.col("side") == 0, F.col("ts")).cast("timestamp")
     )
     from pyspark.sql import Window as W
 
@@ -158,8 +162,7 @@ def q_asof_join(spark, sf_dir):
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return (
-        purchases.unionByName(probe)
-        .withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
+        tagged.withColumn("last_p_ts", F.last("p_ts", ignorenulls=True).over(w))
         .filter(F.col("side") == 1)
         .select(
             "event_id",

@@ -433,3 +433,107 @@ def q_pit_features(spark, sf_dir):
         .filter(F.col("side") == 1)
         .select("event_id", "last_click_value", "last_view_value")
     )
+
+
+@query(
+    "q_time_to_event",
+    oracle="""
+    WITH tagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+        FROM events
+    ),
+    carried AS (
+        SELECT event_id, ts,
+               min(p_ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS next_p_ts
+        FROM tagged
+    )
+    SELECT event_id,
+           CAST(floor(epoch(next_p_ts)) - floor(epoch(ts)) AS BIGINT)
+               AS secs_to_purchase
+    FROM carried
+    """,
+)
+def q_time_to_event(spark, sf_dir):
+    """Time-to-next-event labels (survival / uplift / churn targets):
+    for every event, the seconds until the SAME user's next strictly
+    later purchase — NULL if they never purchase again (the censored
+    case). The forward-looking mirror of q_asof_join: one events scan,
+    one user_id window running time-DESCENDING with a 1-PRECEDING
+    bound (so an event never labels itself), min-carrying the purchase
+    timestamps backward. One shuffle at any scale; label generation
+    never joins."""
+    e = T(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return tagged.select(
+        "event_id",
+        (
+            F.unix_timestamp(F.min("p_ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("secs_to_purchase"),
+    )
+
+
+@query(
+    "q_negative_sampling",
+    oracle="""
+    WITH interactions AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS item
+        FROM events WHERE event_type = 'purchase'
+    ),
+    items AS (SELECT DISTINCT item FROM interactions),
+    buyers AS (SELECT DISTINCT user_id FROM interactions),
+    candidates AS (
+        SELECT u.user_id, i.item
+        FROM buyers u CROSS JOIN items i
+        ANTI JOIN interactions s
+            ON u.user_id = s.user_id AND i.item = s.item
+    )
+    SELECT user_id, item AS negative_item
+    FROM candidates
+    ORDER BY user_id, negative_item
+    """,
+)
+def q_negative_sampling(spark, sf_dir):
+    """Negative sampling for contrastive / recommendation training: per
+    purchasing user, the catalog items (props.k bucketed to a 20-item
+    catalog) they have NEVER purchased — the (user, item) pairs a
+    ranking model trains against as negatives. Plan: distinct
+    interactions (one hash agg), the small catalog broadcast-expanded
+    per user, one anti-join keyed on (user, item). At a real catalog
+    size the expansion is capped by sampling K candidates per user
+    with a portable hash (cf. q_weighted_sample) BEFORE the anti-join,
+    so the candidate set — not the catalog — bounds the shuffle."""
+    e = T(spark, sf_dir, "events")
+    interactions = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            (
+                F.get_json_object("props", "$.k").cast("long") % 20
+            ).alias("item"),
+        )
+        .distinct()
+    )
+    items = interactions.select("item").distinct()
+    buyers = interactions.select("user_id").distinct()
+    return (
+        buyers.crossJoin(F.broadcast(items))
+        .join(interactions, ["user_id", "item"], "left_anti")
+        .select("user_id", F.col("item").alias("negative_item"))
+        .orderBy("user_id", "negative_item")
+    )

@@ -369,3 +369,16 @@ def test_decontaminate_embed_broadcasts_bench_side(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_single_events_scan(spark):
+    """q_asof_join: reference + probe sides must come from ONE events scan
+    (purchase rows map-side explode into twins), not a scan per side."""
+    import re
+
+    from mesin_spark.queries.events import q_asof_join
+
+    plan = physical(q_asof_join(spark, SF_DIR))
+    ev_scans = len(re.findall(r"FileScan parquet.*events", plan))
+    assert ev_scans == 1, f"expected 1 events scan, got {ev_scans}"
+    assert "BatchEvalPython" not in plan
