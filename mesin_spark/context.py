@@ -329,6 +329,17 @@ class ExecutionContext:
         self.dialect = get_dialect(dialect)
         self.spark = spark or get_session()
         self.catalog = Catalog(self.spark)
+        self._ddl = None  # lazy DdlSession for the statement dispatcher
+
+    @property
+    def ddl(self):
+        """DdlSession bound to this context's catalog (created on first
+        DML/DDL statement — pure SELECT workloads never pay for it)."""
+        if self._ddl is None:
+            from mesin_spark.dml import DdlSession
+
+            self._ddl = DdlSession(self.spark, catalog=self.catalog)
+        return self._ddl
 
     # -- registration ------------------------------------------------------
     def register_parquet(self, name: str, path: str) -> DataFrame:
@@ -353,7 +364,15 @@ class ExecutionContext:
                 f"Multi-statement input not supported (got {len(stmts)} statements); "
                 "execute them one at a time"
             )
-        return self.spark.sql(normalize_dialect(stmts[0], self.dialect))
+        stmt = normalize_dialect(stmts[0], self.dialect)
+        from mesin_spark import sql_dml
+
+        if sql_dml.is_dml(stmt):
+            # the dispatcher's non-Query arms (src/planner/mod.rs:21-38):
+            # INSERT/UPDATE/DELETE/CREATE/DROP/ALTER route to the managed
+            # DML tier; CREATE/DROP VIEW and queries stay on spark.sql
+            return sql_dml.dispatch(self.ddl, stmt)
+        return self.spark.sql(stmt)
 
     def explain(self, sql: str) -> str:
         """The reference's terminal stage was a pretty-printed logical plan

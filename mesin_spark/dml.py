@@ -57,6 +57,9 @@ _DDL_TYPES = {
 def ddl_type(name: str) -> Ty.DataType:
     base = re.sub(r"\(.*\)", "", name).strip().upper()
     base = {"DOUBLE PRECISION": "DOUBLE"}.get(base, base)
+    if base in ("DECIMAL", "NUMERIC"):
+        m = re.search(r"\(\s*(\d+)\s*,\s*(\d+)\s*\)", name)
+        return Ty.DecimalType(int(m.group(1)), int(m.group(2))) if m else Ty.DecimalType(10, 0)
     if base not in _DDL_TYPES:
         # mirrors the reference's bail on unsupported types (tmp/crud.txt:435)
         raise ValueError(f"Unsupported data type: {name}")

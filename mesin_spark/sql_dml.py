@@ -1,0 +1,324 @@
+"""SQL-statement front for the DML/DDL tier: the reference's statement
+dispatcher (``Planner::generate``, src/planner/mod.rs:21-38) as a thin
+parser over DdlSession / ManagedTable, so ``ExecutionContext.execute``
+accepts the SAME statement surface the reference plans — INSERT /
+UPDATE / DELETE / CREATE TABLE / CREATE INDEX / DROP / ALTER — and,
+unlike the reference (which stops at pretty-printing the plan,
+src/context.rs:53), actually executes them.
+
+Parsing strategy: statements are recognized by leading keyword and cut
+at TOP-LEVEL keywords (WHERE / SET / VALUES) with a quote- and
+paren-aware scanner — expressions inside them are never re-parsed here;
+they pass through to Spark SQL (`F.expr`) which is the single
+expression grammar everywhere else in the engine. VALUES literal rows
+are evaluated by Spark itself (``SELECT * FROM (VALUES ...)``), so
+every literal form Spark accepts works here — no hand-rolled literal
+parser. VALUES statements are human-scale by nature; the bounded
+driver collect that aligns them to the target schema is the same shape
+as the reference's ``Vec<Vec<LogicalExpr>>`` (logical_plan.rs:49).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from mesin_spark.dml import ColumnDefinition, DdlSession
+
+#: Statement keywords this router owns; anything else is a query and
+#: falls through to ``spark.sql`` (the Query arm of the dispatcher).
+DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER")
+
+
+def is_dml(sql: str) -> bool:
+    head = sql.lstrip().split(None, 1)
+    if not head:
+        return False
+    kw = head[0].upper()
+    # CREATE/DROP VIEW stay on the spark.sql path (temp-view DDL is
+    # native there); everything else under these keywords routes here.
+    if kw in ("CREATE", "DROP"):
+        rest = head[1].upper() if len(head) > 1 else ""
+        if re.match(r"(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?VIEW\b", rest):
+            return False
+    return kw in DML_KEYWORDS
+
+
+# -- top-level text scanning ----------------------------------------------
+
+
+def _scan(s: str):
+    """Yield (index, char, depth, in_quote) over s, tracking paren depth
+    and single/double-quoted runs ('' escapes honored)."""
+    depth, quote, i, n = 0, None, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                if quote == "'" and i + 1 < n and s[i + 1] == "'":
+                    yield i, ch, depth, True
+                    i += 1
+                else:
+                    quote = None
+            yield i, ch, depth, quote is not None
+        else:
+            if ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            yield i, ch, depth, quote is not None
+        i += 1
+
+
+def _find_keyword(s: str, word: str) -> int:
+    """Index of the first TOP-LEVEL, unquoted, word-boundary occurrence
+    of ``word`` (case-insensitive), or -1."""
+    w = word.upper()
+    L = len(w)
+    up = s.upper()
+    for i, _ch, depth, q in _scan(s):
+        if depth == 0 and not q and up.startswith(w, i):
+            before_ok = i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_")
+            j = i + L
+            after_ok = j >= len(s) or not (up[j].isalnum() or up[j] == "_")
+            if before_ok and after_ok:
+                return i
+    return -1
+
+
+def _split_toplevel(s: str, sep: str = ",") -> list[str]:
+    """Split on top-level, unquoted ``sep``."""
+    parts, start = [], 0
+    for i, ch, depth, q in _scan(s):
+        if ch == sep and depth == 0 and not q:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+# -- statement handlers ----------------------------------------------------
+
+
+def _status(sess: DdlSession, statement: str, target: str, n: int) -> DataFrame:
+    return sess.spark.createDataFrame(
+        [(statement, target, n)], "statement string, target string, rows_affected long"
+    )
+
+
+def _insert(sess: DdlSession, sql: str) -> DataFrame:
+    m = re.match(rf"INSERT\s+INTO\s+({_IDENT})\s*", sql, re.I)
+    if not m:
+        raise ValueError(f"Cannot parse INSERT statement: {sql[:80]}")
+    table, rest = m.group(1), sql[m.end() :].lstrip()
+    columns = None
+    if rest.startswith("("):
+        close = next(
+            i for i, ch, depth, q in _scan(rest) if ch == ")" and depth == 0 and not q
+        )
+        columns = [c.strip().strip('"') for c in rest[1:close].split(",")]
+        rest = rest[close + 1 :].lstrip()
+    mt = sess.table(table)
+    if re.match(r"VALUES\b", rest, re.I):
+        # Spark evaluates the literal rows — every literal Spark SQL
+        # accepts (dates, intervals, arrays, NULL...) works unchanged.
+        src = sess.spark.sql(f"SELECT * FROM ( {rest} )")
+    elif re.match(r"(SELECT|WITH)\b", rest, re.I) or rest.startswith("("):
+        src = sess.spark.sql(rest)
+    else:
+        raise ValueError(f"INSERT must be followed by VALUES or SELECT: {sql[:80]}")
+    schema = mt.df().schema
+    if columns:
+        if len(columns) != len(src.columns):
+            raise ValueError(
+                f"INSERT column list has {len(columns)} names "
+                f"but the source produces {len(src.columns)} columns"
+            )
+        # name the positional source columns, then widen to the full
+        # target schema (missing columns NULL) — all JVM-side, with the
+        # same cast-to-target policy as insert_select
+        from pyspark.sql import functions as F
+
+        named = src.toDF(*columns)
+        src = named.select(
+            *[
+                (F.col(f.name) if f.name in columns else F.lit(None)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    n = src.count()
+    mt.insert_select(src)
+    return _status(sess, "INSERT", table, n)
+
+
+def _update(sess: DdlSession, sql: str) -> DataFrame:
+    m = re.match(rf"UPDATE\s+({_IDENT})\s+SET\s+", sql, re.I)
+    if not m:
+        raise ValueError(f"Cannot parse UPDATE statement: {sql[:80]}")
+    table, rest = m.group(1), sql[m.end() :]
+    wpos = _find_keyword(rest, "WHERE")
+    set_part, where = (
+        (rest[:wpos], rest[wpos + 5 :].strip()) if wpos >= 0 else (rest, None)
+    )
+    assignments: dict[str, str] = {}
+    for a in _split_toplevel(set_part):
+        eq = a.find("=")
+        col, expr = a[:eq].strip().strip('"'), a[eq + 1 :].strip()
+        assignments[col] = expr
+    mt = sess.table(table)
+    before = mt.df().count()
+    n = (
+        mt.df().filter(where).count() if where is not None else before
+    )  # affected-rows report, pre-update semantics
+    mt.update(assignments, where=where)
+    return _status(sess, "UPDATE", table, n)
+
+
+def _delete(sess: DdlSession, sql: str) -> DataFrame:
+    m = re.match(rf"DELETE\s+FROM\s+({_IDENT})\s*", sql, re.I)
+    if not m:
+        raise ValueError(f"Cannot parse DELETE statement: {sql[:80]}")
+    table, rest = m.group(1), sql[m.end() :].strip()
+    where = None
+    if rest:
+        if not re.match(r"WHERE\b", rest, re.I):
+            raise ValueError(f"Unexpected DELETE clause: {rest[:60]}")
+        where = rest[5:].strip()
+    mt = sess.table(table)
+    n = mt.df().filter(where).count() if where else mt.df().count()
+    mt.delete(where=where)
+    return _status(sess, "DELETE", table, n)
+
+
+def _column_def(text: str) -> ColumnDefinition:
+    parts = text.split()
+    name = parts[0].strip('"')
+    # type may be parameterized: DECIMAL(10,2) arrives unsplit because
+    # column defs are cut at top-level commas only
+    m = re.match(rf"{re.escape(parts[0])}\s+([A-Za-z0-9_]+(\s*\([^)]*\))?)", text)
+    data_type = m.group(1).replace(" ", "") if m else parts[1]
+    tail = text[m.end() :] if m else " ".join(parts[2:])
+    up = f" {tail.upper()} "
+    default = None
+    dm = re.search(r"\bDEFAULT\s+(.+?)(\s+(NOT\s+NULL|PRIMARY\s+KEY)|\s*$)", tail, re.I)
+    if dm:
+        default = dm.group(1).strip()
+    return ColumnDefinition(
+        name,
+        data_type,
+        nullable=" NOT NULL " not in up and " PRIMARY KEY " not in up,
+        default=default,
+        primary_key=" PRIMARY KEY " in up,
+    )
+
+
+_TABLE_CONSTRAINT_RE = re.compile(
+    r"^(CONSTRAINT\s+\S+\s+)?(PRIMARY\s+KEY|FOREIGN\s+KEY|UNIQUE|CHECK)\b", re.I
+)
+
+
+def _create(sess: DdlSession, sql: str) -> DataFrame:
+    tm = re.match(
+        rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\(", sql, re.I
+    )
+    if tm:
+        if_not_exists = tm.group(1) is not None
+        table = tm.group(2)
+        body_open = tm.end() - 1
+        body = sql[body_open:]
+        close = next(
+            i for i, ch, depth, q in _scan(body) if ch == ")" and depth == 0 and not q
+        )
+        inner = body[1:close]
+        columns, constraints = [], []
+        for item in _split_toplevel(inner):
+            cm = _TABLE_CONSTRAINT_RE.match(item)
+            if cm:
+                constraints.append(
+                    {"kind": cm.group(2).upper().replace(" ", "_"), "text": item}
+                )
+            else:
+                columns.append(_column_def(item))
+        sess.create_table(table, columns, constraints=constraints, if_not_exists=if_not_exists)
+        return _status(sess, "CREATE TABLE", table, 0)
+    im = re.match(
+        rf"CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})?\s*"
+        rf"ON\s+({_IDENT})\s*\(([^)]*)\)",
+        sql,
+        re.I,
+    )
+    if im:
+        unique, name, table = im.group(1) is not None, im.group(3), im.group(4)
+        cols = [c.strip().strip('"') for c in im.group(5).split(",")]
+        meta = sess.create_index(table, cols, name=name, unique=unique)
+        return _status(sess, "CREATE INDEX", meta.name, 0)
+    raise ValueError(f"Unsupported CREATE statement: {sql[:80]}")
+
+
+def _drop(sess: DdlSession, sql: str) -> DataFrame:
+    m = re.match(
+        rf"DROP\s+(TABLE|INDEX)\s+(IF\s+EXISTS\s+)?(.+?)(\s+CASCADE)?\s*$",
+        sql,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"Cannot parse DROP statement: {sql[:80]}")
+    kind = m.group(1).upper()
+    if_exists = m.group(2) is not None
+    names = [n.strip().strip('"') for n in m.group(3).split(",")]
+    if kind == "TABLE":
+        sess.drop_table(*names, if_exists=if_exists, cascade=m.group(4) is not None)
+        return _status(sess, "DROP TABLE", ",".join(names), 0)
+    for n in names:
+        sess.drop_index(n, if_exists=if_exists)
+    return _status(sess, "DROP INDEX", ",".join(names), 0)
+
+
+def _alter(sess: DdlSession, sql: str) -> DataFrame:
+    m = re.match(rf"ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", sql, re.I | re.S)
+    if not m:
+        raise ValueError(f"Cannot parse ALTER statement: {sql[:80]}")
+    table, action = m.group(1), m.group(2).strip()
+    mt = sess.table(table)
+    am = re.match(rf"ADD\s+(COLUMN\s+)?({_IDENT})\s+(\S+)(\s+DEFAULT\s+(.+))?$", action, re.I)
+    if am:
+        default = None
+        if am.group(5):
+            # evaluate the literal with Spark itself (same policy as VALUES)
+            default = sess.spark.sql(f"SELECT {am.group(5).strip()}").collect()[0][0]
+        mt.alter_add_column(am.group(2), am.group(3), default=default)
+        return _status(sess, "ALTER TABLE ADD", table, 0)
+    dm = re.match(rf"DROP\s+(COLUMN\s+)?({_IDENT})$", action, re.I)
+    if dm:
+        mt.alter_drop_column(dm.group(2))
+        return _status(sess, "ALTER TABLE DROP", table, 0)
+    rm = re.match(rf"RENAME\s+(COLUMN\s+)?({_IDENT})\s+TO\s+({_IDENT})$", action, re.I)
+    if rm:
+        mt.alter_rename_column(rm.group(2), rm.group(3))
+        return _status(sess, "ALTER TABLE RENAME", table, 0)
+    raise ValueError(f"Unsupported ALTER action: {action[:60]}")
+
+
+def dispatch(sess: DdlSession, sql: str) -> DataFrame:
+    """Route one DML/DDL statement (the reference dispatcher's non-Query
+    arms, src/planner/mod.rs:21-38). Raises ValueError on anything it
+    cannot parse — never silently falls back."""
+    s = sql.strip().rstrip(";").strip()
+    kw = s.split(None, 1)[0].upper()
+    handler = {
+        "INSERT": _insert,
+        "UPDATE": _update,
+        "DELETE": _delete,
+        "CREATE": _create,
+        "DROP": _drop,
+        "ALTER": _alter,
+    }.get(kw)
+    if handler is None:
+        raise ValueError(f"Not a DML/DDL statement: {s[:60]}")
+    return handler(sess, s)

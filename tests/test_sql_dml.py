@@ -1,0 +1,175 @@
+"""SQL-statement surface of ExecutionContext.execute — the reference's
+full dispatcher (src/planner/mod.rs:21-38: Query + Insert + Update +
+Delete + CreateTable + CreateIndex + Drop) driven end-to-end through
+actual SQL strings, which the reference itself can only pretty-print."""
+
+from __future__ import annotations
+
+import pytest
+
+from mesin_spark.context import ExecutionContext
+
+
+@pytest.fixture()
+def ctx(spark, tmp_path):
+    from mesin_spark.dml import DdlSession
+
+    c = ExecutionContext(spark=spark)
+    c._ddl = DdlSession(spark, catalog=c.catalog, base_dir=str(tmp_path))
+    return c
+
+
+def test_create_insert_select_roundtrip(ctx):
+    ctx.execute(
+        """CREATE TABLE people (
+            id BIGINT PRIMARY KEY,
+            name STRING NOT NULL,
+            balance DOUBLE DEFAULT 0.0
+        )"""
+    )
+    st = ctx.execute(
+        "INSERT INTO people VALUES (1, 'ada', 10.5), (2, 'o''brien, jr', 2.0)"
+    ).collect()[0]
+    assert (st["statement"], st["rows_affected"]) == ("INSERT", 2)
+    rows = {r["id"]: r for r in ctx.execute("SELECT * FROM people").collect()}
+    assert rows[2]["name"] == "o'brien, jr"  # quote escape + comma in string
+    assert rows[1]["balance"] == 10.5
+
+
+def test_insert_column_list_fills_nulls(ctx):
+    ctx.execute("CREATE TABLE t1 (a BIGINT, b STRING, c DOUBLE)")
+    ctx.execute("INSERT INTO t1 (c, a) VALUES (1.5, 7)")
+    r = ctx.execute("SELECT * FROM t1").collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (7, None, 1.5)
+
+
+def test_insert_select_statement(ctx):
+    ctx.execute("CREATE TABLE src (a BIGINT, b STRING)")
+    ctx.execute("INSERT INTO src VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    ctx.execute("CREATE TABLE dst (a BIGINT, b STRING)")
+    st = ctx.execute("INSERT INTO dst SELECT a, b FROM src WHERE a >= 2").collect()[0]
+    assert st["rows_affected"] == 2
+    assert ctx.execute("SELECT count(*) AS n FROM dst").collect()[0]["n"] == 2
+
+
+def test_update_pre_image_semantics_swap(ctx):
+    ctx.execute("CREATE TABLE sw (k BIGINT, a BIGINT, b BIGINT)")
+    ctx.execute("INSERT INTO sw VALUES (1, 10, 20)")
+    ctx.execute("UPDATE sw SET a = b, b = a")
+    r = ctx.execute("SELECT * FROM sw").collect()[0]
+    assert (r["a"], r["b"]) == (20, 10)  # both RHS saw the PRE-update row
+
+
+def test_update_where_and_affected_count(ctx):
+    ctx.execute("CREATE TABLE u (id BIGINT, v BIGINT)")
+    ctx.execute("INSERT INTO u VALUES (1, 1), (2, 2), (3, 3)")
+    st = ctx.execute("UPDATE u SET v = v * 10 WHERE id IN (2, 3)").collect()[0]
+    assert st["rows_affected"] == 2
+    vals = {r["id"]: r["v"] for r in ctx.execute("SELECT * FROM u").collect()}
+    assert vals == {1: 1, 2: 20, 3: 30}
+
+
+def test_delete_where_and_full(ctx):
+    ctx.execute("CREATE TABLE d (id BIGINT)")
+    ctx.execute("INSERT INTO d VALUES (1), (2), (3)")
+    assert ctx.execute("DELETE FROM d WHERE id = 2").collect()[0]["rows_affected"] == 1
+    assert ctx.execute("DELETE FROM d").collect()[0]["rows_affected"] == 2
+    assert ctx.execute("SELECT count(*) AS n FROM d").collect()[0]["n"] == 0
+
+
+def test_create_index_drop_cascade(ctx):
+    ctx.execute("CREATE TABLE ix (a BIGINT, b BIGINT)")
+    st = ctx.execute("CREATE INDEX ON ix (a, b)").collect()[0]
+    assert st["target"] == "idx_ix_a_b"  # auto-name (tmp/crud.txt:312-347)
+    with pytest.raises(Exception, match="dependent indexes"):
+        ctx.execute("DROP TABLE ix")
+    ctx.execute("DROP TABLE ix CASCADE")
+    with pytest.raises(Exception, match="does not exist"):
+        ctx.execute("DROP TABLE ix")
+    ctx.execute("DROP TABLE IF EXISTS ix")  # no error
+
+
+def test_unique_named_index_and_drop_index(ctx):
+    ctx.execute("CREATE TABLE iq (a BIGINT)")
+    ctx.execute("CREATE UNIQUE INDEX my_idx ON iq (a)")
+    assert "my_idx" in ctx.catalog.indexes
+    assert ctx.catalog.indexes["my_idx"].unique
+    ctx.execute("DROP INDEX my_idx")
+    assert "my_idx" not in ctx.catalog.indexes
+
+
+def test_alter_table_add_rename_drop(ctx):
+    ctx.execute("CREATE TABLE al (a BIGINT)")
+    ctx.execute("INSERT INTO al VALUES (1)")
+    ctx.execute("ALTER TABLE al ADD COLUMN note STRING DEFAULT 'n/a'")
+    assert ctx.execute("SELECT note FROM al").collect()[0]["note"] == "n/a"
+    ctx.execute("ALTER TABLE al RENAME COLUMN note TO remark")
+    ctx.execute("ALTER TABLE al DROP COLUMN remark")
+    assert ctx.execute("SELECT * FROM al").columns == ["a"]
+
+
+def test_table_level_constraints_recorded(ctx):
+    ctx.execute(
+        """CREATE TABLE tc (
+            a BIGINT,
+            b BIGINT,
+            PRIMARY KEY (a),
+            UNIQUE (b),
+            CHECK (b > 0)
+        )"""
+    )
+    kinds = {c["kind"] for c in ctx.catalog.tables["tc"].constraints}
+    assert {"PRIMARY_KEY", "UNIQUE", "CHECK"} <= kinds
+
+
+def test_create_view_stays_on_spark_path(ctx, spark):
+    ctx.execute("CREATE TABLE vsrc (a BIGINT)")
+    ctx.execute("INSERT INTO vsrc VALUES (5)")
+    ctx.execute("CREATE OR REPLACE TEMP VIEW v_over AS SELECT a * 2 AS a2 FROM vsrc")
+    assert ctx.execute("SELECT a2 FROM v_over").collect()[0]["a2"] == 10
+
+
+def test_values_with_semicolon_and_parens_inside_string(ctx):
+    ctx.execute("CREATE TABLE s (t STRING)")
+    ctx.execute("INSERT INTO s VALUES ('a;b)(, ''c'' d')")
+    assert ctx.execute("SELECT t FROM s").collect()[0]["t"] == "a;b)(, 'c' d"
+
+
+def test_create_table_if_not_exists_and_duplicate_error(ctx):
+    ctx.execute("CREATE TABLE dup (a BIGINT)")
+    with pytest.raises(Exception, match="already exists"):
+        ctx.execute("CREATE TABLE dup (a BIGINT)")
+    ctx.execute("CREATE TABLE IF NOT EXISTS dup (a BIGINT)")  # no error
+
+
+def test_decimal_type_survives_parse(ctx):
+    ctx.execute("CREATE TABLE dec (a DECIMAL(10,2), b BIGINT)")
+    ctx.execute("INSERT INTO dec VALUES (CAST(1.25 AS DECIMAL(10,2)), 3)")
+    r = ctx.execute("SELECT * FROM dec").collect()[0]
+    assert float(r["a"]) == 1.25 and r["b"] == 3
+
+
+def test_adversarial_string_roundtrip_one_insert(ctx):
+    """Eight adversarial strings (quotes, doubled quotes, keywords,
+    separators, unicode) round-trip byte-exact through one INSERT — the
+    scanner must not mis-cut at anything inside a literal."""
+    tricky = [
+        "it's",
+        "''",
+        "a,b),(c",
+        "WHERE 1=1; DROP TABLE x",
+        'double " quote',
+        "ünïcødé — em—dash",
+        "  leading and trailing  ",
+        "VALUES (1,2),(3,4)",
+    ]
+    ctx.execute("CREATE TABLE adv (i BIGINT, t STRING)")
+    lits = ", ".join(
+        f"({i}, '" + s.replace("'", "''") + "')" for i, s in enumerate(tricky)
+    )
+    st = ctx.execute(f"INSERT INTO adv VALUES {lits}").collect()[0]
+    assert st["rows_affected"] == len(tricky)
+    got = {
+        r["i"]: r["t"] for r in ctx.execute("SELECT i, t FROM adv").collect()
+    }
+    assert got == dict(enumerate(tricky))
