@@ -493,6 +493,25 @@ class DdlSession:
             raise CatalogError(f"Table '{name}' does not exist in database")
         return ManagedTable(self.spark, name, meta.path, self.catalog)
 
+    def create_table_as(self, name: str, source: DataFrame, if_not_exists: bool = False) -> ManagedTable:
+        """CREATE TABLE AS SELECT — schema inferred from the source plan,
+        data materialized in the same distributed write (no insert pass).
+        The reference has no CTAS arm; extension."""
+        if name in self.catalog:
+            if if_not_exists:
+                return self.table(name)
+            raise CatalogError(f"Table '{name}' already exists")
+        path = os.path.join(self.base_dir, name)
+        source.write.mode("overwrite").parquet(path)
+        df = self.spark.read.parquet(path)
+        self.catalog.register_dataframe(name, df, path=path)
+        meta = self.catalog.tables[name]
+        meta.properties["columns"] = [
+            {"name": f.name, "data_type": f.dataType.simpleString(), "nullable": f.nullable}
+            for f in df.schema.fields
+        ]
+        return ManagedTable(self.spark, name, path, self.catalog)
+
     def import_parquet(self, name: str, src_path: str) -> ManagedTable:
         """Copy an existing parquet file/dir into a managed (mutable) table."""
         path = os.path.join(self.base_dir, name)

@@ -28,7 +28,7 @@ from mesin_spark.dml import ColumnDefinition, DdlSession
 
 #: Statement keywords this router owns; anything else is a query and
 #: falls through to ``spark.sql`` (the Query arm of the dispatcher).
-DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER")
+DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE")
 
 
 def is_dml(sql: str) -> bool:
@@ -223,7 +223,94 @@ _TABLE_CONSTRAINT_RE = re.compile(
 )
 
 
+def _truncate(sess: DdlSession, sql: str) -> DataFrame:
+    m = re.match(rf"TRUNCATE\s+(TABLE\s+)?({_IDENT})\s*$", sql, re.I)
+    if not m:
+        raise ValueError(f"Cannot parse TRUNCATE statement: {sql[:80]}")
+    mt = sess.table(m.group(2))
+    n = mt.df().count()
+    mt.delete()
+    return _status(sess, "TRUNCATE", m.group(2), n)
+
+
+def _merge(sess: DdlSession, sql: str) -> DataFrame:
+    """MERGE INTO tgt USING (src|(query)) [AS alias] ON equi-keys
+    WHEN MATCHED THEN UPDATE SET ... | WHEN MATCHED THEN DELETE
+    [WHEN NOT MATCHED THEN INSERT ...] — the equi-key upsert subset
+    ManagedTable.merge executes (one full-outer shuffle; AQE broadcasts
+    a small source)."""
+    m = re.match(rf"MERGE\s+INTO\s+({_IDENT})\s+USING\s+", sql, re.I)
+    if not m:
+        raise ValueError(f"Cannot parse MERGE statement: {sql[:80]}")
+    table, rest = m.group(1), sql[m.end() :].lstrip()
+    if rest.startswith("("):
+        close = next(
+            i for i, ch, depth, q in _scan(rest) if ch == ")" and depth == 0 and not q
+        )
+        source = sess.spark.sql(rest[1:close])
+        rest = rest[close + 1 :].lstrip()
+    else:
+        sm = re.match(rf"({_IDENT})", rest)
+        source = sess.spark.table(sm.group(1))
+        rest = rest[sm.end() :].lstrip()
+    am = re.match(rf"(AS\s+)?({_IDENT})\s+", rest, re.I)
+    if am and am.group(2).upper() != "ON":
+        rest = rest[am.end() :].lstrip()
+    om = re.match(r"ON\s+", rest, re.I)
+    if not om:
+        raise ValueError(f"MERGE missing ON clause: {rest[:60]}")
+    rest = rest[om.end() :]
+    wpos = _find_keyword(rest, "WHEN")
+    if wpos < 0:
+        raise ValueError("MERGE has no WHEN clauses")
+    cond, whens = rest[:wpos], rest[wpos:]
+    on_cols = []
+    for part in re.split(r"\bAND\b", cond, flags=re.I):
+        cm = re.match(
+            rf"\s*(?:{_IDENT}\.)?({_IDENT})\s*=\s*(?:{_IDENT}\.)?({_IDENT})\s*$", part
+        )
+        if not cm or cm.group(1) != cm.group(2):
+            raise ValueError(
+                f"MERGE ON supports equi-key conditions on same-named columns; got {part.strip()!r}"
+            )
+        on_cols.append(cm.group(1))
+    when_matched, update_cols, insert_unmatched = None, None, False
+    for clause in re.split(r"(?i)\bWHEN\b", whens):
+        clause = clause.strip()
+        if not clause:
+            continue
+        if re.match(r"MATCHED\s+THEN\s+DELETE", clause, re.I):
+            when_matched = "delete"
+        elif re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+", clause, re.I):
+            when_matched = "update"
+            set_part = re.sub(r"(?i)^MATCHED\s+THEN\s+UPDATE\s+SET\s+", "", clause)
+            update_cols = [
+                a.split("=")[0].strip().split(".")[-1].strip('"')
+                for a in _split_toplevel(set_part)
+            ]
+        elif re.match(r"NOT\s+MATCHED\s+THEN\s+INSERT", clause, re.I):
+            insert_unmatched = True
+        else:
+            raise ValueError(f"Unsupported MERGE WHEN clause: {clause[:60]}")
+    mt = sess.table(table)
+    mt.merge(
+        source.select(*mt.df().columns),
+        on=on_cols,
+        update_cols=update_cols,
+        when_matched=when_matched or "update",
+        insert_unmatched=insert_unmatched,
+    )
+    return _status(sess, "MERGE", table, source.count())
+
+
 def _create(sess: DdlSession, sql: str) -> DataFrame:
+    cm = re.match(
+        rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+", sql, re.I
+    )
+    if cm:
+        src = sess.spark.sql(sql[cm.end() :])
+        sess.create_table_as(cm.group(2), src, if_not_exists=cm.group(1) is not None)
+        return _status(sess, "CREATE TABLE AS", cm.group(2), src.count())
     tm = re.match(
         rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\(", sql, re.I
     )
@@ -318,6 +405,8 @@ def dispatch(sess: DdlSession, sql: str) -> DataFrame:
         "CREATE": _create,
         "DROP": _drop,
         "ALTER": _alter,
+        "MERGE": _merge,
+        "TRUNCATE": _truncate,
     }.get(kw)
     if handler is None:
         raise ValueError(f"Not a DML/DDL statement: {s[:60]}")

@@ -173,3 +173,40 @@ def test_adversarial_string_roundtrip_one_insert(ctx):
         r["i"]: r["t"] for r in ctx.execute("SELECT i, t FROM adv").collect()
     }
     assert got == dict(enumerate(tricky))
+
+
+def test_ctas_and_truncate(ctx):
+    ctx.execute("CREATE TABLE base (a BIGINT, b STRING)")
+    ctx.execute("INSERT INTO base VALUES (1, 'x'), (2, 'y')")
+    st = ctx.execute("CREATE TABLE copy AS SELECT a * 10 AS a10, b FROM base").collect()[0]
+    assert st["rows_affected"] == 2
+    rows = {r["a10"]: r["b"] for r in ctx.execute("SELECT * FROM copy").collect()}
+    assert rows == {10: "x", 20: "y"}
+    assert ctx.execute("TRUNCATE TABLE copy").collect()[0]["rows_affected"] == 2
+    assert ctx.execute("SELECT count(*) AS n FROM copy").collect()[0]["n"] == 0
+
+
+def test_merge_upsert_statement(ctx):
+    ctx.execute("CREATE TABLE tgt (k BIGINT, v STRING)")
+    ctx.execute("INSERT INTO tgt VALUES (1, 'old1'), (2, 'old2')")
+    ctx.execute(
+        """MERGE INTO tgt USING (
+               SELECT * FROM (VALUES (2, 'new2'), (3, 'new3')) AS s(k, v)
+           ) AS s ON tgt.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+    )
+    rows = {r["k"]: r["v"] for r in ctx.execute("SELECT * FROM tgt").collect()}
+    assert rows == {1: "old1", 2: "new2", 3: "new3"}
+
+
+def test_merge_matched_delete(ctx):
+    ctx.execute("CREATE TABLE md (k BIGINT, v BIGINT)")
+    ctx.execute("INSERT INTO md VALUES (1, 1), (2, 2), (3, 3)")
+    ctx.execute(
+        """MERGE INTO md USING (
+               SELECT * FROM (VALUES (2, 0)) AS s(k, v)
+           ) ON md.k = s.k
+           WHEN MATCHED THEN DELETE"""
+    )
+    assert sorted(r["k"] for r in ctx.execute("SELECT * FROM md").collect()) == [1, 3]
