@@ -343,3 +343,87 @@ def q_weighted_sample(spark, sf_dir):
         .orderBy(F.desc("es_key"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q_fuzzy_join(spark, sf_dir):
+    """Fuzzy (edit-distance) self-join — entity resolution within a
+    blocking key: part-name pairs within the same brand at Levenshtein
+    distance <= 2. The blocked-pairs shape is identical to
+    q_dedup_ngram (block bounds the quadratic space; at 100 TB the
+    block key is a cheap canopy — first token, soundex, or an LSH
+    signature — and the salted pair join from ext/skew spreads hot
+    blocks). levenshtein() is JVM-side codegen, no UDF."""
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = p.toDF("id_a", "name_a", "brand")
+    b = p.toDF("id_b", "name_b", "brand")
+    return (
+        a.join(b, "brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q_quantile_bins",
+    oracle=f"""
+    WITH edges AS (
+        SELECT {sr("quantile_cont(l_extendedprice, 0.25)", 4)} AS e1,
+               {sr("quantile_cont(l_extendedprice, 0.50)", 4)} AS e2,
+               {sr("quantile_cont(l_extendedprice, 0.75)", 4)} AS e3
+        FROM lineitem
+    )
+    SELECT CASE WHEN l_extendedprice <= e1 THEN 0
+                WHEN l_extendedprice <= e2 THEN 1
+                WHEN l_extendedprice <= e3 THEN 2
+                ELSE 3 END AS bin,
+           count(*) AS n,
+           {sr("avg(l_extendedprice)", 4)} AS avg_price
+    FROM lineitem CROSS JOIN edges
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_quantile_bins(spark, sf_dir):
+    """Quantile discretizer (the ML feature-binning primitive): learn
+    quartile edges in ONE aggregate pass, broadcast the 1-row edge
+    frame, assign bins map-side with a CASE — the scalable form of
+    Spark ML's QuantileDiscretizer without a fit/transform round-trip.
+    At 100 TB swap the exact percentile for approx_percentile (same
+    plan shape, sketch-mergeable) — exact here so the oracle can
+    replay it."""
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.agg(
+        R(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("e1"),
+        R(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("e2"),
+        R(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("e3"),
+    )
+    p = F.col("l_extendedprice")
+    binned = li.crossJoin(F.broadcast(edges)).withColumn(
+        "bin",
+        F.when(p <= F.col("e1"), 0)
+        .when(p <= F.col("e2"), 1)
+        .when(p <= F.col("e3"), 2)
+        .otherwise(3),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("bin")
+    )
