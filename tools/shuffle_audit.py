@@ -1,0 +1,160 @@
+"""Shuffle/scan byte audit of the bench headline — measure, don't guess.
+
+Wall-clock (bench.py) says how long a query took on THIS machine; bytes
+say how it will scale. For each headline query this tool runs the plan
+to a noop sink and reads the engine's own SQLMetrics out of the
+SQLAppStatusStore (works headless — the SQL listener is always on):
+
+- scan bytes   ("size of files read"): what the query pulled off disk —
+  column pruning + partition/zone pruning show up here;
+- shuffle bytes ("shuffle bytes written"): what crossed the exchange —
+  THE 100 TB cost driver; broadcast joins and map-side partial
+  aggregation show up here;
+- spill bytes: nonzero means a partition didn't fit its task's memory —
+  a re-partitioning bug at any scale.
+
+The shuffle/scan ratio is the headline number: a well-shaped aggregate
+query shuffles a tiny fraction of what it scans (partial agg), a
+well-shaped join shuffles at most ~1x its probe side. Writes SHUFFLE.md.
+
+Usage:
+    python tools/shuffle_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+_UNITS = {"B": 1, "KIB": 1024, "MIB": 1024**2, "GIB": 1024**3, "TIB": 1024**4}
+
+
+def parse_bytes(text: str) -> float:
+    """'1018.0 KiB' / '12.3 MiB' / '213.0 B' → bytes. Metric strings for
+    aggregated accumulators look like 'total (min, med, max...)\\n96.0 B
+    (32.0 B, 32.0 B, 32.0 B...)' — the leading total is what we want."""
+    m = re.search(r"([\d.,]+)\s*(B|KiB|MiB|GiB|TiB)", text)
+    if not m:
+        return 0.0
+    return float(m.group(1).replace(",", "")) * _UNITS[m.group(2).upper()]
+
+
+def fmt(n: float) -> str:
+    for unit in ("B", "KiB", "MiB", "GiB", "TiB"):
+        if n < 1024 or unit == "TiB":
+            return f"{n:,.1f} {unit}"
+        n /= 1024
+    return f"{n:,.1f} TiB"
+
+
+def execution_metric_totals(store, first_id: int) -> dict[str, float]:
+    """Sum byte metrics across every SQL execution with id >= first_id."""
+    totals = {"scan": 0.0, "shuffle": 0.0, "spill": 0.0}
+    execs = store.executionsList()
+    for i in range(execs.size()):
+        ex = execs.apply(i)
+        if ex.executionId() < first_id:
+            continue
+        vals = store.executionMetrics(ex.executionId())
+        mets = ex.metrics()
+        it = mets.iterator()
+        while it.hasNext():
+            m = it.next()
+            v = vals.get(m.accumulatorId())
+            if not v.isDefined():
+                continue
+            name, text = m.name(), v.get()
+            if name == "size of files read":
+                totals["scan"] += parse_bytes(text)
+            elif name == "shuffle bytes written":
+                totals["shuffle"] += parse_bytes(text)
+            elif name == "spill size":
+                totals["spill"] += parse_bytes(text)
+    return totals
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+    from mesin_spark.session import get_session
+
+    spark = get_session("mesin_shuffle_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = entrymod.queries()
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    rows = []
+    for name in HEADLINE:
+        execs = store.executionsList()
+        first_id = (
+            execs.apply(execs.size() - 1).executionId() + 1 if execs.size() else 0
+        )
+        df = registry[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        t = execution_metric_totals(store, first_id)
+        ratio = (t["shuffle"] / t["scan"]) if t["scan"] else 0.0
+        rows.append((name, t["scan"], t["shuffle"], ratio, t["spill"]))
+        print(
+            f"{name:24s} scan={fmt(t['scan']):>12s} shuffle={fmt(t['shuffle']):>12s} "
+            f"ratio={ratio:6.3f} spill={fmt(t['spill'])}"
+        )
+
+    out = [
+        "# SHUFFLE — bytes scanned vs bytes shuffled per headline query",
+        "",
+        f"Source: engine SQLMetrics (SQLAppStatusStore), sf_dir={sf_dir},",
+        "noop sink. Regenerate with `python tools/shuffle_audit.py`.",
+        "",
+        "The shuffle/scan ratio is the scale indicator wall-clock can't",
+        "give: it is machine-independent and survives a 1000x data and",
+        "cluster scale-up. Low ratio = map-side work (partial aggregation,",
+        "broadcast joins, pruned scans); ratio >~ 1 = the data crosses the",
+        "network and the query is exchange-bound at 100 TB. Spill must be",
+        "0 — nonzero means a partition outgrew its task's memory.",
+        "",
+        "| query | scan | shuffle | shuffle/scan | spill |",
+        "|---|---|---|---|---|",
+    ]
+    for name, scan, shuffle, ratio, spill in rows:
+        out.append(
+            f"| {name} | {fmt(scan)} | {fmt(shuffle)} | {ratio:.3f} | {fmt(spill)} |"
+        )
+    total_scan = sum(r[1] for r in rows)
+    total_shuf = sum(r[2] for r in rows)
+    out.append(
+        f"| **total** | **{fmt(total_scan)}** | **{fmt(total_shuf)}** | "
+        f"**{(total_shuf / total_scan if total_scan else 0):.3f}** | |"
+    )
+    out.append("")
+    out.append("## Known-by-design outliers")
+    out.append("")
+    out.append(
+        "- **q_span_removal / q_tfidf** shuffle more than they scan because"
+        " both EXPLODE tokens/shingles before their keyed aggregation — the"
+        " shuffle is proportional to token instances, not documents. That"
+        " is the algorithm, not a plan defect; both stay partial-aggregated"
+        " and keyed (never all-pairs)."
+    )
+    out.append(
+        "- **window queries (q_running_sum, q_session_batch, q_asof_join)**"
+        " sit near ratio 1: a window sort moves each row once — the floor"
+        " for any per-key ordered computation."
+    )
+    out.append(
+        "- **ratio 0.000 rows** are broadcast-join or map-side plans: the"
+        " fact table never crosses the network. This is the target state"
+        " for dimension joins at 100 TB."
+    )
+    out.append("")
+    with open("/root/repo/SHUFFLE.md", "w") as f:
+        f.write("\n".join(out))
+    print("wrote SHUFFLE.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
