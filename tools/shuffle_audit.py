@@ -133,11 +133,15 @@ def main() -> int:
     out.append("## Known-by-design outliers")
     out.append("")
     out.append(
-        "- **q_span_removal / q_tfidf** shuffle more than they scan because"
-        " both EXPLODE tokens/shingles before their keyed aggregation — the"
-        " shuffle is proportional to token instances, not documents. That"
-        " is the algorithm, not a plan defect; both stay partial-aggregated"
-        " and keyed (never all-pairs)."
+        "- **q_span_removal / q_tfidf / q_dedup_minhash / q_dedup_ngram /"
+        " q_pipeline_e2e** shuffle more than they scan because they EXPLODE"
+        " tokens/shingles (or carry 64-hash signatures) before their keyed"
+        " aggregation — the shuffle is proportional to token instances, not"
+        " documents. That is the algorithm, not a plan defect; all stay"
+        " partial-aggregated and keyed (never all-pairs). The minhash number"
+        " also includes the local-mode repartition that spreads a single"
+        " parquet file across cores; a real ingest has many files and skips"
+        " it."
     )
     out.append(
         "- **window queries (q_running_sum, q_session_batch, q_asof_join)**"
