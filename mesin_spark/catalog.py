@@ -151,3 +151,80 @@ class Catalog:
 
     def __contains__(self, name: str) -> bool:
         return name in self.tables
+
+    # -- persistence -------------------------------------------------------
+    # Metastore-lite: table paths + constraints + index metadata as one
+    # JSON document, so a warehouse outlives the Spark session (the
+    # parquet data and version pointers are already on disk; this persists
+    # the part that only lived in this dict). The write is single-commit
+    # (temp + os.replace), same policy as ManagedTable._commit.
+
+    CATALOG_FILE = "_catalog.json"
+
+    def save(self, base_dir: str) -> str:
+        import json
+        import tempfile
+
+        doc = {
+            "tables": [
+                {
+                    "name": m.name,
+                    "path": m.path,
+                    "constraints": m.constraints,
+                    "properties": m.properties,
+                }
+                for m in self.tables.values()
+                if m.path is not None  # in-memory frames can't be reopened
+            ],
+            "indexes": [
+                {
+                    "name": i.name,
+                    "table": i.table,
+                    "columns": i.columns,
+                    "unique": i.unique,
+                }
+                for i in self.indexes.values()
+            ],
+        }
+        os.makedirs(base_dir, exist_ok=True)
+        target = os.path.join(base_dir, self.CATALOG_FILE)
+        fd, tmp = tempfile.mkstemp(dir=base_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, target)
+        return target
+
+    def load(self, base_dir: str) -> int:
+        """Re-register every persisted table (skipping paths that no
+        longer exist) and restore constraint/index metadata. Returns the
+        number of tables restored."""
+        import json
+
+        with open(os.path.join(base_dir, self.CATALOG_FILE)) as f:
+            doc = json.load(f)
+        n = 0
+        for t in doc["tables"]:
+            if not os.path.exists(t["path"]):
+                continue
+            # versioned layout: read through the version pointer
+            from mesin_spark.dml import ManagedTable
+
+            mt = ManagedTable(self.spark, t["name"], t["path"], catalog=None)
+            data_dir = mt._data_dir()
+            from mesin_spark.sources import read_parquet
+
+            df = read_parquet(self.spark, data_dir)
+            self.register_dataframe(t["name"], df, path=t["path"])
+            meta = self.tables[t["name"]]
+            meta.constraints = t.get("constraints", [])
+            meta.properties = t.get("properties", {})
+            n += 1
+        for i in doc.get("indexes", []):
+            if i["table"] in self.tables:
+                self.indexes[i["name"]] = IndexMeta(
+                    name=i["name"],
+                    table=i["table"],
+                    columns=i["columns"],
+                    unique=i["unique"],
+                )
+        return n

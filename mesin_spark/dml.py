@@ -574,3 +574,20 @@ class DdlSession:
                 return
             raise CatalogError(f"Index '{name}' does not exist")
         del self.catalog.indexes[name]
+
+    # -- persistence -------------------------------------------------------
+    def save_catalog(self) -> str:
+        """Persist the warehouse's catalog (paths, constraints, indexes)
+        next to its data — see Catalog.save. Data itself is already
+        durable (parquet + version pointers); this makes the metadata
+        survive the session too."""
+        return self.catalog.save(self.base_dir)
+
+    @classmethod
+    def open(cls, spark: SparkSession, base_dir: str) -> "DdlSession":
+        """Reopen a saved warehouse: restores every persisted table (at
+        its CURRENT committed version for versioned tables) plus
+        constraint/index metadata into a fresh catalog."""
+        sess = cls(spark, catalog=Catalog(spark), base_dir=base_dir)
+        sess.catalog.load(base_dir)
+        return sess

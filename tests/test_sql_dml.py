@@ -210,3 +210,27 @@ def test_merge_matched_delete(ctx):
            WHEN MATCHED THEN DELETE"""
     )
     assert sorted(r["k"] for r in ctx.execute("SELECT * FROM md").collect()) == [1, 3]
+
+
+def test_warehouse_survives_session_reopen(spark, tmp_path):
+    """save_catalog + DdlSession.open: tables (at their committed
+    version), constraints, and index metadata all come back; data edits
+    made before the save are visible after reopen."""
+    from mesin_spark.dml import DdlSession
+
+    wh = str(tmp_path / "wh")
+    c1 = ExecutionContext(spark=spark)
+    c1._ddl = DdlSession(spark, catalog=c1.catalog, base_dir=wh)
+    c1.execute("CREATE TABLE persisted (k BIGINT PRIMARY KEY, v STRING)")
+    c1.execute("INSERT INTO persisted VALUES (1, 'a'), (2, 'b')")
+    c1.execute("UPDATE persisted SET v = 'z' WHERE k = 2")
+    c1.execute("CREATE UNIQUE INDEX pk_like ON persisted (k)")
+    c1.ddl.save_catalog()
+
+    sess2 = DdlSession.open(spark, wh)
+    assert "persisted" in sess2.catalog
+    rows = {r["k"]: r["v"] for r in sess2.table("persisted").df().collect()}
+    assert rows == {1: "a", 2: "z"}
+    assert sess2.catalog.indexes["pk_like"].unique
+    cols = sess2.catalog.tables["persisted"].properties["columns"]
+    assert any(c["name"] == "k" and c.get("primary_key") for c in cols)
