@@ -11,10 +11,11 @@ non-null.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mesin_spark.functions import stable_round as R
-from mesin_spark.queries import T, query, sr
+from mesin_spark.queries import T, load_events, query, sr
 
 
 @query(
@@ -143,4 +144,76 @@ def q_not_in_nulls(spark, sf_dir):
         FROM _nin_customer
         WHERE c_nationkey NOT IN (SELECT nk FROM excl WHERE nk IS NOT NULL)
         """
+    )
+
+
+@query(
+    "q_corr_matrix",
+    oracle=f"""
+    SELECT
+        {sr("corr(l_quantity, l_extendedprice)", 6)} AS qty_price,
+        {sr("corr(l_quantity, l_discount)", 6)} AS qty_disc,
+        {sr("corr(l_quantity, l_tax)", 6)} AS qty_tax,
+        {sr("corr(l_extendedprice, l_discount)", 6)} AS price_disc,
+        {sr("corr(l_extendedprice, l_tax)", 6)} AS price_tax,
+        {sr("corr(l_discount, l_tax)", 6)} AS disc_tax
+    FROM lineitem
+    """,
+)
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise correlation matrix of the four lineitem measures in ONE
+    aggregate pass — the feature-redundancy profile an ML pipeline
+    computes before training. All six corr() aggregates share one scan
+    and one partial/final pair; the shuffle carries 6x5 doubles of
+    moment state total, at any row count."""
+    li = T(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_quantity", "l_discount", "qty_disc"),
+        ("l_quantity", "l_tax", "qty_tax"),
+        ("l_extendedprice", "l_discount", "price_disc"),
+        ("l_extendedprice", "l_tax", "price_tax"),
+        ("l_discount", "l_tax", "disc_tax"),
+    ]
+    return li.agg(*[R(F.corr(a, b), 6).alias(n) for a, b, n in pairs])
+
+
+@query(
+    "q_autocorr",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT n,
+               lag(n, 1) OVER (ORDER BY h) AS n_1,
+               lag(n, 24) OVER (ORDER BY h) AS n_24
+        FROM hourly
+    )
+    SELECT {sr("corr(n, n_1)", 6)} AS acf_1,
+           {sr("corr(n, n_24)", 6)} AS acf_24
+    FROM lagged
+    """,
+)
+def q_autocorr(spark, sf_dir):
+    """Lag-1 and lag-24 autocorrelation of the hourly event-count series
+    — the seasonality detector behind forecasting and anomaly baselines
+    (a daily cycle shows up as high acf_24). The series is an aggregate
+    (|hours| rows), so the single-partition lag window is over a frame
+    that FITS by construction at any raw-event scale; the raw events
+    only ever pass through the hour groupBy."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "n",
+        F.lag("n", 1).over(w).alias("n_1"),
+        F.lag("n", 24).over(w).alias("n_24"),
+    )
+    return lagged.agg(
+        R(F.corr("n", "n_1"), 6).alias("acf_1"),
+        R(F.corr("n", "n_24"), 6).alias("acf_24"),
     )
