@@ -26,7 +26,7 @@ NOTES = {
     "q_topk_per_group": "single shuffle on the window partition key; rank filter applied before projection",
     "q_running_sum": "one window shuffle; running frame evaluated in a single pass",
     "q_tumbling_batch": "window struct computed map-side; one grouping shuffle",
-    "q_asof_join": "union+window as-of: ONE shuffle on user_id, no range explosion",
+    "q_asof_join": "single-scan as-of: purchase rows explode into (ref, probe) twins map-side; ONE shuffle on user_id, no range explosion",
     "q_dedup_minhash": "repartition spreads shingling; banding groupBy + bounded buckets; verify join on hashed shingles",
     "q_sim_topk": "brute-force cosine = one codegen'd scan + TakeOrderedAndProject",
     "q_text_tokens": "explode map-side; token groupBy with partial aggregation",
