@@ -374,6 +374,17 @@ class ExecutionContext:
             return sql_dml.dispatch(self.ddl, stmt)
         return self.spark.sql(stmt)
 
+    def execute_script(self, sql: str) -> list[DataFrame]:
+        """Run a multi-statement script (';'-separated, quote-aware)
+        statement by statement, returning each statement's result frame.
+        The single-statement ``execute`` stays strict (the reference
+        truncates scripts to ``ast[0]`` silently, src/context.rs:49 — we
+        make scripts explicit instead of implicit)."""
+        stmts = self._split_statements(sql)
+        if not stmts:
+            raise ValueError("Empty SQL script")
+        return [self.execute(s) for s in stmts]
+
     def explain(self, sql: str) -> str:
         """The reference's terminal stage was a pretty-printed logical plan
         (src/context.rs:53, tmp/select.rs:625-746 ``format_plan``); ours is

@@ -197,3 +197,49 @@ def q_drop_index(spark, sf_dir):
     sess.drop_index("idx_never_existed", if_exists=True)
     rows = [Row(index_name=n) for n in sorted(sess.catalog.indexes)]
     return spark.createDataFrame(rows)
+
+
+@query(
+    "q_sql_script",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'widget', CAST(3 AS BIGINT), 10.5),
+        (CAST(2 AS BIGINT), 'gadget', CAST(5 AS BIGINT), 7.25)
+    ) t(item_id, item_name, qty, price)
+    """,
+)
+def q_sql_script(spark, sf_dir):
+    """The reference's whole statement surface as ONE SQL script through
+    ExecutionContext.execute_script (mesin_spark/sql_dml.py dispatcher):
+    CREATE TABLE → INSERT VALUES → UPDATE (pre-image semantics) →
+    DELETE → final SELECT. The reference can only pretty-print each of
+    these plans (src/context.rs:53); here the script executes and the
+    final state is oracle-checked against the hand-computed constant
+    result. Each mutation is a bounded copy-on-write on a scratch table
+    — scan-scaled, never row-at-a-time."""
+    import tempfile
+
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark=spark)
+    ctx._ddl = DdlSession(
+        spark, catalog=ctx.catalog, base_dir=tempfile.mkdtemp(prefix="mesin_script_")
+    )
+    results = ctx.execute_script(
+        """
+        CREATE TABLE inventory (
+            item_id BIGINT PRIMARY KEY,
+            item_name STRING NOT NULL,
+            qty BIGINT,
+            price DOUBLE
+        );
+        INSERT INTO inventory VALUES
+            (1, 'widget', 2, 10.5),
+            (2, 'gadget', 5, 7.25),
+            (3, 'doohickey', 0, 99.0);
+        UPDATE inventory SET qty = qty + 1 WHERE item_name = 'widget';
+        DELETE FROM inventory WHERE qty = 0;
+        SELECT item_id, item_name, qty, price FROM inventory ORDER BY item_id
+        """
+    )
+    return results[-1]

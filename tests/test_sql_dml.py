@@ -234,3 +234,14 @@ def test_warehouse_survives_session_reopen(spark, tmp_path):
     assert sess2.catalog.indexes["pk_like"].unique
     cols = sess2.catalog.tables["persisted"].properties["columns"]
     assert any(c["name"] == "k" and c.get("primary_key") for c in cols)
+
+
+def test_execute_script_returns_per_statement_frames(ctx):
+    frames = ctx.execute_script(
+        """CREATE TABLE sc (a BIGINT);
+           INSERT INTO sc VALUES (1), (2);
+           SELECT sum(a) AS s FROM sc"""
+    )
+    assert len(frames) == 3
+    assert frames[1].collect()[0]["rows_affected"] == 2
+    assert frames[2].collect()[0]["s"] == 3
