@@ -40,7 +40,7 @@ def is_dml(sql: str) -> bool:
     # native there); everything else under these keywords routes here.
     if kw in ("CREATE", "DROP"):
         rest = head[1].upper() if len(head) > 1 else ""
-        if re.match(r"(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?VIEW\b", rest):
+        if re.match(r"(OR\s+REPLACE\s+)?(GLOBAL\s+)?(TEMP(ORARY)?\s+)?VIEW\b", rest):
             return False
     return kw in DML_KEYWORDS
 

@@ -245,3 +245,26 @@ def test_execute_script_returns_per_statement_frames(ctx):
     assert len(frames) == 3
     assert frames[1].collect()[0]["rows_affected"] == 2
     assert frames[2].collect()[0]["s"] == 3
+
+
+def test_scanner_units():
+    """Pure-text edge cases for the statement scanner: keywords inside
+    literals and parens must not cut; doubled-quote escapes honored."""
+    from mesin_spark.sql_dml import _find_keyword, _split_toplevel, is_dml
+
+    assert _find_keyword("a = 'no WHERE here' WHERE b = 1", "WHERE") == 20
+    assert _find_keyword("x IN (SELECT 1 WHERE true)", "WHERE") == -1  # in parens
+    assert _find_keyword("nowhere = 1", "WHERE") == -1  # word boundary
+    assert _find_keyword("a = 'it''s WHERE' WHERE b", "WHERE") == 18  # '' escape
+    assert _split_toplevel("a, f(b, c), 'x,y', (d, e)") == [
+        "a",
+        "f(b, c)",
+        "'x,y'",
+        "(d, e)",
+    ]
+    assert is_dml("INSERT INTO t VALUES (1)")
+    assert is_dml("MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN DELETE")
+    assert not is_dml("SELECT 1")
+    assert not is_dml("CREATE OR REPLACE TEMP VIEW v AS SELECT 1")
+    assert not is_dml("CREATE GLOBAL TEMPORARY VIEW v AS SELECT 1")
+    assert not is_dml("WITH c AS (SELECT 1) SELECT * FROM c")
