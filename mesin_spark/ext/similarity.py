@@ -430,7 +430,11 @@ def semantic_dedup(
     bounded by the largest cluster, ~n/k on mixing data: at 100 TB you
     raise n_clusters so n/k stays bench-sized (FAISS guidance sqrt(n)),
     which ALSO caps the per-cluster candidate join — the same knob tunes
-    recall and cost."""
+    recall and cost. Note the pair join references the assignment twice
+    (both sides): at corpus scale, WRITE the assigned frame once
+    (partitioned by sem_cluster) and run the pair join over that
+    materialization so the assignment UDF computes once and the join
+    prunes partitions."""
     C = ivf_centroids(emb, n_clusters, id_col, vec_col)
     assigned = emb.withColumn("sem_cluster", ivf_assign(C, vec_col))
     pairs = embedding_neardup_pairs(

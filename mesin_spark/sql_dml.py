@@ -152,8 +152,15 @@ def _insert(sess: DdlSession, sql: str) -> DataFrame:
                 for f in schema.fields
             ]
         )
-    n = src.count()
-    mt.insert_select(src)
+    # persist the batch so the affected-rows count and the append share
+    # one computation of the source plan (the batch is bounded by what's
+    # being inserted, so caching it is safe at any table size)
+    src = src.persist()
+    try:
+        n = src.count()
+        mt.insert_select(src)
+    finally:
+        src.unpersist()
     return _status(sess, "INSERT", table, n)
 
 
