@@ -190,3 +190,34 @@ def q_image_dedup(spark, sf_dir):
         .filter(F.col("n_copies") >= 2)
         .orderBy(F.element_at("ids", 1))
     )
+
+
+@query("q_bpe_encode")  # rows-only: the iterative trainer has no SQL mirror
+def q_bpe_encode(spark, sf_dir):
+    """Apply the trained tokenizer: learn 12 BPE merges from the corpus,
+    then encode every DISTINCT word into its merge pieces — the full
+    train→apply tokenizer pipeline (the piece table is what a serving
+    tokenizer ships). Encoding folds the merge list over the word's
+    char array with built-in higher-order functions (ext/bpe.py
+    encode_words) — JVM-side, linear in corpus vocabulary, no Python in
+    the encode path; pure-Python equivalence is asserted in
+    tests/test_llm4_ops.py. Returns the top-200 most frequent words'
+    encodings (deterministic: count desc, word asc)."""
+    from mesin_spark.ext.bpe import encode_words, train_bpe, word_counts
+
+    d = T(spark, sf_dir, "documents")
+    spread = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    merges = train_bpe(spread, n_merges=12, min_count=2)
+    words = word_counts(spread)
+    enc = encode_words(words, merges)
+    return (
+        enc.join(words, "word")
+        .select(
+            "word",
+            F.col("wcount").alias("n"),
+            F.col("pieces"),
+            F.size("pieces").alias("n_pieces"),
+        )
+        .orderBy(F.desc("n"), "word")
+        .limit(200)
+    )
