@@ -217,3 +217,36 @@ def q_autocorr(spark, sf_dir):
         R(F.corr("n", "n_1"), 6).alias("acf_1"),
         R(F.corr("n", "n_24"), 6).alias("acf_24"),
     )
+
+
+@query(
+    "q_window_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           count(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS types_so_far
+    FROM events
+    """,
+)
+def q_window_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) per user — how many distinct event types
+    each user has produced up to each event. Spark rejects DISTINCT
+    aggregates over windows; the standard rewrite is
+    size(collect_set() OVER w), which is exact and keeps the one window
+    shuffle. Scale note: the per-row set state is bounded by the
+    DISTINCT-VALUE count of the column (5 types here), NOT the row
+    count — the rewrite is only appropriate for low-cardinality
+    columns; for high-cardinality use the offline groupBy form."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("types_so_far"),
+    )
