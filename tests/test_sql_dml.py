@@ -268,3 +268,63 @@ def test_scanner_units():
     assert not is_dml("CREATE OR REPLACE TEMP VIEW v AS SELECT 1")
     assert not is_dml("CREATE GLOBAL TEMPORARY VIEW v AS SELECT 1")
     assert not is_dml("WITH c AS (SELECT 1) SELECT * FROM c")
+
+
+# -- property tests (hypothesis) -------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_quoted = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters=""),
+    max_size=12,
+).map(lambda s: "'" + s.replace("'", "''") + "'")
+_paren = st.tuples(_ident, _ident).map(lambda t: f"({t[0]}, {t[1]})")
+_atom = st.one_of(_ident, _quoted, _paren)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_atom, min_size=1, max_size=6))
+def test_split_toplevel_roundtrips_atoms(atoms):
+    """Joining atoms (identifiers, ''-escaped quoted strings with
+    arbitrary content, paren groups) with top-level commas and splitting
+    again recovers exactly the atoms — commas/parens INSIDE atoms never
+    cut."""
+    from mesin_spark.sql_dml import _split_toplevel
+
+    assert _split_toplevel(", ".join(atoms)) == atoms
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(
+        ["INT", "integer", "BigInt", "double", "VARCHAR(40)", "Decimal(12,3)",
+         "numeric(5,2)", "text", "boolean", "DATE", "timestamp", "string"]
+    )
+)
+def test_ddl_type_total_over_menu(name):
+    """ddl_type resolves every supported spelling case-insensitively,
+    keeping DECIMAL precision/scale."""
+    from pyspark.sql import types as Ty
+
+    from mesin_spark.dml import ddl_type
+
+    t = ddl_type(name)
+    assert isinstance(t, Ty.DataType)
+    if name.lower().startswith(("decimal", "numeric")):
+        assert isinstance(t, Ty.DecimalType)
+        assert (t.precision, t.scale) == ((12, 3) if "12" in name else (5, 2))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=2**50), st.sampled_from(["B", "KiB", "MiB", "GiB"]))
+def test_parse_bytes_inverts_fmt(n, unit):
+    """shuffle_audit's byte parser inverts its formatter to within
+    rounding (the formatter keeps one decimal)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.shuffle_audit import _UNITS, fmt, parse_bytes
+
+    got = parse_bytes(f"{n / _UNITS[unit.upper()]:,.1f} {unit}")
+    assert abs(got - n) <= 0.05 * _UNITS[unit.upper()] + 1
