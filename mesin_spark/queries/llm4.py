@@ -221,3 +221,24 @@ def q_bpe_encode(spark, sf_dir):
         .orderBy(F.desc("n"), "word")
         .limit(200)
     )
+
+
+@query("q_ann_index")  # rows-only: seeded trainers have no SQL mirror
+def q_ann_index(spark, sf_dir):
+    """Persisted ANN index round-trip: build the IVF-PQ index ONCE
+    (coded corpus written partitioned by ivf_list + centroids/codebooks
+    as JSON), reopen it cold via load_index, and answer top-10 for
+    query vec_id=0 scanning only the probed list partitions — partition
+    pruning over a 32x-compressed codes table, the ANN serving layout
+    at 100 TB. Recall vs the exact scan and the PartitionFilters plan
+    are asserted in tests."""
+    import tempfile
+
+    from mesin_spark.ext import ann_index as AI
+
+    emb = T(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="mesin_annidx_")
+    AI.build_index(emb, path, n_list=16, m=8, k=16)
+    idx = AI.load_index(spark, path)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return idx.topk(qvec, topk=10, n_probe=4)

