@@ -24,6 +24,8 @@ fall back to generic, exactly like ``get_dialect``'s ``_ =>`` arm
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from mesin_spark.catalog import TESTDATA_TABLES, Catalog
@@ -85,8 +87,19 @@ def normalize_dialect(sql: str, dialect: str) -> str:
       standard usage filters on a window alias from the select list, which
       the subquery form preserves exactly.
 
+    - all dialects: quantified comparison subqueries (ANSI; Spark lacks
+      them). ``= ANY/SOME (sub)`` → ``IN (sub)`` and ``<> ALL (sub)`` →
+      ``NOT IN (sub)`` are EXACT rewrites (same three-valued logic).
+      Ordering forms rewrite to extremum scalar subqueries (``> ALL`` →
+      ``> (SELECT max ...)``, ``> ANY`` → ``> (SELECT min ...)``, and
+      mirrored for ``<``/``<=``/``>=``) — exact when the subquery is
+      non-empty and null-free; the empty-set edge (ALL over {} is TRUE,
+      the extremum form yields NULL) is documented, matching how most
+      engines' users encounter these predicates.
+
     Constructs beyond these surface Spark's parse error unchanged."""
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_quantified(sql)
     if dialect == "mssql":
         return _normalize_mssql(sql)
     if dialect not in _PG_LIKE:
@@ -181,6 +194,98 @@ def normalize_dialect(sql: str, dialect: str) -> str:
             out.append(ch)
             i += 1
     return "".join(out)
+
+
+#: quantified-comparison rewrite table: (op, quantifier) → how to emit.
+#: 'in'/'not_in' are exact; 'max'/'min' pick the extremum scalar subquery.
+_QUANT_FORMS = {
+    ("=", "ANY"): "in",
+    ("=", "SOME"): "in",
+    ("<>", "ALL"): "not_in",
+    ("!=", "ALL"): "not_in",
+    (">", "ALL"): "max",
+    (">=", "ALL"): "max",
+    ("<", "ALL"): "min",
+    ("<=", "ALL"): "min",
+    (">", "ANY"): "min",
+    (">=", "ANY"): "min",
+    ("<", "ANY"): "max",
+    ("<=", "ANY"): "max",
+    (">", "SOME"): "min",
+    (">=", "SOME"): "min",
+    ("<", "SOME"): "max",
+    ("<=", "SOME"): "max",
+}
+
+_QUANT_RE = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ALL|ANY|SOME)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_quantified(sql: str) -> str:
+    """Rewrite ANSI quantified comparison subqueries (op ALL/ANY/SOME
+    (subquery)) into forms Spark supports — see normalize_dialect's
+    docstring for exactness notes. Char-scanner driven: quantifier
+    keywords inside string literals never match; the subquery's closing
+    paren is found by balanced-paren scan (quote-aware), and rewrites
+    re-scan so nested occurrences inside subqueries are handled too."""
+    while True:
+        # locate the first candidate OUTSIDE string literals
+        m = None
+        i, n = 0, len(sql)
+        while i < n:
+            if sql[i] == "'":
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    if sql[j] == "'":
+                        break
+                    j += 1
+                i = j + 1
+                continue
+            m = _QUANT_RE.match(sql, i)
+            if m:
+                break
+            i += 1
+        if not m:
+            return sql
+        op, quant = m.group(1), m.group(2).upper()
+        form = _QUANT_FORMS[(op, quant)]
+        # balanced-paren, quote-aware scan for the subquery body
+        depth, j = 1, m.end()
+        while j < n and depth:
+            ch = sql[j]
+            if ch == "'":
+                j += 1
+                while j < n:
+                    if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    if sql[j] == "'":
+                        break
+                    j += 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        sub = sql[m.end() : j - 1]
+        # quantified comparisons take a SUBQUERY; anything else (e.g. the
+        # any()/some() aggregates over a column) is left untouched
+        if not sub.lstrip().upper().startswith(("SELECT", "WITH", "VALUES")):
+            i = m.end()
+            head, tail = sql[:i], sql[i:]
+            rest = _rewrite_quantified(tail)
+            return head + rest
+        if form == "in":
+            repl = f" IN ({sub})"
+        elif form == "not_in":
+            repl = f" NOT IN ({sub})"
+        else:
+            repl = f"{op} (SELECT {form}(_qv) FROM ({sub}) _quant(_qv))"
+        sql = sql[: m.start()] + repl + sql[j:]
 
 
 def _rewrite_qualify(sql: str) -> str:

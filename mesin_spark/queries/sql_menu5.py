@@ -250,3 +250,47 @@ def q_window_distinct(spark, sf_dir):
         "event_id",
         F.size(F.collect_set("event_type").over(w)).alias("types_so_far"),
     )
+
+
+@query(
+    "q_quantified",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > ALL (
+        SELECT c_acctbal FROM customer WHERE c_nationkey = 3
+    )
+    AND c_nationkey = ANY (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q_quantified(spark, sf_dir):
+    """ANSI quantified comparison subqueries (> ALL / = ANY), which
+    Spark's parser rejects outright — the dialect normalizer rewrites
+    them (`= ANY` → IN exactly; `> ALL` → max scalar subquery, exact on
+    non-empty null-free sets) and the rewritten plan runs as an
+    ordinary broadcast-scalar + semi-join composition. DuckDB executes
+    the ORIGINAL quantified SQL natively as the oracle, so the rewrite
+    itself is what's being certified."""
+    from mesin_spark.context import normalize_dialect
+
+    T(spark, sf_dir, "customer").createOrReplaceTempView("_qt_customer")
+    T(spark, sf_dir, "nation").createOrReplaceTempView("_qt_nation")
+    return spark.sql(
+        normalize_dialect(
+            """
+            SELECT c_custkey, c_acctbal
+            FROM _qt_customer
+            WHERE c_acctbal > ALL (
+                SELECT c_acctbal FROM _qt_customer WHERE c_nationkey = 3
+            )
+            AND c_nationkey = ANY (
+                SELECT n_nationkey FROM _qt_nation WHERE n_regionkey = 1
+            )
+            ORDER BY c_custkey
+            """,
+            "ansi",
+        )
+    )

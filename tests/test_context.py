@@ -329,3 +329,23 @@ def test_cluster_conf_profile():
     assert conf["spark.sql.session.timeZone"] == "UTC"
     # a smaller cluster scales the shuffle width down with it
     assert int(cluster_conf(total_cores=400)["spark.sql.shuffle.partitions"]) == 800
+
+
+def test_quantified_rewrites():
+    from mesin_spark.context import _rewrite_quantified as rq
+
+    assert (
+        rq("WHERE x > ALL (SELECT y FROM u)")
+        == "WHERE x > (SELECT max(_qv) FROM (SELECT y FROM u) _quant(_qv))"
+    )
+    assert rq("WHERE x < ALL (SELECT y FROM u)").count("min(_qv)") == 1
+    assert rq("WHERE x >= ANY (SELECT y FROM u)").count("min(_qv)") == 1
+    assert rq("WHERE x = SOME (SELECT y FROM u)").endswith("IN (SELECT y FROM u)")
+    assert rq("WHERE x <> ALL (SELECT y FROM u)").rstrip().endswith(
+        "NOT IN (SELECT y FROM u)"
+    )
+    # aggregates named any()/some() over columns are NOT subqueries: untouched
+    assert rq("HAVING x = any(flag)") == "HAVING x = any(flag)"
+    # keywords inside string literals never match
+    s = "SELECT 'x > ALL (nope)' FROM t"
+    assert rq(s) == s
