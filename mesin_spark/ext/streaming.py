@@ -395,3 +395,43 @@ def run_upsert_to_table(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return table.df()
+
+
+def purchase_click_left_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — purchase_click_join's shape with
+    outer emission: a purchase with no click inside ``horizon`` emits a
+    null-click row, but only once the watermark passes the purchase's
+    join window (p_ts + horizon), because until then a matching click
+    could still arrive. That deferred-null behavior is THE semantic
+    difference from batch left joins, and why the watermark bound is
+    mandatory for outer stream joins (Spark rejects the query without
+    it). With a finite replay the globally-last rows can stay unmatched
+    in state (the watermark never passes them) — the test tier computes
+    the exact expected emission set from the watermark rule."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {horizon}")),
+        "leftOuter",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_s"),
+    )

@@ -630,3 +630,23 @@ def q_stream_enrich(spark, sf_dir):
 def q_dedup_near(spark, sf_dir):
     """Alias of q_dedup_minhash under the SURVEY §2.11 query id."""
     return q_dedup_minhash(spark, sf_dir)
+
+
+@query("q_stream_join_outer")  # rows-only: emission depends on the watermark rule
+def q_stream_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join (clicks within 1h after a purchase):
+    unmatched purchases emit null-click rows only once the watermark
+    passes their join window — the deferred-null semantics that
+    distinguish outer stream joins from their batch form (globally-last
+    unmatched rows legitimately stay in state on a finite replay, so
+    rows-only here). tests/test_streaming.py derives the exact expected
+    emission set from the watermark rule and asserts equality."""
+    ev1 = STR.read_events_stream(spark, sf_dir)
+    ev2 = STR.read_events_stream(spark, sf_dir)
+    joined = STR.purchase_click_left_join(
+        ev1.filter(F.col("event_type") == "purchase"),
+        ev2.filter(F.col("event_type") == "click"),
+    )
+    return STR.run_to_memory(
+        joined, "q_stream_join_outer_out", output_mode="append"
+    ).orderBy("purchase_id", "click_id")

@@ -197,3 +197,51 @@ def test_stream_enrich_matches_batch(spark):
     )
     want = {(r.event_id, r.segment) for r in ev.join(dim, "seg_key").collect()}
     assert got == want  # stream-static join == batch join over the same data
+
+
+def test_stream_left_outer_join_emission_rule(spark):
+    """The left-outer stream join must emit (a) every batch inner-join
+    match, and (b) a null-click row for exactly those unmatched purchases
+    whose join window closed under the final watermark (W = min of the
+    two sides' max event time minus the 1h delay; window closes when
+    p_ts + 1h horizon < W). Globally-last unmatched purchases stay in
+    state — the semantic difference from a batch left join."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mesin_spark.queries import T
+    from mesin_spark.queries.llm import q_stream_join_outer
+    from tests.conftest import SF_DIR
+
+    got = q_stream_join_outer(spark, SF_DIR).collect()
+    got_matched = {(r["purchase_id"], r["click_id"]) for r in got if r["click_id"] is not None}
+    got_nulls = {r["purchase_id"] for r in got if r["click_id"] is None}
+
+    ev = T(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("u"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    matched = p.join(
+        c,
+        (F.col("u") == F.col("cu"))
+        & (F.col("c_ts") >= F.col("p_ts"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    exp_matched = {(r["purchase_id"], r["click_id"]) for r in matched.collect()}
+    assert got_matched == exp_matched
+
+    max_p = p.agg(F.max("p_ts")).collect()[0][0]
+    max_c = c.agg(F.max("c_ts")).collect()[0][0]
+    wm = min(max_p, max_c) - dt.timedelta(hours=1)
+    matched_pids = {pid for pid, _ in exp_matched}
+    closed = {
+        r["purchase_id"]
+        for r in p.collect()
+        if r["purchase_id"] not in matched_pids
+        and r["p_ts"] + dt.timedelta(hours=1) < wm
+    }
+    assert got_nulls == closed
