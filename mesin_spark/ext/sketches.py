@@ -86,3 +86,54 @@ def cms_estimate(
         joined.groupBy(tok_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group: keep the k
+    SMALLEST portable-hash values of the key; the k-th smallest hash
+    estimates distinct count as (k-1) / (h_k / 2^32) (Bar-Yossef et al.
+    2002). Returns (group, kmv[array<long>], est_distinct).
+
+    The sketch is MERGEABLE (union arrays, sort, keep k — re-aggregation
+    never touches raw keys) and, because the hash is exact-int Knuth
+    arithmetic rather than an engine-native hash, the estimate is
+    bit-reproducible in any engine — the one property DataSketches/HLL
+    blobs can't give an independent oracle.
+
+    Shape: one hash-agg shuffle on (group, h) for DISTINCT hashes, then
+    a per-group rank window over distinct hashes only. At 100 TB the
+    window input is bounded by per-group DISTINCT cardinality; a native
+    k-state UDAF would drop even that, but the two-phase form stays
+    declarative and exact for the oracle. Groups with fewer than k
+    distinct keys report their EXACT count (est = n when h_k is the
+    max of fewer than k values — standard KMV small-set behavior)."""
+    from pyspark.sql import Window
+
+    from mesin_spark.functions import mul_mod32
+
+    h = mul_mod32(F.col(key_col).cast("long"), 2654435761).alias("h")
+    distinct_h = df.select(F.col(group_col).alias("grp"), h).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = distinct_h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return (
+        topk.groupBy("grp")
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("kmv"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("h").alias("h_k"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "kmv",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise((F.lit(float(k - 1))) / (F.col("h_k") / F.lit(float(1 << 32))))
+            .alias("est_distinct"),
+        )
+    )

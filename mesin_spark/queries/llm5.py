@@ -427,3 +427,61 @@ def q_quantile_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type AS grp,
+               (user_id * 2654435761) % 4294967296 AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed
+    ),
+    agg AS (
+        SELECT grp, count(*) AS n_kept, max(h) AS h_k
+        FROM ranked WHERE rn <= 64 GROUP BY grp
+    ),
+    exact AS (
+        SELECT event_type AS grp, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT a.grp AS event_type,
+           {sr(
+               "CASE WHEN a.n_kept < 64 THEN a.n_kept::DOUBLE"
+               " ELSE 63.0 / (a.h_k / 4294967296.0) END",
+               4,
+           )} AS est_distinct,
+           e.n_exact
+    FROM agg a JOIN exact e ON a.grp = e.grp
+    ORDER BY event_type
+    """,
+)
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-user sketch per event type (k=64), next to the exact
+    count — an approximate sketch whose estimate is BIT-REPRODUCIBLE in
+    any engine (portable Knuth hash, deterministic k-th-minimum
+    formula), so unlike approx_count_distinct/HLL the approximation
+    itself is oracle-checked, not just row counts. Mergeable across
+    shards/days by union-sort-truncate of the k-minimum arrays — the
+    composable COUNT(DISTINCT) tier alongside q_hll_rollup, with
+    cross-engine verifiability traded for HLL's tighter error."""
+    from mesin_spark.ext.sketches import kmv_sketch
+
+    ev = load_events(spark, sf_dir)
+    sk = kmv_sketch(ev, "event_type", "user_id", k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            R(F.col("est_distinct"), 4).alias("est_distinct"),
+            "n_exact",
+        )
+        .orderBy("event_type")
+    )

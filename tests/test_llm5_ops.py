@@ -154,3 +154,42 @@ def test_semdedup_drops_planted_near_duplicates(spark):
     assert {r["vec_id"] for r in emb.collect()} <= kept_ids | clone_ids
     kept2 = {r["vec_id"] for r in semantic_dedup(corpus, n_clusters=8, threshold=0.999).collect()}
     assert kept_ids == kept2
+
+
+def test_kmv_sketch_merges_losslessly(spark):
+    """KMV's defining property: sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) where merge = union arrays, sort, keep k — re-aggregation
+    never needs the raw keys. Also: small groups (< k distinct) report
+    their exact count, and the estimate lands within the theoretical
+    ~1/sqrt(k) band of the truth."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext.sketches import kmv_sketch
+    from mesin_spark.queries import load_events
+
+    K = 64
+    ev = load_events(spark, SF_DIR)
+    whole = {r["event_type"]: r for r in kmv_sketch(ev, "event_type", "user_id", k=K).collect()}
+
+    a = kmv_sketch(ev.filter(F.col("event_id") % 2 == 0), "event_type", "user_id", k=K)
+    b = kmv_sketch(ev.filter(F.col("event_id") % 2 == 1), "event_type", "user_id", k=K)
+    merged = {}
+    bb = {r["event_type"]: r["kmv"] for r in b.collect()}
+    for r in a.collect():
+        union = sorted(set(r["kmv"]) | set(bb.get(r["event_type"], [])))[:K]
+        merged[r["event_type"]] = union
+    for et, row in whole.items():
+        assert merged[et] == list(row["kmv"]), f"merge mismatch for {et}"
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for et, row in whole.items():
+        n, est = exact[et], row["est_distinct"]
+        if n < K:
+            assert est == float(n)
+        else:
+            assert abs(est - n) / n < 4 / math.sqrt(K), (et, est, n)
