@@ -619,3 +619,46 @@ def suppress_lower_quality(
     return docs.join(
         losers, F.col(id_col) == F.col("_loser"), "left_anti"
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 2,
+    threshold: float = 0.8,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact word-n-gram CONTAINMENT over pairs within a blocking key:
+    containment(a ⊆ b) = |grams(a) ∩ grams(b)| / |grams(a)| — the
+    asymmetric sibling of ngram_jaccard_pairs that catches a short
+    document embedded verbatim in a much longer one (quote/boilerplate
+    inclusion), where Jaccard collapses toward |a|/|b| and misses it.
+    Emitted per DIRECTED pair (id_a is the contained candidate), both
+    directions considered. Same scale shape as the Jaccard form: grams
+    fold to sorted hashed longs before the salted blocked pair join."""
+    from mesin_spark.ext.similarity import salted_all_pairs
+
+    grams = F.array_sort(
+        F.transform(
+            F.array_distinct(shingles(F.col(text_col), n)), lambda s: F.xxhash64(s)
+        )
+    )
+    base = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    ).select(
+        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
+        F.col(id_col).alias("_id"),
+        grams.alias("_g"),
+    )
+    a = base.select(F.col("blk"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+    b = base.select(F.col("blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+    pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
+        (F.col("id_a") != F.col("id_b")) & (F.size("g_a") > 0)
+    )
+    cont = F.size(F.array_intersect("g_a", "g_b")) / F.size("g_a")
+    return (
+        pairs.select("id_a", "id_b", R(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

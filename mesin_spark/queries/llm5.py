@@ -485,3 +485,43 @@ def q_kmv_distinct(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_distinct([
+                   tk[i] || ' ' || tk[i + 1]
+                   FOR i IN generate_series(1, len(tk) - 1)
+               ]) AS g
+        FROM (
+            SELECT doc_id, source, {_TK} AS tk FROM documents
+        )
+        WHERE len(tk) >= 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {sr(
+               "len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)", 6
+           )} AS containment
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE {sr("len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)", 6)} >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Directed n-gram CONTAINMENT pairs within a source block:
+    |grams(a) ∩ grams(b)| / |grams(a)| ≥ 0.8 flags document a as
+    (near-)embedded in b — quote and boilerplate inclusion that Jaccard
+    misses when |b| >> |a| (Jaccard ≈ |a|/|b| → below any threshold).
+    The asymmetric complement of q_dedup_ngram, same blocked+salted
+    pair-join shape (ext/dedup.ngram_containment_pairs)."""
+    from mesin_spark.ext import dedup as D
+    from mesin_spark.ext import text as TX
+
+    docs = T(spark, sf_dir, "documents").filter(TX.token_count("text") >= 2)
+    return D.ngram_containment_pairs(
+        docs, "doc_id", block_col="source", n=2, threshold=0.8
+    ).orderBy("id_a", "id_b")

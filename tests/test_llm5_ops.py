@@ -193,3 +193,31 @@ def test_kmv_sketch_merges_losslessly(spark):
             assert est == float(n)
         else:
             assert abs(est - n) / n < 4 / math.sqrt(K), (et, est, n)
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark, tmp_path):
+    """A 6-token doc embedded verbatim inside a 60-token doc: containment
+    (a in b) = 1.0 flags it, while Jaccard ~ |a|/|b| ~ 0.1 stays far
+    below the same 0.8 threshold — the asymmetric detector's whole
+    point. The reverse direction (b in a) must NOT be flagged."""
+    from mesin_spark.ext.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(54))
+    rows = [
+        (1, short, "en", "s", len(short)),
+        (2, long, "en", "s", len(long)),
+        (3, "totally different text here", "en", "s", 27),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    from mesin_spark.queries import T
+
+    docs = T(spark, sf, "documents")
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, "doc_id", block_col="source", threshold=0.8).collect()
+    }
+    assert cont.get((1, 2)) == 1.0  # short contained in long
+    assert (2, 1) not in cont  # long not contained in short
+    jac = ngram_jaccard_pairs(docs, "doc_id", block_col="source", threshold=0.8).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
