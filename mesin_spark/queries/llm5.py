@@ -525,3 +525,64 @@ def q_dedup_containment(spark, sf_dir):
     return D.ngram_containment_pairs(
         docs, "doc_id", block_col="source", n=2, threshold=0.8
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "q_unk_replace",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TK} AS w FROM documents),
+    counts AS (
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest(w) AS tok FROM tk) GROUP BY tok
+    ),
+    keep AS (SELECT list(tok) AS vocab FROM counts WHERE n >= 25),
+    rebuilt AS (
+        SELECT doc_id,
+               [CASE WHEN list_contains(k.vocab, tok) THEN tok
+                     ELSE '<unk>' END
+                FOR tok IN w] AS w2
+        FROM tk, keep k
+    )
+    SELECT doc_id,
+           list_aggregate(w2, 'string_agg', ' ') AS text_unk,
+           len(list_filter(w2, t -> t = '<unk>')) AS n_unk
+    FROM rebuilt
+    ORDER BY doc_id
+    """,
+)
+def q_unk_replace(spark, sf_dir):
+    """Vocabulary truncation: every token seen fewer than 25 times
+    corpus-wide becomes '<unk>' and documents are rebuilt in order —
+    the classic closed-vocabulary LM preprocessing step. Plan: one
+    token-count shuffle builds the KEEP vocabulary, which joins back
+    into a map-side array transform via a broadcast set (the kept
+    vocabulary is the small side by construction — truncation exists
+    precisely because the full vocab is huge and the kept head is not);
+    no explode-rebuild round trip, the document array never leaves its
+    row. Rebuild is position-preserving by construction."""
+    from mesin_spark.ext import text as TX
+
+    d = T(spark, sf_dir, "documents")
+    tk = d.select("doc_id", TX.tokens("text").alias("w"))
+    counts = (
+        tk.select(F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keep = counts.filter(F.col("n") >= 25).agg(
+        F.collect_set("tok").alias("vocab")
+    )
+    rebuilt = tk.crossJoin(F.broadcast(keep)).select(
+        "doc_id",
+        F.transform(
+            "w",
+            lambda t: F.when(F.array_contains(F.col("vocab"), t), t).otherwise(
+                F.lit("<unk>")
+            ),
+        ).alias("w2"),
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.array_join("w2", " ").alias("text_unk"),
+        F.size(F.filter("w2", lambda t: t == F.lit("<unk>"))).alias("n_unk"),
+    ).orderBy("doc_id")
