@@ -19,7 +19,7 @@ from mesin_spark.ext import pipeline as P
 from mesin_spark.ext import similarity as S
 from mesin_spark.ext import streaming as STR
 from mesin_spark.ext import text as TX
-from mesin_spark.queries import T, query
+from mesin_spark.queries import T, query, sr
 
 
 def _docs_with_dups(spark, sf_dir):
@@ -244,10 +244,10 @@ def q_quality_score(spark, sf_dir):
     return d.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
-@query(
-    "q_lang_id",
-    oracle="""
-    WITH t AS (
+#: DuckDB mirror of ext.text.lang_id — shared by q_lang_id and
+#: q_lang_confusion (marker-score CTEs + fixed-tie-break argmax CASE).
+_LANG_PRED_CTES = """
+    t AS (
         SELECT doc_id, lang,
                list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
         FROM documents
@@ -259,7 +259,7 @@ def q_quality_score(spark, sf_dir):
                len(list_filter(tk, x -> x IN ('der','die','und','den','das','nicht','von','ist'))) AS s_de,
                len(list_filter(tk, x -> x IN ('的','了','是','在','我','有','和','不'))) AS s_zh
         FROM t
-    )
+    ), pred AS (
     SELECT doc_id, lang,
            CASE WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
                 WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
@@ -268,6 +268,15 @@ def q_quality_score(spark, sf_dir):
                 WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_de THEN 'zh'
                 ELSE 'und' END AS lang_pred
     FROM s
+    )
+"""
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH {_LANG_PRED_CTES}
+    SELECT doc_id, lang, lang_pred FROM pred
     """,
 )
 def q_lang_id(spark, sf_dir):
@@ -650,3 +659,38 @@ def q_stream_join_outer(spark, sf_dir):
     return STR.run_to_memory(
         joined, "q_stream_join_outer_out", output_mode="append"
     ).orderBy("purchase_id", "click_id")
+
+
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH {_LANG_PRED_CTES}
+    SELECT lang AS lang_true, lang_pred, count(*) AS n,
+           {sr("count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY lang)", 6)}
+               AS frac_of_true
+    FROM pred
+    GROUP BY lang, lang_pred
+    ORDER BY lang_true, lang_pred
+    """,
+)
+def q_lang_confusion(spark, sf_dir):
+    """In-engine classifier evaluation: the language-ID confusion matrix
+    against the labeled lang column, with each cell's share of its true
+    class (diagonal cells = per-class recall). One (true, pred) hash agg
+    over the map-side classifier output + a |classes|-row normalization
+    window — the eval pattern every pipeline model check reuses, at
+    corpus scale for the price of a groupBy."""
+    from pyspark.sql import Window as W
+
+    from mesin_spark.functions import stable_round as R
+
+    d = T(spark, sf_dir, "documents")
+    pred = d.select(F.col("lang").alias("lang_true"), TX.lang_id("text").alias("lang_pred"))
+    cells = pred.groupBy("lang_true", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        R(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_true"),
+    ).orderBy("lang_true", "lang_pred")
