@@ -294,3 +294,95 @@ def q_quantified(spark, sf_dir):
             "ansi",
         )
     )
+
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH edges AS (
+        SELECT event_type AS et,
+               {sr("quantile_cont(value, 0.05)", 4)} AS lo,
+               {sr("quantile_cont(value, 0.95)", 4)} AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id,
+           {sr("least(greatest(e.value, x.lo), x.hi)", 4)} AS value_w
+    FROM events e JOIN edges x ON e.event_type = x.et
+    ORDER BY e.event_id
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization: values clipped to the [p5, p95] band of
+    their event type — outlier limiting that (unlike dropping) keeps the
+    row count, the standard robust-stats preprocessing before training.
+    One per-group percentile aggregate (|groups| rows, AQE broadcasts it
+    back) + a map-side clip; sibling of q_quantile_bins (clip vs
+    discretize) and q_outliers (flag vs repair)."""
+    ev = load_events(spark, sf_dir)
+    edges = ev.groupBy(F.col("event_type").alias("et")).agg(
+        R(F.percentile("value", F.lit(0.05)), 4).alias("lo"),
+        R(F.percentile("value", F.lit(0.95)), 4).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(edges), ev["event_type"] == edges["et"])
+        .select(
+            "event_id",
+            R(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")), 4).alias(
+                "value_w"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_temporal_split",
+    oracle="""
+    WITH cutoff AS (
+        SELECT to_timestamp(floor(epoch(min(ts)))
+               + CAST(floor((floor(epoch(max(ts))) - floor(epoch(min(ts)))) * 0.8) AS BIGINT))
+               AS c
+        FROM events
+    )
+    SELECT CASE WHEN e.ts < x.c THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n,
+           CAST(floor(epoch(min(e.ts))) AS BIGINT) AS first_epoch,
+           CAST(floor(epoch(max(e.ts))) AS BIGINT) AS last_epoch
+    FROM events e CROSS JOIN cutoff x
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_temporal_split(spark, sf_dir):
+    """Temporal train/test split at the 80% point of the observed time
+    range: everything before the cutoff trains, everything after tests —
+    the leakage-free split time-dependent data REQUIRES (a q_hash_split
+    random split would leak future events into training). The cutoff
+    derives from a 1-row min/max aggregate (broadcast back), the
+    assignment is a map-side comparison, and the summary proves the
+    invariant the split exists for: train's last_epoch < test's
+    first_epoch."""
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.unix_timestamp(F.min("ts")).alias("t0"),
+        F.unix_timestamp(F.max("ts")).alias("t1"),
+    ).select(
+        F.to_timestamp(
+            F.col("t0") + F.floor((F.col("t1") - F.col("t0")) * 0.8).cast("long")
+        ).alias("c")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("ts") < F.col("c"), F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            "ts",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_timestamp(F.min("ts")).alias("first_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("last_epoch"),
+        )
+        .orderBy("split")
+    )
