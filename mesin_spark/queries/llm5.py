@@ -586,3 +586,116 @@ def q_unk_replace(spark, sf_dir):
         F.array_join("w2", " ").alias("text_unk"),
         F.size(F.filter("w2", lambda t: t == F.lit("<unk>"))).alias("n_unk"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH counts AS (
+        SELECT tok, count(*) AS n
+        FROM (SELECT unnest({_TK}) AS tok FROM documents)
+        GROUP BY tok
+    ),
+    ranked AS (
+        SELECT n,
+               row_number() OVER (ORDER BY n DESC, tok) AS rk,
+               sum(n) OVER (ORDER BY n DESC, tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(n) OVER () AS total
+        FROM counts
+    )
+    SELECT rk AS vocab_size,
+           {sr("cum::DOUBLE / total", 6)} AS coverage
+    FROM ranked
+    WHERE rk IN (5, 10, 15, 20, 25)
+    ORDER BY vocab_size
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: the fraction of all token INSTANCES
+    covered by the top-k most frequent types (k in {5..25}; the synthetic
+    corpus has a ~31-type vocabulary — at real scale use 1e3..1e6) — the
+    number you read before choosing a tokenizer vocab size or an <unk>
+    threshold (cf. q_unk_replace). One token-count shuffle; the ranking
+    windows run over the VOCABULARY (distinct types), which is orders
+    of magnitude smaller than the corpus — the same reduction that
+    makes BPE training tractable (ext/bpe.py)."""
+    from pyspark.sql import Window as W
+
+    from mesin_spark.ext import text as TX
+
+    d = T(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wo = W.orderBy(F.desc("n"), "tok")
+    ranked = counts.select(
+        F.row_number().over(wo).alias("vocab_size"),
+        F.sum("n").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(W.partitionBy()).alias("total"),
+    )
+    return (
+        ranked.filter(F.col("vocab_size").isin(5, 10, 15, 20, 25))
+        .select(
+            "vocab_size", R(F.col("cum") / F.col("total"), 6).alias("coverage")
+        )
+        .orderBy("vocab_size")
+    )
+
+
+@query(
+    "q_key_skew",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT n,
+               row_number() OVER (ORDER BY n, o_custkey) AS i,
+               count(*) OVER () AS k,
+               sum(n) OVER () AS total
+        FROM counts
+    )
+    SELECT max(k) AS n_keys,
+           {sr("max(total)::DOUBLE / max(k)", 4)} AS mean_per_key,
+           max(n) AS max_per_key,
+           {sr(
+               "2.0 * sum(i * n) / (max(k) * max(total))"
+               " - (max(k) + 1.0) / max(k)",
+               6,
+           )} AS gini
+    FROM ranked
+    """,
+)
+def q_key_skew(spark, sf_dir):
+    """Join-key skew profile: Gini coefficient (plus n/mean/max) of the
+    orders-per-customer distribution — the ONE number that says whether
+    a key needs salting before you shuffle on it (Gini ≈ 0: uniform,
+    plain hash join; → 1: hot keys, reach for ext/skew's salted paths;
+    q_heavy_hitters names the culprits, this scores the distribution).
+    The rank window runs over distinct keys, not rows; everything else
+    is a single aggregate."""
+    from pyspark.sql import Window as W
+
+    o = T(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    wo = W.orderBy("n", "o_custkey")
+    ranked = counts.select(
+        "n",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("k"),
+        F.sum("n").over(W.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.max("k").alias("n_keys"),
+        R(F.max("total") / F.max("k"), 4).alias("mean_per_key"),
+        F.max("n").alias("max_per_key"),
+        R(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("n")) / (F.max("k") * F.max("total"))
+            - (F.max("k") + F.lit(1.0)) / F.max("k"),
+            6,
+        ).alias("gini"),
+    )
