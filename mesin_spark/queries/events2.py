@@ -537,3 +537,51 @@ def q_negative_sampling(spark, sf_dir):
         .select("user_id", F.col("item").alias("negative_item"))
         .orderBy("user_id", "negative_item")
     )
+
+
+@query(
+    "q_rolling_window",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch, n,
+           CAST(sum(n) OVER (ORDER BY h
+                RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_sum_24h,
+           {sr(
+               "avg(n) OVER (ORDER BY h"
+               " RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW)",
+               4,
+           )} AS roll_avg_24h,
+           {sr("n::DOUBLE / lag(n, 24) OVER (ORDER BY h) - 1.0", 4)}
+               AS pct_vs_prev_day
+    FROM hourly
+    ORDER BY hour_epoch
+    """,
+)
+def q_rolling_window(spark, sf_dir):
+    """Time-INTERVAL rolling window: trailing-24h sum/mean of hourly
+    purchase counts (RANGE over event time, so gaps in the series widen
+    the frame correctly — a ROWS frame would silently slide past
+    missing hours) plus day-over-day percent change (24-hour lag). The
+    windows run over the HOURLY AGGREGATE (|hours| rows), never raw
+    events — the q_autocorr reduction; the single-partition frame is
+    bounded by construction at any event volume."""
+    ev = T(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    secs = F.unix_timestamp("h")
+    wr = W.orderBy(secs.cast("long")).rangeBetween(-23 * 3600, 0)
+    wl = W.orderBy("h")
+    return hourly.select(
+        F.unix_timestamp("h").alias("hour_epoch"),
+        "n",
+        F.sum("n").over(wr).cast("long").alias("roll_sum_24h"),
+        R(F.avg("n").over(wr), 4).alias("roll_avg_24h"),
+        R(F.col("n") / F.lag("n", 24).over(wl) - 1.0, 4).alias("pct_vs_prev_day"),
+    ).orderBy("hour_epoch")
