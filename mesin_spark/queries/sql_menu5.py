@@ -386,3 +386,59 @@ def q_temporal_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+        SELECT event_type AS et, {sr("quantile_cont(value, 0.5)", 6)} AS m
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, x.m,
+               abs(e.value - x.m) AS d
+        FROM events e JOIN med x ON e.event_type = x.et
+    ),
+    mad AS (
+        SELECT event_type AS et, {sr("quantile_cont(d, 0.5)", 6)} AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT v.event_id, v.event_type,
+           {sr("v.value", 4)} AS value,
+           {sr("(v.value - v.m) / (1.4826 * y.mad)", 4)} AS robust_z
+    FROM dev v JOIN mad y ON v.event_type = y.et
+    WHERE abs({sr("(v.value - v.m) / (1.4826 * y.mad)", 4)}) > 3.0
+    ORDER BY v.event_id
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation: flag
+    events whose |value - median| exceeds 3 scaled MADs of their event
+    type (1.4826·MAD ≈ σ under normality) — unlike q_outliers' z-score,
+    the threshold itself cannot be dragged by the outliers it hunts.
+    Two per-group percentile aggregates (|groups| rows each, broadcast
+    back) around one fact scan; the flagging filter is map-side."""
+    ev = load_events(spark, sf_dir)
+    med = ev.groupBy(F.col("event_type").alias("et")).agg(
+        R(F.percentile("value", F.lit(0.5)), 6).alias("m")
+    )
+    dev = ev.join(F.broadcast(med), ev["event_type"] == med["et"]).select(
+        "event_id", "event_type", "value", "m",
+        F.abs(F.col("value") - F.col("m")).alias("d"),
+    )
+    mad = dev.groupBy(F.col("event_type").alias("et2")).agg(
+        R(F.percentile("d", F.lit(0.5)), 6).alias("mad")
+    )
+    rz = R((F.col("value") - F.col("m")) / (F.lit(1.4826) * F.col("mad")), 4)
+    return (
+        dev.join(F.broadcast(mad), dev["event_type"] == mad["et2"])
+        .select(
+            "event_id",
+            "event_type",
+            R(F.col("value"), 4).alias("value"),
+            rz.alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > 3.0)
+        .orderBy("event_id")
+    )
