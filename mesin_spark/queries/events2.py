@@ -585,3 +585,96 @@ def q_rolling_window(spark, sf_dir):
         R(F.avg("n").over(wr), 4).alias("roll_avg_24h"),
         R(F.col("n") / F.lag("n", 24).over(wl) - 1.0, 4).alias("pct_vs_prev_day"),
     ).orderBy("hour_epoch")
+
+
+@query(
+    "q_ab_test",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM events
+    ),
+    converted AS (
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id HAVING count(*) >= 14
+    ),
+    arms AS (
+        SELECT a.arm,
+               count(*) AS n_users,
+               count(c.user_id) AS n_converted
+        FROM assigned a LEFT JOIN converted c ON a.user_id = c.user_id
+        GROUP BY a.arm
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+            max(CASE WHEN arm = 'A' THEN n_converted END) AS xa,
+            max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+            max(CASE WHEN arm = 'B' THEN n_converted END) AS xb
+        FROM arms
+    )
+    SELECT na, xa, nb, xb,
+           {sr("xa::DOUBLE / na", 6)} AS rate_a,
+           {sr("xb::DOUBLE / nb", 6)} AS rate_b,
+           {sr(
+               "(xa::DOUBLE / na - xb::DOUBLE / nb)"
+               " / nullif(sqrt(((xa + xb)::DOUBLE / (na + nb))"
+               "   * (1.0 - (xa + xb)::DOUBLE / (na + nb))"
+               "   * (1.0 / na + 1.0 / nb)), 0.0)",
+               4,
+           )} AS z_stat
+    FROM wide
+    """,
+)
+def q_ab_test(spark, sf_dir):
+    """In-engine A/B test: users deterministically hash-split into two
+    arms (the same portable bucket as q_hash_split; 'conversion' = a\n    heavy-purchaser threshold so the synthetic data has both outcomes — reproducible
+    assignment is the experiment-integrity requirement), per-arm
+    purchase-conversion rates, and the pooled two-proportion z statistic
+    (|z| > 1.96 ≈ 95% significance). Two distinct-user aggregates and a
+    4-number driver-free reduction — experiment readouts at any event
+    volume for the price of two shuffles."""
+    from mesin_spark.ext.pipeline import split_bucket
+
+    ev = T(spark, sf_dir, "events")
+    assigned = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(split_bucket("user_id", 2) == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    converted = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+        .filter(F.col("n_p") >= 14)
+        .select("user_id", F.lit(1).alias("conv"))
+    )
+    arms = (
+        assigned.join(converted, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("conv").alias("n_converted"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("xa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("xb"),
+    )
+    ra, rb = F.col("xa") / F.col("na"), F.col("xb") / F.col("nb")
+    pooled = (F.col("xa") + F.col("xb")) / (F.col("na") + F.col("nb"))
+    z = (ra - rb) / F.nullif(
+        F.sqrt(pooled * (1.0 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "na", "xa", "nb", "xb",
+        R(ra, 6).alias("rate_a"),
+        R(rb, 6).alias("rate_b"),
+        R(z, 4).alias("z_stat"),
+    )

@@ -699,3 +699,51 @@ def q_key_skew(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, tok, count(*) AS n
+        FROM (SELECT source, unnest({_TK}) AS tok FROM documents)
+        GROUP BY source, tok
+    ),
+    tot AS (SELECT source, sum(n) AS t FROM counts GROUP BY source)
+    SELECT c.source,
+           {sr(
+               "-sum((c.n::DOUBLE / x.t) * ln(c.n::DOUBLE / x.t) / ln(2.0))",
+               6,
+           )} AS entropy_bits,
+           count(*) AS n_types
+    FROM counts c JOIN tot x ON c.source = x.source
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def q_token_entropy(spark, sf_dir):
+    """Shannon entropy (bits) of each source's token distribution — the
+    corpus-diversity number behind mixing decisions: a low-entropy
+    source is repetitive boilerplate regardless of its size, a
+    high-entropy one adds linguistic variety. One (source, token) count
+    shuffle; the entropy fold runs over the per-source vocabulary,
+    orders of magnitude below row count."""
+    from mesin_spark.ext import text as TX
+
+    d = T(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(TX.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy(F.col("source").alias("src")).agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        counts.join(tot, counts["source"] == tot["src"])
+        .groupBy("source")
+        .agg(
+            R(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias("entropy_bits"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy("source")
+    )
