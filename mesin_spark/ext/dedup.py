@@ -662,3 +662,138 @@ def ngram_containment_pairs(
         pairs.select("id_a", "id_b", R(cont, 6).alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+# -- Adaptive banding (SURVEY.md §7.4 candidate #5) ------------------------
+
+
+def lsh_capture_probability(s: float, bands: int, rows: int) -> float:
+    """P(pair with Jaccard s shares ≥1 band bucket) = 1 - (1 - s^r)^b —
+    the MinHash-LSH S-curve. Pure math, used to pick and to explain a
+    band split."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def choose_band_split(num_perm: int, threshold: float) -> tuple[int, int]:
+    """Pick (bands, rows) with bands·rows == num_perm whose S-curve
+    midpoint (1/b)^(1/r) sits closest to ``threshold``; ties break toward
+    more bands (higher recall). Closed-form over the divisors of
+    num_perm — no data scan, deterministic."""
+    best = None
+    for bands in range(1, num_perm + 1):
+        if num_perm % bands:
+            continue
+        rows = num_perm // bands
+        mid = (1.0 / bands) ** (1.0 / rows) if bands > 1 else 0.0
+        key = (abs(mid - threshold), -bands)
+        if best is None or key < best[0]:
+            best = (key, (bands, rows))
+    return best[1]
+
+
+def candidate_similarity_histogram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    n_bins: int = 20,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Jaccard histogram over LOOSE LSH candidate pairs (rows=2 per band →
+    S-curve midpoint ≈ 0.17, so near-dup and mid-similarity pairs are both
+    captured while the quadratic background stays excluded). One banding
+    pass + one verify join + one ≤n_bins-key aggregate — the measurement
+    pass adaptive thresholding reads instead of guessing a corpus's
+    similarity structure. Bins are [i/n_bins, (i+1)/n_bins)."""
+    hashed = _hashed_shingle_frame(df, id_col, text_col, shingle_k).persist()
+    sig = hashed.select(
+        "_id", minhash_signature_numpy(num_perm)(F.col("_h")).alias("_sig")
+    )
+    cands = _band_pairs(sig, num_perm, bands=num_perm // 2, max_bucket=max_bucket)
+    a = hashed.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"))
+    b = hashed.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"))
+    jac = F.size(F.array_intersect("h_a", "h_b")) / F.size(F.array_union("h_a", "h_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least(
+                F.lit(n_bins - 1), F.floor(jac * F.lit(float(n_bins))).cast("int")
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") / F.lit(float(n_bins))).alias("bin_lo"),
+            ((F.col("bin") + 1) / F.lit(float(n_bins))).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def threshold_from_histogram(
+    hist_rows: list, n_bins: int = 20, default: float = 0.7
+) -> float:
+    """Pick the dedup threshold at the deepest valley between the two
+    largest modes of the candidate-similarity histogram (3-bin smoothed).
+    A bimodal corpus (background mass low, near-dup mass high) yields the
+    separating edge; a unimodal one falls back to ``default``. Runs on
+    ≤n_bins metadata rows driver-side."""
+    counts = [0.0] * n_bins
+    for r in hist_rows:
+        counts[int(r["bin"])] = float(r["n"])
+    sm = [
+        (counts[max(0, i - 1)] + counts[i] + counts[min(n_bins - 1, i + 1)]) / 3.0
+        for i in range(n_bins)
+    ]
+    peaks = [
+        i
+        for i in range(n_bins)
+        if sm[i] > 0
+        and (i == 0 or sm[i] >= sm[i - 1])
+        and (i == n_bins - 1 or sm[i] >= sm[i + 1])
+    ]
+    if len(peaks) < 2:
+        return default
+    top2 = sorted(sorted(peaks, key=lambda i: -sm[i])[:2])
+    lo_p, hi_p = top2
+    if hi_p - lo_p < 2:
+        return default
+    valley = min(range(lo_p + 1, hi_p), key=lambda i: sm[i])
+    return (valley + 1) / n_bins
+
+
+def adaptive_minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    threshold: float | None = None,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash dedup with a DATA-DRIVEN band split: measure the corpus's
+    candidate-similarity histogram, place the threshold at the mode
+    valley (or take the caller's), then choose (bands, rows) so the LSH
+    S-curve midpoint lands on that threshold — instead of the fixed 16×4
+    split whose midpoint (0.5) over- or under-recalls when the real
+    near-dup boundary sits elsewhere. Deterministic: same corpus → same
+    histogram → same split. Returns (id_a, id_b, jaccard, with the chosen
+    threshold/bands observable via the ``.attrs``-style _adaptive columns
+    dropped — callers needing them use choose_band_split directly)."""
+    if threshold is None:
+        hist = candidate_similarity_histogram(
+            df, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k
+        ).collect()
+        threshold = threshold_from_histogram([r.asDict() for r in hist])
+    bands, _rows = choose_band_split(num_perm, threshold)
+    return minhash_lsh_dedup(
+        df,
+        id_col,
+        text_col,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+    )

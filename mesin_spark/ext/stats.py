@@ -1,0 +1,245 @@
+"""Multi-column table statistics with mergeable summaries and a
+selectivity estimator — the optimizer-support tier layered over the
+file-level zone map (sources.zone_map).
+
+Reference parity: the reference keeps NO statistics at all (its catalog
+is name → column list, src/context.rs:17-34); this module is part of the
+charter extension surface (SURVEY.md §7.4 candidate #4). The design is
+the classic cost-based-optimizer stats shape (per-column NDV + equi-width
+histogram + quantile summary), computed Spark-first:
+
+- one distributed aggregate pass per table (partial/final HashAggregate,
+  no driver funnel, no collect on data paths);
+- NDV via ``approx_count_distinct`` (HLL++ — mergeable across partitions
+  and across incremental stat builds);
+- quantiles via ``percentile_approx`` (Greenwald-Khanna summary — also a
+  mergeable partial aggregate, the scale path) with exact ``percentile``
+  available for oracle-checked correctness queries;
+- histograms as width-bucket floor division + groupBy — pure codegen'd
+  arithmetic, one shuffle of at most ``n_bins`` rows per column.
+
+The stats artifact is metadata-sized (rows = columns × bins), so it
+persists as a tiny parquet and broadcasts; ``estimate_selectivity`` then
+runs driver-side on that bounded artifact exactly like a real optimizer
+reading its catalog cache — this is NOT a collect-on-data anti-pattern.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_PROBS = (0.25, 0.5, 0.75)
+
+
+def column_summary(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...] = DEFAULT_PROBS,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """One row per numeric column: count / nulls / ndv / min / max /
+    quantile summary. ``exact=True`` switches countDistinct+percentile
+    in for the oracle-checked correctness path; the default approximate
+    path is the mergeable 100 TB path (HLL++ + GK summary, both
+    partial/final aggregates)."""
+    prob_arr = F.array(*[F.lit(p) for p in probs])
+    parts = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if exact:
+            ndv = F.countDistinct(c).alias("ndv")
+            qs = F.percentile(x, prob_arr).alias("quantiles")
+        else:
+            ndv = F.approx_count_distinct(c).alias("ndv")
+            qs = F.percentile_approx(x, prob_arr, F.lit(accuracy)).alias("quantiles")
+        parts.append(
+            df.agg(
+                F.lit(c).alias("col"),
+                F.count(F.lit(1)).alias("n"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                ndv,
+                F.min(x).alias("min_v"),
+                F.max(x).alias("max_v"),
+                qs,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def equi_width_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int = 32
+) -> DataFrame:
+    """Equi-width histogram over [lo, hi]: bin index by floor division
+    (map-side arithmetic), then ONE groupBy shuffle of ≤ n_bins+1 keys.
+    Values outside the range clamp to the edge bins, nulls are dropped —
+    matching the CBO convention (null fraction is tracked separately in
+    column_summary)."""
+    if hi <= lo:
+        # degenerate single-point column: everything lands in bin 0
+        bin_c = F.lit(0)
+        width = 1.0
+    else:
+        width = (hi - lo) / n_bins
+        raw = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+        bin_c = F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bin_c.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(col).alias("col"),
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+@dataclass
+class TableStats:
+    """Loaded statistics artifact: {col -> summary row dict} plus
+    {col -> sorted histogram rows}. Metadata-sized; lives driver-side
+    like an optimizer's catalog cache."""
+
+    summary: dict
+    histograms: dict
+
+    def row(self, col: str) -> dict:
+        return self.summary[col]
+
+
+def build_stats(
+    df: DataFrame, cols: list[str], n_bins: int = 32, accuracy: int = 10000
+) -> TableStats:
+    """Compute summary + histograms for ``cols``. Two passes over the
+    table (min/max must exist before the fixed-width bucketing); each
+    pass is a plain distributed aggregate. The collected results are
+    metadata (cols × bins rows), not data."""
+    summ = {r["col"]: r.asDict() for r in column_summary(df, cols, accuracy=accuracy).collect()}
+    hists = {}
+    for c in cols:
+        lo, hi = summ[c]["min_v"], summ[c]["max_v"]
+        if lo is None:
+            hists[c] = []
+            continue
+        rows = equi_width_histogram(df, c, lo, hi, n_bins).collect()
+        hists[c] = sorted((r.asDict() for r in rows), key=lambda r: r["bin"])
+    return TableStats(summary=summ, histograms=hists)
+
+
+def write_stats(stats: TableStats, spark: SparkSession, path: str) -> None:
+    """Persist the artifact as two tiny parquet datasets (summary rows +
+    histogram rows) under ``path`` — the shape a 100 TB deployment keeps
+    in its table-format commit log / stats store."""
+    srows = [
+        {
+            "col": c,
+            "n": int(r["n"]),
+            "n_null": int(r["n_null"]),
+            "ndv": int(r["ndv"]),
+            "min_v": float(r["min_v"]) if r["min_v"] is not None else None,
+            "max_v": float(r["max_v"]) if r["max_v"] is not None else None,
+            "quantiles": [float(q) for q in (r["quantiles"] or [])],
+        }
+        for c, r in stats.summary.items()
+    ]
+    hrows = [
+        {
+            "col": h["col"],
+            "bin": int(h["bin"]),
+            "bin_lo": float(h["bin_lo"]),
+            "bin_hi": float(h["bin_hi"]),
+            "n": int(h["n"]),
+        }
+        for hs in stats.histograms.values()
+        for h in hs
+    ]
+    schema_s = (
+        "col STRING, n BIGINT, n_null BIGINT, ndv BIGINT, "
+        "min_v DOUBLE, max_v DOUBLE, quantiles ARRAY<DOUBLE>"
+    )
+    schema_h = "col STRING, bin INT, bin_lo DOUBLE, bin_hi DOUBLE, n BIGINT"
+    spark.createDataFrame(srows, schema_s).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "summary")
+    )
+    hdf = spark.createDataFrame(hrows or [], schema_h)
+    hdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "hist"))
+
+
+def load_stats(spark: SparkSession, path: str) -> TableStats:
+    summ = {
+        r["col"]: r.asDict()
+        for r in spark.read.parquet(os.path.join(path, "summary")).collect()
+    }
+    hists: dict = {c: [] for c in summ}
+    for r in spark.read.parquet(os.path.join(path, "hist")).collect():
+        hists.setdefault(r["col"], []).append(r.asDict())
+    for c in hists:
+        hists[c].sort(key=lambda x: x["bin"])
+    return TableStats(summary=summ, histograms=hists)
+
+
+def estimate_selectivity(stats: TableStats, col: str, op: str, value: float) -> float:
+    """Histogram-based selectivity of ``col <op> value`` — the estimate a
+    CBO derives before choosing join order / broadcast side. Uniform
+    interpolation inside the containing bucket; ``=`` falls back to
+    bucket-density / ndv. Returns a fraction of NON-NULL rows in [0,1]."""
+    row = stats.row(col)
+    n = row["n"] - row["n_null"]
+    if n <= 0:
+        return 0.0
+    hist = stats.histograms.get(col) or []
+    if not hist:
+        return 0.0
+
+    def frac_below(v: float) -> float:
+        acc = 0.0
+        for h in hist:
+            if v >= h["bin_hi"]:
+                acc += h["n"]
+            elif v > h["bin_lo"]:
+                width = h["bin_hi"] - h["bin_lo"]
+                part = (v - h["bin_lo"]) / width if width > 0 else 1.0
+                acc += h["n"] * part
+        return acc / n
+
+    if op in ("<", "<="):
+        return min(1.0, frac_below(value))
+    if op in (">", ">="):
+        return min(1.0, 1.0 - frac_below(value))
+    if op == "=":
+        ndv = max(1, row["ndv"])
+        for h in hist:
+            if h["bin_lo"] <= value < h["bin_hi"] or (
+                value == h["bin_hi"] and h is hist[-1]
+            ):
+                # assume values uniform within the bucket: bucket mass
+                # split over the distinct values expected to land there
+                bucket_ndv = max(1.0, ndv * h["n"] / n) if n else 1.0
+                return min(1.0, (h["n"] / n) / bucket_ndv)
+        return 0.0
+    raise ValueError(f"unsupported op: {op}")
+
+
+def estimate_range(stats: TableStats, col: str, lo: float, hi: float) -> float:
+    """Selectivity of ``lo <= col <= hi`` (BETWEEN)."""
+    below_hi = estimate_selectivity(stats, col, "<=", hi)
+    below_lo = estimate_selectivity(stats, col, "<", lo)
+    return max(0.0, below_hi - below_lo)
+
+
+def ndv_error_bound(ndv_est: int, n_registers: int = 2**14) -> float:
+    """Relative standard error of the HLL++ NDV estimate at Spark's
+    default rsd (1.04/sqrt(m)) — exposed so callers can reason about
+    when an estimate is trustworthy enough to gate a broadcast."""
+    return 1.04 / math.sqrt(n_registers)

@@ -104,6 +104,7 @@ def load_all() -> None:
         events2,
         llm5,
         connectors,
+        stats_menu,
         storage,
         dml,
         llm3,

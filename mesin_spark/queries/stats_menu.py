@@ -1,0 +1,206 @@
+"""Round-2 tail — optimizer-support statistics (SURVEY.md §7.4 candidate
+#4), adaptive dedup thresholding (#5), and the ORC connector.
+
+The reference keeps no statistics (catalog = name → column list,
+src/context.rs:17-34) and reads one format (CSV, src/context.rs:30-40);
+this module is extension surface: the per-column summary/histogram
+artifact a cost-based optimizer reads, the data-driven MinHash band
+split, and the second columnar interchange format proven by round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mesin_spark import sources as S
+from mesin_spark.queries import R, T, query, sr
+
+
+@query(
+    "q_col_stats",
+    oracle=f"""
+    SELECT 'l_quantity' AS col, count(*) AS n,
+           count(*) - count(l_quantity) AS n_null,
+           count(DISTINCT l_quantity) AS ndv,
+           {sr("min(l_quantity)", 4)} AS min_v, {sr("max(l_quantity)", 4)} AS max_v,
+           {sr("quantile_cont(l_quantity, 0.25)", 4)} AS p25,
+           {sr("quantile_cont(l_quantity, 0.5)", 4)} AS p50,
+           {sr("quantile_cont(l_quantity, 0.75)", 4)} AS p75
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+           count(DISTINCT l_extendedprice),
+           {sr("min(l_extendedprice)", 4)}, {sr("max(l_extendedprice)", 4)},
+           {sr("quantile_cont(l_extendedprice, 0.25)", 4)},
+           {sr("quantile_cont(l_extendedprice, 0.5)", 4)},
+           {sr("quantile_cont(l_extendedprice, 0.75)", 4)}
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           count(DISTINCT l_discount),
+           {sr("min(l_discount)", 4)}, {sr("max(l_discount)", 4)},
+           {sr("quantile_cont(l_discount, 0.25)", 4)},
+           {sr("quantile_cont(l_discount, 0.5)", 4)},
+           {sr("quantile_cont(l_discount, 0.75)", 4)}
+    FROM lineitem
+    """,
+)
+def q_col_stats(spark, sf_dir):
+    """Multi-column statistics summary (ext/stats.column_summary, exact
+    flavor): count / nulls / NDV / min / max / quartiles per column, one
+    aggregate pass per column over a shared scan. The exact flavor is the
+    oracle-checkable twin of the default mergeable path (HLL++ NDV +
+    Greenwald-Khanna quantile summary — both partial/final aggregates,
+    the shape that survives 100 TB and incremental stat rebuilds)."""
+    from mesin_spark.ext.stats import column_summary
+
+    li = T(spark, sf_dir, "lineitem")
+    summ = column_summary(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], exact=True
+    )
+    return summ.select(
+        "col",
+        "n",
+        "n_null",
+        "ndv",
+        R(F.col("min_v"), 4).alias("min_v"),
+        R(F.col("max_v"), 4).alias("max_v"),
+        R(F.element_at("quantiles", 1), 4).alias("p25"),
+        R(F.element_at("quantiles", 2), 4).alias("p50"),
+        R(F.element_at("quantiles", 3), 4).alias("p75"),
+    )
+
+
+@query(
+    "q_hist_stats",
+    oracle="""
+    SELECT least(CAST(floor((l_quantity - 1.0) / 4.9) AS INT), 9) AS bin,
+           count(*) AS n
+    FROM lineitem WHERE l_quantity IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_hist_stats(spark, sf_dir):
+    """Equi-width histogram over a FIXED range [1, 50] in 10 bins
+    (ext/stats.equi_width_histogram): bin index by codegen'd floor
+    division map-side, then one ≤10-key groupBy shuffle — the per-column
+    distribution a CBO interpolates selectivities from. Fixed bounds keep
+    the oracle closed-form; build_stats derives them from min/max."""
+    from mesin_spark.ext.stats import equi_width_histogram
+
+    li = T(spark, sf_dir, "lineitem")
+    return equi_width_histogram(li, "l_quantity", lo=1.0, hi=50.0, n_bins=10).select(
+        "bin", "n"
+    )
+
+
+@query("q_stats_estimate")
+def q_stats_estimate(spark, sf_dir):
+    """Histogram-based selectivity estimation (rows-only: the estimate is
+    an optimizer artifact, not a SQL-expressible value). Builds the stats
+    artifact on lineitem, persists + reloads it, then emits estimate vs
+    TRUE selectivity for range predicates — pytest asserts the error
+    bound (tests/test_stats.py). The estimator runs driver-side on the
+    metadata-sized artifact, exactly like a CBO reading its stats cache;
+    the true fractions come from one distributed conditional aggregate."""
+    from mesin_spark.ext.stats import (
+        build_stats,
+        estimate_range,
+        estimate_selectivity,
+        load_stats,
+        write_stats,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    stats = build_stats(li, ["l_quantity", "l_extendedprice"], n_bins=32)
+    path = os.path.join(tempfile.mkdtemp(prefix="mesin_stats_"), "lineitem_stats")
+    write_stats(stats, spark, path)
+    stats = load_stats(spark, path)
+
+    preds = [
+        ("l_quantity", "<", 25.0),
+        ("l_quantity", ">=", 40.0),
+        ("l_extendedprice", "<", 30000.0),
+    ]
+    actual = li.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.when(
+                    F.expr(f"{c} {op} {v}"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias(f"_a{i}")
+            for i, (c, op, v) in enumerate(preds)
+        ],
+        F.sum(
+            F.when(F.col("l_quantity").between(10, 20), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_between"),
+    ).collect()[0]
+
+    rows = []
+    for i, (c, op, v) in enumerate(preds):
+        rows.append(
+            {
+                "predicate": f"{c} {op} {v}",
+                "estimated": round(estimate_selectivity(stats, c, op, v), 4),
+                "actual": round(actual[f"_a{i}"] / actual["_n"], 4),
+            }
+        )
+    rows.append(
+        {
+            "predicate": "l_quantity BETWEEN 10 AND 20",
+            "estimated": round(estimate_range(stats, "l_quantity", 10.0, 20.0), 4),
+            "actual": round(actual["_between"] / actual["_n"], 4),
+        }
+    )
+    return spark.createDataFrame(
+        rows, "predicate STRING, estimated DOUBLE, actual DOUBLE"
+    ).orderBy("predicate")
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS n, {sr("sum(o_totalprice)", 2)} AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """orders → ORC files → read back → aggregate. Proves the second
+    columnar interchange format end-to-end (schema carried in-file, so no
+    explicit read schema needed; doubles round-trip bit-exact). Writes
+    are distributed, one stripe-set per partition."""
+    out = os.path.join(tempfile.mkdtemp(prefix="mesin_orc_"), "orders_orc")
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    S.write_orc(o, out)
+    back = S.read_orc(spark, out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        R(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query("q_adaptive_dedup")
+def q_adaptive_dedup(spark, sf_dir):
+    """Adaptive MinHash dedup (SURVEY §7.4 #5, rows-only — the band split
+    is data-dependent): measure the corpus candidate-similarity histogram
+    (loose rows=2 banding → S-midpoint ≈0.17 captures the full near-dup
+    mass), place the threshold at the valley between the background and
+    near-dup modes, choose (bands, rows) so the S-curve midpoint lands on
+    it, then run the standard capped LSH verify. Deterministic: fixed
+    permutations + closed-form split selection. pytest plants a bimodal
+    corpus and asserts the discovered threshold separates the modes
+    (tests/test_stats.py)."""
+    from mesin_spark.ext.dedup import adaptive_minhash_dedup
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        adaptive_minhash_dedup(docs, "doc_id", "text")
+        .orderBy("id_a", "id_b")
+        .limit(200)
+    )

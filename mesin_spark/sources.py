@@ -116,6 +116,13 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive ecosystem);
+    like parquet it carries its own schema + per-stripe min/max stats, so
+    predicate pushdown works on read. Distributed write."""
+    df.write.mode(mode).orc(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwrite") -> None:
     """CSV sink (one file per partition — a distributed write, no driver
     funnel). CSV is schema-less: pair with an explicit schema on read."""

@@ -1,0 +1,153 @@
+"""Optimizer-support statistics (ext/stats) + adaptive banding
+(ext/dedup) — planted-case semantics: the oracle sweep proves engine
+equivalence for q_col_stats/q_hist_stats/q_orc_roundtrip; these tests
+prove the estimator and the adaptive split compute the RIGHT thing on
+data where the answer is known by construction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+# -- selectivity estimation ------------------------------------------------
+
+
+def test_selectivity_estimates_within_tolerance(spark):
+    """On real lineitem data, histogram-interpolated range selectivities
+    must land within 5 points of the true fraction (32 equi-width bins
+    over a near-uniform column ⇒ interpolation error << bin mass)."""
+    from mesin_spark.ext.stats import build_stats, estimate_range, estimate_selectivity
+    from mesin_spark.sources import read_parquet
+
+    li = read_parquet(spark, os.path.join(SF_DIR, "lineitem.parquet"))
+    stats = build_stats(li, ["l_quantity"], n_bins=32)
+    n = li.count()
+    for op, v in [("<", 25.0), ("<=", 10.0), (">", 40.0), (">=", 30.0)]:
+        actual = li.filter(f"l_quantity {op} {v}").count() / n
+        est = estimate_selectivity(stats, "l_quantity", op, v)
+        assert abs(est - actual) < 0.05, (op, v, est, actual)
+    actual = li.filter("l_quantity BETWEEN 10 AND 20").count() / n
+    est = estimate_range(stats, "l_quantity", 10.0, 20.0)
+    assert abs(est - actual) < 0.05
+
+
+def test_equality_selectivity_uses_ndv(spark):
+    """= selectivity on a uniform integer column ≈ 1/ndv."""
+    from mesin_spark.ext.stats import build_stats, estimate_selectivity
+
+    df = spark.range(0, 10000).selectExpr("CAST(id % 50 AS DOUBLE) AS v")
+    stats = build_stats(df, ["v"], n_bins=25)
+    est = estimate_selectivity(stats, "v", "=", 7.0)
+    assert 0.005 < est < 0.08, est  # true value 1/50 = 0.02
+
+
+def test_stats_roundtrip_persistence(spark, tmp_path):
+    """write_stats → load_stats preserves summary and histogram exactly."""
+    from mesin_spark.ext.stats import build_stats, load_stats, write_stats
+
+    df = spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    stats = build_stats(df, ["v"], n_bins=8)
+    path = str(tmp_path / "stats")
+    write_stats(stats, spark, path)
+    back = load_stats(spark, path)
+    assert back.summary["v"]["n"] == 1000
+    assert back.summary["v"]["min_v"] == 0.0
+    assert back.summary["v"]["max_v"] == 999.0
+    assert [h["n"] for h in back.histograms["v"]] == [
+        h["n"] for h in stats.histograms["v"]
+    ]
+    # uniform 0..999 over 8 bins: 125 rows per bin
+    assert [h["n"] for h in back.histograms["v"]] == [125] * 8
+
+
+def test_histogram_clamps_and_drops_nulls(spark):
+    from mesin_spark.ext.stats import equi_width_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (9.5,), (25.0,), (None,)], "v DOUBLE"
+    )
+    rows = {
+        r["bin"]: r["n"]
+        for r in equi_width_histogram(df, "v", 0.0, 10.0, n_bins=10).collect()
+    }
+    assert rows == {0: 2, 9: 2}  # -5 clamps to bin 0, 25 to bin 9; null dropped
+
+
+# -- adaptive banding ------------------------------------------------------
+
+
+def test_choose_band_split_tracks_threshold():
+    """The chosen split's S-curve midpoint must be the closest achievable
+    divisor split to the requested threshold."""
+    from mesin_spark.ext.dedup import choose_band_split
+
+    assert choose_band_split(64, 0.5) == (16, 4)  # (1/16)^(1/4) = 0.5 exactly
+    b, r = choose_band_split(64, 0.75)
+    assert (b, r) == (8, 8)  # midpoint 0.771
+    b, r = choose_band_split(64, 0.9)
+    assert (b, r) == (4, 16)  # midpoint 0.917
+    b, r = choose_band_split(128, 0.5)
+    assert b * r == 128
+
+
+def test_capture_probability_s_curve():
+    from mesin_spark.ext.dedup import lsh_capture_probability
+
+    # steep transition around the midpoint for 16x4
+    assert lsh_capture_probability(0.9, 16, 4) > 0.99
+    assert lsh_capture_probability(0.2, 16, 4) < 0.05
+
+
+def test_threshold_from_histogram_finds_valley():
+    from mesin_spark.ext.dedup import threshold_from_histogram
+
+    # bimodal: background mass at bins 1-3, near-dup mass at bins 17-19,
+    # empty valley → threshold lands strictly between the modes
+    rows = [{"bin": b, "n": n} for b, n in [(1, 100), (2, 80), (3, 40), (17, 30), (18, 60), (19, 90)]]
+    t = threshold_from_histogram(rows)
+    assert 0.2 < t < 0.9
+    # unimodal → default
+    rows = [{"bin": b, "n": 100 - 4 * b} for b in range(20)]
+    assert threshold_from_histogram(rows) == 0.7
+
+
+def test_adaptive_dedup_separates_planted_modes(spark, tmp_path):
+    """Corpus with 10 exact-near-dup pairs (jaccard ≈ 0.9+) and unrelated
+    background docs: adaptive dedup must return exactly the planted pairs
+    regardless of where the histogram places the threshold."""
+    from mesin_spark.ext.dedup import adaptive_minhash_dedup
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog while counting stars at midnight "
+    for i in range(10):
+        text = base + f"variant number {i} with extra shared trailing content here"
+        rows.append((2 * i, text, "en", "s", len(text)))
+        rows.append((2 * i + 1, text + " tail", "en", "s", len(text) + 5))
+    for i in range(40):
+        text = f"completely unrelated document {i} discussing topic_{i} alpha_{i} beta_{i} gamma_{i} delta_{i} epsilon_{i}"
+        rows.append((1000 + i, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = adaptive_minhash_dedup(df, "doc_id", "text").collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert planted <= got, planted - got
+    # nothing from the background may pair up
+    assert all(a < 1000 and b < 1000 for a, b in got), got - planted
+
+
+def test_adaptive_dedup_deterministic(spark):
+    """Same corpus twice → identical pair set (fixed permutations,
+    closed-form split)."""
+    from mesin_spark.ext.dedup import adaptive_minhash_dedup
+    from mesin_spark.sources import read_parquet
+
+    docs = read_parquet(spark, os.path.join(SF_DIR, "documents.parquet"))
+    a = {tuple(r) for r in adaptive_minhash_dedup(docs, "doc_id", "text").collect()}
+    b = {tuple(r) for r in adaptive_minhash_dedup(docs, "doc_id", "text").collect()}
+    assert a == b
