@@ -243,3 +243,52 @@ def ndv_error_bound(ndv_est: int, n_registers: int = 2**14) -> float:
     default rsd (1.04/sqrt(m)) — exposed so callers can reason about
     when an estimate is trustworthy enough to gate a broadcast."""
     return 1.04 / math.sqrt(n_registers)
+
+
+def estimate_filtered_rows(
+    stats: TableStats, col: str, op: str, value: float
+) -> int:
+    """Estimated surviving cardinality of ``col <op> value`` — selectivity
+    × non-null rows (CBO output row estimate for a Filter node)."""
+    row = stats.row(col)
+    n = row["n"] - row["n_null"]
+    return int(n * estimate_selectivity(stats, col, op, value))
+
+
+def avg_row_bytes(df: DataFrame) -> int:
+    """Static per-row byte estimate from the schema (fixed-width types at
+    their width, strings/binary/arrays at a 20-byte default — the same
+    defaultSize convention Catalyst's statistics use). Schema-only: no
+    scan, no sampling."""
+    fixed = {
+        "boolean": 1, "byte": 1, "short": 2, "int": 4, "date": 4,
+        "long": 8, "float": 4, "double": 8, "timestamp": 8,
+        "timestamp_ntz": 8,
+    }
+    total = 0
+    for f in df.schema.fields:
+        total += fixed.get(f.dataType.typeName(), 20)
+    return max(1, total)
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    stats: TableStats,
+    pred: tuple[str, str, float] | None = None,
+    threshold_bytes: int = 10 * 1024 * 1024,
+):
+    """The stats→plan hook a CBO applies to a join side: estimate the
+    side's POST-FILTER size from the persisted statistics artifact and
+    return ``F.broadcast(df)`` when it fits under the broadcast
+    threshold, else ``df`` unchanged (shuffle join). This decides from
+    metadata alone — no scan, no AQE runtime feedback needed — which is
+    exactly how a filtered dimension that LOOKS big at the catalog level
+    but shrinks under its predicate gets broadcast on the first run
+    (AQE only learns sizes after a shuffle stage materializes)."""
+    if pred is None:
+        any_col = next(iter(stats.summary))
+        n_rows = stats.row(any_col)["n"]
+    else:
+        n_rows = estimate_filtered_rows(stats, *pred)
+    est_bytes = n_rows * avg_row_bytes(df)
+    return F.broadcast(df) if est_bytes <= threshold_bytes else df

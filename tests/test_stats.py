@@ -151,3 +151,45 @@ def test_adaptive_dedup_deterministic(spark):
     a = {tuple(r) for r in adaptive_minhash_dedup(docs, "doc_id", "text").collect()}
     b = {tuple(r) for r in adaptive_minhash_dedup(docs, "doc_id", "text").collect()}
     assert a == b
+
+
+def test_broadcast_if_small_drives_join_strategy(spark):
+    """With auto-broadcast disabled, the stats-driven hook alone must flip
+    the physical join: a selective predicate -> estimated small side ->
+    BroadcastHashJoin; no predicate on a large table -> plain df ->
+    SortMergeJoin. This is the CBO decision path — metadata only, no
+    scan, no AQE feedback."""
+    from mesin_spark.ext.stats import broadcast_if_small, build_stats
+
+    dim = spark.range(0, 100000).selectExpr(
+        "id AS k", "CAST(id % 1000 AS DOUBLE) AS v"
+    )
+    fact = spark.range(0, 200000).selectExpr("id % 100000 AS k", "id AS payload")
+    stats = build_stats(dim, ["v"], n_bins=20)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # selective: v < 10 keeps ~1% of 100k rows -> ~16KB, broadcasts
+        small = broadcast_if_small(
+            dim.filter("v < 10"), stats, pred=("v", "<", 10.0),
+            threshold_bytes=1024 * 1024,
+        )
+        plan_b = fact.join(small, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_b, plan_b
+
+        # unfiltered: 100k rows x row_bytes > 1KB threshold -> no hint
+        big = broadcast_if_small(dim, stats, pred=None, threshold_bytes=1024)
+        plan_s = fact.join(big, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan_s, plan_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_estimate_filtered_rows_matches_actual(spark):
+    from mesin_spark.ext.stats import build_stats, estimate_filtered_rows
+
+    df = spark.range(0, 50000).selectExpr("CAST(id % 500 AS DOUBLE) AS v")
+    stats = build_stats(df, ["v"], n_bins=25)
+    est = estimate_filtered_rows(stats, "v", "<", 100.0)
+    actual = df.filter("v < 100.0").count()  # 10000
+    assert abs(est - actual) / actual < 0.1, (est, actual)
