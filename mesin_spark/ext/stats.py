@@ -292,3 +292,62 @@ def broadcast_if_small(
         n_rows = estimate_filtered_rows(stats, *pred)
     est_bytes = n_rows * avg_row_bytes(df)
     return F.broadcast(df) if est_bytes <= threshold_bytes else df
+
+
+def merge_stats(a: TableStats, b: TableStats) -> TableStats:
+    """Merge two stats artifacts built over DISJOINT row sets (e.g. the
+    existing corpus and an arriving ingest batch) without rescanning
+    either: counts/nulls add, min/max combine, histograms add bin-wise
+    when their bounds agree (they do when both builds derived bounds
+    from the same domain; otherwise rebuild the histogram for the
+    union). NDV and quantiles are NOT exactly mergeable from finished
+    numbers — NDV takes the sum capped by the combined value range
+    (exact when the sets' value ranges are disjoint, an upper bound
+    otherwise) and quantiles are dropped; deployments needing mergeable
+    NDV/quantiles keep the underlying HLL/GK partials, which Spark's
+    hll_union_agg / percentile_approx re-aggregation already covers
+    (see q_hll_rollup)."""
+    summary = {}
+    hists = {}
+    for c in set(a.summary) | set(b.summary):
+        if c not in a.summary or c not in b.summary:
+            src = a if c in a.summary else b
+            summary[c] = dict(src.summary[c])
+            hists[c] = [dict(h) for h in src.histograms.get(c, [])]
+            continue
+        ra, rb = a.summary[c], b.summary[c]
+        mins = [v for v in (ra["min_v"], rb["min_v"]) if v is not None]
+        maxs = [v for v in (ra["max_v"], rb["max_v"]) if v is not None]
+        lo = min(mins) if mins else None
+        hi = max(maxs) if maxs else None
+        ndv_cap = int(hi - lo) + 1 if (lo is not None and float(hi - lo).is_integer()) else None
+        ndv = ra["ndv"] + rb["ndv"]
+        if ndv_cap is not None:
+            ndv = min(ndv, ndv_cap)
+        summary[c] = {
+            "col": c,
+            "n": ra["n"] + rb["n"],
+            "n_null": ra["n_null"] + rb["n_null"],
+            "ndv": ndv,
+            "min_v": lo,
+            "max_v": hi,
+            "quantiles": None,
+        }
+        ha, hb = a.histograms.get(c, []), b.histograms.get(c, [])
+        same_bounds = (
+            ha
+            and hb
+            and len(ha) == len(hb)
+            and ha[0]["bin_lo"] == hb[0]["bin_lo"]
+            and ha[-1]["bin_hi"] == hb[-1]["bin_hi"]
+        )
+        if same_bounds:
+            merged = []
+            for x, y in zip(ha, hb):
+                m = dict(x)
+                m["n"] = x["n"] + y["n"]
+                merged.append(m)
+            hists[c] = merged
+        else:
+            hists[c] = []
+    return TableStats(summary=summary, histograms=hists)

@@ -204,3 +204,47 @@ def q_adaptive_dedup(spark, sf_dir):
         .orderBy("id_a", "id_b")
         .limit(200)
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           count(o_orderpriority) AS n_with_priority,
+           count(*) - count(o_orderpriority) AS n_legacy,
+           {sr("sum(o_totalprice)", 2)} AS total
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                   AS o_orderpriority
+        FROM orders
+    )
+    """,
+)
+def q_schema_evolution(spark, sf_dir):
+    """Schema evolution on read: two parquet writes into one dataset —
+    the legacy batch WITHOUT o_orderpriority (even keys), a newer batch
+    WITH it (odd keys) — then a single ``mergeSchema`` read unions the
+    schemas, surfacing the missing column as NULL for legacy files. The
+    ingest reality of any long-lived 100 TB table (columns arrive over
+    time; rewriting history is off the table). mergeSchema reconciles
+    footers at planning time, scan cost is unchanged."""
+    import tempfile as _tf
+
+    out = os.path.join(_tf.mkdtemp(prefix="mesin_evo_"), "orders_evo")
+    o = T(spark, sf_dir, "orders")
+    o.filter("o_orderkey % 2 = 0").select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "batch=legacy"))
+    o.filter("o_orderkey % 2 = 1").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(out, "batch=v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "batch=legacy"), os.path.join(out, "batch=v2")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("n_legacy"),
+        R(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -193,3 +193,26 @@ def test_estimate_filtered_rows_matches_actual(spark):
     est = estimate_filtered_rows(stats, "v", "<", 100.0)
     actual = df.filter("v < 100.0").count()  # 10000
     assert abs(est - actual) / actual < 0.1, (est, actual)
+
+
+def test_merge_stats_incremental(spark):
+    """Stats(old) ⊕ stats(batch) must equal stats(old ∪ batch) on counts,
+    bounds, and histogram mass — the incremental-ingest maintenance path
+    that never rescans the existing corpus."""
+    from mesin_spark.ext.stats import build_stats, merge_stats
+
+    old = spark.range(0, 8000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    batch = spark.range(8000, 10000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    both = old.unionAll(batch)
+    sa, sb = build_stats(old, ["v"], n_bins=10), build_stats(batch, ["v"], n_bins=10)
+    sm = merge_stats(sa, sb)
+    truth = build_stats(both, ["v"], n_bins=10)
+    assert sm.summary["v"]["n"] == truth.summary["v"]["n"] == 10000
+    assert sm.summary["v"]["min_v"] == truth.summary["v"]["min_v"]
+    assert sm.summary["v"]["max_v"] == truth.summary["v"]["max_v"]
+    # both sides cover the full 0..999 domain -> same bounds -> bin-wise add
+    assert [h["n"] for h in sm.histograms["v"]] == [
+        h["n"] for h in truth.histograms["v"]
+    ]
+    # integer-valued domain: NDV sum caps at the range width (= exact here)
+    assert sm.summary["v"]["ndv"] == 1000
