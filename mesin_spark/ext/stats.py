@@ -382,3 +382,45 @@ def merge_stats(a: TableStats, b: TableStats) -> TableStats:
         else:
             hists[c] = []
     return TableStats(summary=summary, histograms=hists)
+
+
+def estimate_side_rows(side: dict) -> int:
+    """Estimated post-filter cardinality of one join side described as
+    {"df", "stats", "pred"} (pred = (col, op, value) or None)."""
+    stats: TableStats = side["stats"]
+    if side.get("pred") is None:
+        any_col = next(iter(stats.summary))
+        return int(stats.row(any_col)["n"])
+    return estimate_filtered_rows(stats, *side["pred"])
+
+
+def order_sides_by_stats(sides: list[dict]) -> list[int]:
+    """Greedy join-order heuristic a CBO applies to a star join: attach
+    the most selective dimension FIRST so the fact stream shrinks before
+    the wider joins run. Returns the index permutation (ascending
+    estimated rows, input order as tie-break — deterministic). Pure
+    function over metadata; separately testable from the plan it
+    drives."""
+    return sorted(range(len(sides)), key=lambda i: (estimate_side_rows(sides[i]), i))
+
+
+def join_by_stats(
+    fact: DataFrame,
+    sides: list[dict],
+    threshold_bytes: int = 10 * 1024 * 1024,
+) -> DataFrame:
+    """Stats-driven star join: each side of {"df", "stats", "pred",
+    "on"} is (a) ordered by estimated post-filter cardinality
+    (order_sides_by_stats) and (b) broadcast when its estimated bytes
+    fit (broadcast_if_small) — the two decisions a cost-based optimizer
+    makes from catalog statistics before the first byte is scanned.
+    ``pred`` only feeds the estimate; callers apply the actual filter to
+    ``df`` themselves (keeping estimate and plan visibly separate)."""
+    out = fact
+    for i in order_sides_by_stats(sides):
+        s = sides[i]
+        side_df = broadcast_if_small(
+            s["df"], s["stats"], pred=s.get("pred"), threshold_bytes=threshold_bytes
+        )
+        out = out.join(side_df, s["on"])
+    return out

@@ -216,3 +216,43 @@ def test_merge_stats_incremental(spark):
     ]
     # integer-valued domain: NDV sum caps at the range width (= exact here)
     assert sm.summary["v"]["ndv"] == 1000
+
+
+def test_order_sides_by_stats_most_selective_first(spark):
+    from mesin_spark.ext.stats import build_stats, order_sides_by_stats
+
+    big = spark.range(0, 50000).selectExpr("id AS k", "CAST(id % 100 AS DOUBLE) AS v")
+    small = spark.range(0, 5000).selectExpr("id AS k", "CAST(id % 100 AS DOUBLE) AS v")
+    sb, ss = build_stats(big, ["v"]), build_stats(small, ["v"])
+    sides = [
+        {"df": big, "stats": sb, "pred": None, "on": "k"},          # 50000
+        {"df": small, "stats": ss, "pred": None, "on": "k"},        # 5000
+        {"df": big, "stats": sb, "pred": ("v", "<", 1.0), "on": "k"},  # ~500
+    ]
+    assert order_sides_by_stats(sides) == [2, 1, 0]
+
+
+def test_join_by_stats_correct_and_broadcasts(spark):
+    """join_by_stats must produce the same rows as the naive join order
+    AND broadcast every under-threshold side with auto-broadcast off."""
+    from mesin_spark.ext.stats import build_stats, join_by_stats
+
+    fact = spark.range(0, 20000).selectExpr("id % 1000 AS k1", "id % 50 AS k2", "id AS m")
+    d1 = spark.range(0, 1000).selectExpr("id AS k1", "CAST(id AS DOUBLE) AS a")
+    d2 = spark.range(0, 50).selectExpr("id AS k2", "CAST(id AS DOUBLE) AS b")
+    s1, s2 = build_stats(d1, ["a"]), build_stats(d2, ["b"])
+    sides = [
+        {"df": d1, "stats": s1, "pred": None, "on": "k1"},
+        {"df": d2, "stats": s2, "pred": None, "on": "k2"},
+    ]
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = join_by_stats(fact, sides, threshold_bytes=1024 * 1024)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 2, plan
+        naive = fact.join(d1, "k1").join(d2, "k2")
+        assert out.count() == naive.count() == 20000
+        assert out.agg({"m": "sum"}).collect()[0][0] == naive.agg({"m": "sum"}).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
