@@ -91,3 +91,67 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
     )
     return b.join(s, on=on + ["_salt"], how=how).drop("_salt")
+
+
+def key_skew_metrics(
+    df: DataFrame, key: str, sample_mod: int | None = None
+) -> dict:
+    """One-row skew readout for a prospective shuffle key: total rows,
+    distinct keys, hottest key's row count and SHARE of all rows — the
+    number that says whether one reducer partition will receive an
+    outsized slice. Optionally measured on a deterministic 1/sample_mod
+    hash-sample of the keys (each key's rows are kept or dropped
+    TOGETHER, so per-key counts stay exact and the share estimate is
+    unbiased — at 100 TB the diagnostic pass must not cost a full
+    shuffle). The result is one row: a bounded, metadata-sized collect."""
+    if sample_mod:
+        df = df.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(sample_mod)) == 0)
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+    row = per_key.agg(
+        F.sum("_n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_n").alias("max_per_key"),
+    ).collect()[0]
+    total = row["total"] or 0
+    return {
+        "total": total,
+        "n_keys": row["n_keys"],
+        "max_per_key": row["max_per_key"] or 0,
+        "max_share": (row["max_per_key"] / total) if total else 0.0,
+    }
+
+
+def join_skew_aware(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt: Column | None = None,
+    n_salt: int = 16,
+    max_share_threshold: float = 0.05,
+    metrics: dict | None = None,
+    how: str = "inner",
+) -> tuple[DataFrame, dict]:
+    """Measure-then-decide join: when the big side's hottest key holds
+    more than ``max_share_threshold`` of its rows (one reducer would
+    process that whole slice alone), switch to the salted replicated
+    join; otherwise join plain and let AQE's skew-join splitting handle
+    residual imbalance. Pass precomputed/persisted ``metrics`` (e.g.
+    from a key_skew_metrics run over yesterday's snapshot) to skip the
+    diagnostic pass. Returns (joined, decision_record) — the record is
+    the audit line a pipeline logs next to its plan."""
+    if metrics is None:
+        metrics = key_skew_metrics(big, on[0])
+    skewed = metrics["max_share"] > max_share_threshold
+    if skewed:
+        # default salt hashes the WHOLE row, never just the join key — a
+        # key-only salt would map every row of the hot key to one salt
+        # bucket and change nothing
+        default_salt = F.xxhash64(*[F.col(c) for c in big.columns])
+        out = salted_join(
+            big, small, on,
+            salt=salt if salt is not None else default_salt,
+            n_salt=n_salt, how=how,
+        )
+    else:
+        out = big.join(small, on=on, how=how)
+    return out, {**metrics, "strategy": "salted" if skewed else "plain"}

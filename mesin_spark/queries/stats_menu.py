@@ -248,3 +248,45 @@ def q_schema_evolution(spark, sf_dir):
         (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("n_legacy"),
         R(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@query(
+    "q_agg_pushdown",
+    oracle=f"""
+    SELECT count(*) AS n, {sr("min(o_totalprice)", 4)} AS min_price,
+           {sr("max(o_totalprice)", 4)} AS max_price
+    FROM orders
+    """,
+)
+def q_agg_pushdown(spark, sf_dir):
+    """Aggregate pushdown INTO the parquet scan: with
+    spark.sql.parquet.aggregatePushdown, unfiltered COUNT/MIN/MAX are
+    answered from row-group footer statistics — zero data pages read, the
+    plan shows PushedAggregation (asserted in tests/test_stats.py). The
+    100 TB payoff is a table-wide profile that costs a metadata walk
+    instead of a full scan. The conf is toggled inside an eager compute
+    and restored (it must hold at physical-planning time; leaving it set
+    would silently re-plan every later query in the session), so the
+    certified result is returned as a literal 1-row frame."""
+    prior = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    prior_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # pushdown lives on the DataSource V2 scan (BatchScan); parquet sits
+    # on the V1 list by default, so V2 must be opted into alongside
+    spark.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    try:
+        # plain spark.read: the robust reader's NTZ cast would sit
+        # between scan and agg and block the pushdown
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        row = o.agg(
+            F.count(F.lit(1)).alias("n"),
+            R(F.min("o_totalprice"), 4).alias("min_price"),
+            R(F.max("o_totalprice"), 4).alias("max_price"),
+        ).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prior)
+        if prior_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prior_v1)
+    return spark.createDataFrame([row.asDict()], "n BIGINT, min_price DOUBLE, max_price DOUBLE")
