@@ -137,3 +137,46 @@ def kmv_sketch(
             .alias("est_distinct"),
         )
     )
+
+
+def kmv_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-set OVERLAP estimates between every pair of groups from
+    their KMV sketches alone — the two raw key sets are never joined.
+
+    Estimator (Beyer et al. 2007): for sketches A, B keep the k smallest
+    of A ∪ B (threshold τ = its max); K∩ = |{h ∈ A ∩ B : h ≤ τ}| gives
+    Jaccard ≈ K∩/k and |A ∩ B| ≈ Jaccard · D∪ with D∪ = (k-1)/(τ/2³²).
+    Everything runs on the sketch ARRAYS with built-in higher-order
+    functions: the pair join moves k longs per group pair, so estimating
+    all-pairs source overlap over a 100 TB corpus costs one sketch pass
+    plus a metadata-sized self-join. Same portable hash as kmv_sketch →
+    the estimate is bit-reproducible cross-engine (oracle-checkable).
+
+    Input: kmv_sketch output (group, kmv, est_distinct). Output one row
+    per unordered pair (grp_a < grp_b)."""
+    a = sketches.select(
+        F.col(group_col).alias("grp_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = sketches.select(
+        F.col(group_col).alias("grp_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.join(b, F.col("grp_a") < F.col("grp_b"))
+    union_k = F.slice(F.array_sort(F.array_union("kmv_a", "kmv_b")), 1, k)
+    tau = F.element_at(union_k, F.size(union_k))
+    both = F.array_intersect("kmv_a", "kmv_b")
+    k_int = F.size(F.filter(both, lambda h: h <= tau))
+    k_eff = F.size(union_k)
+    jacc = k_int / k_eff
+    d_union = F.when(
+        k_eff < F.lit(k), k_eff.cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (tau / F.lit(float(1 << 32))))
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        jacc.alias("jaccard_est"),
+        (jacc * d_union).alias("overlap_est"),
+    )

@@ -322,3 +322,30 @@ def test_key_skew_metrics_sampled_share_unbiased(spark):
     # adjusted) or is fully dropped; with mod 4 it survives iff its hash
     # lands on 0 — just assert the function runs and share is sane
     assert 0.0 <= sampled["max_share"] <= 1.0
+
+
+def test_kmv_overlap_accuracy(spark):
+    """Planted overlap: groups X and Y share exactly 600 of their 1000
+    keys each (Jaccard = 600/1400 ≈ 0.43). The k=256 sketch estimate
+    must land within 25% relative error of both truth values."""
+    from pyspark.sql import functions as F
+    from mesin_spark.ext.sketches import kmv_overlap, kmv_sketch
+
+    x = spark.range(0, 1000).selectExpr("'X' AS g", "id AS k")
+    y = spark.range(400, 1400).selectExpr("'Y' AS g", "id AS k")
+    df = x.unionAll(y)
+    sk = kmv_sketch(df, "g", "k", k=256)
+    row = kmv_overlap(sk, "g", k=256).collect()[0]
+    true_jacc = 600 / 1400
+    assert abs(row["jaccard_est"] - true_jacc) / true_jacc < 0.25, row
+    assert abs(row["overlap_est"] - 600) / 600 < 0.25, row
+
+
+def test_kmv_overlap_disjoint_is_zero(spark):
+    from mesin_spark.ext.sketches import kmv_overlap, kmv_sketch
+
+    x = spark.range(0, 500).selectExpr("'X' AS g", "id AS k")
+    y = spark.range(10000, 10500).selectExpr("'Y' AS g", "id AS k")
+    sk = kmv_sketch(x.unionAll(y), "g", "k", k=64)
+    row = kmv_overlap(sk, "g", k=64).collect()[0]
+    assert row["jaccard_est"] == 0.0 and row["overlap_est"] == 0.0
