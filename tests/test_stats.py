@@ -349,3 +349,66 @@ def test_kmv_overlap_disjoint_is_zero(spark):
     sk = kmv_sketch(x.unionAll(y), "g", "k", k=64)
     row = kmv_overlap(sk, "g", k=64).collect()[0]
     assert row["jaccard_est"] == 0.0 and row["overlap_est"] == 0.0
+
+
+def test_selectivity_properties_hypothesis():
+    """Estimator invariants over arbitrary histograms (no Spark): results
+    stay in [0,1], < is monotone non-decreasing in the cut value, < and
+    >= partition the mass (sum to 1), and BETWEEN equals the difference
+    of its endpoints."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mesin_spark.ext.stats import (
+        TableStats,
+        estimate_range,
+        estimate_selectivity,
+    )
+
+    @st.composite
+    def stats_and_cuts(draw):
+        n_bins = draw(st.integers(min_value=1, max_value=12))
+        counts = draw(
+            st.lists(
+                st.integers(min_value=0, max_value=1000),
+                min_size=n_bins, max_size=n_bins,
+            )
+        )
+        if sum(counts) == 0:
+            counts[0] = 1
+        lo = draw(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+        width = draw(st.floats(min_value=1e-3, max_value=1e5, allow_nan=False))
+        hist = [
+            {"col": "v", "bin": i, "bin_lo": lo + i * width,
+             "bin_hi": lo + (i + 1) * width, "n": counts[i]}
+            for i in range(n_bins)
+        ]
+        n = sum(counts)
+        stats = TableStats(
+            summary={"v": {"col": "v", "n": n, "n_null": 0,
+                           "ndv": max(1, n // 2), "min_v": lo,
+                           "max_v": lo + n_bins * width, "quantiles": None}},
+            histograms={"v": hist},
+        )
+        cuts = sorted(
+            draw(st.lists(
+                st.floats(min_value=lo - width, max_value=lo + (n_bins + 1) * width,
+                          allow_nan=False),
+                min_size=2, max_size=2))
+        )
+        return stats, cuts
+
+    @given(stats_and_cuts())
+    @settings(max_examples=200, deadline=None)
+    def check(sc):
+        stats, (a, b) = sc
+        sa = estimate_selectivity(stats, "v", "<", a)
+        sb = estimate_selectivity(stats, "v", "<", b)
+        assert 0.0 <= sa <= 1.0 and 0.0 <= sb <= 1.0
+        assert sa <= sb + 1e-9  # monotone
+        ge_a = estimate_selectivity(stats, "v", ">=", a)
+        assert abs((sa + ge_a) - 1.0) < 1e-9  # partition of mass
+        between = estimate_range(stats, "v", a, b)
+        assert abs(between - (estimate_selectivity(stats, "v", "<=", b) - sa)) < 1e-9
+
+    check()
