@@ -424,3 +424,50 @@ def join_by_stats(
         )
         out = out.join(side_df, s["on"])
     return out
+
+
+def estimate_conjunction(
+    stats: TableStats, preds: list[tuple[str, str, float]]
+) -> float:
+    """Selectivity of an AND of single-column predicates under the
+    attribute-independence assumption (the textbook CBO default):
+    product of per-predicate selectivities, with same-column range pairs
+    (>= lo AND <= hi patterns) collapsed through estimate_range first so
+    the common BETWEEN shape doesn't get squared away. Correlated
+    columns make this an over- or under-estimate — the documented CBO
+    failure mode; sampled-correlation correction is the future tier."""
+    by_col: dict = {}
+    for p in preds:
+        by_col.setdefault(p[0], []).append(p)
+    sel = 1.0
+    for col, ps in by_col.items():
+        los = [v for (_, op, v) in ps if op in (">", ">=")]
+        his = [v for (_, op, v) in ps if op in ("<", "<=")]
+        if los and his:
+            sel *= estimate_range(stats, col, max(los), min(his))
+            rest = [p for p in ps if p[1] not in ("<", "<=", ">", ">=")]
+        else:
+            rest = ps
+        for _, op, v in rest:
+            sel *= estimate_selectivity(stats, col, op, v)
+    return max(0.0, min(1.0, sel))
+
+
+def recommend_shuffle_partitions(
+    est_rows: int,
+    row_bytes: int,
+    target_partition_bytes: int = 64 * 1024 * 1024,
+    min_partitions: int = 1,
+    max_partitions: int = 100000,
+) -> int:
+    """Seed ``spark.sql.shuffle.partitions`` for a query from its
+    ESTIMATED shuffle volume instead of the static session value: AQE
+    can only coalesce DOWN from the configured number, so a 100-row
+    grouped aggregate pays 200 empty-partition tasks under a
+    cluster-sized default, while a 10 TB join under a small default
+    serializes. estimate → rows × row_bytes / target, clamped. Apply
+    with spark.conf.set before the action (per-query, AQE refines the
+    rest)."""
+    est_bytes = max(0, est_rows) * max(1, row_bytes)
+    n = -(-est_bytes // target_partition_bytes)  # ceil
+    return int(max(min_partitions, min(max_partitions, n)))

@@ -412,3 +412,33 @@ def test_selectivity_properties_hypothesis():
         assert abs(between - (estimate_selectivity(stats, "v", "<=", b) - sa)) < 1e-9
 
     check()
+
+
+def test_estimate_conjunction_collapses_ranges(spark):
+    """BETWEEN expressed as two preds must estimate as ONE range, not a
+    squared product; independent-column products multiply."""
+    from mesin_spark.ext.stats import build_stats, estimate_conjunction
+
+    df = spark.range(0, 20000).selectExpr(
+        "CAST(id % 100 AS DOUBLE) AS a", "CAST(CAST(id / 100 AS INT) % 7 AS DOUBLE) AS b"
+    )
+    stats = build_stats(df, ["a", "b"], n_bins=20)
+    # a in [20, 40) -> ~0.2 ; naive product of (>=20)*( <40) would be ~0.32
+    est = estimate_conjunction(stats, [("a", ">=", 20.0), ("a", "<", 40.0)])
+    true = df.filter("a >= 20 AND a < 40").count() / 20000
+    assert abs(est - true) < 0.05, (est, true)
+    # two independent columns -> product ~ 0.2 * (3/7)
+    est2 = estimate_conjunction(
+        stats, [("a", ">=", 20.0), ("a", "<", 40.0), ("b", "<", 3.0)]
+    )
+    true2 = df.filter("a >= 20 AND a < 40 AND b < 3").count() / 20000
+    assert abs(est2 - true2) < 0.07, (est2, true2)
+
+
+def test_recommend_shuffle_partitions_clamps():
+    from mesin_spark.ext.stats import recommend_shuffle_partitions
+
+    assert recommend_shuffle_partitions(100, 100) == 1          # tiny agg
+    assert recommend_shuffle_partitions(10**9, 128) == 1908     # ~122GB/64MB
+    assert recommend_shuffle_partitions(10**12, 1000, max_partitions=5000) == 5000
+    assert recommend_shuffle_partitions(0, 100) == 1
