@@ -361,3 +361,81 @@ def q_kmv_overlap(spark, sf_dir):
         R(F.col("jaccard_est"), 6).alias("jaccard_est"),
         R(F.col("overlap_est"), 4).alias("overlap_est"),
     )
+
+
+@query(
+    "q_file_overlap",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT CAST(l_suppkey % 4 AS INT) AS grp,
+               (l_orderkey * 2654435761) % 4294967296 AS h
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed
+    ),
+    sk AS (SELECT grp, h FROM ranked WHERE rn <= 64),
+    grps AS (SELECT DISTINCT grp FROM sk),
+    pairs AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b
+        FROM grps a JOIN grps b ON a.grp < b.grp
+    ),
+    uni AS (
+        SELECT p.grp_a, p.grp_b, s.h
+        FROM pairs p JOIN sk s ON s.grp IN (p.grp_a, p.grp_b)
+        GROUP BY 1, 2, 3
+    ),
+    uni_ranked AS (
+        SELECT grp_a, grp_b, h,
+               row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+        FROM uni
+    ),
+    uk AS (
+        SELECT grp_a, grp_b, max(h) AS tau, count(*) AS k_eff
+        FROM uni_ranked WHERE rn <= 64 GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT sa.grp AS grp_a, sb.grp AS grp_b, sa.h
+        FROM sk sa JOIN sk sb ON sa.h = sb.h AND sa.grp < sb.grp
+    )
+    SELECT u.grp_a AS shard_a, u.grp_b AS shard_b,
+           {sr("count(i.h)::DOUBLE / u.k_eff", 6)} AS jaccard_est
+    FROM uk u
+    LEFT JOIN inter i
+      ON i.grp_a = u.grp_a AND i.grp_b = u.grp_b AND i.h <= u.tau
+    GROUP BY u.grp_a, u.grp_b, u.tau, u.k_eff
+    """,
+)
+def q_file_overlap(spark, sf_dir):
+    """Sketch-augmented zone map driving a re-cluster decision: lineitem
+    written into 4 shard files keyed by l_suppkey, per-FILE KMV sketches
+    of l_orderkey (sources.zone_map_kmv over _metadata.file_path), then
+    pairwise key-overlap estimates from the sketch arrays alone
+    (ext/sketches.kmv_overlap). High inter-file Jaccard = the orderkey
+    is interleaved across every file = min/max zones are loose and a
+    sort/zorder re-cluster would enable data skipping. The whole answer
+    is metadata-scale: one scan builds the sketches, the pair join moves
+    64 longs per file pair — at 100 TB with ~10^5 files this is how
+    compaction planning stays off the data path. (Written repartition(1)
+    so each shard dir is exactly one file and the DuckDB oracle can
+    reproduce file membership as l_suppkey % 4.)"""
+    import tempfile as _tf
+
+    from mesin_spark.ext.sketches import kmv_overlap
+    from mesin_spark.sources import zone_map_kmv
+
+    out = os.path.join(_tf.mkdtemp(prefix="mesin_zmkmv_"), "lineitem_sharded")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.pmod("l_suppkey", F.lit(4)).cast("int").alias("shard")
+    )
+    li.repartition(1).write.mode("overwrite").partitionBy("shard").parquet(out)
+    zm = zone_map_kmv(spark, out, ["l_orderkey"], "l_orderkey", k=64)
+    sk = zm.select(
+        F.regexp_extract("file", r"shard=(\d+)", 1).cast("int").alias("shard"), "kmv"
+    )
+    return kmv_overlap(sk, "shard", k=64).select(
+        F.col("grp_a").alias("shard_a"),
+        F.col("grp_b").alias("shard_b"),
+        R(F.col("jaccard_est"), 6).alias("jaccard_est"),
+    )

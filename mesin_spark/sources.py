@@ -293,3 +293,24 @@ def pruned_parquet(
     if not files:
         return spark.read.parquet(path).limit(0)
     return spark.read.parquet(*files)
+
+
+def zone_map_kmv(
+    spark: SparkSession, path: str, cols: list[str], key_col: str, k: int = 64
+) -> DataFrame:
+    """Zone map augmented with a per-FILE KMV distinct sketch of
+    ``key_col``: min/max/count per file PLUS the k-minimum-value array
+    and distinct estimate — one extra metadata column that answers the
+    questions plain min/max can't: per-file distinct cardinality and
+    (via ext.sketches.kmv_overlap) KEY OVERLAP between file pairs.
+    High pairwise overlap means the key is interleaved across files —
+    the signal that a compaction / re-cluster (zorder_key, sort_by)
+    would make zone ranges tight and data skipping effective. Still one
+    distributed scan; the result is file-count-sized metadata."""
+    from mesin_spark.ext.sketches import kmv_sketch
+
+    df = spark.read.parquet(path)
+    base = zone_map(spark, path, cols)
+    keyed = df.select(F.col("_metadata.file_path").alias("file"), key_col)
+    sk = kmv_sketch(keyed, "file", key_col, k=k)
+    return base.join(sk, "file")

@@ -442,3 +442,22 @@ def test_recommend_shuffle_partitions_clamps():
     assert recommend_shuffle_partitions(10**9, 128) == 1908     # ~122GB/64MB
     assert recommend_shuffle_partitions(10**12, 1000, max_partitions=5000) == 5000
     assert recommend_shuffle_partitions(0, 100) == 1
+
+
+def test_zone_map_kmv_per_file_distinct(spark, tmp_path):
+    """Per-file KMV est_distinct must track each file's exact distinct
+    key count (within KMV error at k=64), on a genuinely multi-file
+    layout grouped by _metadata.file_path."""
+    from mesin_spark.sources import zone_map_kmv
+
+    path = str(tmp_path / "layout")
+    df = spark.range(0, 40000).selectExpr("id AS k", "id % 8 AS p")
+    df.repartition(4, "p").write.mode("overwrite").parquet(path)
+    zm = zone_map_kmv(spark, path, ["k"], "k", k=64).collect()
+    assert len(zm) >= 2  # multiple files
+    total = sum(r["n_rows"] for r in zm)
+    assert total == 40000
+    for r in zm:
+        # keys are unique -> per-file distinct == n_rows; KMV rel err
+        # ~1/sqrt(64) ≈ 12.5%, allow 3 sigma
+        assert abs(r["est_distinct"] - r["n_rows"]) / r["n_rows"] < 0.4, r
