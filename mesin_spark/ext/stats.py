@@ -119,16 +119,28 @@ class TableStats:
 
 
 def build_stats(
-    df: DataFrame, cols: list[str], n_bins: int = 32, accuracy: int = 10000
+    df: DataFrame,
+    cols: list[str],
+    n_bins: int = 32,
+    accuracy: int = 10000,
+    bounds: dict | None = None,
 ) -> TableStats:
     """Compute summary + histograms for ``cols``. Two passes over the
     table (min/max must exist before the fixed-width bucketing); each
     pass is a plain distributed aggregate. The collected results are
-    metadata (cols × bins rows), not data."""
+    metadata (cols × bins rows), not data.
+
+    ``bounds`` ({col: (lo, hi)}) pins histogram bucket edges to a KNOWN
+    domain instead of the observed min/max — required for incremental /
+    streaming maintenance, where every batch must bucket identically for
+    merge_stats to add bins rather than drop them."""
     summ = {r["col"]: r.asDict() for r in column_summary(df, cols, accuracy=accuracy).collect()}
     hists = {}
     for c in cols:
-        lo, hi = summ[c]["min_v"], summ[c]["max_v"]
+        if bounds and c in bounds:
+            lo, hi = bounds[c]
+        else:
+            lo, hi = summ[c]["min_v"], summ[c]["max_v"]
         if lo is None:
             hists[c] = []
             continue
@@ -471,3 +483,41 @@ def recommend_shuffle_partitions(
     est_bytes = max(0, est_rows) * max(1, row_bytes)
     n = -(-est_bytes // target_partition_bytes)  # ceil
     return int(max(min_partitions, min(max_partitions, n)))
+
+
+def maintain_stats_stream(
+    stream_df: DataFrame,
+    cols: list[str],
+    stats_path: str,
+    checkpoint: str,
+    n_bins: int = 32,
+    bounds: dict | None = None,
+):
+    """Streaming statistics maintenance: a ``foreachBatch`` sink that
+    builds stats over each micro-batch and merge_stats-es them into the
+    persisted artifact, so the optimizer's view of an append-only table
+    stays fresh WITHOUT ever rescanning the corpus — each batch is
+    scanned exactly once, on arrival. ``bounds`` should pin the known
+    column domains so every batch buckets identically (mergeable bins);
+    unpinned columns keep summary-only maintenance. Exactly-once comes
+    from the checkpoint: a replayed batch would double-count, so the
+    artifact directory and checkpoint must be dropped together.
+
+    Returns the DataStreamWriter — caller picks the trigger
+    (`.trigger(availableNow=True)` to drain, or processingTime for
+    continuous ingest)."""
+
+    def _update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_stats = build_stats(batch_df, cols, n_bins=n_bins, bounds=bounds)
+        spark = batch_df.sparkSession
+        if os.path.exists(os.path.join(stats_path, "summary.parquet")):
+            batch_stats = merge_stats(load_stats(spark, stats_path), batch_stats)
+        write_stats(batch_stats, spark, stats_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -461,3 +461,49 @@ def test_zone_map_kmv_per_file_distinct(spark, tmp_path):
         # keys are unique -> per-file distinct == n_rows; KMV rel err
         # ~1/sqrt(64) ≈ 12.5%, allow 3 sigma
         assert abs(r["est_distinct"] - r["n_rows"]) / r["n_rows"] < 0.4, r
+
+
+def test_maintain_stats_stream_matches_batch(spark, tmp_path):
+    """Drain a 2-file directory through the foreachBatch maintenance sink
+    one file per trigger; the final persisted artifact must equal the
+    one-shot batch build with the same pinned bounds on counts, bounds,
+    and bin mass (NDV: capped-sum upper bound >= truth)."""
+    from mesin_spark.ext.stats import (
+        build_stats,
+        load_stats,
+        maintain_stats_stream,
+    )
+
+    src = str(tmp_path / "src")
+    a = spark.range(0, 6000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    b = spark.range(6000, 10000).selectExpr("CAST(id % 1000 AS DOUBLE) AS v")
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("v DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    stats_path = str(tmp_path / "stats")
+    bounds = {"v": (0.0, 1000.0)}
+    q = (
+        maintain_stats_stream(
+            stream, ["v"], stats_path, str(tmp_path / "ckpt"),
+            n_bins=10, bounds=bounds,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = load_stats(spark, stats_path)
+    want = build_stats(a.unionAll(b), ["v"], n_bins=10, bounds=bounds)
+    assert got.summary["v"]["n"] == want.summary["v"]["n"] == 10000
+    assert got.summary["v"]["min_v"] == want.summary["v"]["min_v"]
+    assert got.summary["v"]["max_v"] == want.summary["v"]["max_v"]
+    assert [h["n"] for h in got.histograms["v"]] == [
+        h["n"] for h in want.histograms["v"]
+    ]
+    assert got.summary["v"]["ndv"] >= 990  # capped-sum upper bound vs 1000 true
