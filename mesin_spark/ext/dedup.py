@@ -797,3 +797,66 @@ def adaptive_minhash_dedup(
         bands=bands,
         shingle_k=shingle_k,
     )
+
+
+# -- Dedup tier routing (measure-then-decide, like join_skew_aware) --------
+
+
+def corpus_dedup_profile(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> dict:
+    """One-pass corpus readout feeding dedup-tier selection: doc count,
+    EXACT-duplicate share (1 - distinct normalized content hashes / n),
+    mean token count, and the share of short (<10-token) docs. A single
+    aggregate over map-side expressions — the diagnostic costs one scan,
+    the routing decision it feeds can save re-running the wrong
+    quadratic-prone tier on 100 TB. Returns one collected row
+    (metadata)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.xxhash64(norm)).alias("n_distinct"),
+        F.avg(toks).alias("avg_tokens"),
+        F.avg((toks < 10).cast("double")).alias("short_share"),
+    ).collect()[0]
+    n = row["n_docs"] or 0
+    return {
+        "n_docs": n,
+        "exact_dup_share": (1.0 - row["n_distinct"] / n) if n else 0.0,
+        "avg_tokens": row["avg_tokens"] or 0.0,
+        "short_share": row["short_share"] or 0.0,
+    }
+
+
+def choose_dedup_strategy(
+    profile: dict,
+    embeddings_available: bool = False,
+    exact_share_floor: float = 0.01,
+    short_corpus_tokens: float = 20.0,
+) -> list[str]:
+    """Deterministic routing rules from measured corpus properties to an
+    ORDERED dedup plan (cheapest effective tier first):
+
+    - exact dedup leads whenever the exact-dup share clears the floor —
+      one hash shuffle removes that mass before any pairwise tier runs;
+    - short corpora (mean tokens < short_corpus_tokens) route to exact
+      word-n-gram Jaccard: shingle-based MinHash signatures on 5-word
+      docs are mostly hash noise, while the blocked exact-gram join is
+      cheap precisely because docs are small;
+    - long corpora route to MinHash-LSH (sublinear candidate generation
+      is what survives 100 TB);
+    - the embedding tier appends only when vectors exist — it catches
+      paraphrase-level duplication the lexical tiers can't, at the
+      price of an ANN/blocked cosine pass.
+    """
+    plan = []
+    if profile.get("exact_dup_share", 0.0) >= exact_share_floor:
+        plan.append("exact")
+    if profile.get("avg_tokens", 0.0) < short_corpus_tokens:
+        plan.append("ngram")
+    else:
+        plan.append("minhash")
+    if embeddings_available:
+        plan.append("embedding")
+    return plan

@@ -507,3 +507,30 @@ def test_maintain_stats_stream_matches_batch(spark, tmp_path):
         h["n"] for h in want.histograms["v"]
     ]
     assert got.summary["v"]["ndv"] >= 990  # capped-sum upper bound vs 1000 true
+
+
+def test_dedup_routing_rules(spark):
+    """Planted corpora route to the documented tiers: heavy exact-dup
+    short corpus -> exact+ngram; long unique corpus -> minhash (+
+    embedding only when vectors exist)."""
+    from mesin_spark.ext.dedup import choose_dedup_strategy, corpus_dedup_profile
+
+    short_dup = spark.createDataFrame(
+        [(i, "copy paste body") for i in range(50)]
+        + [(100 + i, f"tiny doc {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    p1 = corpus_dedup_profile(short_dup, "doc_id")
+    assert p1["exact_dup_share"] > 0.4
+    assert choose_dedup_strategy(p1) == ["exact", "ngram"]
+
+    long_unique = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(40))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    p2 = corpus_dedup_profile(long_unique, "doc_id")
+    assert p2["exact_dup_share"] < 0.01 and p2["avg_tokens"] >= 20
+    assert choose_dedup_strategy(p2) == ["minhash"]
+    assert choose_dedup_strategy(p2, embeddings_available=True) == [
+        "minhash", "embedding",
+    ]
