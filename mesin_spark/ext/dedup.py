@@ -860,3 +860,52 @@ def choose_dedup_strategy(
     if embeddings_available:
         plan.append("embedding")
     return plan
+
+
+def run_dedup_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    plan: list[str] | None = None,
+    threshold: float = 0.7,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Execute an ordered dedup plan (choose_dedup_strategy's output, or
+    an explicit list of 'exact' / 'ngram' / 'minhash') and return the
+    SURVIVING rows: each tier's duplicate pairs collapse to connected
+    components (dedup_clusters) and only each cluster's minimum id
+    survives, so later — more expensive — tiers run on the already-
+    thinned corpus. Running exact first is what makes the pairwise tiers
+    affordable: at 100 TB the exact-dup mass (often 20-50% of a crawl)
+    leaves before any O(candidate-pairs) work starts."""
+    if plan is None:
+        plan = choose_dedup_strategy(corpus_dedup_profile(df, id_col, text_col))
+    out = df
+    for tier in plan:
+        if tier == "exact":
+            norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+            keep = exact_dedup(
+                out.withColumn("_ck", F.xxhash64(norm)), ["_ck"], id_col
+            ).select(id_col)
+            out = out.join(keep, id_col, "semi")
+        elif tier in ("ngram", "minhash"):
+            if tier == "ngram":
+                pairs = ngram_jaccard_pairs(
+                    out, id_col, text_col, block_col=block_col, threshold=threshold
+                )
+            else:
+                pairs = minhash_lsh_dedup(out, id_col, text_col, threshold=threshold)
+            clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+            losers = clusters.filter(F.col("node") != F.col("lbl")).select(
+                F.col("node").alias(id_col)
+            )
+            out = out.join(losers, id_col, "anti")
+        elif tier == "embedding":
+            raise ValueError(
+                "embedding tier needs vectors: run ext.similarity."
+                "embedding_near_dup_pairs + dedup_clusters on the embeddings "
+                "table, then anti-join the losers here"
+            )
+        else:
+            raise ValueError(f"unknown dedup tier {tier!r}")
+    return out

@@ -521,3 +521,78 @@ def maintain_stats_stream(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame, col: str, n_bins: int = 32, exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bucket edges at the column's own quantiles,
+    so every bucket holds ~n/n_bins rows however skewed the values.
+    Equi-width bins under-resolve skew (one bucket swallows the mass and
+    interpolation inside it is blind); depth-balanced edges bound the
+    per-bucket estimation error by construction — the histogram form
+    real CBOs default to. Edges come from one percentile aggregate
+    (mergeable GK summary unless ``exact``); bucketing is a small fold
+    over the ≤n_bins+1 edge array (codegen'd, map-side) + one ≤n_bins-key
+    shuffle. Duplicate edges (a single value holding >1/n_bins of the
+    mass) merge into one wider bucket."""
+    probs = [i / n_bins for i in range(n_bins + 1)]
+    prob_arr = F.array(*[F.lit(p) for p in probs])
+    x = F.col(col).cast("double")
+    if exact:
+        qcol = F.percentile(x, prob_arr)
+    else:
+        qcol = F.percentile_approx(x, prob_arr, F.lit(accuracy))
+    edges = [
+        float(e)
+        for e in df.agg(qcol.alias("q")).collect()[0]["q"]
+    ]
+    # collapse duplicate edges; keep ends
+    uniq = [edges[0]]
+    for e in edges[1:]:
+        if e > uniq[-1]:
+            uniq.append(e)
+    if len(uniq) < 2:
+        uniq = [uniq[0], uniq[0] + 1.0]
+    inner = uniq[1:-1]  # values above edge i → bin i+1, clamped below
+    edge_arr = F.array(*[F.lit(e) for e in inner])
+    bin_c = F.aggregate(
+        edge_arr, F.lit(0), lambda acc, e: acc + F.when(x > e, 1).otherwise(0)
+    )
+    bounds = list(zip(uniq[:-1], uniq[1:]))
+    lo_arr = F.array(*[F.lit(b[0]) for b in bounds])
+    hi_arr = F.array(*[F.lit(b[1]) for b in bounds])
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bin_c.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(col).alias("col"),
+            "bin",
+            F.element_at(lo_arr, F.col("bin") + 1).alias("bin_lo"),
+            F.element_at(hi_arr, F.col("bin") + 1).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def build_stats_depth(
+    df: DataFrame, cols: list[str], n_bins: int = 32, accuracy: int = 10000
+) -> TableStats:
+    """build_stats with equi-DEPTH histograms — same artifact shape, the
+    estimator interpolates over arbitrary [bin_lo, bin_hi) rows, so
+    everything downstream (persist, selectivity, join planning) works
+    unchanged; use for skewed columns."""
+    summ = {
+        r["col"]: r.asDict()
+        for r in column_summary(df, cols, accuracy=accuracy).collect()
+    }
+    hists = {}
+    for c in cols:
+        if summ[c]["min_v"] is None:
+            hists[c] = []
+            continue
+        rows = equi_depth_histogram(df, c, n_bins, accuracy=accuracy).collect()
+        hists[c] = sorted((r.asDict() for r in rows), key=lambda r: r["bin"])
+    return TableStats(summary=summ, histograms=hists)

@@ -534,3 +534,83 @@ def test_dedup_routing_rules(spark):
     assert choose_dedup_strategy(p2, embeddings_available=True) == [
         "minhash", "embedding",
     ]
+
+
+def test_equi_depth_beats_equi_width_on_skew(spark):
+    """Exponentially skewed column (2^(id%14)): equi-width packs the
+    whole mass into the first bucket and badly under-estimates a cut in
+    the dense region; equi-depth edges resolve it. Assert depth error is
+    small AND strictly smaller than width error."""
+    from mesin_spark.ext.stats import (
+        build_stats,
+        build_stats_depth,
+        estimate_selectivity,
+    )
+
+    df = spark.range(0, 14000).selectExpr(
+        "CAST(pow(2, id % 14) AS DOUBLE) AS v"
+    )
+    true_sel = df.filter("v < 100").count() / 14000  # 7/14 = 0.5
+    sw = build_stats(df, ["v"], n_bins=14)
+    sd = build_stats_depth(df, ["v"], n_bins=14)
+    est_w = estimate_selectivity(sw, "v", "<", 100.0)
+    est_d = estimate_selectivity(sd, "v", "<", 100.0)
+    err_w, err_d = abs(est_w - true_sel), abs(est_d - true_sel)
+    assert err_d < 0.08, (est_d, true_sel)
+    assert err_d < err_w, (est_d, est_w, true_sel)
+
+
+def test_equi_depth_buckets_balanced(spark):
+    from mesin_spark.ext.stats import equi_depth_histogram
+
+    df = spark.range(0, 10000).selectExpr("CAST(id * id AS DOUBLE) AS v")
+    rows = equi_depth_histogram(df, "v", n_bins=10, exact=True).collect()
+    counts = [r["n"] for r in sorted(rows, key=lambda r: r["bin"])]
+    assert sum(counts) == 10000
+    assert max(counts) <= 1200 and min(counts) >= 800, counts  # ~balanced
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Partitioned fact joined to a filtered dim: Spark must inject a
+    dynamicpruning subquery on the fact's partition column, so only the
+    partitions matching the dim filter are read at runtime — the join-
+    driven complement of static partition pruning (q_partition_prune).
+    At 100 TB this is the difference between scanning 3 partitions and
+    3000."""
+    fact_path = str(tmp_path / "fact")
+    fact = spark.range(0, 50000).selectExpr(
+        "id % 20 AS part_k", "id AS m"
+    )
+    fact.write.mode("overwrite").partitionBy("part_k").parquet(fact_path)
+    dim = spark.range(0, 20).selectExpr("id AS part_k", "id % 4 AS cat")
+
+    f = spark.read.parquet(fact_path)
+    joined = f.join(dim.filter("cat = 0"), "part_k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == 50000 * 5 // 20  # 5 of 20 partitions survive
+
+
+def test_run_dedup_plan_end_to_end(spark):
+    """Corpus with exact copies AND near-dup variants: the auto-routed
+    plan removes both kinds, keeps exactly one survivor (minimum id) per
+    cluster, and never drops a unique document."""
+    from mesin_spark.ext.dedup import run_dedup_plan
+
+    rows = []
+    for i in range(5):                      # exact copies: ids 0..4 -> keep 0
+        rows.append((i, "the quick brown fox jumps over the lazy dog exact body"))
+    for i in range(5):                      # near-dups: 10/11, 12/13, ...
+        # disjoint vocabulary per pair so clusters can't bridge
+        t = " ".join(f"p{i}tok{j}" for j in range(20))
+        rows.append((10 + 2 * i, t))
+        rows.append((11 + 2 * i, t + " tail"))
+    for i in range(20):                     # uniques
+        rows.append((100 + i, " ".join(f"tok{i}_{j}" for j in range(30))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = run_dedup_plan(df, "doc_id", "text", plan=["exact", "minhash"])
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 0 in ids and not ids & {1, 2, 3, 4}          # exact collapsed
+    for i in range(5):                                   # near-dup collapsed
+        assert (10 + 2 * i) in ids and (11 + 2 * i) not in ids
+    assert all(100 + i in ids for i in range(20))        # uniques intact
