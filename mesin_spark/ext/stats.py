@@ -596,3 +596,33 @@ def build_stats_depth(
         rows = equi_depth_histogram(df, c, n_bins, accuracy=accuracy).collect()
         hists[c] = sorted((r.asDict() for r in rows), key=lambda r: r["bin"])
     return TableStats(summary=summ, histograms=hists)
+
+
+def measured_conjunction(
+    df: DataFrame,
+    preds: list[tuple[str, str, float]],
+    key_col: str,
+    sample_mod: int = 64,
+) -> float:
+    """Joint selectivity of an AND measured on a deterministic
+    1/sample_mod hash-sample — the correction for what the independence
+    product (estimate_conjunction) cannot see: correlated columns. The
+    sample key must be a column INDEPENDENT of the predicates (a row
+    id); sampling on the predicate columns themselves would bias the
+    measurement. One filtered conditional aggregate over the pruned
+    predicate columns — at 100 TB the scan touches only those columns
+    and the sample predicate is codegen'd, so this costs a fraction of
+    a full-table count and is reproducible run to run (no rand())."""
+    cond = None
+    for c, op, v in preds:
+        p = F.expr(f"{c} {op} {v}")
+        cond = p if cond is None else (cond & p)
+    row = (
+        df.filter(F.pmod(F.xxhash64(F.col(key_col)), F.lit(sample_mod)) == 0)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("hits"),
+        )
+        .collect()[0]
+    )
+    return (row["hits"] / row["n"]) if row["n"] else 0.0

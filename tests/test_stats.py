@@ -614,3 +614,23 @@ def test_run_dedup_plan_end_to_end(spark):
     for i in range(5):                                   # near-dup collapsed
         assert (10 + 2 * i) in ids and (11 + 2 * i) not in ids
     assert all(100 + i in ids for i in range(20))        # uniques intact
+
+
+def test_measured_conjunction_corrects_correlation(spark):
+    """b == a: independence squares the selectivity (0.25), the sampled
+    measurement recovers the true 0.5."""
+    from mesin_spark.ext.stats import (
+        build_stats,
+        estimate_conjunction,
+        measured_conjunction,
+    )
+
+    df = spark.range(0, 80000).selectExpr(
+        "id AS k", "CAST(id % 100 AS DOUBLE) AS a", "CAST(id % 100 AS DOUBLE) AS b"
+    )
+    stats = build_stats(df, ["a", "b"], n_bins=20)
+    preds = [("a", "<", 50.0), ("b", "<", 50.0)]
+    indep = estimate_conjunction(stats, preds)
+    assert abs(indep - 0.25) < 0.05  # the documented failure mode
+    measured = measured_conjunction(df, preds, key_col="k", sample_mod=16)
+    assert abs(measured - 0.5) < 0.05, measured
