@@ -20,6 +20,7 @@ as the reference's ``Vec<Vec<LogicalExpr>>`` (logical_plan.rs:49).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame
@@ -28,7 +29,7 @@ from mesin_spark.dml import ColumnDefinition, DdlSession
 
 #: Statement keywords this router owns; anything else is a query and
 #: falls through to ``spark.sql`` (the Query arm of the dispatcher).
-DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE")
+DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE")
 
 
 def is_dml(sql: str) -> bool:
@@ -240,6 +241,61 @@ def _truncate(sess: DdlSession, sql: str) -> DataFrame:
     return _status(sess, "TRUNCATE", m.group(2), n)
 
 
+def _analyze(sess: DdlSession, sql: str) -> DataFrame:
+    """ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b, ...] — the
+    statement face of the ext/stats tier (the reference dispatcher has
+    no ANALYZE arm; Spark's own ANALYZE writes to a Hive metastore this
+    engine does not run). Builds summaries + equi-width histograms for
+    the named (default: all numeric) columns, persists the artifact
+    next to the table data (<table>/_stats — versioned with the table,
+    vacuumed with it), records the pointer in the catalog entry's
+    properties, and returns the summary rows. Estimators and the
+    stats-driven join planner then load_stats() from the catalog
+    pointer."""
+    m = re.match(
+        rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+        rf"(\s+FOR\s+COLUMNS\s+(.+))?\s*$",
+        sql, re.I,
+    )
+    if not m:
+        raise ValueError(f"Cannot parse ANALYZE statement: {sql[:80]}")
+    name = m.group(1)
+    mt = sess.table(name)
+    df = mt.df()
+    if m.group(3):
+        cols = [c.strip() for c in m.group(3).split(",") if c.strip()]
+    else:
+        numeric = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+        cols = [
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString().split("(")[0] in numeric
+        ]
+    if not cols:
+        raise ValueError(f"No numeric columns to analyze in '{name}'")
+    from mesin_spark.ext.stats import build_stats, write_stats
+
+    stats = build_stats(df, cols)
+    stats_path = os.path.join(mt.path, "_stats")
+    write_stats(stats, sess.spark, stats_path)
+    meta = sess.catalog.tables[name]
+    meta.properties["stats_path"] = stats_path
+    meta.properties["stats_columns"] = cols
+    rows = [
+        {
+            "col": c,
+            "n": int(r["n"]),
+            "n_null": int(r["n_null"]),
+            "ndv": int(r["ndv"]),
+            "min_v": float(r["min_v"]) if r["min_v"] is not None else None,
+            "max_v": float(r["max_v"]) if r["max_v"] is not None else None,
+        }
+        for c, r in stats.summary.items()
+    ]
+    return sess.spark.createDataFrame(
+        rows, "col STRING, n BIGINT, n_null BIGINT, ndv BIGINT, min_v DOUBLE, max_v DOUBLE"
+    )
+
+
 def _merge(sess: DdlSession, sql: str) -> DataFrame:
     """MERGE INTO tgt USING (src|(query)) [AS alias] ON equi-keys
     WHEN MATCHED THEN UPDATE SET ... | WHEN MATCHED THEN DELETE
@@ -414,6 +470,7 @@ def dispatch(sess: DdlSession, sql: str) -> DataFrame:
         "ALTER": _alter,
         "MERGE": _merge,
         "TRUNCATE": _truncate,
+        "ANALYZE": _analyze,
     }.get(kw)
     if handler is None:
         raise ValueError(f"Not a DML/DDL statement: {s[:60]}")

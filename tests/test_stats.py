@@ -634,3 +634,31 @@ def test_measured_conjunction_corrects_correlation(spark):
     assert abs(indep - 0.25) < 0.05  # the documented failure mode
     measured = measured_conjunction(df, preds, key_col="k", sample_mod=16)
     assert abs(measured - 0.5) < 0.05, measured
+
+
+def test_analyze_table_statement(spark, tmp_path):
+    """ANALYZE TABLE through the SQL surface: builds + persists the
+    artifact next to the table data, records the catalog pointer, and
+    the estimator loads straight from it."""
+    from mesin_spark.context import ExecutionContext
+    from mesin_spark.ext.stats import estimate_selectivity, load_stats
+
+    ctx = ExecutionContext(spark=spark)
+    ctx.ddl.base_dir = str(tmp_path)
+    ctx.execute("CREATE TABLE an_t (k BIGINT, v DOUBLE)")
+    src = spark.range(0, 5000).selectExpr("id AS k", "CAST(id % 50 AS DOUBLE) AS v")
+    ctx.ddl.table("an_t").insert_select(src)
+
+    out = ctx.execute("ANALYZE TABLE an_t COMPUTE STATISTICS FOR COLUMNS v")
+    rows = {r["col"]: r for r in out.collect()}
+    assert rows["v"]["n"] == 5000 and rows["v"]["n_null"] == 0
+    assert rows["v"]["min_v"] == 0.0 and rows["v"]["max_v"] == 49.0
+
+    meta = ctx.ddl.catalog.tables["an_t"]
+    stats = load_stats(spark, meta.properties["stats_path"])
+    est = estimate_selectivity(stats, "v", "<", 25.0)
+    assert abs(est - 0.5) < 0.05
+
+    # default column selection: all numeric (k and v)
+    out2 = ctx.execute("ANALYZE TABLE an_t COMPUTE STATISTICS")
+    assert {r["col"] for r in out2.collect()} == {"k", "v"}
