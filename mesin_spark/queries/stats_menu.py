@@ -439,3 +439,77 @@ def q_file_overlap(spark, sf_dir):
         F.col("grp_b").alias("shard_b"),
         R(F.col("jaccard_est"), 6).alias("jaccard_est"),
     )
+
+
+@query(
+    "q_depth_hist",
+    oracle=f"""
+    WITH e AS (
+        SELECT quantile_cont(l_extendedprice, 0.25) AS e1,
+               quantile_cont(l_extendedprice, 0.5)  AS e2,
+               quantile_cont(l_extendedprice, 0.75) AS e3
+        FROM lineitem
+    )
+    SELECT (CASE WHEN l_extendedprice > e3 THEN 3
+                 WHEN l_extendedprice > e2 THEN 2
+                 WHEN l_extendedprice > e1 THEN 1
+                 ELSE 0 END) AS bin,
+           count(*) AS n
+    FROM lineitem, e
+    WHERE l_extendedprice IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_depth_hist(spark, sf_dir):
+    """Equi-DEPTH histogram (exact flavor) over l_extendedprice in 4
+    buckets: edges at the column's own quartiles so each bucket holds
+    ~25% of rows however skewed the distribution — the histogram form
+    CBOs prefer (ext/stats.equi_depth_histogram; the approx flavor swaps
+    percentile_approx in, same mergeable-summary scale shape). Spark's
+    exact percentile and DuckDB's quantile_cont interpolate identically,
+    so the bucket edges — and therefore every bucket count — match
+    exactly."""
+    from mesin_spark.ext.stats import equi_depth_histogram
+
+    li = T(spark, sf_dir, "lineitem")
+    return equi_depth_histogram(li, "l_extendedprice", n_bins=4, exact=True).select(
+        "bin", "n"
+    )
+
+
+@query(
+    "q_analyze_stmt",
+    oracle=f"""
+    SELECT 'l_quantity' AS col, count(*) AS n,
+           count(*) - count(l_quantity) AS n_null,
+           {sr("min(l_quantity)", 4)} AS min_v, {sr("max(l_quantity)", 4)} AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*), count(*) - count(l_discount),
+           {sr("min(l_discount)", 4)}, {sr("max(l_discount)", 4)}
+    FROM lineitem
+    """,
+)
+def q_analyze_stmt(spark, sf_dir):
+    """ANALYZE TABLE as the driver-certified statement path: import
+    lineitem as a managed table, run the statement through
+    ExecutionContext.execute, return the summary rows (NDV omitted —
+    the maintained artifact uses mergeable HLL++, approximate by
+    design; count/nulls/bounds are exact either way). The persisted
+    artifact lands at <table>/_stats and the catalog pointer is set —
+    asserted in tests/test_stats.py."""
+    import tempfile as _tf
+
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark=spark)
+    ctx.ddl.base_dir = _tf.mkdtemp(prefix="mesin_analyze_")
+    ctx.ddl.import_parquet("analyze_li", os.path.join(sf_dir, "lineitem.parquet"))
+    out = ctx.execute(
+        "ANALYZE TABLE analyze_li COMPUTE STATISTICS FOR COLUMNS l_quantity, l_discount"
+    )
+    return out.select(
+        "col", "n", "n_null",
+        R(F.col("min_v"), 4).alias("min_v"),
+        R(F.col("max_v"), 4).alias("max_v"),
+    )
