@@ -180,3 +180,28 @@ def kmv_overlap(
         jacc.alias("jaccard_est"),
         (jacc * d_union).alias("overlap_est"),
     )
+
+
+def kmv_union(
+    sketches: DataFrame,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct count of the UNION of every sketched group, from the
+    sketches alone: merge all kmv arrays (flatten → distinct → sort →
+    keep k — the KMV merge operation), then apply the same (k-1)/(τ/2³²)
+    estimator. One 1-row aggregate over group-count×k longs; at 100 TB
+    this answers "how many distinct users/documents across ALL sources"
+    without ever recounting the raw union. Same portable hash ⇒
+    bit-reproducible cross-engine."""
+    merged = sketches.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))), 1, k
+        ).alias("m")
+    )
+    tau = F.element_at("m", F.size("m"))
+    return merged.select(
+        F.size("m").alias("n_kept"),
+        F.when(F.size("m") < k, F.size("m").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / (tau / F.lit(float(1 << 32))))
+        .alias("est_distinct_union"),
+    )

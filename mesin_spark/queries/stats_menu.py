@@ -513,3 +513,47 @@ def q_analyze_stmt(spark, sf_dir):
         R(F.col("min_v"), 4).alias("min_v"),
         R(F.col("max_v"), 4).alias("max_v"),
     )
+
+
+@query(
+    "q_kmv_union",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type AS grp,
+               (user_id * 2654435761) % 4294967296 AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed
+    ),
+    sk AS (SELECT grp, h FROM ranked WHERE rn <= 64),
+    merged AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM sk)
+    ),
+    m AS (SELECT max(h) AS tau, count(*) AS n_kept FROM merged WHERE rn <= 64)
+    SELECT n_kept,
+           {sr(
+               "CASE WHEN n_kept < 64 THEN n_kept::DOUBLE"
+               " ELSE 63.0 / (tau / 4294967296.0) END",
+               4,
+           )} AS est_distinct_union
+    FROM m
+    """,
+)
+def q_kmv_union(spark, sf_dir):
+    """Distinct users across ALL event types from the per-type KMV
+    sketches alone (ext/sketches.kmv_union): merge = flatten-distinct-
+    sort-truncate over group-count×64 longs, then the standard k-th-
+    minimum estimator — the re-aggregatable COUNT(DISTINCT) across
+    sources that never recounts raw keys. Portable hash ⇒ the estimate
+    is bit-equal in DuckDB, so the sketch merge itself is certified."""
+    from mesin_spark.ext.sketches import kmv_sketch, kmv_union
+
+    ev = load_events(spark, sf_dir)
+    sk = kmv_sketch(ev, "event_type", "user_id", k=64)
+    u = kmv_union(sk, k=64)
+    return u.select(
+        "n_kept", R(F.col("est_distinct_union"), 4).alias("est_distinct_union")
+    )

@@ -662,3 +662,16 @@ def test_analyze_table_statement(spark, tmp_path):
     # default column selection: all numeric (k and v)
     out2 = ctx.execute("ANALYZE TABLE an_t COMPUTE STATISTICS")
     assert {r["col"] for r in out2.collect()} == {"k", "v"}
+
+
+def test_kmv_union_accuracy(spark):
+    """3 groups over overlapping ranges with 2000 true distinct union:
+    merged-sketch estimate within 20% (k=128)."""
+    from mesin_spark.ext.sketches import kmv_sketch, kmv_union
+
+    a = spark.range(0, 1000).selectExpr("'A' AS g", "id AS k")
+    b = spark.range(500, 1500).selectExpr("'B' AS g", "id AS k")
+    c = spark.range(1000, 2000).selectExpr("'C' AS g", "id AS k")
+    sk = kmv_sketch(a.unionAll(b).unionAll(c), "g", "k", k=128)
+    row = kmv_union(sk, k=128).collect()[0]
+    assert abs(row["est_distinct_union"] - 2000) / 2000 < 0.2, row
