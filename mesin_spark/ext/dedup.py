@@ -909,3 +909,55 @@ def run_dedup_plan(
         else:
             raise ValueError(f"unknown dedup tier {tier!r}")
     return out
+
+
+def trigram_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    min_block: int = 2,
+    max_block: int = 64,
+) -> DataFrame:
+    """Edit-distance pairs WITHOUT a natural blocking key: candidates
+    share at least one RARE character trigram (document frequency in
+    [min_block, max_block]), then verify with codegen'd levenshtein.
+    The gram-frequency cap is the scale guard — ubiquitous grams
+    ("the", "000") would otherwise rebuild the quadratic pair space;
+    rare grams bound each block the way LSH bands bound MinHash
+    buckets. Candidate generation is explode + self-join on the gram;
+    every stage is keyed and capped, nothing all-pairs. (Blocking
+    recall: a pair sharing ONLY ubiquitous grams is missed — the
+    documented tradeoff; lower max_block = faster/less recall.)
+    Returns (id_a, id_b, dist), id_a < id_b."""
+    s = F.col(text_col)
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(s) - 2)),
+            lambda i: s.substr(i, F.lit(3)),
+        )
+    )
+    grams = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t"),
+        F.explode(grams_arr).alias("g"),
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= min_block) & (F.col("_n") <= max_block))
+        .select("g")
+    )
+    blocked = grams.join(rare, "g")
+    a = blocked.select("g", F.col("_id").alias("id_a"), F.col("_t").alias("t_a"))
+    b = blocked.select("g", F.col("_id").alias("id_b"), F.col("_t").alias("t_b"))
+    cands = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "t_a", "t_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("t_a", "t_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -557,3 +557,41 @@ def q_kmv_union(spark, sf_dir):
     return u.select(
         "n_kept", R(F.col("est_distinct_union"), 4).alias("est_distinct_union")
     )
+
+
+@query(
+    "q_fuzzy_trigram",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT s_suppkey AS id, s_name AS t,
+               substring(s_name, CAST(i AS INT), 3) AS g
+        FROM supplier, generate_series(1, 64) AS gs(i)
+        WHERE i <= greatest(1, length(s_name) - 2)
+    ),
+    rare AS (
+        SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 64
+    ),
+    blocked AS (SELECT gr.* FROM grams gr JOIN rare r ON gr.g = r.g),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.t AS t_a, b.t AS t_b
+        FROM blocked a JOIN blocked b ON a.g = b.g AND a.id < b.id
+    )
+    SELECT id_a, id_b, levenshtein(t_a, t_b) AS dist
+    FROM cands WHERE levenshtein(t_a, t_b) <= 1
+    """,
+)
+def q_fuzzy_trigram(spark, sf_dir):
+    """Entity resolution WITHOUT a blocking column: supplier names at
+    edit distance ≤ 1 found via rare-trigram blocking (doc-freq in
+    [2, 64]) + levenshtein verify (ext/dedup.trigram_blocked_pairs).
+    Complements q_fuzzy_join, which needs a caller-supplied canopy key
+    (brand); here the data provides its own blocks. Deterministic
+    algorithm both engines implement identically, so the result —
+    including blocking recall — hash-matches the oracle exactly."""
+    from mesin_spark.ext.dedup import trigram_blocked_pairs
+
+    sup = T(spark, sf_dir, "supplier")
+    return trigram_blocked_pairs(
+        sup.select(F.col("s_suppkey"), F.col("s_name")),
+        "s_suppkey", "s_name", max_dist=1,
+    )

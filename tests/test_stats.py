@@ -675,3 +675,24 @@ def test_kmv_union_accuracy(spark):
     sk = kmv_sketch(a.unionAll(b).unionAll(c), "g", "k", k=128)
     row = kmv_union(sk, k=128).collect()[0]
     assert abs(row["est_distinct_union"] - 2000) / 2000 < 0.2, row
+
+
+def test_trigram_blocked_pairs_planted(spark):
+    """Planted near-identical names must pair; unrelated names must not;
+    a ubiquitous-gram-only pair is missed by design (blocking recall)."""
+    from mesin_spark.ext.dedup import trigram_blocked_pairs
+
+    rows = [
+        (1, "acme widgets inc"),
+        (2, "acme widgets inx"),     # dist 1 from id 1, shares rare grams
+        (3, "zenith gadget corp"),
+        (4, "zenith gadget corq"),   # dist 1 from id 3
+        (5, "totally different name"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in trigram_blocked_pairs(df, "id", "name", max_dist=1).collect()
+    }
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert all(5 not in p for p in pairs)
