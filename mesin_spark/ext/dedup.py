@@ -961,3 +961,55 @@ def trigram_blocked_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT token-set Jaccard join via prefix filtering (the PPJoin
+    family's core idea, Chaudhuri et al. / Xiao et al.): order each
+    document's distinct tokens by GLOBAL frequency (rarest first) and
+    block only on the first ⌊(1-t)·|x|⌋+1 of them — two sets with
+    Jaccard ≥ t MUST share a token inside these prefixes (pigeonhole on
+    the ≥t overlap), so unlike MinHash-LSH there are NO false negatives,
+    while the rare-token prefixes keep blocks small (the frequent tokens
+    that would explode the pair space never block). Candidate space is
+    bounded by prefix-token collisions; the verify is exact
+    array-intersect Jaccard. Fully deterministic → oracle-checkable.
+    Returns (id_a, id_b, jaccard), id_a < id_b."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_ts"),
+    ).filter(F.size("_ts") > 0)
+    flat = toks.select("_id", F.explode("_ts").alias("tok"))
+    freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("_id").orderBy("_f", "tok")
+    ranked = (
+        flat.join(freq, "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+    )
+    prefix = ranked.filter(
+        F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    )
+    a = prefix.select("tok", F.col("_id").alias("id_a"))
+    b = prefix.select("tok", F.col("_id").alias("id_b"))
+    cands = (
+        a.join(b, "tok").filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+    ta = toks.select(F.col("_id").alias("id_a"), F.col("_ts").alias("ts_a"))
+    tb = toks.select(F.col("_id").alias("id_b"), F.col("_ts").alias("ts_b"))
+    joined = cands.join(ta, "id_a").join(tb, "id_b")
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    jac = inter / union
+    return (
+        joined.select("id_a", "id_b", R(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

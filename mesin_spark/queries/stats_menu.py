@@ -595,3 +595,59 @@ def q_fuzzy_trigram(spark, sf_dir):
         sup.select(F.col("s_suppkey"), F.col("s_name")),
         "s_suppkey", "s_name", max_dist=1,
     )
+
+
+@query(
+    "q_prefix_jaccard",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id AS id, tok
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        )
+        WHERE length(tok) > 0
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+    freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT t.id, t.tok, s.sz,
+               row_number() OVER (PARTITION BY t.id ORDER BY f.f, t.tok) AS rn
+        FROM toks t JOIN freq f ON t.tok = f.tok JOIN sizes s ON s.id = t.id
+    ),
+    prefix AS (
+        SELECT id, tok FROM ranked
+        WHERE rn <= sz - CAST(ceil(0.7 * sz) AS BIGINT) + 1
+    ),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.id < b.id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cands c
+        JOIN toks ta ON ta.id = c.id_a
+        JOIN toks tb ON tb.id = c.id_b AND tb.tok = ta.tok
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           {sr("i.i::DOUBLE / (sa.sz + sb.sz - i.i)", 6)} AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE {sr("i.i::DOUBLE / (sa.sz + sb.sz - i.i)", 6)} >= 0.7
+    """,
+)
+def q_prefix_jaccard(spark, sf_dir):
+    """EXACT token-set Jaccard ≥ 0.7 pairs over documents via prefix
+    filtering (ext/dedup.prefix_jaccard_pairs): rarest-first token
+    prefixes of length ⌊(1-t)·|x|⌋+1 MUST collide for any qualifying
+    pair (pigeonhole), so this is the no-false-negative sibling of
+    MinHash-LSH — same bounded-block scale shape (frequent tokens never
+    block), fully deterministic, certified against the identical
+    relational pipeline in DuckDB."""
+    from mesin_spark.ext.dedup import prefix_jaccard_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, "doc_id", "text", threshold=0.7)

@@ -696,3 +696,31 @@ def test_trigram_blocked_pairs_planted(spark):
     }
     assert (1, 2) in pairs and (3, 4) in pairs
     assert all(5 not in p for p in pairs)
+
+
+def test_prefix_jaccard_no_false_negatives(spark):
+    """Prefix filtering must find EVERY pair with true Jaccard >= t —
+    compare against brute-force exact Jaccard on a corpus dense with
+    borderline pairs."""
+    from itertools import combinations
+
+    from mesin_spark.ext.dedup import prefix_jaccard_pairs
+
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(30):  # overlapping 8-token windows over a ring
+        toks = [vocab[(i + j) % 12] for j in range(8)]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_jaccard_pairs(df, "doc_id", "text", threshold=0.6).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = set()
+    for a, b in combinations(range(30), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if round(j, 6) >= 0.6:
+            want.add((a, b))
+    assert want, "test corpus produced no qualifying pairs"
+    assert got == want, (want - got, got - want)
