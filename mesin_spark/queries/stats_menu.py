@@ -651,3 +651,50 @@ def q_prefix_jaccard(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(docs, "doc_id", "text", threshold=0.7)
+
+
+_NORM_SQL = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS_SQL = (
+    "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+    " t -> length(t) > 0))"
+)
+_DUP_SQL = "1.0 - count(DISTINCT " + _NORM_SQL + ")::DOUBLE / count(*)"
+
+
+@query(
+    "q_datacard",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum({_TOKS_SQL}) AS total_tokens,
+           {sr("avg(n_chars)", 4)} AS avg_chars,
+           {sr(_DUP_SQL, 6)} AS exact_dup_share,
+           {sr("avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)", 6)} AS en_share
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_datacard(spark, sf_dir):
+    """Per-source corpus datacard — the first report any training-data
+    pipeline publishes: document count, total whitespace tokens, mean
+    length, exact-duplicate share (1 - distinct normalized texts /
+    docs), and English share. ONE grouped aggregate pass (the dup share
+    rides the same shuffle as a distinct-agg), every number exact and
+    certified; sources are the natural mixture dimension q_domain_mix
+    then rebalances."""
+    from mesin_spark.ext.text import token_count
+
+    docs = T(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        R(F.avg("n_chars"), 4).alias("avg_chars"),
+        R(
+            F.lit(1.0) - F.countDistinct(norm) / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_share"),
+        R(F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)), 6).alias(
+            "en_share"
+        ),
+    )
