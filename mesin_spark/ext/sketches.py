@@ -205,3 +205,73 @@ def kmv_union(
         .otherwise(F.lit(float(k - 1)) / (tau / F.lit(float(1 << 32))))
         .alias("est_distinct_union"),
     )
+
+
+def merge_kmv_arrays(arrays: list, k: int = 64) -> list:
+    """Driver-side KMV merge for metadata-sized sketch lists: union,
+    dedup, sort, keep k — the same operation kmv_union performs in-plan,
+    exposed for the streaming maintenance path where the running sketch
+    lives in a tiny persisted artifact."""
+    merged = sorted(set(h for a in arrays for h in a))
+    return merged[:k]
+
+
+def kmv_estimate(kmv: list, k: int = 64) -> float:
+    """(k-1)/(h_k / 2^32) over a merged array; exact count below k."""
+    if len(kmv) < k:
+        return float(len(kmv))
+    return (k - 1) / (kmv[k - 1] / float(1 << 32))
+
+
+def maintain_kmv_stream(
+    stream_df,
+    key_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    k: int = 64,
+):
+    """Streaming distinct-count maintenance WITHOUT a state store: each
+    micro-batch computes its own KMV sketch (one aggregate over the
+    batch), merges with the persisted array driver-side (k longs — pure
+    metadata), and rewrites the artifact. The running estimate is
+    available to ANY reader at any time by loading k longs — no
+    streaming query to join against, no HLL state in the checkpoint —
+    and sketches from independent streams/sources merge associatively.
+    Exactly-once via the checkpoint (replayed batches would be harmless
+    anyway: KMV merge is idempotent — the union of the same values
+    changes nothing, unlike additive counters)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mesin_spark.functions import mul_mod32
+
+    def _update(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        h = mul_mod32(F.col(key_col).cast("long"), 2654435761).alias("h")
+        rows = (
+            batch_df.select(h)
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+        batch_kmv = [r["h"] for r in rows]
+        state_file = os.path.join(sketch_path, "kmv.json")
+        if os.path.exists(state_file):
+            with open(state_file) as f:
+                prior = json.load(f)["kmv"]
+        else:
+            os.makedirs(sketch_path, exist_ok=True)
+            prior = []
+        merged = merge_kmv_arrays([prior, batch_kmv], k=k)
+        with open(state_file, "w") as f:
+            json.dump({"k": k, "kmv": merged, "est": kmv_estimate(merged, k)}, f)
+
+    return (
+        stream_df.writeStream.foreachBatch(_update)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -724,3 +724,46 @@ def test_prefix_jaccard_no_false_negatives(spark):
             want.add((a, b))
     assert want, "test corpus produced no qualifying pairs"
     assert got == want, (want - got, got - want)
+
+
+def test_maintain_kmv_stream_running_distinct(spark, tmp_path):
+    """Two-batch drain: the maintained sketch's estimate must match the
+    one-shot KMV over the full data EXACTLY (same hash, same merge), and
+    KMV idempotence means reprocessing wouldn't move it."""
+    import json
+    import os
+
+    from mesin_spark.ext.sketches import kmv_estimate, maintain_kmv_stream
+
+    src = str(tmp_path / "src")
+    a = spark.range(0, 3000).selectExpr("id AS k")
+    b = spark.range(1500, 5000).selectExpr("id AS k")  # overlapping keys
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet").schema("k BIGINT")
+        .option("maxFilesPerTrigger", "1").load(src)
+    )
+    sk_path = str(tmp_path / "sketch")
+    q = (
+        maintain_kmv_stream(stream, "k", sk_path, str(tmp_path / "ck"), k=128)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    with open(os.path.join(sk_path, "kmv.json")) as f:
+        state = json.load(f)
+    # one-shot reference over the union (5000 true distinct)
+    from mesin_spark.functions import mul_mod32
+    from pyspark.sql import functions as F
+
+    ref = (
+        a.unionAll(b)
+        .select(mul_mod32(F.col("k"), 2654435761).alias("h"))
+        .distinct().orderBy("h").limit(128).collect()
+    )
+    assert state["kmv"] == [r["h"] for r in ref]
+    assert abs(state["est"] - 5000) / 5000 < 0.2
+    assert state["est"] == kmv_estimate(state["kmv"], 128)
