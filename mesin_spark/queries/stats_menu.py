@@ -698,3 +698,55 @@ def q_datacard(spark, sf_dir):
             "en_share"
         ),
     )
+
+
+@query(
+    "q_copy_stmt",
+    oracle=f"""
+    SELECT o_orderstatus, count(*) AS n, {sr("sum(o_totalprice)", 2)} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_copy_stmt(spark, sf_dir):
+    """COPY as the certified statement path: export orders through
+    `COPY (query) TO ... (FORMAT csv)` via ExecutionContext.execute,
+    read the files back with an explicit schema, aggregate — any
+    encode/decode drift in the statement-routed sink breaks the hash.
+    Completes the reference's I/O story (its only I/O is a hardcoded
+    CSV ingest, src/context.rs:30-40) with the write side, as SQL."""
+    import tempfile as _tf
+
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark=spark)
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    out = os.path.join(_tf.mkdtemp(prefix="mesin_copy_"), "orders_csv")
+    ctx.execute(
+        "COPY (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) "
+        f"TO '{out}' (FORMAT csv)"
+    )
+    back = spark.read.option("header", "true").schema(
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    ).csv(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        R(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query("q_dedup_auto")
+def q_dedup_auto(spark, sf_dir):
+    """Auto-routed dedup end to end (rows-only: the route is data-
+    dependent): profile the corpus, choose the tier order, execute the
+    plan, return each survivor (ext/dedup.run_dedup_plan). The planted-
+    corpus semantics — exact and near duplicates collapse to minimum
+    ids, uniques untouched — are asserted in tests/test_stats.py."""
+    from mesin_spark.ext.dedup import run_dedup_plan
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        run_dedup_plan(docs, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(500)
+    )

@@ -29,7 +29,7 @@ from mesin_spark.dml import ColumnDefinition, DdlSession
 
 #: Statement keywords this router owns; anything else is a query and
 #: falls through to ``spark.sql`` (the Query arm of the dispatcher).
-DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE")
+DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY")
 
 
 def is_dml(sql: str) -> bool:
@@ -296,6 +296,40 @@ def _analyze(sess: DdlSession, sql: str) -> DataFrame:
     )
 
 
+def _copy(sess: DdlSession, sql: str) -> DataFrame:
+    """COPY <table | (query)> TO '<path>' (FORMAT csv|parquet|orc|json)
+    — the DuckDB/Postgres-style export statement, routed to the
+    distributed sinks in mesin_spark.sources (one file per partition,
+    no driver funnel). The reference has no export arm; its only I/O is
+    the hardcoded CSV ingest (src/context.rs:30-40) — this is the
+    write-side completion of that surface."""
+    m = re.match(
+        r"COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\(\s*FORMAT\s+(\w+)\s*\))?\s*$",
+        sql, re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"Cannot parse COPY statement: {sql[:80]}")
+    src, path, fmt = m.group(1).strip(), m.group(2), (m.group(3) or "parquet").lower()
+    if src.startswith("(") and src.endswith(")"):
+        df = sess.spark.sql(src[1:-1])
+    else:
+        df = sess.table(src).df() if src in sess.catalog.tables else sess.spark.table(src)
+    from mesin_spark import sources as S
+
+    n = df.count()
+    if fmt == "csv":
+        S.write_csv(df, path)
+    elif fmt == "json":
+        S.write_jsonl(df, path)
+    elif fmt == "orc":
+        S.write_orc(df, path)
+    elif fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    else:
+        raise ValueError(f"COPY: unsupported format {fmt!r}")
+    return _status(sess, "COPY", path, n)
+
+
 def _merge(sess: DdlSession, sql: str) -> DataFrame:
     """MERGE INTO tgt USING (src|(query)) [AS alias] ON equi-keys
     WHEN MATCHED THEN UPDATE SET ... | WHEN MATCHED THEN DELETE
@@ -471,6 +505,7 @@ def dispatch(sess: DdlSession, sql: str) -> DataFrame:
         "MERGE": _merge,
         "TRUNCATE": _truncate,
         "ANALYZE": _analyze,
+        "COPY": _copy,
     }.get(kw)
     if handler is None:
         raise ValueError(f"Not a DML/DDL statement: {s[:60]}")

@@ -767,3 +767,29 @@ def test_maintain_kmv_stream_running_distinct(spark, tmp_path):
     assert state["kmv"] == [r["h"] for r in ref]
     assert abs(state["est"] - 5000) / 5000 < 0.2
     assert state["est"] == kmv_estimate(state["kmv"], 128)
+
+
+def test_copy_statement_roundtrip(spark, tmp_path):
+    """COPY through the SQL surface: managed table -> csv and a
+    parenthesized query -> parquet, both read back equal."""
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark=spark)
+    ctx.ddl.base_dir = str(tmp_path)
+    ctx.execute("CREATE TABLE cp_t (k BIGINT, v DOUBLE)")
+    src = spark.range(0, 500).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+    ctx.ddl.table("cp_t").insert_select(src)
+
+    out_csv = str(tmp_path / "out_csv")
+    st = ctx.execute(f"COPY cp_t TO '{out_csv}' (FORMAT csv)").collect()[0]
+    assert st["rows_affected"] == 500
+    back = spark.read.option("header", "true").schema("k BIGINT, v DOUBLE").csv(out_csv)
+    assert back.count() == 500
+    assert back.agg({"v": "sum"}).collect()[0][0] == src.agg({"v": "sum"}).collect()[0][0]
+
+    out_pq = str(tmp_path / "out_pq")
+    st2 = ctx.execute(
+        f"COPY (SELECT k FROM cp_t WHERE k < 100) TO '{out_pq}' (FORMAT parquet)"
+    ).collect()[0]
+    assert st2["rows_affected"] == 100
+    assert spark.read.parquet(out_pq).count() == 100
