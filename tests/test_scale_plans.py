@@ -382,3 +382,50 @@ def test_asof_join_single_events_scan(spark):
     ev_scans = len(re.findall(r"FileScan parquet.*events", plan))
     assert ev_scans == 1, f"expected 1 events scan, got {ev_scans}"
     assert "BatchEvalPython" not in plan
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    """The prefix-filter set-similarity join must never degrade to a
+    cartesian product: candidates come from a keyed equi-join on the
+    prefix token, verify from keyed id joins."""
+    from mesin_spark.ext.dedup import prefix_jaccard_pairs
+
+    docs = T(spark, SF_DIR, "documents")
+    plan = physical(prefix_jaccard_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trigram_pairs_no_cartesian(spark):
+    from mesin_spark.ext.dedup import trigram_blocked_pairs
+
+    sup = T(spark, SF_DIR, "supplier")
+    plan = physical(trigram_blocked_pairs(sup, "s_suppkey", "s_name"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_datacard_single_shuffle(spark):
+    """The per-source datacard must be one grouped aggregate: exactly
+    one Exchange (the groupBy on source; distinct-agg expands but stays
+    on the same key)."""
+    from mesin_spark.queries.stats_menu import q_datacard
+
+    plan = physical(q_datacard(spark, SF_DIR))
+    # partial/final pairs may add an Exchange for the distinct expand —
+    # but nothing may shuffle on a non-source key
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_kmv_overlap_pair_join_is_metadata_sized(spark):
+    """kmv_overlap joins sketch rows (one per group) — the join inputs
+    must be aggregates, not raw events (no events-scale shuffle after
+    the sketch build)."""
+    from mesin_spark.ext.sketches import kmv_overlap, kmv_sketch
+    from mesin_spark.queries import load_events
+
+    ev = load_events(spark, SF_DIR)
+    sk = kmv_sketch(ev, "event_type", "user_id", k=64)
+    plan = physical(kmv_overlap(sk, "event_type", k=64))
+    assert "CartesianProduct" not in plan
