@@ -336,3 +336,51 @@ def fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda h, code: (h * FINGERPRINT_BASE + code) % FINGERPRINT_MOD,
     )
+
+
+def bm25_scores(
+    docs: "DataFrame",
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 relevance of every document to a bag of query terms —
+    the retrieval scorer behind lexical RAG recall. One tokenize-explode
+    keyed on term (filtered to the query's terms BEFORE the shuffle, so
+    the exchange moves only matching postings, not the corpus), df/N/
+    avgdl from broadcastable side aggregates, then the closed-form
+    score folds map-side. idf = ln((N - df + .5)/(df + .5) + 1) (the
+    Lucene non-negative form). Deterministic IEEE arithmetic →
+    oracle-checkable. Returns (id, score) for docs matching ≥1 term."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    q = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("tok").isin(q))
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(scalars))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return joined.groupBy("_id").agg(F.sum(term_score).alias("score"))

@@ -750,3 +750,86 @@ def q_dedup_auto(spark, sf_dir):
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+_TOK_CTE = """
+    toks AS (
+        SELECT doc_id AS id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0
+    )
+"""
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+    sc AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('spark', 'shuffle') GROUP BY 1, 2
+    ),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT t.id AS doc_id,
+           {sr(
+               "sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+               " * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / avgdl)))",
+               6,
+           )} AS score
+    FROM tf t JOIN dft ON dft.tok = t.tok JOIN dl d ON d.id = t.id, sc
+    GROUP BY t.id
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 ranking (ext/text.bm25_scores) for the 2-term query
+    ['spark','shuffle'] — the lexical-retrieval scorer behind RAG
+    recall. Postings are filtered to the query terms BEFORE the tf
+    shuffle (the exchange moves matches, not the corpus); df and the
+    N/avgdl scalars broadcast. Integer tf/df/dl inputs keep the IEEE
+    arithmetic bit-identical cross-engine, and ≤2 addends per doc keep
+    the sum order-insensitive — so the SCORES, not just row counts, are
+    oracle-certified. (k1=1.2, b=0.75, Lucene non-negative idf.)"""
+    from mesin_spark.ext.text import bm25_scores
+
+    docs = T(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ["spark", "shuffle"])
+    return out.select(F.col("_id").alias("doc_id"), R(F.col("score"), 6).alias("score"))
+
+
+@query(
+    "q_bool_retrieval",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT id AS doc_id FROM (
+        SELECT DISTINCT id, tok FROM toks
+        WHERE tok IN ('scan', 'join')
+    ) GROUP BY id HAVING count(*) = 2
+    """,
+)
+def q_bool_retrieval(spark, sf_dir):
+    """Conjunctive boolean retrieval (docs containing ALL query terms)
+    via posting-list intersection: distinct (doc, term) postings for the
+    query's terms only, grouped per doc, kept when the term count hits
+    the query arity — the inverted-index access path executed as one
+    filtered explode + one keyed aggregate, never a corpus scan per
+    term."""
+    from mesin_spark.ext.text import tokens as _tokens
+
+    docs = T(spark, sf_dir, "documents")
+    q = ["scan", "join"]
+    postings = (
+        docs.select(
+            F.col("doc_id"), F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+        )
+        .filter(F.col("tok").isin(q))
+    )
+    return (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == len(q))
+        .select("doc_id")
+    )

@@ -793,3 +793,19 @@ def test_copy_statement_roundtrip(spark, tmp_path):
     ).collect()[0]
     assert st2["rows_affected"] == 100
     assert spark.read.parquet(out_pq).count() == 100
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    """A doc saturated with the query term must outrank one containing
+    it once, and a doc without it scores nothing."""
+    from mesin_spark.ext.text import bm25_scores
+
+    rows = [
+        (1, "needle " * 10 + "filler a b c"),
+        (2, "needle appears once among many other filler words here today"),
+        (3, "no relevant words at all in this one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r["_id"]: r["score"] for r in bm25_scores(df, ["needle"]).collect()}
+    assert 3 not in scores
+    assert scores[1] > scores[2] > 0
