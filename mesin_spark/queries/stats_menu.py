@@ -833,3 +833,39 @@ def q_bool_retrieval(spark, sf_dir):
         .filter(F.col("_hits") == len(q))
         .select("doc_id")
     )
+
+
+@query(
+    "q_phrase_search",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> length(t) > 0) AS ts
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+        FROM d
+    )
+    SELECT DISTINCT a.doc_id
+    FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'key' AND b.tok = 'order'
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search ("key order"): adjacency over token POSITIONS.
+    The oracle runs the textbook positional-postings self-join; the
+    Spark plan does better — a map-side `exists` fold over each doc's
+    token array (no explode, no shuffle, no join: the phrase predicate
+    is one codegen'd pass per row), which is the shape you want when the
+    phrase filter feeds a 100 TB scan. Same doc set by construction."""
+    from mesin_spark.ext.text import tokens as _tokens
+
+    docs = T(spark, sf_dir, "documents")
+    ts = _tokens(F.col("text"))
+    has_phrase = F.exists(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(ts) - 1)),
+        lambda i: (F.element_at(ts, i) == "key")
+        & (F.element_at(ts, i + 1) == "order"),
+    )
+    return docs.filter(F.size(ts) >= 2).filter(has_phrase).select("doc_id")
