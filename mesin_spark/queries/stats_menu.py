@@ -869,3 +869,66 @@ def q_phrase_search(spark, sf_dir):
         & (F.element_at(ts, i + 1) == "order"),
     )
     return docs.filter(F.size(ts) >= 2).filter(has_phrase).select("doc_id")
+
+
+_EDGE_SQL = """
+    edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+"""
+
+
+def _purchase_edges(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+
+
+@query(
+    "q_degree_stats",
+    oracle=f"""
+    WITH {_EDGE_SQL},
+    outd AS (SELECT src AS node, count(*) AS out_deg FROM edges GROUP BY src),
+    ind AS (SELECT dst AS node, count(*) AS in_deg FROM edges GROUP BY dst)
+    SELECT coalesce(outd.node, ind.node) AS node,
+           coalesce(out_deg, 0) AS out_deg,
+           coalesce(in_deg, 0) AS in_deg
+    FROM outd FULL JOIN ind ON outd.node = ind.node
+    """,
+)
+def q_degree_stats(spark, sf_dir):
+    """Degree profile of the customer→supplier purchase graph (edges =
+    distinct (custkey, suppkey) pairs through orders⋈lineitem) — the
+    read before an iterative graph run: a power-law hub here predicts
+    the same hot-key trouble q_key_skew scores for joins. One edge
+    dedup + two keyed counts (ext/graph.degree_stats). NOTE: customer
+    and supplier keys share an integer domain; the bipartite node sets
+    overlap numerically, which is fine for degree arithmetic."""
+    from mesin_spark.ext.graph import degree_stats
+
+    return degree_stats(_purchase_edges(spark, sf_dir))
+
+
+@query("q_pagerank")
+def q_pagerank(spark, sf_dir):
+    """PageRank over the purchase graph (rows-only: per-node double
+    ranks accumulate engine-specific FP summation order across 8 power
+    iterations, so exact cross-engine hashing is not meaningful —
+    structural properties are pytest-proven instead: mass conservation,
+    star dominance, cycle uniformity). Each round = one groupBy(dst)
+    shuffle + one rank join, eagerly checkpointed (flat lineage — the
+    dedup_clusters lesson). Suppliers accumulate rank from customers;
+    dangling customers redistribute."""
+    from mesin_spark.ext.graph import pagerank
+
+    ranks = pagerank(_purchase_edges(spark, sf_dir), max_iter=8)
+    return (
+        ranks.select("node", R(F.col("rank"), 9).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )

@@ -809,3 +809,39 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     scores = {r["_id"]: r["score"] for r in bm25_scores(df, ["needle"]).collect()}
     assert 3 not in scores
     assert scores[1] > scores[2] > 0
+
+
+def test_pagerank_star_and_mass(spark):
+    """Star graph (all spokes -> center): the center must rank highest,
+    total mass stays ~1 every run (dangling redistribution)."""
+    from mesin_spark.ext.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 9)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, max_iter=8).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > 5 * ranks[1]
+
+
+def test_pagerank_cycle_uniform(spark):
+    """A directed cycle is perfectly symmetric -> uniform ranks."""
+    from mesin_spark.ext.graph import pagerank
+
+    n = 6
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    ranks = [r["rank"] for r in pagerank(edges, max_iter=10).collect()]
+    assert all(abs(x - 1.0 / n) < 1e-9 for x in ranks), ranks
+
+
+def test_degree_stats(spark):
+    from mesin_spark.ext.graph import degree_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+    )
+    d = {r["node"]: (r["out_deg"], r["in_deg"]) for r in degree_stats(edges).collect()}
+    assert d == {1: (2, 1), 2: (1, 1), 3: (1, 2)}
