@@ -807,16 +807,18 @@ def corpus_dedup_profile(
 ) -> dict:
     """One-pass corpus readout feeding dedup-tier selection: doc count,
     EXACT-duplicate share (1 - distinct normalized content hashes / n),
-    mean token count, and the share of short (<10-token) docs. A single
-    aggregate over map-side expressions — the diagnostic costs one scan,
-    the routing decision it feeds can save re-running the wrong
-    quadratic-prone tier on 100 TB. Returns one collected row
-    (metadata)."""
+    id-duplicate share (repeated ids = upstream ingest replay — a
+    different bug than content duplication), mean token count, and the
+    share of short (<10-token) docs. A single aggregate over map-side
+    expressions — the diagnostic costs one scan, the routing decision
+    it feeds can save re-running the wrong quadratic-prone tier on
+    100 TB. Returns one collected row (metadata)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     row = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.xxhash64(norm)).alias("n_distinct"),
+        F.countDistinct(F.col(id_col)).alias("n_ids"),
         F.avg(toks).alias("avg_tokens"),
         F.avg((toks < 10).cast("double")).alias("short_share"),
     ).collect()[0]
@@ -824,6 +826,7 @@ def corpus_dedup_profile(
     return {
         "n_docs": n,
         "exact_dup_share": (1.0 - row["n_distinct"] / n) if n else 0.0,
+        "id_dup_share": (1.0 - row["n_ids"] / n) if n else 0.0,
         "avg_tokens": row["avg_tokens"] or 0.0,
         "short_share": row["short_share"] or 0.0,
     }
@@ -890,9 +893,27 @@ def run_dedup_plan(
             out = out.join(keep, id_col, "semi")
         elif tier in ("ngram", "minhash"):
             if tier == "ngram":
+                # the exact-gram tier must NEVER run unblocked (block_col
+                # =None falls back to one global block = all-pairs — the
+                # quadratic blow-up this router exists to avoid). Without
+                # a caller key, derive a token-count band: docs within
+                # Jaccard t must have |len_a - len_b| <= (1/t - 1) *
+                # min(len), so at t=0.7 a 16-token band catches every
+                # pair up to ~37 tokens and boundary-straddling pairs are
+                # the documented recall cost of blocking.
+                if block_col is None:
+                    out = out.withColumn(
+                        "_len_band",
+                        F.floor(F.size(tokens(F.col(text_col))) / F.lit(16)),
+                    )
+                    eff_block = "_len_band"
+                else:
+                    eff_block = block_col
                 pairs = ngram_jaccard_pairs(
-                    out, id_col, text_col, block_col=block_col, threshold=threshold
+                    out, id_col, text_col, block_col=eff_block, threshold=threshold
                 )
+                if block_col is None:
+                    out = out.drop("_len_band")
             else:
                 pairs = minhash_lsh_dedup(out, id_col, text_col, threshold=threshold)
             clusters = dedup_clusters(pairs.select("id_a", "id_b"))

@@ -337,16 +337,32 @@ def broadcast_if_small(
     return F.broadcast(df) if est_bytes <= threshold_bytes else df
 
 
+def _bucketing_of(hist: list) -> tuple | None:
+    """(width, origin) of an equi-width histogram's bucket grid, derived
+    from any one bin — bins are sparse (only non-empty bins exist), so
+    compatibility must be judged on the GRID, never on list length or
+    first/last entries."""
+    if not hist:
+        return None
+    h = hist[0]
+    width = h["bin_hi"] - h["bin_lo"]
+    if width <= 0:
+        return None
+    return (width, h["bin_lo"] - h["bin"] * width)
+
+
 def merge_stats(a: TableStats, b: TableStats) -> TableStats:
     """Merge two stats artifacts built over DISJOINT row sets (e.g. the
     existing corpus and an arriving ingest batch) without rescanning
-    either: counts/nulls add, min/max combine, histograms add bin-wise
-    when their bounds agree (they do when both builds derived bounds
-    from the same domain; otherwise rebuild the histogram for the
-    union). NDV and quantiles are NOT exactly mergeable from finished
-    numbers — NDV takes the sum capped by the combined value range
-    (exact when the sets' value ranges are disjoint, an upper bound
-    otherwise) and quantiles are dropped; deployments needing mergeable
+    either: counts/nulls add, min/max combine, histograms merge BY BIN
+    ID when both sides share the same bucket grid (width + origin —
+    guaranteed when both builds pinned the same ``bounds``; histograms
+    are sparse, so absent bins count as zero). Incompatible grids drop
+    the histogram (callers re-profile). NDV and quantiles are NOT
+    exactly mergeable from finished numbers — NDV reports the SUM, a
+    documented upper bound (exact only when the key sets are disjoint;
+    no range-based cap, which would be invalid for continuous columns)
+    — and quantiles are dropped; deployments needing mergeable
     NDV/quantiles keep the underlying HLL/GK partials, which Spark's
     hll_union_agg / percentile_approx re-aggregation already covers
     (see q_hll_rollup)."""
@@ -363,34 +379,33 @@ def merge_stats(a: TableStats, b: TableStats) -> TableStats:
         maxs = [v for v in (ra["max_v"], rb["max_v"]) if v is not None]
         lo = min(mins) if mins else None
         hi = max(maxs) if maxs else None
-        ndv_cap = int(hi - lo) + 1 if (lo is not None and float(hi - lo).is_integer()) else None
-        ndv = ra["ndv"] + rb["ndv"]
-        if ndv_cap is not None:
-            ndv = min(ndv, ndv_cap)
         summary[c] = {
             "col": c,
             "n": ra["n"] + rb["n"],
             "n_null": ra["n_null"] + rb["n_null"],
-            "ndv": ndv,
+            "ndv": ra["ndv"] + rb["ndv"],  # upper bound; exact iff disjoint keys
             "min_v": lo,
             "max_v": hi,
             "quantiles": None,
         }
         ha, hb = a.histograms.get(c, []), b.histograms.get(c, [])
-        same_bounds = (
-            ha
-            and hb
-            and len(ha) == len(hb)
-            and ha[0]["bin_lo"] == hb[0]["bin_lo"]
-            and ha[-1]["bin_hi"] == hb[-1]["bin_hi"]
+        ga, gb = _bucketing_of(ha), _bucketing_of(hb)
+        grids_match = (
+            ga is not None
+            and gb is not None
+            and abs(ga[0] - gb[0]) <= 1e-9 * max(1.0, abs(ga[0]))
+            and abs(ga[1] - gb[1]) <= 1e-9 * max(1.0, abs(ga[0]))
         )
-        if same_bounds:
-            merged = []
-            for x, y in zip(ha, hb):
-                m = dict(x)
-                m["n"] = x["n"] + y["n"]
-                merged.append(m)
-            hists[c] = merged
+        if grids_match:
+            by_bin: dict = {}
+            for h in ha:
+                by_bin[h["bin"]] = dict(h)
+            for h in hb:
+                if h["bin"] in by_bin:
+                    by_bin[h["bin"]]["n"] += h["n"]
+                else:
+                    by_bin[h["bin"]] = dict(h)
+            hists[c] = [by_bin[k] for k in sorted(by_bin)]
         else:
             hists[c] = []
     return TableStats(summary=summary, histograms=hists)

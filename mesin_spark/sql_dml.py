@@ -316,15 +316,24 @@ def _copy(sess: DdlSession, sql: str) -> DataFrame:
         df = sess.table(src).df() if src in sess.catalog.tables else sess.spark.table(src)
     from mesin_spark import sources as S
 
-    n = df.count()
+    # write FIRST, count from the SINK: a pre-write count() would run
+    # the source query twice (a 2-hour export becomes 4) and could
+    # disagree with what was actually written if the source moves
+    # between the two jobs. Reading the written files back is a
+    # column-pruned scan of the export (metadata-cheap for columnar
+    # formats) and reports the truth of the sink.
     if fmt == "csv":
         S.write_csv(df, path)
+        n = sess.spark.read.option("header", "true").csv(path).count()
     elif fmt == "json":
         S.write_jsonl(df, path)
+        n = sess.spark.read.json(path).count()
     elif fmt == "orc":
         S.write_orc(df, path)
+        n = sess.spark.read.orc(path).count()
     elif fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
+        n = sess.spark.read.parquet(path).count()
     else:
         raise ValueError(f"COPY: unsupported format {fmt!r}")
     return _status(sess, "COPY", path, n)

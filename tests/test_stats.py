@@ -214,8 +214,10 @@ def test_merge_stats_incremental(spark):
     assert [h["n"] for h in sm.histograms["v"]] == [
         h["n"] for h in truth.histograms["v"]
     ]
-    # integer-valued domain: NDV sum caps at the range width (= exact here)
-    assert sm.summary["v"]["ndv"] == 1000
+    # NDV merge is the SUM — a documented upper bound (both sides carry
+    # the full 0..999 key set here, so the bound is 2x the truth; the
+    # old range-based cap was removed: it mis-fired on continuous columns)
+    assert 1000 <= sm.summary["v"]["ndv"] <= 2400  # 2x truth + HLL error
 
 
 def test_order_sides_by_stats_most_selective_first(spark):
@@ -845,3 +847,64 @@ def test_degree_stats(spark):
     )
     d = {r["node"]: (r["out_deg"], r["in_deg"]) for r in degree_stats(edges).collect()}
     assert d == {1: (2, 1), 2: (1, 1), 3: (1, 2)}
+
+
+def test_merge_stats_sparse_histograms_by_bin_id(spark):
+    """Histograms are sparse (only non-empty bins exist): merging must
+    pair bins by ID, never by list position, and a sparse batch must
+    not corrupt or drop the maintained histogram (code-review finding)."""
+    from mesin_spark.ext.stats import build_stats, merge_stats
+
+    bounds = {"v": (0.0, 4.0)}
+    # old corpus populates bins {0, 2, 3}; batch populates {0, 1, 3}
+    old = spark.createDataFrame([(0.1,), (2.5,), (3.5,)], "v DOUBLE")
+    batch = spark.createDataFrame([(0.2,), (1.5,), (3.6,)], "v DOUBLE")
+    sm = merge_stats(
+        build_stats(old, ["v"], n_bins=4, bounds=bounds),
+        build_stats(batch, ["v"], n_bins=4, bounds=bounds),
+    )
+    got = {h["bin"]: h["n"] for h in sm.histograms["v"]}
+    assert got == {0: 2, 1: 1, 2: 1, 3: 2}, got
+    truth = build_stats(old.unionAll(batch), ["v"], n_bins=4, bounds=bounds)
+    assert got == {h["bin"]: h["n"] for h in truth.histograms["v"]}
+
+
+def test_merge_stats_no_ndv_collapse_on_float_range(spark):
+    """A continuous column whose range span happens to be integral must
+    NOT have its merged NDV collapsed to the span width (old bug: cap
+    int(hi-lo)+1 fired on min=0.0/max=1.0 and crushed ndv to 2)."""
+    from mesin_spark.ext.stats import build_stats, merge_stats
+
+    a = spark.range(0, 500).selectExpr("CAST(id AS DOUBLE) / 499.0 AS v")
+    b = spark.range(500, 1000).selectExpr("CAST(id - 500 AS DOUBLE) / 499.0 AS v")
+    sa, sb = build_stats(a, ["v"]), build_stats(b, ["v"])
+    assert sa.summary["v"]["min_v"] == 0.0 and sa.summary["v"]["max_v"] == 1.0
+    sm = merge_stats(sa, sb)
+    assert sm.summary["v"]["ndv"] > 400, sm.summary["v"]["ndv"]
+
+
+def test_auto_ngram_route_is_blocked(spark):
+    """The auto-routed ngram tier must derive a length-band block key —
+    never fall through to ngram_jaccard_pairs' global single block
+    (code-review finding: silent all-pairs on short corpora)."""
+    from mesin_spark.ext.dedup import run_dedup_plan
+
+    rows = [(i, f"tiny doc {i}") for i in range(30)]
+    rows += [(100, "dup body here"), (101, "dup body here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = run_dedup_plan(df, "doc_id", "text", plan=["ngram"], threshold=0.9)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 100 in ids and 101 not in ids     # same band, dedup still works
+    assert all(i in ids for i in range(30))  # uniques intact
+    assert "_len_band" not in out.columns
+
+
+def test_profile_reports_id_duplication(spark):
+    from mesin_spark.ext.dedup import corpus_dedup_profile
+
+    df = spark.createDataFrame(
+        [(1, "a doc"), (1, "another doc"), (2, "third doc"), (3, "fourth doc")],
+        "doc_id long, text string",
+    )
+    p = corpus_dedup_profile(df, "doc_id")
+    assert abs(p["id_dup_share"] - 0.25) < 1e-9
