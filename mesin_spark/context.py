@@ -98,7 +98,11 @@ def normalize_dialect(sql: str, dialect: str) -> str:
       engines' users encounter these predicates.
 
     Constructs beyond these surface Spark's parse error unchanged."""
-    sql = _rewrite_qualify(sql)
+    if re.match(r"\s*(SELECT|WITH|\()", sql, re.I):
+        # QUALIFY wraps the statement in SELECT * FROM (...) — only valid
+        # for queries; a DML statement containing QUALIFY must reach the
+        # DML router intact
+        sql = _rewrite_qualify(sql)
     sql = _rewrite_quantified(sql)
     if dialect == "mssql":
         return _normalize_mssql(sql)
@@ -252,7 +256,13 @@ def _rewrite_quantified(sql: str) -> str:
         if not m:
             return sql
         op, quant = m.group(1), m.group(2).upper()
-        form = _QUANT_FORMS[(op, quant)]
+        # combos with no sound rewrite (= ALL, <> ANY/SOME) fall through
+        # to the documented contract: the construct surfaces Spark's own
+        # parse error unchanged, never a KeyError from this scanner
+        form = _QUANT_FORMS.get((op, quant))
+        if form is None:
+            i2 = m.end()
+            return sql[:i2] + _rewrite_quantified(sql[i2:])
         # balanced-paren, quote-aware scan for the subquery body
         depth, j = 1, m.end()
         while j < n and depth:
@@ -504,11 +514,20 @@ class ExecutionContext:
 
     @staticmethod
     def _split_statements(sql: str) -> list[str]:
-        """Split on top-level ';' while respecting quoted strings."""
+        """Split on top-level ';' while respecting quoted strings
+        (both '' doubling and backslash escapes — Spark's default parser
+        accepts 'don\'t', and a ';' inside such a literal must not
+        split the statement)."""
         out, buf, quote = [], [], None
-        for ch in sql:
+        it = iter(range(len(sql)))
+        for i in it:
+            ch = sql[i]
             if quote:
                 buf.append(ch)
+                if ch == "\\" and i + 1 < len(sql):
+                    buf.append(sql[i + 1])
+                    next(it, None)
+                    continue
                 if ch == quote:
                     quote = None
             elif ch in ("'", '"'):

@@ -51,11 +51,17 @@ def is_dml(sql: str) -> bool:
 
 def _scan(s: str):
     """Yield (index, char, depth, in_quote) over s, tracking paren depth
-    and single/double-quoted runs ('' escapes honored)."""
+    and single/double-quoted runs ('' doubling AND backslash escapes
+    honored — Spark's default parser accepts both)."""
     depth, quote, i, n = 0, None, 0, len(s)
     while i < n:
         ch = s[i]
         if quote:
+            if ch == "\\" and i + 1 < n:
+                yield i, ch, depth, True
+                yield i + 1, s[i + 1], depth, True
+                i += 2
+                continue
             if ch == quote:
                 if quote == "'" and i + 1 < n and s[i + 1] == "'":
                     yield i, ch, depth, True
@@ -123,7 +129,10 @@ def _insert(sess: DdlSession, sql: str) -> DataFrame:
         close = next(
             i for i, ch, depth, q in _scan(rest) if ch == ")" and depth == 0 and not q
         )
-        columns = [c.strip().strip('"') for c in rest[1:close].split(",")]
+        # normalize_dialect rewrites "quoted" identifiers to `backticked`
+        # before dispatch — strip both quoting styles or no name matches
+        # the schema and every column silently inserts NULL
+        columns = [c.strip().strip('"').strip("`") for c in rest[1:close].split(",")]
         rest = rest[close + 1 :].lstrip()
     mt = sess.table(table)
     if re.match(r"VALUES\b", rest, re.I):
@@ -135,6 +144,12 @@ def _insert(sess: DdlSession, sql: str) -> DataFrame:
     else:
         raise ValueError(f"INSERT must be followed by VALUES or SELECT: {sql[:80]}")
     schema = mt.df().schema
+    if columns is None and len(src.columns) != len(schema.fields):
+        raise ValueError(
+            f"INSERT without a column list must supply all "
+            f"{len(schema.fields)} target columns; source produces "
+            f"{len(src.columns)}"
+        )
     if columns:
         if len(columns) != len(src.columns):
             raise ValueError(
@@ -177,13 +192,13 @@ def _update(sess: DdlSession, sql: str) -> DataFrame:
     assignments: dict[str, str] = {}
     for a in _split_toplevel(set_part):
         eq = a.find("=")
-        col, expr = a[:eq].strip().strip('"'), a[eq + 1 :].strip()
+        col, expr = a[:eq].strip().strip('"').strip("`"), a[eq + 1 :].strip()
         assignments[col] = expr
     mt = sess.table(table)
-    before = mt.df().count()
-    n = (
-        mt.df().filter(where).count() if where is not None else before
-    )  # affected-rows report, pre-update semantics
+    # affected-rows report, pre-update semantics; one count, scoped to
+    # the WHERE when present (a discarded full-table count is a full
+    # extra scan per UPDATE at scale)
+    n = mt.df().filter(where).count() if where is not None else mt.df().count()
     mt.update(assignments, where=where)
     return _status(sess, "UPDATE", table, n)
 
@@ -339,6 +354,39 @@ def _copy(sess: DdlSession, sql: str) -> DataFrame:
     return _status(sess, "COPY", path, n)
 
 
+def _split_when_clauses(whens: str) -> list[str]:
+    """Split a MERGE's WHEN region at TOP-LEVEL WHEN keywords only —
+    quote/paren aware AND CASE-depth aware, so a CASE WHEN ... END
+    inside an UPDATE SET expression never shatters the clause."""
+    up = whens.upper()
+    case_depth = 0
+    cuts = []
+    for i, _ch, depth, q in _scan(whens):
+        if q or depth != 0:
+            continue
+        before_ok = i == 0 or not (up[i - 1].isalnum() or up[i - 1] == "_")
+        if not before_ok:
+            continue
+
+        def word_at(w):
+            j = i + len(w)
+            return up.startswith(w, i) and (
+                j >= len(whens) or not (up[j].isalnum() or up[j] == "_")
+            )
+
+        if word_at("CASE"):
+            case_depth += 1
+        elif word_at("END"):
+            case_depth = max(0, case_depth - 1)
+        elif word_at("WHEN") and case_depth == 0:
+            cuts.append(i)
+    parts = []
+    for k, start in enumerate(cuts):
+        end = cuts[k + 1] if k + 1 < len(cuts) else len(whens)
+        parts.append(whens[start + 4 : end])
+    return parts
+
+
 def _merge(sess: DdlSession, sql: str) -> DataFrame:
     """MERGE INTO tgt USING (src|(query)) [AS alias] ON equi-keys
     WHEN MATCHED THEN UPDATE SET ... | WHEN MATCHED THEN DELETE
@@ -381,7 +429,7 @@ def _merge(sess: DdlSession, sql: str) -> DataFrame:
             )
         on_cols.append(cm.group(1))
     when_matched, update_cols, insert_unmatched = None, None, False
-    for clause in re.split(r"(?i)\bWHEN\b", whens):
+    for clause in _split_when_clauses(whens):
         clause = clause.strip()
         if not clause:
             continue
@@ -391,22 +439,58 @@ def _merge(sess: DdlSession, sql: str) -> DataFrame:
             when_matched = "update"
             set_part = re.sub(r"(?i)^MATCHED\s+THEN\s+UPDATE\s+SET\s+", "", clause)
             update_cols = [
-                a.split("=")[0].strip().split(".")[-1].strip('"')
+                a.split("=")[0].strip().split(".")[-1].strip('"').strip("`")
                 for a in _split_toplevel(set_part)
             ]
-        elif re.match(r"NOT\s+MATCHED\s+THEN\s+INSERT", clause, re.I):
+        elif re.match(r"NOT\s+MATCHED\s+THEN\s+INSERT\b", clause, re.I):
             insert_unmatched = True
+            extra = re.sub(r"(?i)^NOT\s+MATCHED\s+THEN\s+INSERT\b", "", clause).strip()
+            if extra:
+                # the append inserts the source row verbatim, so only the
+                # IDENTITY column-list form — (c1..cn) VALUES (refs to the
+                # same columns, in order) — is expressible; anything that
+                # would transform values must ERROR, never be silently
+                # discarded
+                im = re.match(r"\(([^)]*)\)\s+VALUES\s+\((.*)\)\s*$", extra, re.I | re.S)
+                ok = False
+                if im:
+                    cols = [c.strip().strip('"').strip("`") for c in im.group(1).split(",")]
+                    vals = [
+                        v.strip().split(".")[-1].strip().strip('"').strip("`")
+                        for v in _split_toplevel(im.group(2))
+                    ]
+                    ok = cols == vals and all(
+                        re.fullmatch(_IDENT, c) for c in cols
+                    )
+                if not ok:
+                    raise ValueError(
+                        "MERGE INSERT supports the bare form or the identity "
+                        "column list (INSERT (c1..) VALUES (src.c1..)); "
+                        "transform the source query instead of "
+                        f"INSERT {extra[:40]!r}"
+                    )
         else:
             raise ValueError(f"Unsupported MERGE WHEN clause: {clause[:60]}")
     mt = sess.table(table)
-    mt.merge(
-        source.select(*mt.df().columns),
-        on=on_cols,
-        update_cols=update_cols,
-        when_matched=when_matched or "update",
-        insert_unmatched=insert_unmatched,
-    )
-    return _status(sess, "MERGE", table, source.count())
+    if when_matched is None:
+        # insert-only MERGE: matched target rows must pass through
+        # UNCHANGED (update_cols=[]), not be overwritten by the source
+        when_matched, update_cols = "update", []
+    # persist so the affected-rows count and the merge share one
+    # computation of the source plan (bounded by the batch being merged)
+    src = source.select(*mt.df().columns).persist()
+    try:
+        n = src.count()
+        mt.merge(
+            src,
+            on=on_cols,
+            update_cols=update_cols,
+            when_matched=when_matched,
+            insert_unmatched=insert_unmatched,
+        )
+    finally:
+        src.unpersist()
+    return _status(sess, "MERGE", table, n)
 
 
 def _create(sess: DdlSession, sql: str) -> DataFrame:
@@ -416,7 +500,11 @@ def _create(sess: DdlSession, sql: str) -> DataFrame:
     if cm:
         src = sess.spark.sql(sql[cm.end() :])
         sess.create_table_as(cm.group(2), src, if_not_exists=cm.group(1) is not None)
-        return _status(sess, "CREATE TABLE AS", cm.group(2), src.count())
+        # count the materialized table, not the source query — a second
+        # execution of the query doubles its cost and can disagree with
+        # what was written (same policy as _copy)
+        n = sess.table(cm.group(2)).df().count()
+        return _status(sess, "CREATE TABLE AS", cm.group(2), n)
     tm = re.match(
         rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*\(", sql, re.I
     )

@@ -328,3 +328,98 @@ def test_parse_bytes_inverts_fmt(n, unit):
 
     got = parse_bytes(f"{n / _UNITS[unit.upper()]:,.1f} {unit}")
     assert abs(got - n) <= 0.05 * _UNITS[unit.upper()] + 1
+
+
+# -- round-2 review-fix regressions ----------------------------------------
+
+
+def _fresh_ctx(spark, tmp_path):
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark=spark)
+    ctx.ddl.base_dir = str(tmp_path)
+    return ctx
+
+
+def test_merge_insert_only_keeps_matched_rows(spark, tmp_path):
+    """Insert-only MERGE must leave matched target rows UNCHANGED (old
+    bug: defaulted to update-all and overwrote them with source values)."""
+    ctx = _fresh_ctx(spark, tmp_path)
+    ctx.execute("CREATE TABLE mio_t (k BIGINT, v STRING)")
+    ctx.execute("INSERT INTO mio_t VALUES (1, 'keep'), (2, 'keep2')")
+    ctx.execute(
+        "MERGE INTO mio_t USING (SELECT * FROM (VALUES (2, 'CLOBBER'), (3, 'new')) "
+        "AS s(k, v)) AS s ON mio_t.k = s.k WHEN NOT MATCHED THEN INSERT"
+    )
+    rows = {r["k"]: r["v"] for r in ctx.execute("SELECT * FROM mio_t").collect()}
+    assert rows == {1: "keep", 2: "keep2", 3: "new"}, rows
+
+
+def test_merge_case_when_inside_update_set(spark, tmp_path):
+    """CASE WHEN inside UPDATE SET must not shatter the WHEN-clause split."""
+    ctx = _fresh_ctx(spark, tmp_path)
+    ctx.execute("CREATE TABLE mcw_t (k BIGINT, v BIGINT)")
+    ctx.execute("INSERT INTO mcw_t VALUES (1, 10), (2, 20)")
+    ctx.execute(
+        "MERGE INTO mcw_t USING (SELECT * FROM (VALUES (1, 5), (3, 7)) AS s(k, v)) "
+        "AS s ON mcw_t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.v > 0 THEN s.v ELSE 0 END "
+        "WHEN NOT MATCHED THEN INSERT"
+    )
+    rows = {r["k"]: r["v"] for r in ctx.execute("SELECT * FROM mcw_t").collect()}
+    assert rows == {1: 5, 2: 20, 3: 7}, rows
+
+
+def test_merge_transforming_insert_errors(spark, tmp_path):
+    """A VALUES transform in MERGE INSERT must raise, not be silently
+    dropped."""
+    import pytest
+
+    ctx = _fresh_ctx(spark, tmp_path)
+    ctx.execute("CREATE TABLE mti_t (k BIGINT, v STRING)")
+    with pytest.raises(ValueError, match="identity"):
+        ctx.execute(
+            "MERGE INTO mti_t USING (SELECT * FROM (VALUES (1, 'x')) AS s(k, v)) "
+            "AS s ON mti_t.k = s.k WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, UPPER(s.v))"
+        )
+
+
+def test_insert_quoted_column_list(spark, tmp_path):
+    """Quoted (→ backticked) column names in an INSERT list must match
+    the schema (old bug: every column silently inserted NULL)."""
+    ctx = _fresh_ctx(spark, tmp_path)
+    ctx.execute("CREATE TABLE qcl_t (a BIGINT, b STRING)")
+    ctx.execute('INSERT INTO qcl_t ("a", "b") VALUES (7, \'x\')')
+    rows = ctx.execute("SELECT * FROM qcl_t").collect()
+    assert (rows[0]["a"], rows[0]["b"]) == (7, "x")
+
+
+def test_insert_arity_mismatch_errors(spark, tmp_path):
+    """INSERT without a column list and too few values must raise, not
+    silently append a narrower parquet file."""
+    import pytest
+
+    ctx = _fresh_ctx(spark, tmp_path)
+    ctx.execute("CREATE TABLE ari_t (a BIGINT, b STRING)")
+    with pytest.raises(ValueError, match="column"):
+        ctx.execute("INSERT INTO ari_t VALUES (1)")
+
+
+def test_quantified_unknown_combo_no_keyerror(spark, tmp_path):
+    """= ALL has no sound rewrite: it must surface Spark's parse error
+    (documented contract), never a KeyError from the scanner."""
+    import pytest
+
+    ctx = _fresh_ctx(spark, tmp_path)
+    spark.createDataFrame([(1,)], "x BIGINT").createOrReplaceTempView("qq_t")
+    with pytest.raises(Exception) as ei:
+        ctx.execute("SELECT * FROM qq_t WHERE x = ALL (SELECT x FROM qq_t)")
+    assert not isinstance(ei.value, KeyError)
+
+
+def test_escaped_quote_statement_split(spark, tmp_path):
+    """A ';' inside a backslash-escaped string literal must not split
+    the statement."""
+    ctx = _fresh_ctx(spark, tmp_path)
+    out = ctx.execute(r"SELECT 'don\'t; oops' AS s").collect()
+    assert out[0]["s"] == "don't; oops"
