@@ -58,8 +58,11 @@ def ddl_type(name: str) -> Ty.DataType:
     base = re.sub(r"\(.*\)", "", name).strip().upper()
     base = {"DOUBLE PRECISION": "DOUBLE"}.get(base, base)
     if base in ("DECIMAL", "NUMERIC"):
-        m = re.search(r"\(\s*(\d+)\s*,\s*(\d+)\s*\)", name)
-        return Ty.DecimalType(int(m.group(1)), int(m.group(2))) if m else Ty.DecimalType(10, 0)
+        m = re.search(r"\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", name)
+        if m:
+            # SQL standard: DECIMAL(p) means scale 0 at precision p
+            return Ty.DecimalType(int(m.group(1)), int(m.group(2) or 0))
+        return Ty.DecimalType(10, 0)
     if base not in _DDL_TYPES:
         # mirrors the reference's bail on unsupported types (tmp/crud.txt:435)
         raise ValueError(f"Unsupported data type: {name}")
@@ -224,7 +227,13 @@ class ManagedTable:
 
     # -- read --------------------------------------------------------------
     def df(self) -> DataFrame:
-        return self.spark.read.parquet(self._data_dir())
+        # the robust reader, not bare spark.read.parquet: an imported
+        # table with ns-timestamp or NTZ columns must read identically
+        # to how register_parquet exposed it (footer inspection is
+        # driver-side metadata, cheap relative to any DML that follows)
+        from mesin_spark.sources import read_parquet
+
+        return read_parquet(self.spark, self._data_dir())
 
     def _refresh_view(self) -> None:
         df = self.df()
@@ -275,29 +284,82 @@ class ManagedTable:
         then pointer-commit. Flat layout: plain parquet append."""
         cur = self.current_version()
         if cur is None:
-            writer_df.write.mode("append").parquet(self.path)
+            pcols = self._partition_cols(self.path)
+            w = writer_df.write.mode("append")
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(self.path)
             self._refresh_view()
             return
         src, nxt_v = self._data_dir(cur), cur + 1
         nxt = os.path.join(self.path, f"v{nxt_v:05d}")
         os.makedirs(nxt)
-        for entry in os.listdir(src):
-            if entry.endswith(".parquet") or entry.startswith("part-"):
-                os.link(os.path.join(src, entry), os.path.join(nxt, entry))
-        writer_df.write.mode("append").parquet(nxt)
+        # link RECURSIVELY: a hive-partitioned layout keeps its data under
+        # key=value subdirectories — linking only top-level files would
+        # silently drop every pre-existing row from the new version
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            for fname in files:
+                if fname.endswith(".parquet") or fname.startswith("part-"):
+                    dst_dir = nxt if rel == "." else os.path.join(nxt, rel)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    os.link(
+                        os.path.join(root, fname), os.path.join(dst_dir, fname)
+                    )
+        pcols = self._partition_cols(src)
+        w = writer_df.write.mode("append")
+        if pcols:
+            # the existing layout is hive-partitioned: the appended rows
+            # must land under the same key=value directories — a flat
+            # file next to partition dirs is an unreadable mixed layout
+            w = w.partitionBy(*pcols)
+        w.parquet(nxt)
         self._commit(nxt_v)
+
+    @staticmethod
+    def _partition_cols(data_dir: str) -> list[str]:
+        """Partition columns of a hive layout, read from the first level
+        of key=value directory names (driver-side metadata listing)."""
+        cols: list[str] = []
+        d = data_dir
+        while os.path.isdir(d):
+            subs = [
+                e for e in os.listdir(d)
+                if "=" in e and os.path.isdir(os.path.join(d, e))
+            ]
+            if not subs:
+                break
+            key = subs[0].split("=", 1)[0]
+            cols.append(key)
+            d = os.path.join(d, subs[0])
+        return cols
 
     # -- DML ---------------------------------------------------------------
     def insert_values(self, rows: list[tuple], columns: list[str] | None = None) -> int:
         """INSERT [cols] VALUES (...),(...) — multi-row with optional column
         list (reference tmp/crud.txt:178-221). Missing columns get NULL."""
         schema = self.df().schema
+        names = [f.name for f in schema.fields]
         if columns:
+            unknown = [c for c in columns if c not in names]
+            if unknown:
+                raise ValueError(f"INSERT columns not in table schema: {unknown}")
+            for r in rows:
+                if len(r) != len(columns):
+                    raise ValueError(
+                        f"INSERT row has {len(r)} values for {len(columns)} columns"
+                    )
             full_rows = []
             for r in rows:
                 by_name = dict(zip(columns, r))
                 full_rows.append(tuple(by_name.get(f.name) for f in schema.fields))
             rows = full_rows
+        else:
+            for r in rows:
+                if len(r) != len(names):
+                    raise ValueError(
+                        f"INSERT row has {len(r)} values; table has {len(names)} columns"
+                    )
         new = self.spark.createDataFrame(rows, schema=schema)
         self._append(new)
         return len(rows)
@@ -306,6 +368,12 @@ class ManagedTable:
         """INSERT ... SELECT (reference tmp/crud.txt:192-200) — positional,
         cast to the target schema like SQL insertion."""
         schema = self.df().schema
+        if len(source.columns) != len(schema.fields):
+            raise ValueError(
+                f"INSERT SELECT source has {len(source.columns)} columns; "
+                f"table has {len(schema.fields)} (zip truncation would "
+                "append a narrower file and corrupt the table schema)"
+            )
         aligned = source.select(
             *[
                 F.col(src).cast(f.dataType).alias(f.name)
@@ -373,6 +441,22 @@ class ManagedTable:
                 f"MERGE source schema {sorted(source.columns)} != target {sorted(tgt.columns)}"
             )
         upd = update_cols if update_cols is not None else [c for c in tgt.columns if c not in on]
+        # standard MERGE semantics: multiple source rows for one key is an
+        # error (the full-outer join would silently MULTIPLY matched target
+        # rows). One aggregate over the bounded source batch.
+        dup = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {c: dup[0][c] for c in on}
+            raise ValueError(
+                f"MERGE source has multiple rows for key {key}; "
+                "deduplicate the source first"
+            )
         t = tgt.withColumn("_t", F.lit(1)).alias("t")
         s = source.withColumn("_s", F.lit(1)).alias("s")
         j = t.join(s, on=on, how="full_outer")
@@ -412,8 +496,13 @@ class ManagedTable:
     ) -> None:
         """ALTER TABLE ADD COLUMN name type [DEFAULT literal] — existing
         rows get the default (NULL if none)."""
+        df = self.df()
+        if name in df.columns:
+            # withColumn would silently REPLACE the column, wiping its
+            # data through the copy-on-write swap — must be an error
+            raise CatalogError(f"column {name!r} already exists in {self.name!r}")
         dt = ddl_type(data_type)
-        self._swap_in(self.df().withColumn(name, F.lit(default).cast(dt)))
+        self._swap_in(df.withColumn(name, F.lit(default).cast(dt)))
 
     def alter_drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN name."""
@@ -520,7 +609,9 @@ class DdlSession:
         else:
             os.makedirs(path, exist_ok=True)
             shutil.copy(src_path, os.path.join(path, "part-00000.parquet"))
-        df = self.spark.read.parquet(path)
+        from mesin_spark.sources import read_parquet
+
+        df = read_parquet(self.spark, path)
         self.catalog.register_dataframe(name, df, path=path)
         return ManagedTable(self.spark, name, path, self.catalog)
 
@@ -546,6 +637,16 @@ class DdlSession:
         self.catalog.indexes[iname] = meta
         if apply_layout:
             mt = self.table(table)
+            managed_root = os.path.abspath(self.base_dir)
+            if not os.path.abspath(mt.path).startswith(managed_root + os.sep):
+                # the table points at EXTERNAL data (register_parquet of a
+                # user path): rewriting it in place would destroy files
+                # the engine doesn't own — layout advice is metadata-only
+                # for external tables
+                raise CatalogError(
+                    f"Index layout rewrite refused: '{table}' is external "
+                    f"({mt.path}); import it into the warehouse first"
+                )
             clustered = mt.df().repartition(F.col(columns[0])).sortWithinPartitions(*columns)
             mt._swap_in(clustered)
         return meta

@@ -39,9 +39,14 @@ def _nanos_columns(path: str) -> list[str]:
     import os
 
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
-            glob.glob(os.path.join(path, "part-*"))
-        )
+        # RECURSIVE: hive-partitioned layouts keep files under key=value
+        # subdirectories — a top-level-only glob would return [] and the
+        # plain read would crash on exactly the ns files this function
+        # exists to detect
+        files = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        ) or sorted(glob.glob(os.path.join(path, "**", "part-*"), recursive=True))
+        files = [f for f in files if os.path.isfile(f)]
     else:
         files = [path]
     out: list[str] = []
@@ -310,7 +315,11 @@ def zone_map_kmv(
     from mesin_spark.ext.sketches import kmv_sketch
 
     df = spark.read.parquet(path)
-    base = zone_map(spark, path, cols)
-    keyed = df.select(F.col("_metadata.file_path").alias("file"), key_col)
-    sk = kmv_sketch(keyed, "file", key_col, k=k)
+    keyed = df.select(F.col("_metadata.file_path").alias("file"), *cols, key_col)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    base = keyed.groupBy("file").agg(*aggs)
+    sk = kmv_sketch(keyed.select("file", key_col), "file", key_col, k=k)
     return base.join(sk, "file")
