@@ -25,15 +25,27 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
 
 
-def split_bucket(id_col: Column | str, n_buckets: int = 10000) -> Column:
+def split_bucket(
+    id_col: Column | str, n_buckets: int = 10000, salt: int = 0
+) -> Column:
     """Deterministic bucket in [0, n_buckets) from an integer id:
-    (id * 2654435761) mod 2^32 mod n_buckets. Portable exact-int
+    ((id + salt) * 2654435761) mod 2^32 mod n_buckets. Portable exact-int
     arithmetic — identical in any engine, unlike xxhash/murmur.
     Overflow-safe for any int64 id (functions.mul_mod32): the naive
-    product errors under ANSI once id exceeds ~3.5e9."""
+    product errors under ANSI once id exceeds ~3.5e9.
+
+    SHARED-HASH CONTRACT: at salt=0 every sampling/splitting utility
+    reads the same bucket. That is deliberate where composition must be
+    exact (bernoulli fractions nest; bernoulli pre-thinning preserves
+    grouped_sample's ranks) but CORRELATES independent decisions: a
+    bernoulli_sample(0.1) survivor set fed to hash_split(0.9) yields an
+    EMPTY val split (every survivor's bucket < 1000 < 9000). Pass
+    distinct ``salt`` values to decisions that must be independent."""
     from mesin_spark.functions import mul_mod32
 
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if salt:
+        c = c + F.lit(salt)
     return F.pmod(mul_mod32(c, _KNUTH), F.lit(n_buckets))
 
 
@@ -42,14 +54,18 @@ def hash_split(
     id_col: str,
     frac_train: float = 0.9,
     n_buckets: int = 10000,
+    salt: int = 0,
 ) -> DataFrame:
     """Adds a 'split' column ('train' / 'val') by deterministic id bucket.
     Stable across runs, engines, and re-partitioning — the property random
-    sampling lacks; new rows never flip old rows' assignment."""
-    cut = int(frac_train * n_buckets)
+    sampling lacks; new rows never flip old rows' assignment. When the
+    input was itself selected by a salt-0 bucket filter (bernoulli/
+    stratified), pass a nonzero ``salt`` or the split correlates with the
+    selection (see split_bucket)."""
+    cut = int(round(frac_train * n_buckets))
     return df.withColumn(
         "split",
-        F.when(split_bucket(id_col, n_buckets) < cut, F.lit("train")).otherwise(
+        F.when(split_bucket(id_col, n_buckets, salt) < cut, F.lit("train")).otherwise(
             F.lit("val")
         ),
     )
@@ -72,14 +88,14 @@ def stratified_sample(
     bucket = split_bucket(id_col, n_buckets)
     cut = None
     for value, frac in fractions.items():
-        branch = F.when(F.col(strata_col) == value, F.lit(int(frac * n_buckets)))
+        branch = F.when(F.col(strata_col) == value, F.lit(int(round(frac * n_buckets))))
         cut = branch if cut is None else cut.when(
-            F.col(strata_col) == value, F.lit(int(frac * n_buckets))
+            F.col(strata_col) == value, F.lit(int(round(frac * n_buckets)))
         )
     cut = (
-        cut.otherwise(F.lit(int(default_fraction * n_buckets)))
+        cut.otherwise(F.lit(int(round(default_fraction * n_buckets))))
         if cut is not None
-        else F.lit(int(default_fraction * n_buckets))
+        else F.lit(int(round(default_fraction * n_buckets)))
     )
     return df.filter(bucket < cut)
 
@@ -92,7 +108,11 @@ def bernoulli_sample(
     engines, and repartitioning (df.sample is none of those). Map-side
     filter, no shuffle; composes with any downstream plan and the filter
     reaches the parquet scan when id_col is a stored column."""
-    return df.filter(split_bucket(id_col, n_buckets) < int(fraction * n_buckets))
+    # round, not int(): binary-float error makes int() undercut 573 of
+    # the 10000 exact 4-decimal fractions (e.g. 0.0003*10000 -> 2)
+    return df.filter(
+        split_bucket(id_col, n_buckets) < int(round(fraction * n_buckets))
+    )
 
 
 def grouped_sample(
@@ -211,9 +231,13 @@ def apply_mixture(
     )
     joined = docs.join(F.broadcast(w), domain_col)
     frac = F.col("_w") - F.floor("_w")
+    # the extra-copy coin uses its OWN salt: on the shared salt-0 hash,
+    # rows already selected/split by bucket filters would win or lose the
+    # extra copy in lockstep with that selection (e.g. no val-split doc
+    # ever upsampled)
     n_copies = (
         F.floor("_w").cast("long")
-        + F.when(split_bucket(id_col, n_buckets) < frac * n_buckets, 1).otherwise(0)
+        + F.when(split_bucket(id_col, n_buckets, salt=3) < frac * n_buckets, 1).otherwise(0)
     )
     copies = F.when(n_copies >= 1, F.sequence(F.lit(1).cast("long"), n_copies)).otherwise(
         F.array().cast("array<long>")
@@ -237,7 +261,7 @@ def chunk_documents(
     Explode is map-side; output rows carry (id, chunk_id, chunk_text,
     n_tokens)."""
     t = tokens(F.col(text_col))
-    n = F.size(t)
+    n = F.greatest(F.size(t), F.lit(0))  # size(NULL) is -1 with ANSI off
     starts = F.sequence(F.lit(0), F.greatest(F.ceil((n - chunk_tokens) / stride), F.lit(0)))
     windows = F.transform(
         starts,

@@ -79,11 +79,13 @@ def radius_search(
 ) -> DataFrame:
     """Range similarity search: every vector with cosine ≥ ``radius`` of
     the query — the 'all near neighbors' companion to top-k (retrieval
-    dedup, coverage analysis). Same single codegen'd scan as
-    brute_force_topk with a filter in place of the k-heap; embarrassingly
-    parallel, no shuffle at all (filters don't need TakeOrdered's driver
-    merge). At scale, stack the LSH/IVF bucket filter in front to prune
-    the scan — the radius filter composes unchanged. Returns (id, sim)."""
+    dedup, coverage analysis). The scan+filter stage is embarrassingly
+    parallel (one codegen'd pass, filter instead of k-heap); the FINAL
+    ordering of matches is a real range-partition sort exchange over the
+    match set — drop the orderBy when feeding a downstream join/agg that
+    doesn't need ranked output. At scale, stack the LSH/IVF bucket filter
+    in front to prune the scan — the radius filter composes unchanged.
+    Returns (id, sim) ranked by similarity."""
     q = lit_vector(query_vec)
     return (
         emb.select(
@@ -240,6 +242,9 @@ def ivf_centroids(
     seed: int = 42,
 ):
     """Sampled spherical k-means coarse quantizer, fully deterministic:
+    (empty input raises ValueError up front — np.stack's cryptic
+    'need at least one array' surfaced through every ANN caller
+    otherwise)
 
     1. a hash-ordered sample of ``sample_size`` vectors (TakeOrdered over
        xxhash64(id) — one distributed pass, no full sort, bounded driver
@@ -259,6 +264,11 @@ def ivf_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "ivf_centroids: embedding frame is empty (after any upstream "
+            "filter) — cannot train a coarse quantizer on zero vectors"
+        )
     X = _l2_rows(np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows]))
     X = np.unique(X, axis=0)  # dup vectors would collapse k-means++ choices
     k = min(n_list, len(X))
@@ -422,9 +432,12 @@ def semantic_dedup(
     3. exact cosine pairs WITHIN clusters only (embedding_neardup_pairs
        with the learned cluster as the block key — salted, never corpus
        all-pairs);
-    4. drop the higher id of every pair ≥ threshold (keep-lowest policy:
-       deterministic, transitive-safe — any dropped row has a surviving
-       lower-id witness).
+    4. connected components over the pair graph (dedup_clusters), keep
+       each component's MINIMUM id. Dropping all id_b's directly would
+       over-delete: with pairs (1,2) and (2,3) but no (1,3), row 3's
+       only witness (2) is itself dropped — the component form keeps
+       exactly one survivor per near-dup group, every dropped row
+       reachable from its survivor.
 
     Returns the kept rows (id, sem_cluster). The quadratic pair space is
     bounded by the largest cluster, ~n/k on mixing data: at 100 TB you
@@ -445,7 +458,12 @@ def semantic_dedup(
         vec_col=vec_col,
         n_salts=n_salts,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    from mesin_spark.ext.dedup import dedup_clusters
+
+    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+    losers = comp.filter(F.col("node") != F.col("lbl")).select(
+        F.col("node").alias(id_col)
+    )
     return assigned.select(id_col, "sem_cluster").join(
         losers, id_col, "left_anti"
     )

@@ -148,17 +148,16 @@ def run_to_memory(
     return spark.table(name)
 
 
-def purchase_click_join(
+def _purchase_click(
     purchases: DataFrame,
     clicks: DataFrame,
-    horizon: str = "1 hour",
-    watermark: str = "1 hour",
+    horizon: str,
+    watermark: str,
+    how: str,
 ) -> DataFrame:
-    """Stream-stream inner join: clicks within ``horizon`` after a purchase
-    by the same user. Both sides carry watermarks and the join condition
-    bounds event time from both directions, so the state store can expire
-    rows — the requirement that makes stream-stream joins viable unbounded.
-    Returns (user_id, purchase_id, click_id, gap_s)."""
+    """Shared body of the inner/left stream-stream purchase↔click joins —
+    one implementation so the join condition, watermark handling and
+    projection can never silently diverge between the two variants."""
     p = purchases.withWatermark("ts", watermark).select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
@@ -174,12 +173,27 @@ def purchase_click_join(
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts"))
         & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
         "click_id",
         (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_s"),
     )
+
+
+def purchase_click_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: clicks within ``horizon`` after a purchase
+    by the same user. Both sides carry watermarks and the join condition
+    bounds event time from both directions, so the state store can expire
+    rows — the requirement that makes stream-stream joins viable unbounded.
+    Returns (user_id, purchase_id, click_id, gap_s)."""
+    return _purchase_click(purchases, clicks, horizon, watermark, "inner")
 
 
 def enrich_with_static(
@@ -363,7 +377,10 @@ def run_upsert_to_table(
     ordkey = F.struct(*[F.col(c) for c in order_cols])
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.columns:
+        # batch_df.columns is NEVER empty (schema is fixed) — the real
+        # empty-trigger check is isEmpty(), without which every dataless
+        # trigger re-aggregates and rewrites the whole table
+        if batch_df.isEmpty():
             return
         batch_latest = batch_df.groupBy(*key_cols).agg(
             F.max_by(F.struct(*[F.col(c) for c in cols]), ordkey).alias("_r")
@@ -413,25 +430,4 @@ def purchase_click_left_join(
     it). With a finite replay the globally-last rows can stay unmatched
     in state (the watermark never passes them) — the test tier computes
     the exact expected emission set from the watermark rule."""
-    p = purchases.withWatermark("ts", watermark).select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
-    )
-    c = clicks.withWatermark("ts", watermark).select(
-        F.col("user_id").alias("c_user"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("c_ts"),
-    )
-    return p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts"))
-        & (F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {horizon}")),
-        "leftOuter",
-    ).select(
-        F.col("p_user").alias("user_id"),
-        "purchase_id",
-        "click_id",
-        (F.unix_timestamp("c_ts") - F.unix_timestamp("p_ts")).alias("gap_s"),
-    )
+    return _purchase_click(purchases, clicks, horizon, watermark, "leftOuter")

@@ -210,7 +210,7 @@ def q_domain_mix(spark, sf_dir):
     j AS (
         SELECT d.doc_id, d.source,
                CAST(floor(mw) AS BIGINT)
-               + CASE WHEN ((d.doc_id * 2654435761) % 4294967296) % 10000
+               + CASE WHEN (((d.doc_id + 3) * 2654435761) % 4294967296) % 10000
                            < (mw - floor(mw)) * 10000
                       THEN 1 ELSE 0 END AS nc
         FROM documents d JOIN w ON d.source = w.domain

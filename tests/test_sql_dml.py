@@ -278,7 +278,9 @@ _ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
 _quoted = st.text(
     alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters=""),
     max_size=12,
-).map(lambda s: "'" + s.replace("'", "''") + "'")
+).map(lambda s: "'" + s.replace("\\", "\\\\").replace("'", "''") + "'")
+# backslashes double: the scanner follows Spark's default parser, where
+# backslash escapes inside string literals ('\' alone is unterminated)
 _paren = st.tuples(_ident, _ident).map(lambda t: f"({t[0]}, {t[1]})")
 _atom = st.one_of(_ident, _quoted, _paren)
 

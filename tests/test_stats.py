@@ -908,3 +908,30 @@ def test_profile_reports_id_duplication(spark):
     )
     p = corpus_dedup_profile(df, "doc_id")
     assert abs(p["id_dup_share"] - 0.25) < 1e-9
+
+
+def test_semantic_dedup_chain_keeps_one_per_component(spark):
+    """Near-dup CHAIN a~b~c (a!~c directly): exactly one survivor per
+    connected component — dropping every pair's id_b directly would
+    delete c whose only witness (b) was itself deleted (review fix)."""
+    from mesin_spark.ext.similarity import semantic_dedup
+
+    # vectors on a slow arc: neighbors ~0.98 similar, ends ~0.92
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = [
+        (1, vec(0.00)),
+        (2, vec(0.18)),   # sim(1,2) = cos(0.18) ≈ 0.984
+        (3, vec(0.36)),   # sim(2,3) ≈ 0.984, sim(1,3) = cos(0.36) ≈ 0.936
+        (50, [0.0] * 7 + [1.0]),  # far away, untouched
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(df, n_clusters=2, threshold=0.95).collect()
+    }
+    assert 50 in kept
+    assert kept & {1, 2, 3} == {1}, kept  # one survivor: the component min
