@@ -238,20 +238,32 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int = 64,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified with exact Jaccard ≥
     threshold over the hashed shingle sets. Returns (id_a, id_b, jaccard).
 
-    The hashed-shingle frame is persisted and feeds BOTH the signature/
-    banding path and the verify join, so text is shingled exactly once;
-    the verify set-ops run on array<long>, not strings. (Jaccard on 31-bit
-    shingle hashes equals string-shingle Jaccard up to hash collisions —
-    ~1e-7 per pair — which is inside MinHash-verify tolerance.)"""
-    hashed = _hashed_shingle_frame(df, id_col, text_col, shingle_k).persist()
+    The hashed-shingle frame feeds BOTH the signature/banding path and
+    the verify join, so text is shingled exactly once; the verify
+    set-ops run on array<long>, not strings. (Jaccard on 31-bit shingle
+    hashes equals string-shingle Jaccard up to hash collisions — ~1e-7
+    per pair — inside MinHash-verify tolerance.) The frame is eagerly
+    localCheckpoint'ed, not persist()ed: the checkpoint RDD is released
+    by the ContextCleaner once the result frame is garbage collected,
+    where a CacheManager entry would pin executor storage for the
+    session's lifetime. ``max_bucket`` caps LSH bucket size (clusters
+    larger than it are dropped as degenerate — raise it when legitimate
+    duplicate groups exceed 64); ``hashed`` lets adaptive callers share
+    one shingling pass."""
+    if hashed is None:
+        hashed = _hashed_shingle_frame(df, id_col, text_col, shingle_k).localCheckpoint(
+            eager=True
+        )
     sig = hashed.select(
         "_id", minhash_signature_numpy(num_perm)(F.col("_h")).alias("_sig")
     )
-    cands = _band_pairs(sig, num_perm, bands, max_bucket=64)
+    cands = _band_pairs(sig, num_perm, bands, max_bucket=max_bucket)
     a = hashed.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"))
     b = hashed.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -306,13 +318,21 @@ def simhash_dedup(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one of four
     16-bit chunks (pigeonhole: Hamming ≤ 3 ⇒ some chunk is identical),
-    verified by exact Hamming distance. Returns (id_a, id_b, hamming)."""
-    # persisted: the chunk-explode feeds both join sides, and (id, sig) is
-    # 16 bytes/row — without the persist the simhash aggregate runs twice
+    verified by exact Hamming distance. Returns (id_a, id_b, hamming).
+    ``max_hamming`` beyond 3 would need more chunks than the 4 generated
+    (recall silently collapses) — rejected up front."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_dedup generates 4 chunk keys, which guarantees recall "
+            f"only for Hamming <= 3; got max_hamming={max_hamming}"
+        )
+    # checkpointed: the chunk-explode feeds both join sides (16 bytes/row);
+    # eager localCheckpoint materializes once and is GC-released, unlike a
+    # session-lifetime CacheManager entry
     sig = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     chunks = F.array(
         *[
@@ -436,6 +456,19 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter with labels still moving: downstream
+        # keep-minimum consumers would silently retain multiple copies of
+        # one true cluster — surface it
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: labels had not converged after {max_iter} "
+            f"rounds ({changed} still changing); components may be split — "
+            "raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node"), F.col("lbl").alias("canonical_id"))
 
 
@@ -684,7 +717,10 @@ def choose_band_split(num_perm: int, threshold: float) -> tuple[int, int]:
         if num_perm % bands:
             continue
         rows = num_perm // bands
-        mid = (1.0 / bands) ** (1.0 / rows) if bands > 1 else 0.0
+        # (1/b)^(1/r) handles b=1 correctly too (midpoint 1.0: all rows
+        # must match); the old 0.0 special case made a near-zero target
+        # threshold pick the strictest possible split
+        mid = (1.0 / bands) ** (1.0 / rows)
         key = (abs(mid - threshold), -bands)
         if best is None or key < best[0]:
             best = (key, (bands, rows))
@@ -699,6 +735,7 @@ def candidate_similarity_histogram(
     shingle_k: int = 3,
     n_bins: int = 20,
     max_bucket: int = 64,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard histogram over LOOSE LSH candidate pairs (rows=2 per band →
     S-curve midpoint ≈ 0.17, so near-dup and mid-similarity pairs are both
@@ -706,7 +743,10 @@ def candidate_similarity_histogram(
     pass + one verify join + one ≤n_bins-key aggregate — the measurement
     pass adaptive thresholding reads instead of guessing a corpus's
     similarity structure. Bins are [i/n_bins, (i+1)/n_bins)."""
-    hashed = _hashed_shingle_frame(df, id_col, text_col, shingle_k).persist()
+    if hashed is None:
+        hashed = _hashed_shingle_frame(df, id_col, text_col, shingle_k).localCheckpoint(
+            eager=True
+        )
     sig = hashed.select(
         "_id", minhash_signature_numpy(num_perm)(F.col("_h")).alias("_sig")
     )
@@ -782,9 +822,16 @@ def adaptive_minhash_dedup(
     histogram → same split. Returns (id_a, id_b, jaccard, with the chosen
     threshold/bands observable via the ``.attrs``-style _adaptive columns
     dropped — callers needing them use choose_band_split directly)."""
+    # ONE shingling+signature pass: the hashed frame is the dominant
+    # cost of the whole pipeline — the histogram pass and the dedup pass
+    # share it instead of each building (and caching) their own
+    shared = _hashed_shingle_frame(df, id_col, text_col, shingle_k).localCheckpoint(
+        eager=True
+    )
     if threshold is None:
         hist = candidate_similarity_histogram(
-            df, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k
+            df, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k,
+            hashed=shared,
         ).collect()
         threshold = threshold_from_histogram([r.asDict() for r in hist])
     bands, _rows = choose_band_split(num_perm, threshold)
@@ -796,6 +843,7 @@ def adaptive_minhash_dedup(
         num_perm=num_perm,
         bands=bands,
         shingle_k=shingle_k,
+        hashed=shared,
     )
 
 
@@ -813,8 +861,10 @@ def corpus_dedup_profile(
     expressions — the diagnostic costs one scan, the routing decision
     it feeds can save re-running the wrong quadratic-prone tier on
     100 TB. Returns one collected row (metadata)."""
+    from mesin_spark.ext.text import token_count
+
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = token_count(F.col(text_col))  # canonical tokenizer: empty doc -> 0
     row = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(F.xxhash64(norm)).alias("n_distinct"),
@@ -887,9 +937,13 @@ def run_dedup_plan(
     for tier in plan:
         if tier == "exact":
             norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-            keep = exact_dedup(
-                out.withColumn("_ck", F.xxhash64(norm)), ["_ck"], id_col
-            ).select(id_col)
+            # key on (64-bit hash, length): a bare 64-bit hash sees
+            # order-1 expected collisions at ~10^10 docs (birthday bound)
+            # and a collision silently deletes a unique document
+            keyed = out.withColumn("_ck", F.xxhash64(norm)).withColumn(
+                "_cl", F.length(norm)
+            )
+            keep = exact_dedup(keyed, ["_ck", "_cl"], id_col).select(id_col)
             out = out.join(keep, id_col, "semi")
         elif tier in ("ngram", "minhash"):
             if tier == "ngram":

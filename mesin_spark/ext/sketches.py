@@ -114,9 +114,18 @@ def kmv_sketch(
     max of fewer than k values — standard KMV small-set behavior)."""
     from pyspark.sql import Window
 
+    from pyspark.sql.types import StringType
+
     from mesin_spark.functions import mul_mod32
 
-    h = mul_mod32(F.col(key_col).cast("long"), 2654435761).alias("h")
+    if isinstance(df.schema[key_col].dataType, StringType):
+        # string keys: the long cast would null every row (or raise under
+        # ANSI) and the sketch would silently estimate ~1 distinct; the
+        # rolling polynomial fingerprint is the portable integer form
+        key = token_fingerprint(F.col(key_col))
+    else:
+        key = F.col(key_col).cast("long")
+    h = mul_mod32(key, 2654435761).alias("h")
     distinct_h = df.select(F.col(group_col).alias("grp"), h).distinct()
     w = Window.partitionBy("grp").orderBy("h")
     topk = distinct_h.withColumn("rn", F.row_number().over(w)).filter(
@@ -250,7 +259,13 @@ def maintain_kmv_stream(
     def _update(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        h = mul_mod32(F.col(key_col).cast("long"), 2654435761).alias("h")
+        from pyspark.sql.types import StringType
+
+        if isinstance(batch_df.schema[key_col].dataType, StringType):
+            key = token_fingerprint(F.col(key_col))
+        else:
+            key = F.col(key_col).cast("long")
+        h = mul_mod32(key, 2654435761).alias("h")
         rows = (
             batch_df.select(h)
             .distinct()
@@ -267,8 +282,12 @@ def maintain_kmv_stream(
             os.makedirs(sketch_path, exist_ok=True)
             prior = []
         merged = merge_kmv_arrays([prior, batch_kmv], k=k)
-        with open(state_file, "w") as f:
+        # atomic replace: truncating in place would destroy the
+        # accumulated sketch if the driver dies mid-write
+        tmp = state_file + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"k": k, "kmv": merged, "est": kmv_estimate(merged, k)}, f)
+        os.replace(tmp, state_file)
 
     return (
         stream_df.writeStream.foreachBatch(_update)

@@ -935,3 +935,35 @@ def test_semantic_dedup_chain_keeps_one_per_component(spark):
     }
     assert 50 in kept
     assert kept & {1, 2, 3} == {1}, kept  # one survivor: the component min
+
+
+def test_kmv_sketch_string_keys(spark):
+    """String keys must sketch correctly (old bug: the long cast nulled
+    every key and est_distinct collapsed to ~1)."""
+    from mesin_spark.ext.sketches import kmv_sketch
+
+    df = spark.range(0, 2000).selectExpr(
+        "'g' AS g", "concat('user_', id % 500) AS k"
+    )
+    row = kmv_sketch(df, "g", "k", k=128).collect()[0]
+    assert abs(row["est_distinct"] - 500) / 500 < 0.25, row
+
+
+def test_choose_band_split_low_threshold(spark):
+    """A near-zero threshold must pick the loosest split (max bands),
+    not the strictest bands=1 (old midpoint-0.0 special case)."""
+    from mesin_spark.ext.dedup import choose_band_split, lsh_capture_probability
+
+    b, r = choose_band_split(64, 0.007)
+    assert b > 1, (b, r)
+    assert lsh_capture_probability(0.05, b, r) > 0.5
+
+
+def test_simhash_max_hamming_validated(spark):
+    import pytest
+
+    from mesin_spark.ext.dedup import simhash_dedup
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="Hamming"):
+        simhash_dedup(df, "doc_id", max_hamming=4)
