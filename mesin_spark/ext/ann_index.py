@@ -46,12 +46,14 @@ class IvfPqIndex:
         centroids: np.ndarray,
         codebooks: np.ndarray,
         id_col: str,
+        corpus_dir: str = CORPUS_DIR,
     ):
         self.spark = spark
         self.path = path
         self.centroids = centroids
         self.codebooks = codebooks
         self.id_col = id_col
+        self.corpus_dir = corpus_dir
 
     @property
     def k(self) -> int:
@@ -68,7 +70,7 @@ class IvfPqIndex:
         m, k, dsub = self.codebooks.shape
         lut = np.einsum("jkd,jd->jk", self.codebooks, qn.reshape(m, dsub))
         flat = F.array(*[F.lit(float(v)) for v in lut.reshape(-1)])
-        corpus = self.spark.read.parquet(os.path.join(self.path, CORPUS_DIR))
+        corpus = self.spark.read.parquet(os.path.join(self.path, self.corpus_dir))
         cands = corpus.filter(F.col("ivf_list").isin(probe))
         scored = cands.select(
             F.col(self.id_col),
@@ -113,11 +115,24 @@ def build_index(
         .withColumn("codes", pq_encode(B, vec_col))
         .select(id_col, "codes", "ivf_list")
     )
+    # VERSIONED corpus dir named in the meta: codes must never be read
+    # under other codebooks, so writing corpus and meta to fixed names
+    # would leave new codes paired with old codebooks if the driver died
+    # between the two writes. Writing to a fresh dir and committing both
+    # the dir NAME and the codebooks in one atomic meta replace makes the
+    # pair consistent at every instant (old meta → old dir + old books).
+    os.makedirs(path, exist_ok=True)
+    existing = [
+        d for d in os.listdir(path)
+        if d.startswith(CORPUS_DIR) and os.path.isdir(os.path.join(path, d))
+    ]
+    corpus_dir = f"{CORPUS_DIR}_v{len(existing) + 1:05d}"
     coded.write.partitionBy("ivf_list").mode("overwrite").parquet(
-        os.path.join(path, CORPUS_DIR)
+        os.path.join(path, corpus_dir)
     )
     meta = {
         "id_col": id_col,
+        "corpus_dir": corpus_dir,
         "n_list": int(C.shape[0]),
         "m": int(B.shape[0]),
         "k": int(B.shape[1]),
@@ -130,7 +145,7 @@ def build_index(
     with os.fdopen(fd, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(path, META_FILE))
-    return IvfPqIndex(spark, path, C, B, id_col)
+    return IvfPqIndex(spark, path, C, B, id_col, corpus_dir)
 
 
 def load_index(spark: SparkSession, path: str) -> IvfPqIndex:
@@ -142,4 +157,6 @@ def load_index(spark: SparkSession, path: str) -> IvfPqIndex:
         np.asarray(meta["centroids"], dtype=np.float64),
         np.asarray(meta["codebooks"], dtype=np.float64),
         meta["id_col"],
+        # older metas predate corpus versioning — fall back to the fixed dir
+        meta.get("corpus_dir", CORPUS_DIR),
     )

@@ -198,10 +198,14 @@ def ivfpq_topk(
     lut = np.einsum("jkd,jd->jk", B, qn.reshape(m, dsub))
     flat = F.array(*[F.lit(float(v)) for v in lut.reshape(-1)])
 
-    assigned = emb.withColumn("ivf_list", ivf_assign(C, vec_col)).withColumn(
+    # filter on the coarse assignment BEFORE computing PQ codes: both are
+    # pandas UDFs, and projecting codes alongside ivf_list would make
+    # Catalyst run the expensive encode over 100% of rows while only
+    # n_probe/n_list survive to scoring
+    assigned = emb.withColumn("ivf_list", ivf_assign(C, vec_col))
+    cands = assigned.filter(F.col("ivf_list").isin(probe)).withColumn(
         "codes", pq_encode(B, vec_col)
     )
-    cands = assigned.filter(F.col("ivf_list").isin(probe))
     scored = cands.select(
         F.col(id_col),
         F.aggregate(

@@ -115,7 +115,11 @@ def remove_spans(
     """Rebuild each document with every duplicated span cut out:
     (doc_id, clean_text, n_tokens, n_removed). The owner document keeps
     its copy; later documents lose exactly the covered tokens. A document
-    whose tokens are all covered comes back with empty clean_text."""
+    whose tokens are all covered comes back with empty clean_text.
+    Documents with NOTHING removed keep their ORIGINAL text verbatim —
+    only rebuilt documents are token-normalized (lowercased, whitespace
+    collapsed: the rebuild concatenates the tokenizer's output, which is
+    the Lee-et-al. convention for cut documents)."""
     dup = duplicate_positions(docs, w, id_col, text_col)
     covered = dup.select(
         "doc_id", F.explode(F.sequence("pos", F.col("pos") + (w - 1))).alias("wi")
@@ -135,12 +139,19 @@ def remove_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    base = tk.select("doc_id", F.size("w").alias("n_tokens"))
+    base = tk.select("doc_id", F.size("w").alias("n_tokens")).join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_orig")),
+        "doc_id",
+    )
+    n_removed = (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long")
     return base.join(rebuilt, "doc_id", "left").select(
         "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        # untouched documents pass through VERBATIM (case, punctuation,
+        # whitespace intact); only documents that actually lost spans get
+        # the token-normalized rebuild
+        F.when(n_removed == 0, F.col("_orig"))
+        .otherwise(F.coalesce("clean_text", F.lit("")))
+        .alias("clean_text"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
+        n_removed.alias("n_removed"),
     )

@@ -49,30 +49,34 @@ def column_summary(
     path is the mergeable 100 TB path (HLL++ + GK summary, both
     partial/final aggregates)."""
     prob_arr = F.array(*[F.lit(p) for p in probs])
-    parts = []
-    for c in cols:
+    # ONE aggregate over the table for ALL columns (a union of per-column
+    # aggs would scan once per column — Catalyst does not merge scans
+    # across union branches); the wide single row explodes back to one
+    # row per column in-plan, so no collect happens here
+    aggs = []
+    for i, c in enumerate(cols):
         x = F.col(c).cast("double")
         if exact:
-            ndv = F.countDistinct(c).alias("ndv")
-            qs = F.percentile(x, prob_arr).alias("quantiles")
+            ndv = F.countDistinct(c)
+            qs = F.percentile(x, prob_arr)
         else:
-            ndv = F.approx_count_distinct(c).alias("ndv")
-            qs = F.percentile_approx(x, prob_arr, F.lit(accuracy)).alias("quantiles")
-        parts.append(
-            df.agg(
+            ndv = F.approx_count_distinct(c)
+            qs = F.percentile_approx(x, prob_arr, F.lit(accuracy))
+        aggs.append(
+            F.struct(
                 F.lit(c).alias("col"),
                 F.count(F.lit(1)).alias("n"),
                 (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
-                ndv,
+                ndv.alias("ndv"),
                 F.min(x).alias("min_v"),
                 F.max(x).alias("max_v"),
-                qs,
-            )
+                qs.alias("quantiles"),
+            ).alias(f"_c{i}")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    wide = df.agg(*aggs)
+    return wide.select(
+        F.explode(F.array(*[F.col(f"_c{i}") for i in range(len(cols))])).alias("s")
+    ).select("s.*")
 
 
 def equi_width_histogram(
@@ -204,14 +208,17 @@ def write_stats(stats: TableStats, spark: SparkSession, path: str) -> None:
             ("n", pa.int64()),
         ]
     )
-    pq.write_table(
-        pa.Table.from_pylist(srows, schema=schema_s),
-        os.path.join(path, "summary.parquet"),
-    )
-    pq.write_table(
-        pa.Table.from_pylist(hrows, schema=schema_h),
-        os.path.join(path, "hist.parquet"),
-    )
+    # write-then-replace per file, HIST FIRST: a crash mid-sequence leaves
+    # either the complete old pair or (old summary, new hist) — and since
+    # load_stats treats summary as the commit point, a torn write never
+    # surfaces a truncated file; maintain_stats_stream recovers on the
+    # next batch instead of failing every batch on a parquet parse error
+    tmp_h = os.path.join(path, ".hist.parquet.tmp")
+    pq.write_table(pa.Table.from_pylist(hrows, schema=schema_h), tmp_h)
+    os.replace(tmp_h, os.path.join(path, "hist.parquet"))
+    tmp_s = os.path.join(path, ".summary.parquet.tmp")
+    pq.write_table(pa.Table.from_pylist(srows, schema=schema_s), tmp_s)
+    os.replace(tmp_s, os.path.join(path, "summary.parquet"))
 
 
 def load_stats(spark: SparkSession, path: str) -> TableStats:
@@ -281,11 +288,14 @@ def estimate_range(stats: TableStats, col: str, lo: float, hi: float) -> float:
     return max(0.0, below_hi - below_lo)
 
 
-def ndv_error_bound(ndv_est: int, n_registers: int = 2**14) -> float:
-    """Relative standard error of the HLL++ NDV estimate at Spark's
-    default rsd (1.04/sqrt(m)) — exposed so callers can reason about
-    when an estimate is trustworthy enough to gate a broadcast."""
-    return 1.04 / math.sqrt(n_registers)
+def ndv_error_bound(rsd: float = 0.05) -> float:
+    """Relative standard error of the artifact's NDV estimate — equal to
+    the relativeSD approx_count_distinct ran with; column_summary uses
+    Spark's DEFAULT 0.05 (≈ 1.04/sqrt(433) registers), so that is the
+    honest default here. Exposed so callers gating a broadcast on NDV
+    know the estimate can be ±5%, not the ±0.8% a 2^14-register sketch
+    would give."""
+    return rsd
 
 
 def estimate_filtered_rows(
@@ -389,6 +399,11 @@ def merge_stats(a: TableStats, b: TableStats) -> TableStats:
             "quantiles": None,
         }
         ha, hb = a.histograms.get(c, []), b.histograms.get(c, [])
+        if not ha or not hb:
+            # an all-null (or empty) batch contributes no bins — keep the
+            # populated side rather than wiping the accumulated histogram
+            hists[c] = [dict(h) for h in (ha or hb)]
+            continue
         ga, gb = _bucketing_of(ha), _bucketing_of(hb)
         grids_match = (
             ga is not None
@@ -468,13 +483,19 @@ def estimate_conjunction(
         by_col.setdefault(p[0], []).append(p)
     sel = 1.0
     for col, ps in by_col.items():
-        los = [v for (_, op, v) in ps if op in (">", ">=")]
-        his = [v for (_, op, v) in ps if op in ("<", "<=")]
+        los = [(op, v) for (_, op, v) in ps if op in (">", ">=")]
+        his = [(op, v) for (_, op, v) in ps if op in ("<", "<=")]
+        rest = [p for p in ps if p[1] not in ("<", "<=", ">", ">=")]
+        # collapse ALL range predicates on one column to the binding pair
+        # (x>5 AND x>10 is x>10, not the squared product)
         if los and his:
-            sel *= estimate_range(stats, col, max(los), min(his))
-            rest = [p for p in ps if p[1] not in ("<", "<=", ">", ">=")]
-        else:
-            rest = ps
+            sel *= estimate_range(stats, col, max(v for _, v in los), min(v for _, v in his))
+        elif los:
+            op, v = max(los, key=lambda t: t[1])
+            sel *= estimate_selectivity(stats, col, op, v)
+        elif his:
+            op, v = min(his, key=lambda t: t[1])
+            sel *= estimate_selectivity(stats, col, op, v)
         for _, op, v in rest:
             sel *= estimate_selectivity(stats, col, op, v)
     return max(0.0, min(1.0, sel))
@@ -559,10 +580,14 @@ def equi_depth_histogram(
         qcol = F.percentile(x, prob_arr)
     else:
         qcol = F.percentile_approx(x, prob_arr, F.lit(accuracy))
-    edges = [
-        float(e)
-        for e in df.agg(qcol.alias("q")).collect()[0]["q"]
-    ]
+    q = df.agg(qcol.alias("q")).collect()[0]["q"]
+    if q is None:
+        # empty frame or all-null column: no quantiles exist — return an
+        # empty histogram (equi-width's convention), never a TypeError
+        return df.sparkSession.createDataFrame(
+            [], "col STRING, bin INT, bin_lo DOUBLE, bin_hi DOUBLE, n BIGINT"
+        )
+    edges = [float(e) for e in q]
     # collapse duplicate edges; keep ends
     uniq = [edges[0]]
     for e in edges[1:]:

@@ -100,10 +100,13 @@ def q_span_stats(spark, sf_dir):
         FROM kept GROUP BY doc_id
     )
     SELECT t.doc_id,
-           coalesce(r.clean_text, '') AS clean_text,
+           CASE WHEN len(t.w) - coalesce(r.n_kept, 0) = 0 THEN d.text
+                ELSE coalesce(r.clean_text, '') END AS clean_text,
            len(t.w) AS n_tokens,
            len(t.w) - coalesce(r.n_kept, 0) AS n_removed
-    FROM tk t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    FROM tk t
+    JOIN documents d ON d.doc_id = t.doc_id
+    LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
     """,
 )
 def q_span_removal(spark, sf_dir):

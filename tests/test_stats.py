@@ -967,3 +967,59 @@ def test_simhash_max_hamming_validated(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="Hamming"):
         simhash_dedup(df, "doc_id", max_hamming=4)
+
+
+def test_merge_stats_empty_batch_keeps_histogram(spark):
+    """An all-null batch contributes no bins; the merge must KEEP the
+    populated side's histogram, not wipe it (review fix)."""
+    from mesin_spark.ext.stats import build_stats, merge_stats
+
+    bounds = {"v": (0.0, 10.0)}
+    full = spark.range(0, 100).selectExpr("CAST(id % 10 AS DOUBLE) AS v")
+    nulls = spark.createDataFrame([(None,), (None,)], "v DOUBLE")
+    sm = merge_stats(
+        build_stats(full, ["v"], n_bins=5, bounds=bounds),
+        build_stats(nulls, ["v"], n_bins=5, bounds=bounds),
+    )
+    assert sum(h["n"] for h in sm.histograms["v"]) == 100
+    assert sm.summary["v"]["n"] == 102 and sm.summary["v"]["n_null"] == 2
+
+
+def test_conjunction_same_direction_collapses(spark):
+    """x>5 AND x>10 must estimate as x>10, not the squared product."""
+    from mesin_spark.ext.stats import build_stats, estimate_conjunction
+
+    df = spark.range(0, 10000).selectExpr("CAST(id % 100 AS DOUBLE) AS x")
+    stats = build_stats(df, ["x"], n_bins=20)
+    est = estimate_conjunction(stats, [("x", ">", 5.0), ("x", ">", 10.0)])
+    true = df.filter("x > 10").count() / 10000
+    assert abs(est - true) < 0.05, (est, true)
+
+
+def test_remove_spans_preserves_untouched_text(spark):
+    """Documents with zero removed spans keep their ORIGINAL text
+    verbatim — case, punctuation and whitespace intact (review fix)."""
+    from mesin_spark.ext.spans import remove_spans
+
+    rows = [(1, "Hello World.\nNew Paragraph, UNIQUE tokens only here.")]
+    rows += [(10 + i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_spans(df, w=8).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == rows[0][1]
+
+
+def test_column_summary_single_scan_plan(spark):
+    """The summary must be ONE aggregate over the table (no union of
+    per-column scans): exactly one scan of the source in the plan."""
+    from mesin_spark.ext.stats import column_summary
+
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id AS DOUBLE) AS a", "CAST(id % 7 AS DOUBLE) AS b",
+        "CAST(id % 13 AS DOUBLE) AS c"
+    )
+    plan = (
+        column_summary(df, ["a", "b", "c"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("Range (0, 1000") == 1, plan
