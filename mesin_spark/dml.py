@@ -112,7 +112,10 @@ class ManagedTable:
         try:
             with open(self._version_path()) as f:
                 return int(f.read().strip())
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
+            # NotADirectoryError: the table path is a single parquet FILE
+            # (register_parquet of testdata) — open('<file>/_VERSION')
+            # raises errno 20, not 2; both mean "flat, unversioned"
             return None
 
     def _data_dir(self, version: int | None = None) -> str:

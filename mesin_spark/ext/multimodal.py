@@ -325,6 +325,8 @@ FRAME_SCHEMA = (
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     """Video frame sampling: decode the MPPM payload, keep every
     ``every_n``-th frame (always including frame 0), and emit the sampled
     frames as array<binary> (re-encoded P6) plus a per-sampled-frame mean

@@ -46,8 +46,11 @@ def salted_agg(
     """Two-phase aggregation over ``keys``: groupBy(keys + salt) computes
     partials, groupBy(keys) re-aggregates them. ``aggs`` is a list of
     (column, fn, alias) with fn in sum/count/min/max/avg; avg decomposes to
-    sum+count and finishes as their ratio (exact — same double division the
-    one-phase avg performs). ``salt`` is any deterministic expression; it is
+    sum+count and finishes as their ratio (exact for integer/floating
+    inputs — the same double division one-phase avg performs; DECIMAL
+    columns take Spark's decimal-division precision rules instead of
+    avg's HALF_UP result scale, so compare-to-plain-avg tests should
+    cast decimals to double first). ``salt`` is any deterministic expression; it is
     bucketed mod ``n_salt``."""
     partial_exprs, final_exprs, finish = [], [], []
     for col, fn, alias in aggs:
@@ -86,7 +89,14 @@ def salted_join(
     stream splits S ways."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    b = big.withColumn("_salt", F.pmod(salt, F.lit(n_salt)))
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError(
+            "salted_join reserves the column name '_salt'; rename it first"
+        )
+    # a NULL salt expression would give pmod(...)=NULL, matching NO replica
+    # — those big rows would silently lose all matches, violating the
+    # rows-equal contract; route them to bucket 0 instead
+    b = big.withColumn("_salt", F.coalesce(F.pmod(salt, F.lit(n_salt)), F.lit(0)))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
     )
@@ -94,18 +104,28 @@ def salted_join(
 
 
 def key_skew_metrics(
-    df: DataFrame, key: str, sample_mod: int | None = None
+    df: DataFrame, key: str, sample_mod: int | None = None,
+    row_col: str | None = None,
 ) -> dict:
     """One-row skew readout for a prospective shuffle key: total rows,
     distinct keys, hottest key's row count and SHARE of all rows — the
     number that says whether one reducer partition will receive an
     outsized slice. Optionally measured on a deterministic 1/sample_mod
-    hash-sample of the keys (each key's rows are kept or dropped
-    TOGETHER, so per-key counts stay exact and the share estimate is
-    unbiased — at 100 TB the diagnostic pass must not cost a full
-    shuffle). The result is one row: a bounded, metadata-sized collect."""
+    ROW sample keyed on ``row_col`` (a row-unique id, REQUIRED with
+    sampling): row sampling shrinks every key's count by the same
+    factor, so shares stay unbiased and a hot key is always visible.
+    (Key-level sampling would be wrong here: it drops the hot key
+    entirely with probability 1-1/m, and inflates its share ~m-fold
+    when kept.) The result is one row: a bounded, metadata-sized
+    collect."""
     if sample_mod:
-        df = df.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(sample_mod)) == 0)
+        if row_col is None:
+            raise ValueError(
+                "key_skew_metrics sampling needs row_col (a row-unique id): "
+                "sampling on the key itself would drop whole keys and bias "
+                "the share estimate"
+            )
+        df = df.filter(F.pmod(F.xxhash64(F.col(row_col)), F.lit(sample_mod)) == 0)
     per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
     row = per_key.agg(
         F.sum("_n").alias("total"),

@@ -76,6 +76,7 @@ class QueryBuilder:
     def __init__(self, df: DataFrame):
         self._df = df
         self._group: list[Column | str] | None = None
+        self._group_consumed = False
         self._aggs: list[Column] | None = None
         self._projected = False
 
@@ -126,6 +127,7 @@ class QueryBuilder:
     def agg(self, *aggs: Column) -> "QueryBuilder":
         self._aggs = list(aggs)
         if self._group is not None:
+            self._group_consumed = True
             self._df = self._df.groupBy(*self._group).agg(*aggs)
         else:
             # global aggregate: the reference can't reach this (Aggregate is
@@ -142,10 +144,20 @@ class QueryBuilder:
 
     # -- SELECT ------------------------------------------------------------
     def select(self, *exprs: Column | str) -> "QueryBuilder":
+        self._apply_bare_group_by()
         if exprs:
             self._df = self._df.select(*exprs)
         self._projected = True
         return self
+
+    def _apply_bare_group_by(self) -> None:
+        """GROUP BY with no aggregate functions is SQL's distinct-by-group
+        form — silently ignoring the clause would return duplicate rows.
+        Applied lazily at SELECT/to_df so agg() can still consume the
+        grouping first."""
+        if self._group is not None and not self._group_consumed:
+            self._group_consumed = True
+            self._df = self._df.select(*self._group).distinct()
 
     # -- ORDER BY ----------------------------------------------------------
     def order_by(self, *keys) -> "QueryBuilder":
@@ -173,7 +185,9 @@ class QueryBuilder:
         return self
 
     # -- terminal ----------------------------------------------------------
+    # (to_df applies any unconsumed bare GROUP BY first — see select)
     def to_df(self) -> DataFrame:
+        self._apply_bare_group_by()
         return self._df
 
     df = to_df

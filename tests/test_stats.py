@@ -310,20 +310,23 @@ def test_join_skew_aware_decision_and_equality(spark):
 
 
 def test_key_skew_metrics_sampled_share_unbiased(spark):
-    """Hash-sampling keeps whole keys, so the hot key's SHARE survives
-    sampling (within tolerance) even though totals shrink."""
+    """ROW sampling (keyed on a row-unique id) shrinks every key's count
+    by the same factor, so the hot key's SHARE survives sampling within
+    tolerance — and sampling without a row id is rejected (key-level
+    sampling would drop the hot key entirely with prob 1-1/m)."""
+    import pytest
+
     from mesin_spark.ext.skew import key_skew_metrics
 
     df = spark.range(0, 40000).selectExpr(
-        "CASE WHEN id % 4 = 0 THEN 999999 ELSE id END AS k"
+        "id AS rid", "CASE WHEN id % 4 = 0 THEN 999999 ELSE id END AS k"
     )
     full = key_skew_metrics(df, "k")
     assert abs(full["max_share"] - 0.25) < 0.01
-    sampled = key_skew_metrics(df, "k", sample_mod=4)
-    # the hot key either fully survives (share ~ 0.25/sample keep-rate
-    # adjusted) or is fully dropped; with mod 4 it survives iff its hash
-    # lands on 0 — just assert the function runs and share is sane
-    assert 0.0 <= sampled["max_share"] <= 1.0
+    sampled = key_skew_metrics(df, "k", sample_mod=8, row_col="rid")
+    assert abs(sampled["max_share"] - 0.25) < 0.05, sampled
+    with pytest.raises(ValueError, match="row_col"):
+        key_skew_metrics(df, "k", sample_mod=8)
 
 
 def test_kmv_overlap_accuracy(spark):
@@ -1023,3 +1026,41 @@ def test_column_summary_single_scan_plan(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("Range (0, 1000") == 1, plan
+
+
+def test_builder_bare_group_by_is_distinct(spark):
+    """GROUP BY without aggregates must apply as distinct-by-group, not
+    be silently ignored (review fix)."""
+    from mesin_spark.frame import QueryBuilder
+
+    df = spark.range(0, 100).selectExpr("id % 10 AS g", "id AS x")
+    out = QueryBuilder.from_(df).group_by("g").select("g").to_df()
+    assert out.count() == 10
+
+
+def test_salted_join_null_salt_keeps_matches(spark):
+    """Rows whose salt expression is NULL must still match (review fix:
+    pmod(NULL) matched no replica and dropped them)."""
+    from pyspark.sql import functions as F
+    from mesin_spark.ext.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k INT, s INT"
+    )
+    small = spark.createDataFrame([(1,), (2,), (3,)], "k INT")
+    out = salted_join(big, small, ["k"], salt=F.col("s"), n_salt=4)
+    assert out.count() == 3
+
+
+def test_catalog_load_file_backed_tables(spark, tmp_path):
+    """Persist+reopen a catalog whose tables point at single parquet
+    FILES (register_parquet of testdata) — load must not crash on the
+    path/_VERSION probe (review fix: NotADirectoryError)."""
+    from mesin_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.register_parquet("li_file", "/root/testdata/sf0.001/lineitem.parquet")
+    cat.save(str(tmp_path / "cat"))
+    cat2 = Catalog(spark)
+    cat2.load(str(tmp_path / "cat"))
+    assert "li_file" in cat2.tables
