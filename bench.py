@@ -69,7 +69,7 @@ def _noop_run(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     from mesin_spark.session import get_session
@@ -83,13 +83,20 @@ def main() -> None:
     # higher-order-function paths cost multiple seconds per distinct plan
     # shape and are one-time per JVM — a long-lived cluster amortizes them,
     # so the timed runs below measure steady-state throughput.
+    # fail FAST on a renamed/missing headline entry — discovering it in
+    # the timed loop would discard every completed timing
+    missing = [n for n in HEADLINE if n not in registry]
+    if missing:
+        raise SystemExit(f"HEADLINE names not in registry: {missing}")
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             try:
                 _noop_run(registry[name](spark, warm_dir))
-            except Exception:
-                pass
+            except Exception as exc:  # noqa: BLE001
+                # an unwarmed query still times (JIT-inflated) — say so
+                # instead of silently reporting a wrong steady-state number
+                print(f"WARN warm-up failed for {name}: {exc}", file=sys.stderr)
     else:
         _noop_run(registry["q_groupby"](spark, sf_dir))
 

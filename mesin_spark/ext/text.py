@@ -330,7 +330,13 @@ def fingerprint(col: Column | str) -> Column:
     fingerprint (same arithmetic is expressible in any engine, unlike
     engine-native hash functions)."""
     c = F.col(col) if isinstance(col, str) else col
-    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    # filter zero-length splits: Spark's split('','') yields [''] with
+    # ascii('')=0 while DuckDB's unicode('')=-1 — dropping empties makes
+    # fp('') = 0 in BOTH engines (portability contract)
+    codes = F.transform(
+        F.filter(F.split(c, ""), lambda ch: F.length(ch) > 0),
+        lambda ch: F.ascii(ch).cast("long"),
+    )
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),

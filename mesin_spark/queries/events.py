@@ -211,14 +211,23 @@ def q_json_props(spark, sf_dir):
         FROM events
     ), s AS (
         SELECT user_id, event_id, rn,
+               rn % 6000 AS pa, (rn + 3000) % 6000 AS pb,
                SUM(value * pow(0.9, -rn)) OVER
                    (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS srun,
+               SUM(value * pow(0.9, -(rn % 6000))) OVER
+                   (PARTITION BY user_id ORDER BY rn ROWS 2999 PRECEDING) AS sa,
+               SUM(value * pow(0.9, -((rn + 3000) % 6000))) OVER
+                   (PARTITION BY user_id ORDER BY rn ROWS 2999 PRECEDING) AS sb,
                FIRST_VALUE(value) OVER
                    (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS v1
         FROM o
     )
     SELECT user_id, event_id,
-           floor((pow(0.9, rn) * (0.1 * srun + v1)) * 1000000.0 + 0.5) / 1000000.0 AS ewma
+           floor((CASE WHEN rn <= 3000
+                       THEN pow(0.9, rn) * (0.1 * srun + v1)
+                       WHEN pa >= 3000 THEN 0.1 * pow(0.9, pa) * sa
+                       ELSE 0.1 * pow(0.9, pb) * sb
+                  END) * 1000000.0 + 0.5) / 1000000.0 AS ewma
     FROM s
     """,
 )
@@ -239,20 +248,40 @@ def q_ewma(spark, sf_dir):
     w_run = (
         W.partitionBy("user_id").orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
     )
+    # Numeric stability at unbounded history: the closed form's
+    # pow(0.9, -rn) overflows past rn ≈ 6700 (0.9^-6700 > DBL_MAX), so it
+    # serves only rn ≤ 3000 (where it is exact INCLUDING the init term).
+    # Beyond that, contributions older than 3000 events are < 0.9^3000 ≈
+    # 5e-138 — invisible at any precision this column reports — so the
+    # windowed form ewma_i = 0.1·Σ_{k<3000} 0.9^k·v_{i-k} is used, with
+    # the rescaled prefix factored over TWO OFFSET block grids (block
+    # 6000, offset 3000): every 3000-row window lies entirely inside one
+    # block of one grid, so in-block positions bound every exponent by
+    # 0.9^-5999 < DBL_MAX. Both engines evaluate the identical
+    # expressions, so values stay bit-equal.
+    w_win = W.partitionBy("user_id").orderBy("rn").rowsBetween(-2999, 0)
+    pa = F.pmod(F.col("rn"), F.lit(6000))
+    pb = F.pmod(F.col("rn") + 3000, F.lit(6000))
     s = o.select(
         "user_id",
         "event_id",
         "rn",
+        pa.alias("pa"),
+        pb.alias("pb"),
         F.sum(F.col("value") * F.pow(F.lit(0.9), -F.col("rn"))).over(w_run).alias("srun"),
+        F.sum(F.col("value") * F.pow(F.lit(0.9), -pa)).over(w_win).alias("sa"),
+        F.sum(F.col("value") * F.pow(F.lit(0.9), -pb)).over(w_win).alias("sb"),
         F.first("value").over(w_run).alias("v1"),
     )
-    return s.select(
-        "user_id",
-        "event_id",
-        R(F.pow(F.lit(0.9), F.col("rn")) * (0.1 * F.col("srun") + F.col("v1")), 6).alias(
-            "ewma"
-        ),
+    ewma = (
+        F.when(
+            F.col("rn") <= 3000,
+            F.pow(F.lit(0.9), F.col("rn")) * (0.1 * F.col("srun") + F.col("v1")),
+        )
+        .when(F.col("pa") >= 3000, 0.1 * F.pow(F.lit(0.9), F.col("pa")) * F.col("sa"))
+        .otherwise(0.1 * F.pow(F.lit(0.9), F.col("pb")) * F.col("sb"))
     )
+    return s.select("user_id", "event_id", R(ewma, 6).alias("ewma"))
 
 
 @query(

@@ -292,7 +292,9 @@ def q_lang_id(spark, sf_dir):
     SELECT doc_id,
            list_reduce(
                list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+                   list_transform(
+                       list_filter(string_split(text, ''), c -> length(c) > 0),
+                       c -> CAST(unicode(c) AS BIGINT))),
                (h, c) -> (h * 131 + c) % 1000000007
            ) AS fp
     FROM documents
@@ -547,10 +549,16 @@ def q_stream_stateful(spark, sf_dir):
     out = STR.run_to_memory(
         STR.running_totals_stream(stream), "q_stream_stateful_out", output_mode="update"
     )
-    # update-mode emits one row per state change; keep the final state per user
+    # update-mode emits one row per state change; the FINAL state is the
+    # emission with the highest n_events (monotone counter) — max_by, not
+    # max(total_value), which would return a stale intermediate total if
+    # a later batch carried negative values (refunds/corrections)
     latest = out.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
-    )
+        F.max_by(
+            F.struct(F.col("n_events"), F.col("total_value")), F.col("n_events")
+        ).alias("_s")
+    ).select("user_id", F.col("_s.n_events").alias("n_events"),
+             F.col("_s.total_value").alias("total_value"))
     return latest.orderBy("user_id")
 
 

@@ -41,6 +41,20 @@ def get_session(app_name: str = "mesin_spark", cpus: int | None = None) -> Spark
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
+    got = spark.sparkContext.master
+    want = f"local[{cpus}]"
+    if got != want:
+        # getOrCreate returned a PRE-EXISTING session: master/memory/
+        # shuffle-partition settings requested here did NOT apply — say so
+        # rather than letting a benchmark measure the wrong parallelism
+        import warnings
+
+        warnings.warn(
+            f"get_session: reusing existing SparkSession (master={got}); "
+            f"requested {want} and static configs were ignored",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

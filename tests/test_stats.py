@@ -1064,3 +1064,31 @@ def test_catalog_load_file_backed_tables(spark, tmp_path):
     cat2 = Catalog(spark)
     cat2.load(str(tmp_path / "cat"))
     assert "li_file" in cat2.tables
+
+
+def test_ewma_stable_at_long_histories(spark, tmp_path):
+    """10,000 events for one user: the old closed form overflowed to
+    inf/NaN past rank ~6700; the block-grid form must match a pure
+    recursive EWMA everywhere (review fix)."""
+    import datetime as dt
+
+    from mesin_spark.queries.events import q_ewma
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, base + dt.timedelta(seconds=i), "click", float((i * 7) % 100))
+        for i in range(10_000)
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r["event_id"]: r["ewma"] for r in q_ewma(spark, str(tmp_path)).collect()}
+    assert len(out) == 10_000
+    assert all(v == v and abs(v) < 1e6 for v in out.values())  # no NaN/inf
+    # recursive reference
+    e = None
+    for i in range(10_000):
+        v = float((i * 7) % 100)
+        e = v if e is None else 0.1 * v + 0.9 * e
+        if i % 997 == 0 or i > 9_990:
+            assert abs(out[i] - e) < 1e-5, (i, out[i], e)
