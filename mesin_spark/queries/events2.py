@@ -278,16 +278,16 @@ def q_interpolate(spark, sf_dir):
         FROM events
     ),
     changes AS (
-        SELECT user_id, event_type AS state, ts
+        SELECT user_id, event_type AS state, ts, event_id
         FROM seq WHERE prev_et IS NULL OR prev_et <> event_type
     )
     SELECT user_id, state,
            CAST(row_number() OVER (
-               PARTITION BY user_id ORDER BY ts) AS BIGINT) AS version,
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
            CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
            CAST(floor(epoch(lead(ts) OVER (
-               PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS valid_to,
-           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+               PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
                AS is_current
     FROM changes
     """,
@@ -309,12 +309,15 @@ def q_scd2(spark, sf_dir):
         "user_id",
         "event_type",
         "ts",
+        "event_id",
         F.lag("event_type").over(win).alias("prev_et"),
     )
     changes = seq.filter(
         F.col("prev_et").isNull() | (F.col("prev_et") != F.col("event_type"))
-    ).select("user_id", F.col("event_type").alias("state"), "ts")
-    cwin = W.partitionBy("user_id").orderBy("ts")
+    ).select("user_id", F.col("event_type").alias("state"), "ts", "event_id")
+    # (ts, event_id): two change rows at an identical timestamp would get
+    # nondeterministic version/interval assignment under ts alone
+    cwin = W.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         "state",
@@ -555,8 +558,12 @@ def q_negative_sampling(spark, sf_dir):
                " RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW)",
                4,
            )} AS roll_avg_24h,
-           {sr("n::DOUBLE / lag(n, 24) OVER (ORDER BY h) - 1.0", 4)}
-               AS pct_vs_prev_day
+           {sr(
+               "n::DOUBLE / max(n) OVER (ORDER BY h RANGE BETWEEN"
+               " INTERVAL 24 HOURS PRECEDING AND INTERVAL 24 HOURS PRECEDING)"
+               " - 1.0",
+               4,
+           )} AS pct_vs_prev_day
     FROM hourly
     ORDER BY hour_epoch
     """,
@@ -565,7 +572,10 @@ def q_rolling_window(spark, sf_dir):
     """Time-INTERVAL rolling window: trailing-24h sum/mean of hourly
     purchase counts (RANGE over event time, so gaps in the series widen
     the frame correctly — a ROWS frame would silently slide past
-    missing hours) plus day-over-day percent change (24-hour lag). The
+    missing hours) plus day-over-day percent change via a RANGE lookup
+    pinned at exactly h-24h (NULL when yesterday's hour is missing — a
+    24-ROW lag would misalign on any gappy series, the very pitfall the
+    rolling frame avoids). The
     windows run over the HOURLY AGGREGATE (|hours| rows), never raw
     events — the q_autocorr reduction; the single-partition frame is
     bounded by construction at any event volume."""
@@ -577,13 +587,13 @@ def q_rolling_window(spark, sf_dir):
     )
     secs = F.unix_timestamp("h")
     wr = W.orderBy(secs.cast("long")).rangeBetween(-23 * 3600, 0)
-    wl = W.orderBy("h")
+    wd = W.orderBy(secs.cast("long")).rangeBetween(-24 * 3600, -24 * 3600)
     return hourly.select(
         F.unix_timestamp("h").alias("hour_epoch"),
         "n",
         F.sum("n").over(wr).cast("long").alias("roll_sum_24h"),
         R(F.avg("n").over(wr), 4).alias("roll_avg_24h"),
-        R(F.col("n") / F.lag("n", 24).over(wl) - 1.0, 4).alias("pct_vs_prev_day"),
+        R(F.col("n") / F.max("n").over(wd) - 1.0, 4).alias("pct_vs_prev_day"),
     ).orderBy("hour_epoch")
 
 
@@ -592,7 +602,7 @@ def q_rolling_window(spark, sf_dir):
     oracle=f"""
     WITH assigned AS (
         SELECT DISTINCT user_id,
-               CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+               CASE WHEN (CAST((CAST(user_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 2 = 0
                     THEN 'A' ELSE 'B' END AS arm
         FROM events
     ),

@@ -65,8 +65,12 @@ def q_pmi_bigrams(spark, sf_dir):
     from mesin_spark.ext import text as TX
 
     d = T(spark, sf_dir, "documents")
-    tk = d.select(TX.tokens("text").alias("w")).filter(F.size("w") >= 2)
-    uni = tk.select(F.explode("w").alias("tok"))
+    tk_all = d.select(TX.tokens("text").alias("w"))
+    # unigrams come from ALL documents (the oracle counts them that way);
+    # only the bigram branch needs >= 2 tokens — filtering unigrams too
+    # would shift every PMI value the moment a 1-token doc exists
+    tk = tk_all.filter(F.size("w") >= 2)
+    uni = tk_all.select(F.explode("w").alias("tok"))
     ucount = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     utot = uni.agg(F.count(F.lit(1)).alias("n_uni"))
     bi = tk.select(
@@ -311,7 +315,7 @@ def q_decontaminate_embed(spark, sf_dir):
     WITH keyed AS (
         SELECT doc_id, n_chars,
                {sr(
-                   "pow((((doc_id * 2654435761) % 4294967296) % 1024 + 0.5)"
+                   "pow(((CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 1024 + 0.5)"
                    " / 1024.0, 1.0 / n_chars)",
                    6,
                )} AS es_key
@@ -434,7 +438,7 @@ def q_quantile_bins(spark, sf_dir):
     oracle=f"""
     WITH hashed AS (
         SELECT DISTINCT event_type AS grp,
-               (user_id * 2654435761) % 4294967296 AS h
+               CAST((CAST(user_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h
         FROM events
     ),
     ranked AS (
@@ -544,7 +548,7 @@ def q_dedup_containment(spark, sf_dir):
         FROM tk, keep k
     )
     SELECT doc_id,
-           list_aggregate(w2, 'string_agg', ' ') AS text_unk,
+           coalesce(list_aggregate(w2, 'string_agg', ' '), '') AS text_unk,
            len(list_filter(w2, t -> t = '<unk>')) AS n_unk
     FROM rebuilt
     ORDER BY doc_id

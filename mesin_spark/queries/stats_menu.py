@@ -297,7 +297,7 @@ def q_agg_pushdown(spark, sf_dir):
     oracle=f"""
     WITH hashed AS (
         SELECT DISTINCT event_type AS grp,
-               (user_id * 2654435761) % 4294967296 AS h
+               CAST((CAST(user_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h
         FROM events
     ),
     ranked AS (
@@ -368,7 +368,7 @@ def q_kmv_overlap(spark, sf_dir):
     oracle=f"""
     WITH hashed AS (
         SELECT DISTINCT CAST(l_suppkey % 4 AS INT) AS grp,
-               (l_orderkey * 2654435761) % 4294967296 AS h
+               CAST((CAST(l_orderkey AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h
         FROM lineitem
     ),
     ranked AS (
@@ -520,7 +520,7 @@ def q_analyze_stmt(spark, sf_dir):
     oracle=f"""
     WITH hashed AS (
         SELECT DISTINCT event_type AS grp,
-               (user_id * 2654435761) % 4294967296 AS h
+               CAST((CAST(user_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h
         FROM events
     ),
     ranked AS (

@@ -32,7 +32,10 @@ def load(path: str) -> dict:
     for line in reversed(doc.get("tail", "").splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            inner = json.loads(line)
+            try:
+                inner = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # truncated capture or a log line starting with '{'
             if "queries" in inner:
                 return inner
     raise SystemExit(f"{path}: no bench record found")
@@ -48,7 +51,12 @@ def main() -> int:
     regressions = []
     print(f"{'query':28s} {'prev':>8s} {'curr':>8s} {'ratio':>7s}")
     for name in shared:
-        ratio = cq[name] / pq[name] if pq[name] > 0 else float("inf")
+        if pq[name] > 0:
+            ratio = cq[name] / pq[name]
+        else:
+            # zero baseline (recorded skip/failure placeholder): flag only
+            # if curr is genuinely nonzero, never inf-on-zero-vs-zero
+            ratio = 1.0 if cq[name] == 0 else float("inf")
         mark = " <-- REGRESSION" if ratio > THRESHOLD else ""
         print(f"{name:28s} {pq[name]:8.3f} {cq[name]:8.3f} {ratio:6.2f}x{mark}")
         if ratio > THRESHOLD:
@@ -60,7 +68,10 @@ def main() -> int:
         print(f"dropped queries: {sorted(only_prev)}")
     pt = sum(pq[n] for n in shared)
     ct = sum(cq[n] for n in shared)
-    print(f"\nshared-query total: {pt:.2f}s -> {ct:.2f}s ({ct / pt:.2f}x)")
+    if pt > 0:
+        print(f"\nshared-query total: {pt:.2f}s -> {ct:.2f}s ({ct / pt:.2f}x)")
+    else:
+        print("\nno shared queries with a nonzero baseline — nothing to compare")
     if regressions:
         print(f"REGRESSED (> {THRESHOLD}x): {regressions}")
         return 1

@@ -95,6 +95,9 @@ def main() -> int:
         )
         df = registry[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
+        # metrics land on the ASYNC listener bus after save() returns —
+        # drain it or totals undercount on a loaded machine
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
         t = execution_metric_totals(store, first_id)
         ratio = (t["shuffle"] / t["scan"]) if t["scan"] else 0.0
         rows.append((name, t["scan"], t["shuffle"], ratio, t["spill"]))

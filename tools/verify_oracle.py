@@ -88,6 +88,13 @@ def main() -> int:
     spark = get_session("verify_oracle")
     con = duck_connection(sf_dir)
 
+    if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            raise SystemExit(
+                f"unknown query name(s): {unknown} — a filtered gate that "
+                "matches nothing would report success while verifying nothing"
+            )
     names = [n for n in qs if not only or n in only]
     passed, failed, rows_only = [], [], []
     for name in names:
