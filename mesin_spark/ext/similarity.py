@@ -467,3 +467,15 @@ def semantic_dedup(
     return assigned.select(id_col, "sem_cluster").join(
         losers, id_col, "left_anti"
     )
+
+
+def query_vector(emb: DataFrame, vec_id, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[float]:
+    """Fetch one query vector by id with a CLEAR error when absent —
+    seven call sites previously dereferenced ``head()`` and died with
+    \"'NoneType' object is not subscriptable\" on a fixture missing the
+    id."""
+    row = emb.filter(F.col(id_col) == vec_id).head()
+    if row is None:
+        raise ValueError(f"query vector {id_col}={vec_id!r} not found")
+    return [float(x) for x in row[vec_col]]

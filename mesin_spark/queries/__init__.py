@@ -17,7 +17,10 @@ Conventions (SURVEY.md §7.3, FIXTURES.md oracle caveats):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +30,23 @@ from mesin_spark.functions import stable_round as R  # noqa: F401  (re-exported)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+
+_SCRATCH: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp with PROCESS-EXIT cleanup: write-path queries (connector
+    round-trips, DML/DDL, layout rewrites, ANN index builds) run on
+    every certification pass, and bare mkdtemp left a full-table copy in
+    /tmp per query per run — unbounded disk growth on a long-lived
+    host."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH]
+        )
+    _SCRATCH.append(d)
+    return d
 
 
 def sr(expr: str, n: int) -> str:

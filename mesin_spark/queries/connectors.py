@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from mesin_spark import sources as S
-from mesin_spark.queries import R, T, query, sr
+from mesin_spark.queries import R, T, query, sr, scratch_dir
 
 
 @query(
@@ -32,7 +32,7 @@ def q_csv_roundtrip(spark, sf_dir):
     """part → CSV files → read back with explicit schema → aggregate.
     Exercises header handling and lossless double round-trip (Spark writes
     shortest-repr doubles, so read-back is bit-exact)."""
-    out = os.path.join(tempfile.mkdtemp(prefix="mesin_csv_"), "part_csv")
+    out = os.path.join(scratch_dir(prefix="mesin_csv_"), "part_csv")
     p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_retailprice")
     S.write_csv(p, out)
     back = S.read_csv(
@@ -86,7 +86,7 @@ def q_jsonl_roundtrip(spark, sf_dir):
     """events → JSON-lines → read back with explicit schema → aggregate.
     JSONL is the lingua franca of LLM corpus tooling; the round-trip
     proves numeric fidelity through the JSON encoder."""
-    out = os.path.join(tempfile.mkdtemp(prefix="mesin_jsonl_"), "events_jsonl")
+    out = os.path.join(scratch_dir(prefix="mesin_jsonl_"), "events_jsonl")
     ev = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
     S.write_jsonl(ev, out)
     back = S.read_json(

@@ -16,12 +16,12 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from mesin_spark.dml import ColumnDefinition, DdlSession
-from mesin_spark.queries import T, query
+from mesin_spark.queries import T, query, scratch_dir
 from mesin_spark.queries import R  # stable rounding
 
 
 def _scratch(spark, sf_dir, table) -> tuple[DdlSession, "ManagedTable"]:  # noqa: F821
-    base = tempfile.mkdtemp(prefix=f"mesin_dml_{table}_")
+    base = scratch_dir(prefix=f"mesin_dml_{table}_")
     sess = DdlSession(spark, base_dir=base)
     mt = sess.import_parquet(f"scratch_{table}", os.path.join(sf_dir, f"{table}.parquet"))
     return sess, mt
@@ -223,7 +223,7 @@ def q_sql_script(spark, sf_dir):
 
     ctx = ExecutionContext(spark=spark)
     ctx._ddl = DdlSession(
-        spark, catalog=ctx.catalog, base_dir=tempfile.mkdtemp(prefix="mesin_script_")
+        spark, catalog=ctx.catalog, base_dir=scratch_dir(prefix="mesin_script_")
     )
     results = ctx.execute_script(
         """

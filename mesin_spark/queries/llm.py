@@ -20,6 +20,7 @@ from mesin_spark.ext import similarity as S
 from mesin_spark.ext import streaming as STR
 from mesin_spark.ext import text as TX
 from mesin_spark.queries import T, query, sr
+from mesin_spark.ext.similarity import query_vector
 
 
 def _docs_with_dups(spark, sf_dir):
@@ -133,7 +134,7 @@ def q_sim_topk(spark, sf_dir):
     baseline: one codegen'd scan, per-partition k-heaps
     (TakeOrderedAndProject), no shuffle of the corpus."""
     emb = T(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = query_vector(emb, 0)
     return S.brute_force_topk(emb, qvec, k=10)
 
 
@@ -143,7 +144,7 @@ def q_ann_lsh(spark, sf_dir):
     ranking restricted to probed signature buckets. Recall vs the exact
     top-k asserted in tests."""
     emb = T(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = query_vector(emb, 0)
     return S.lsh_topk(emb, qvec, k=10)
 
 
@@ -154,7 +155,7 @@ def q_ann_ivf(spark, sf_dir):
     the corpus is written partitioned by ivf_list → partition pruning.
     Recall vs the exact top-k asserted in tests."""
     emb = T(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = query_vector(emb, 0)
     return S.ivf_topk(emb, qvec, k=10)
 
 
@@ -311,7 +312,7 @@ def q_fingerprint(spark, sf_dir):
     "q_hash_split",
     oracle="""
     SELECT doc_id,
-           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9000
+           CASE WHEN (CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 10000 < 9000
                 THEN 'train' ELSE 'val' END AS split
     FROM documents
     """,
@@ -345,7 +346,7 @@ def q_scrub_text(spark, sf_dir):
     oracle="""
     SELECT doc_id, source
     FROM documents
-    WHERE ((doc_id * 2654435761) % 4294967296) % 10000 <
+    WHERE (CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 10000 <
           CASE WHEN source = 'src0' THEN 10000
                WHEN source = 'src1' THEN 5000
                ELSE 1000 END
@@ -467,7 +468,7 @@ def q_tfidf(spark, sf_dir):
         ) s, unnest(starts) AS u(i)
     )
     SELECT doc_id, chunk_id, n_tokens,
-           CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10000 < 9000
+           CASE WHEN (CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 10000 < 9000
                 THEN 'train' ELSE 'val' END AS split
     FROM chunks
     """,

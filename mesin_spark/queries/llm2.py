@@ -18,7 +18,8 @@ from mesin_spark.ext import multimodal as M
 from mesin_spark.ext import pipeline as P
 from mesin_spark.ext import similarity as S
 from mesin_spark.ext import text as TX
-from mesin_spark.queries import T, query
+from mesin_spark.queries import R, T, query
+from mesin_spark.ext.similarity import query_vector
 
 #: DuckDB fragment: whitespace tokens of lower(text), empties dropped —
 #: mirror of mesin_spark.ext.text.tokens.
@@ -105,13 +106,13 @@ def q_decontaminate(spark, sf_dir):
     oracle="""
     WITH pos AS (
         SELECT DISTINCT unnest([
-            ((doc_id * 2654435761) % 4294967296) % 4096,
+            (CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 4096,
             ((doc_id * 2246822519) % 4294967296) % 4096,
             ((doc_id * 3266489917) % 4294967296) % 4096]) AS p
         FROM documents WHERE doc_id % 7 = 0
     )
     SELECT doc_id,
-           (((doc_id * 2654435761) % 4294967296) % 4096 IN (SELECT p FROM pos)
+           ((CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 4096 IN (SELECT p FROM pos)
             AND ((doc_id * 2246822519) % 4294967296) % 4096 IN (SELECT p FROM pos)
             AND ((doc_id * 3266489917) % 4294967296) % 4096 IN (SELECT p FROM pos)
            ) AS might_contain,
@@ -145,7 +146,7 @@ def q_bloom_dedup(spark, sf_dir):
     ),
     chunks AS (
         SELECT doc_id, i AS chunk_id, least(len(tk) - i*48, 64) AS n_tokens,
-               ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+               (CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 16 AS shard
         FROM s, unnest(starts) AS u(i)
     ),
     packed AS (
@@ -210,7 +211,7 @@ def q_domain_mix(spark, sf_dir):
     j AS (
         SELECT d.doc_id, d.source,
                CAST(floor(mw) AS BIGINT)
-               + CASE WHEN (((d.doc_id + 3) * 2654435761) % 4294967296) % 10000
+               + CASE WHEN (CAST((CAST(d.doc_id + 3 AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 10000
                            < (mw - floor(mw)) * 10000
                       THEN 1 ELSE 0 END AS nc
         FROM documents d JOIN w ON d.source = w.domain
@@ -248,7 +249,7 @@ def q_sim_radius(spark, sf_dir):
     vec_id=0 — the 'all near neighbors' companion to top-k. Single
     codegen'd scan + filter; no shuffle, no driver merge."""
     emb = T(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = query_vector(emb, 0)
     return S.radius_search(emb, qvec, radius=0.25)
 
 
@@ -373,8 +374,6 @@ def q_quantize_embed(spark, sf_dir):
     qv = F.transform(F.col("e"), lambda x: F.floor(x / F.col("scale") + 0.5).cast("long"))
     quant = base.withColumn("qv", qv)
     dequant = F.transform(F.col("qv"), lambda v: v * F.col("scale"))
-    from mesin_spark.functions import stable_round as R
-
     return quant.select(
         "vec_id",
         R(F.col("scale"), 6).alias("scale"),
@@ -391,7 +390,10 @@ def q_multimodal_video(spark, sf_dir):
     keep every 3rd frame, and emit per-frame mean pixel values — all in
     partition-preserving mapInPandas (binary in, features out, no
     shuffle). Frame-exact decode asserted in tests/test_llm2_ops.py."""
-    d = T(spark, sf_dir, "documents").limit(200)
+    # deterministic subset: a bare limit() takes whichever partitions
+    # scan first, so the rows-only baseline row SET would depend on file
+    # splits; doc_id is a stable filter at every SF
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     sampled = M.frame_sample(M.synth_video(d), every_n=3)
     return sampled.select(
         "doc_id",

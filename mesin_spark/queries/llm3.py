@@ -124,7 +124,7 @@ def q_random_projection(spark, sf_dir):
     "q_shuffle_shards",
     oracle="""
     WITH h AS (
-        SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS hkey
+        SELECT doc_id, CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS hkey
         FROM documents
     )
     SELECT doc_id, CAST(hkey % 8 AS BIGINT) AS shard,
@@ -175,8 +175,9 @@ _QUALITY_SQL = """floor((0.4 * least(len(tk) / 100.0, 1.0)
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.g, b.g))::DOUBLE
-              / len(list_distinct(list_concat(a.g, b.g))) >= 0.2
+        WHERE floor((len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5)
+              / 1000000.0 >= 0.2
     ),
     losers AS (
         SELECT DISTINCT CASE WHEN qa.quality < qb.quality THEN p.id_a
@@ -237,8 +238,9 @@ def q_dedup_suppress(spark, sf_dir):
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
         FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.g, b.g))::DOUBLE
-              / len(list_distinct(list_concat(a.g, b.g))) >= 0.1
+        WHERE floor((len(list_intersect(a.g, b.g))::DOUBLE
+              / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5)
+              / 1000000.0 >= 0.1
     ),
     nodes AS (
         SELECT DISTINCT id FROM (

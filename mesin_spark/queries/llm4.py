@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from mesin_spark.ext import pq as PQ
 from mesin_spark.ext import spans as SP
-from mesin_spark.queries import T, query, sr
+from mesin_spark.queries import R, T, query, sr, scratch_dir
+from mesin_spark.ext.similarity import query_vector
 
 #: DuckDB mirror of ext.text.tokens
 _TK = "list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)"
@@ -60,8 +61,6 @@ def q_span_stats(spark, sf_dir):
     corpus-health gate before exact-substring dedup (Lee et al. 2021).
     One shingle-hash groupBy + one equi-join; see ext/spans.py for the
     100 TB shape."""
-    from mesin_spark.functions import stable_round as R
-
     d = T(spark, sf_dir, "documents")
     spread = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     s = SP.span_stats(spread, w=_W)
@@ -129,7 +128,7 @@ def q_pq_ann(spark, sf_dir):
     the one-time encode pass); recall vs the exact scan is asserted in
     tests/test_llm4_ops.py."""
     emb = T(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = query_vector(emb, 0)
     return PQ.pq_topk(emb, qvec, topk=10, m=8, k=16)
 
 
@@ -164,7 +163,7 @@ def q_ivfpq_ann(spark, sf_dir):
     Scan cost = (n_probe/n_list) x codes-width — both prunings multiply.
     Recall vs the exact scan asserted in tests/test_llm4_ops.py."""
     emb = T(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = query_vector(emb, 0)
     return PQ.ivfpq_topk(emb, qvec, topk=10, n_list=16, n_probe=4, m=8, k=16)
 
 
@@ -240,8 +239,8 @@ def q_ann_index(spark, sf_dir):
     from mesin_spark.ext import ann_index as AI
 
     emb = T(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="mesin_annidx_")
+    path = scratch_dir(prefix="mesin_annidx_")
     AI.build_index(emb, path, n_list=16, m=8, k=16)
     idx = AI.load_index(spark, path)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = query_vector(emb, 0)
     return idx.topk(qvec, topk=10, n_probe=4)

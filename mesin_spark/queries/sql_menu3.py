@@ -105,7 +105,7 @@ def q_distinct_on(spark, sf_dir):
     "q_sample_hash",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    WHERE ((o_orderkey * 2654435761) % 4294967296) % 10000 < 500
+    WHERE (CAST((CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)) % 10000 < 500
     """,
 )
 def q_sample_hash(spark, sf_dir):
@@ -123,7 +123,7 @@ def q_sample_hash(spark, sf_dir):
         SELECT doc_id, source,
                row_number() OVER (
                    PARTITION BY source
-                   ORDER BY ((doc_id * 2654435761) % 4294967296), doc_id
+                   ORDER BY (CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT)), doc_id
                ) AS rn
         FROM documents
     ) WHERE rn <= 25

@@ -74,10 +74,19 @@ def q_fn_map(spark, sf_dir):
     Spark's is first-class. One groupBy shuffle; the map stays a column
     value (never collected)."""
     n = T(spark, sf_dir, "nation")
+    # entries dedup'd BY KEY before map_from_entries: Spark's default
+    # mapKeyDedupPolicy=EXCEPTION would crash on a duplicate n_name in a
+    # region (the oracle's aggregate form handles duplicates fine);
+    # keeping each name's minimum (n_name, n_nationkey) entry after the
+    # sort makes the kept value deterministic
+    entries = F.array_sort(F.collect_list(F.struct("n_name", "n_nationkey")))
+    deduped = F.filter(
+        entries,
+        lambda e, i: (i == 0)
+        | (e["n_name"] != F.element_at(entries, i)["n_name"]),
+    )
     per_region = n.groupBy("n_regionkey").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("n_name", "n_nationkey")))
-        ).alias("m")
+        F.map_from_entries(deduped).alias("m")
     )
     return per_region.select(
         "n_regionkey",
@@ -147,10 +156,16 @@ def q_udtf_split(spark, sf_dir):
     class SentenceSplit:
         def eval(self, text: str):
             parts = [
-                p.strip() for p in re.split(r"[.!?]+", text or "") if p.strip()
+                # ASCII whitespace ONLY: Python's str.strip()/\s are
+                # Unicode-aware while the oracle's RE2 \s and the repo's
+                # Java-regex tokenizer are ASCII — a U+00A0 would split
+                # differently across the three
+                p.strip(" \t\n\r\f\v")
+                for p in re.split(r"[.!?]+", text or "")
+                if p.strip(" \t\n\r\f\v")
             ]
             for i, p in enumerate(parts, 1):
-                yield i, p, len(p.split())
+                yield i, p, len([t for t in re.split(r"[ \t\n\r\f\v]+", p) if t])
 
     spark.udtf.register("sentence_split", SentenceSplit)
     register_views(spark, sf_dir, "documents")

@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from mesin_spark import sources as S
-from mesin_spark.queries import R, T, load_events, query, sr
+from mesin_spark.queries import R, T, load_events, query, sr, scratch_dir
 
 
 @query(
@@ -116,7 +116,7 @@ def q_stats_estimate(spark, sf_dir):
 
     li = T(spark, sf_dir, "lineitem")
     stats = build_stats(li, ["l_quantity", "l_extendedprice"], n_bins=32)
-    path = os.path.join(tempfile.mkdtemp(prefix="mesin_stats_"), "lineitem_stats")
+    path = os.path.join(scratch_dir(prefix="mesin_stats_"), "lineitem_stats")
     write_stats(stats, spark, path)
     stats = load_stats(spark, path)
 
@@ -173,7 +173,7 @@ def q_orc_roundtrip(spark, sf_dir):
     columnar interchange format end-to-end (schema carried in-file, so no
     explicit read schema needed; doubles round-trip bit-exact). Writes
     are distributed, one stripe-set per partition."""
-    out = os.path.join(tempfile.mkdtemp(prefix="mesin_orc_"), "orders_orc")
+    out = os.path.join(scratch_dir(prefix="mesin_orc_"), "orders_orc")
     o = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
@@ -231,7 +231,7 @@ def q_schema_evolution(spark, sf_dir):
     footers at planning time, scan cost is unchanged."""
     import tempfile as _tf
 
-    out = os.path.join(_tf.mkdtemp(prefix="mesin_evo_"), "orders_evo")
+    out = os.path.join(scratch_dir(prefix="mesin_evo_"), "orders_evo")
     o = T(spark, sf_dir, "orders")
     o.filter("o_orderkey % 2 = 0").select("o_orderkey", "o_totalprice").write.mode(
         "overwrite"
@@ -425,7 +425,7 @@ def q_file_overlap(spark, sf_dir):
     from mesin_spark.ext.sketches import kmv_overlap
     from mesin_spark.sources import zone_map_kmv
 
-    out = os.path.join(_tf.mkdtemp(prefix="mesin_zmkmv_"), "lineitem_sharded")
+    out = os.path.join(scratch_dir(prefix="mesin_zmkmv_"), "lineitem_sharded")
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", F.pmod("l_suppkey", F.lit(4)).cast("int").alias("shard")
     )
@@ -503,7 +503,7 @@ def q_analyze_stmt(spark, sf_dir):
     from mesin_spark.context import ExecutionContext
 
     ctx = ExecutionContext(spark=spark)
-    ctx.ddl.base_dir = _tf.mkdtemp(prefix="mesin_analyze_")
+    ctx.ddl.base_dir = scratch_dir(prefix="mesin_analyze_")
     ctx.ddl.import_parquet("analyze_li", os.path.join(sf_dir, "lineitem.parquet"))
     out = ctx.execute(
         "ANALYZE TABLE analyze_li COMPUTE STATISTICS FOR COLUMNS l_quantity, l_discount"
@@ -720,7 +720,7 @@ def q_copy_stmt(spark, sf_dir):
 
     ctx = ExecutionContext(spark=spark)
     T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    out = os.path.join(_tf.mkdtemp(prefix="mesin_copy_"), "orders_csv")
+    out = os.path.join(scratch_dir(prefix="mesin_copy_"), "orders_csv")
     ctx.execute(
         "COPY (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) "
         f"TO '{out}' (FORMAT csv)"

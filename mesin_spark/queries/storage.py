@@ -12,7 +12,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from mesin_spark.queries import T, query, sr
+from mesin_spark.queries import R, T, query, sr, scratch_dir
 from mesin_spark.queries.dml import _scratch
 
 
@@ -73,7 +73,7 @@ def q_pruned_scan(spark, sf_dir):
 
     li = T(spark, sf_dir, "lineitem")
     layout = os.path.join(
-        tempfile.mkdtemp(prefix="mesin_zone_"), "lineitem_sorted"
+        scratch_dir(prefix="mesin_zone_"), "lineitem_sorted"
     )
     write_parquet(
         li.repartitionByRange(8, "l_orderkey"), layout, sort_by=["l_orderkey"]
@@ -81,8 +81,6 @@ def q_pruned_scan(spark, sf_dir):
     zm = zone_map(spark, layout, ["l_orderkey"])
     lo, hi = 100, 300  # present at every SF; prunes 7/8 files
     pruned = pruned_parquet(spark, layout, "l_orderkey", lo, hi, zm=zm)
-    from mesin_spark.functions import stable_round as R
-
     return (
         pruned.filter(F.col("l_orderkey").between(lo, hi))
         .groupBy("l_returnflag")
@@ -118,7 +116,7 @@ def q_stream_upsert(spark, sf_dir):
     from mesin_spark.dml import ColumnDefinition, DdlSession
     from mesin_spark.ext.streaming import read_events_stream, run_upsert_to_table
 
-    base = tempfile.mkdtemp(prefix="mesin_upsert_")
+    base = scratch_dir(prefix="mesin_upsert_")
     sess = DdlSession(spark, base_dir=base)
     target = sess.create_table(
         "user_state",
@@ -168,12 +166,11 @@ def q_partition_prune(spark, sf_dir):
     partitions for the high-cardinality rest. The PartitionFilters plan
     fragment is asserted in tests/test_storage.py; the oracle proves
     the partitioned answer equals the full-table answer."""
-    from mesin_spark.functions import stable_round as R
     from mesin_spark.sources import write_parquet
 
     ev = T(spark, sf_dir, "events")
     layout = os.path.join(
-        tempfile.mkdtemp(prefix="mesin_part_"), "events_by_type"
+        scratch_dir(prefix="mesin_part_"), "events_by_type"
     )
     write_parquet(ev, layout, partition_by=["event_type"])
     part = spark.read.parquet(layout)
