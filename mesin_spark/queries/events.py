@@ -5,9 +5,11 @@ The same groupBy(F.window(...)) expressions run unchanged under
 readStream — see mesin_spark/ext/streaming.py for the streaming variants
 with watermarks. Batch versions are oracle-checkable.
 
-Precision note (FIXTURES.md): events.ts is ns in parquet; Spark truncates
-to µs, DuckDB keeps TIMESTAMP_NS. All outputs are floor-epoch-seconds
-BIGINT so the precision difference can't reach the value hash.
+Precision note: events.ts is currently MICROSECOND parquet
+(isAdjustedToUTC=false — the driver regenerated it; round 1 shipped ns,
+and sources.read_parquet still handles both). All outputs are
+floor-epoch-seconds BIGINT so any future precision change can't reach
+the value hash.
 """
 
 from __future__ import annotations
@@ -176,10 +178,10 @@ def q_asof_join(spark, sf_dir):
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           CAST(sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    WHERE try_cast(json_extract_string(props, '$.k') AS BIGINT) >= 50
     GROUP BY event_type
     """,
 )

@@ -45,19 +45,24 @@ def q_exists(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
     )
     """,
 )
 def q_not_exists(spark, sf_dir):
-    """Correlated NOT EXISTS (customers with no orders) — planned as a
-    left-anti join."""
+    """Correlated NOT EXISTS (customers with no large order) — planned as
+    a left-anti join. The predicate is chosen to return rows at EVERY
+    certification scale (every synthetic customer has orders, so the
+    bare no-orders form certified an empty result — a broken anti-join
+    would have passed)."""
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(
         """
         SELECT c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (
-            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
         )
         """
     )
@@ -634,8 +639,6 @@ def q_udaf_geomean(spark, sf_dir):
     of an opaque UDAF, which is why the built-in fold tier exists)."""
     import pandas as pd
     import numpy as np
-
-    from mesin_spark.functions import stable_round as R  # noqa: F401
 
     def geomean(pdf: pd.DataFrame) -> pd.DataFrame:
         v = np.log(pdf["l_quantity"].to_numpy(dtype=np.float64))

@@ -1092,3 +1092,21 @@ def test_ewma_stable_at_long_histories(spark, tmp_path):
         e = v if e is None else 0.1 * v + 0.9 * e
         if i % 997 == 0 or i > 9_990:
             assert abs(out[i] - e) < 1e-5, (i, out[i], e)
+    # cross-engine: the WINDOWED branch (rn > 3000) must agree with the
+    # DuckDB oracle on the same data — the certification fixtures never
+    # reach that branch, so this is its only cross-engine evidence
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/events.parquet/*.parquet')"
+    )
+    oracle = {
+        int(r[1]): r[2]
+        for r in con.execute(E.oracle_sql()["q_ewma"]).fetchall()
+    }
+    diffs = [i for i in out if abs(out[i] - oracle[i]) > 1e-9]
+    assert not diffs, (len(diffs), diffs[:5])
