@@ -13,7 +13,6 @@ explicit schema — inference costs an extra full scan at 100 TB.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 

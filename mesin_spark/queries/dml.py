@@ -10,7 +10,6 @@ WHERE, DDL → VALUES of the expected catalog state).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -122,7 +121,7 @@ def q_create_table(spark, sf_dir):
     NULL, price FLOAT DEFAULT 0.0) — the reference's canonical DDL fixture
     (tmp/crud.txt:916; test test_create_table :911-932). Returns the
     recorded column metadata."""
-    sess = DdlSession(spark)
+    sess = DdlSession(spark, base_dir=scratch_dir("mesin_ddl_"))
     sess.create_table(
         "products",
         [
@@ -171,7 +170,7 @@ def q_drop_table(spark, sf_dir):
     """DROP TABLE multi / IF EXISTS / CASCADE (tmp/crud.txt:349-371;
     reference test test_drop_table :955-972): t_a + t_b dropped (t_b with a
     dependent index via CASCADE), missing table tolerated by IF EXISTS."""
-    sess = DdlSession(spark)
+    sess = DdlSession(spark, base_dir=scratch_dir("mesin_ddl_"))
     for t in ("t_a", "t_b", "t_keep"):
         sess.create_table(t, [ColumnDefinition("id", "BIGINT")])
     sess.create_index("t_b", ["id"])
@@ -189,7 +188,7 @@ def q_drop_table(spark, sf_dir):
 def q_drop_index(spark, sf_dir):
     """DROP INDEX + IF EXISTS tolerance (tmp/crud.txt:372-383; reference
     test test_drop_index :974-991)."""
-    sess = DdlSession(spark)
+    sess = DdlSession(spark, base_dir=scratch_dir("mesin_ddl_"))
     sess.create_table("t_x", [ColumnDefinition("id", "BIGINT"), ColumnDefinition("v", "DOUBLE")])
     sess.create_index("t_x", ["id"], name="idx_gone")
     sess.create_index("t_x", ["v"], name="idx_keep")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mesin_spark.functions import scalar_function
-from mesin_spark.queries import T, query
+from mesin_spark.queries import T, query, sr
 from mesin_spark.queries import R  # stable rounding
 
 
@@ -86,14 +86,14 @@ def q_fn_date(spark, sf_dir):
 
 @query(
     "q_fn_math",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            ABS(l_extendedprice - 30000.0) AS abs_dev,
-           floor((l_extendedprice) * 10.0 + 0.5) / 10.0 AS rounded,
+           {sr('l_extendedprice', 1)} AS rounded,
            CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
-           floor((SQRT(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS qty_sqrt,
-           floor((POWER(1.0 + l_tax, 2)) * 1000000.0 + 0.5) / 1000000.0 AS tax_sq,
+           {sr('SQRT(l_quantity)', 6)} AS qty_sqrt,
+           {sr('POWER(1.0 + l_tax, 2)', 6)} AS tax_sq,
            l_linenumber % 4 AS ln_mod
     FROM lineitem
     """,

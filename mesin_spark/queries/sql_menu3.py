@@ -11,7 +11,6 @@ proves them exactly equal to the plain formulations.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mesin_spark.ext import pipeline as P
