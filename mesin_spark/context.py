@@ -24,6 +24,7 @@ fall back to generic, exactly like ``get_dialect``'s ``_ =>`` arm
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,6 +82,17 @@ def normalize_dialect(sql: str, dialect: str) -> str:
     - hive/bigquery/clickhouse: backtick identifiers already match Spark —
       passthrough.
 
+    - clickhouse: top-level ``[LEFT] ARRAY JOIN <expr> [AS <alias>]``
+      (the dialect's signature idiom) → the FROM clause is wrapped in a
+      subquery that explodes the operand. Bare-column form replaces the
+      array column with its element (``SELECT * EXCEPT (c), explode(c)
+      AS c``), aliased form keeps the array and adds the element — both
+      exactly ClickHouse's semantics; LEFT uses explode_outer (empty
+      arrays keep the row with NULL element). Multi-array zip form is
+      rejected with a clear error.
+    - bigquery: ``SELECT * EXCEPT (cols)`` parses natively on Spark ≥3.4
+      — passthrough by design (tested, not assumed).
+
     - all dialects: a top-level ``QUALIFY <pred>`` (Teradata-origin;
       duckdb/snowflake/bigquery surface) → wrapped subquery with the
       predicate as an outer WHERE — Spark has no QUALIFY at all, and the
@@ -104,6 +116,8 @@ def normalize_dialect(sql: str, dialect: str) -> str:
         # DML router intact
         sql = _rewrite_qualify(sql)
     sql = _rewrite_quantified(sql)
+    if dialect == "clickhouse":
+        sql = _rewrite_array_join(sql)
     if dialect == "mssql":
         return _normalize_mssql(sql)
     if dialect not in _PG_LIKE:
@@ -365,6 +379,124 @@ def _rewrite_qualify(sql: str) -> str:
     return f"SELECT * FROM ({head}) _qualify WHERE {pred}" + (f" {tail}" if tail else "")
 
 
+_AJ_STOP = ("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY", "UNION",
+            "INTERSECT", "EXCEPT", "SETTINGS")
+
+
+def _scan_top_level(sql: str, start: int = 0):
+    """Yield (i, ch) for positions OUTSIDE string literals / quoted
+    identifiers, tracking paren depth — the shared walk all the dialect
+    rewriters need. Yields (i, ch, depth)."""
+    i, n, depth = start, len(sql), 0
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch in '"`':
+            j = sql.find(ch, i + 1)
+            i = n if j == -1 else j + 1
+            continue
+        if ch in "()":
+            depth += 1 if ch == "(" else -1
+        yield i, ch, depth
+        i += 1
+
+
+def _kw_at(sql: str, i: int, kw: str) -> bool:
+    """True when ``kw`` (single word) starts at i as a whole word."""
+    n = len(sql)
+    k = len(kw)
+    return (
+        sql[i : i + k].upper() == kw
+        and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+        and (i + k == n or not (sql[i + k].isalnum() or sql[i + k] == "_"))
+    )
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """ClickHouse ``[LEFT] ARRAY JOIN <expr> [AS <alias>]`` → a FROM-clause
+    subquery with explode/explode_outer (see normalize_dialect's docstring
+    for the exact semantics mapping). Top-level only; occurrences inside
+    subqueries are reached because the rewrite re-runs on its own output
+    until no top-level clause remains — nested ones surface Spark's parse
+    error, the documented contract for constructs beyond the normalizer."""
+    aj_at = -1
+    left = False
+    for i, ch, depth in _scan_top_level(sql):
+        if depth == 0 and _kw_at(sql, i, "ARRAY"):
+            rest = sql[i + 5 :].lstrip()
+            if rest.upper().startswith("JOIN"):
+                aj_at = i
+                break
+    if aj_at == -1:
+        return sql
+    # optional LEFT immediately before
+    head_end = aj_at
+    pre = sql[:aj_at].rstrip()
+    if pre.upper().endswith("LEFT"):
+        left = True
+        head_end = len(pre) - 4
+    # operand starts after 'JOIN'
+    j = sql.upper().index("JOIN", aj_at) + 4
+    # find the top-level FROM that owns this clause (last FROM before it)
+    from_at = -1
+    for i, ch, depth in _scan_top_level(sql[:head_end]):
+        if depth == 0 and _kw_at(sql[:head_end], i, "FROM"):
+            from_at = i
+    if from_at == -1:
+        raise ValueError("ARRAY JOIN without a FROM clause")
+    src = sql[from_at + 4 : head_end].strip()
+    # operand runs to a top-level stop keyword or end of statement
+    op_end = len(sql)
+    as_at = -1
+    comma_at = -1
+    for i, ch, depth in _scan_top_level(sql, j):
+        if depth != 0:
+            continue
+        if ch == ",":
+            comma_at = i if comma_at == -1 else comma_at
+        if ch == ";":
+            op_end = i
+            break
+        if any(_kw_at(sql, i, k) for k in _AJ_STOP):
+            op_end = i
+            break
+        if _kw_at(sql, i, "AS") and as_at == -1:
+            as_at = i
+    if comma_at != -1 and comma_at < op_end:
+        raise ValueError(
+            "multi-array ARRAY JOIN (zip semantics) is not supported — "
+            "rewrite as arrays_zip(...) with a single ARRAY JOIN"
+        )
+    explode = "explode_outer" if left else "explode"
+    rest = sql[op_end:]
+    head = sql[:from_at]
+    if as_at != -1 and as_at < op_end:
+        expr = sql[j:as_at].strip()
+        alias = sql[as_at + 2 : op_end].strip()
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", alias):
+            raise ValueError(f"ARRAY JOIN alias must be an identifier, got {alias!r}")
+        inner = f"SELECT *, {explode}({expr}) AS {alias} FROM {src}"
+    else:
+        expr = sql[j:op_end].strip()
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", expr):
+            raise ValueError(
+                "unaliased ARRAY JOIN needs a plain array column (its element "
+                f"replaces the column); alias expressions: ARRAY JOIN {expr} AS x"
+            )
+        inner = f"SELECT * EXCEPT ({expr}), {explode}({expr}) AS {expr} FROM {src}"
+    return _rewrite_array_join(f"{head}FROM ({inner}) _arrayjoin {rest}".rstrip())
+
+
 def _normalize_mssql(sql: str) -> str:
     """mssql surface: ``[bracket]`` identifiers → backticks and the
     top-level ``SELECT TOP n`` → a trailing ``LIMIT n``. Char scanner so
@@ -432,6 +564,20 @@ def _normalize_mssql(sql: str) -> str:
     return text
 
 
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(text: str) -> int:
+    """Spark byte-size conf values ('10MB', '10485760b', '-1') → bytes."""
+    m = re.fullmatch(r"\s*(-?\d+)\s*([A-Za-z]*)\s*", str(text))
+    if not m or m.group(2).lower() not in _BYTE_SUFFIXES:
+        return 10 * 1024 * 1024
+    return int(m.group(1)) * _BYTE_SUFFIXES[m.group(2).lower()]
+
+
 class ExecutionContext:
     """SQL-string-in, DataFrame-out engine handle.
 
@@ -440,11 +586,22 @@ class ExecutionContext:
     >>> ctx.execute("SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1")
     """
 
-    def __init__(self, dialect: str = "postgres", spark: SparkSession | None = None):
+    def __init__(
+        self,
+        dialect: str = "postgres",
+        spark: SparkSession | None = None,
+        stats: bool = False,
+    ):
         self.dialect = get_dialect(dialect)
         self.spark = spark or get_session()
         self.catalog = Catalog(self.spark)
         self._ddl = None  # lazy DdlSession for the statement dispatcher
+        #: opt-in CBO loop: when True, execute() consults persisted ANALYZE
+        #: artifacts (catalog 'stats_path' properties) before planning —
+        #: stats-known small tables get a broadcast hint and the shuffle
+        #: partition count is seeded from the largest table's estimate.
+        self.stats_enabled = stats
+        self._stats_hinted: set[str] = set()
 
     @property
     def ddl(self):
@@ -480,6 +637,20 @@ class ExecutionContext:
                 "execute them one at a time"
             )
         stmt = normalize_dialect(stmts[0], self.dialect)
+        m = re.match(r"\s*EXPLAIN\s+(?:EXTENDED\s+|FORMATTED\s+)?(.+)$", stmt,
+                     re.I | re.S)
+        if m:
+            # the reference's ONLY output artifact is a printed plan
+            # (src/context.rs:53) — surface it as a 1-row (plan STRING)
+            # frame. Queries only: EXPLAIN on a DML statement would have
+            # to execute it to plan it here, so it is refused instead.
+            inner = m.group(1).strip()
+            if not re.match(r"(SELECT|WITH|VALUES|\()", inner, re.I):
+                raise ValueError(
+                    "EXPLAIN supports query statements (SELECT/WITH/VALUES)"
+                )
+            plan = self.explain(inner)
+            return self.spark.createDataFrame([(plan,)], "plan string")
         from mesin_spark import sql_dml
 
         if sql_dml.is_dml(stmt):
@@ -487,7 +658,63 @@ class ExecutionContext:
             # INSERT/UPDATE/DELETE/CREATE/DROP/ALTER route to the managed
             # DML tier; CREATE/DROP VIEW and queries stay on spark.sql
             return sql_dml.dispatch(self.ddl, stmt)
+        if self.stats_enabled:
+            self._apply_stats(stmt)
         return self.spark.sql(stmt)
+
+    def _apply_stats(self, stmt: str) -> None:
+        """The opt-in stats→plan loop (``ExecutionContext(stats=True)``):
+        for every catalog table mentioned in ``stmt`` that carries a
+        persisted ANALYZE artifact, (a) re-register its view with a
+        broadcast hint when the artifact-estimated size fits under Spark's
+        autoBroadcastJoinThreshold — a ResolvedHint on the view propagates
+        into every join against it, exactly the first-run broadcast a CBO
+        gets from catalog stats without waiting for AQE's runtime sizes —
+        and (b) seed spark.sql.shuffle.partitions from the LARGEST
+        mentioned table's estimated bytes (AQE can only coalesce down).
+        Metadata-only: no scan, no collect; each table is hinted once per
+        context."""
+        from mesin_spark.ext.stats import (
+            avg_row_bytes,
+            load_stats,
+            recommend_shuffle_partitions,
+        )
+        from mesin_spark.sources import read_parquet
+
+        words = {w.lower() for w in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", stmt)}
+        thresh = _parse_bytes(
+            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+        if thresh <= 0:  # broadcast disabled session-wide: honor it
+            thresh = -1
+        max_rows, max_row_bytes = 0, 8
+        for name, meta in self.catalog.tables.items():
+            if name.lower() not in words:
+                continue
+            stats_path = meta.properties.get("stats_path")
+            if not stats_path:
+                continue
+            try:
+                stats = load_stats(self.spark, stats_path)
+            except (OSError, ValueError):
+                continue
+            if not stats.summary:
+                continue
+            df = self.catalog.table(name)
+            n_rows = next(iter(stats.summary.values()))["n"]
+            row_bytes = avg_row_bytes(df)
+            if n_rows * row_bytes > max_rows * max_row_bytes:
+                max_rows, max_row_bytes = n_rows, row_bytes
+            if n_rows * row_bytes <= thresh and name not in self._stats_hinted:
+                # rebuild from source (hinting spark.table(name) and
+                # re-registering under the same name would self-reference)
+                if meta.path and os.path.exists(meta.path):
+                    src = read_parquet(self.spark, meta.path)
+                    src.hint("broadcast").createOrReplaceTempView(name)
+                    self._stats_hinted.add(name)
+        if max_rows:
+            n = recommend_shuffle_partitions(max_rows, max_row_bytes)
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(n))
 
     def execute_script(self, sql: str) -> list[DataFrame]:
         """Run a multi-statement script (';'-separated, quote-aware)
@@ -503,7 +730,14 @@ class ExecutionContext:
     def explain(self, sql: str) -> str:
         """The reference's terminal stage was a pretty-printed logical plan
         (src/context.rs:53, tmp/select.rs:625-746 ``format_plan``); ours is
-        Catalyst's, which includes the optimized + physical plan."""
+        Catalyst's, which includes the optimized + physical plan. Queries
+        only — explaining a DML statement would have to execute it."""
+        from mesin_spark import sql_dml
+
+        if sql_dml.is_dml(normalize_dialect(sql, self.dialect)):
+            raise ValueError(
+                "explain() supports query statements (SELECT/WITH/VALUES)"
+            )
         df = self.execute(sql)
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             df._jdf.queryExecution(), "extended"

@@ -971,9 +971,9 @@ def run_dedup_plan(
             else:
                 pairs = minhash_lsh_dedup(out, id_col, text_col, threshold=threshold)
             clusters = dedup_clusters(pairs.select("id_a", "id_b"))
-            losers = clusters.filter(F.col("node") != F.col("lbl")).select(
-                F.col("node").alias(id_col)
-            )
+            losers = clusters.filter(
+                F.col("node") != F.col("canonical_id")
+            ).select(F.col("node").alias(id_col))
             out = out.join(losers, id_col, "anti")
         elif tier == "embedding":
             raise ValueError(

@@ -325,8 +325,6 @@ FRAME_SCHEMA = (
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    if every_n < 1:
-        raise ValueError(f"every_n must be >= 1, got {every_n}")
     """Video frame sampling: decode the MPPM payload, keep every
     ``every_n``-th frame (always including frame 0), and emit the sampled
     frames as array<binary> (re-encoded P6) plus a per-sampled-frame mean
@@ -334,6 +332,8 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     Arrow-batched, no shuffle, the 100 TB shape for frame extraction.
     Formats needing a native codec (mp4/webm) would plug into
     ``decode_video``; everything Spark-side stays identical."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

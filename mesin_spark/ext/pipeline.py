@@ -139,6 +139,74 @@ def grouped_sample(
     )
 
 
+def negative_sample(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int | None = None,
+    oversample: int = 4,
+    items: DataFrame | None = None,
+) -> DataFrame:
+    """Negative sampling for contrastive / recommendation training: per
+    user, items they have NEVER interacted with.
+
+    ``k=None`` → EXACT enumeration: every non-interacted catalog item per
+    user (catalog broadcast-expanded, one anti-join). Correct — and only
+    sane — when the catalog is small (the fixture's 20-item case).
+
+    ``k`` set → CAPPED sampling, the shape a real 10⁶-item catalog needs:
+    the candidate set is bounded to ``k * oversample`` portable-hash draws
+    per user BEFORE the anti-join, so candidate rows — never users×items —
+    bound every shuffle. Each user draws ``k*oversample`` slot hashes
+    (``xxhash64(user, slot) mod |catalog|``), joins them to the indexed
+    catalog, drops positives with the anti-join, and keeps the first ``k``
+    distinct negatives by per-user hash rank. Deterministic: same inputs →
+    same negatives, across runs and repartitioning. Oversampling absorbs
+    hash collisions and positive hits; users whose draw count can't reach
+    ``k`` distinct negatives return fewer (never wrong) rows.
+
+    Scale audit: catalog indexing is one catalog-sized window (row_number
+    over a single ordered partition — catalog metadata scale, not corpus
+    scale); the candidate frame is exactly users × k × oversample rows
+    through the item join, the anti-join, and the dedup/rank shuffle.
+    """
+    pos = interactions.select(user_col, item_col).distinct()
+    catalog = (items or pos.select(item_col)).select(item_col).distinct()
+    users = pos.select(user_col).distinct()
+    if k is None:
+        return (
+            users.crossJoin(F.broadcast(catalog))
+            .join(pos, [user_col, item_col], "left_anti")
+        )
+    n_items = catalog.count()
+    if n_items == 0:
+        return users.limit(0).crossJoin(catalog)
+    idx_w = Window.orderBy(F.col(item_col).asc())
+    indexed = catalog.withColumn("_idx", F.row_number().over(idx_w) - 1)
+    n_slots = max(k, k * oversample)
+    cand = (
+        users.select(
+            user_col, F.explode(F.sequence(F.lit(0), F.lit(n_slots - 1))).alias("_slot")
+        )
+        .withColumn(
+            "_idx",
+            F.pmod(F.xxhash64(F.col(user_col), F.col("_slot")), F.lit(n_items)),
+        )
+        .join(indexed, "_idx")
+        .select(user_col, item_col)
+        .dropDuplicates([user_col, item_col])
+        .join(pos, [user_col, item_col], "left_anti")
+    )
+    rank_w = Window.partitionBy(user_col).orderBy(
+        F.xxhash64(F.col(user_col), F.col(item_col)).asc(), F.col(item_col).asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(rank_w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def scrub_text(col: Column | str) -> Column:
     """Redact emails and phone-number-ish digit runs ([EMAIL], [PHONE]) —
     regexp_replace replaces every occurrence, map-side only."""

@@ -355,19 +355,29 @@ def ivf_topk(
 
 
 def salted_all_pairs(
-    a: DataFrame, b: DataFrame, salt_col: str, n_salts: int = 16
+    a: DataFrame,
+    b: DataFrame,
+    salt_col: str,
+    n_salts: int = 16,
+    block_col: str = "blk",
 ) -> DataFrame:
-    """All-pairs join of two sides sharing a low-cardinality ``blk`` key,
-    spread over ``#blocks × n_salts`` tasks instead of ``#blocks``.
+    """All-pairs join of two sides sharing a low-cardinality ``block_col``
+    key, spread over ``#blocks × n_salts`` tasks instead of ``#blocks``.
 
     Classic replicated-salting: side a gets a deterministic salt from
     ``salt_col``; side b is replicated across every salt value, so each
     (a-row, b-row) pair meets exactly once. This is THE lever for blocked
     pairwise ops (n-gram Jaccard, embedding near-dup) — without it a
     5-block corpus runs at most 5-way parallel no matter the cluster size."""
+    for side_name, side_df in (("a", a), ("b", b)):
+        if block_col not in side_df.columns:
+            raise ValueError(
+                f"salted_all_pairs: block column {block_col!r} missing from "
+                f"side {side_name} (columns: {side_df.columns})"
+            )
     a_s = a.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salts)))
     b_s = b.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
-    return a_s.join(b_s, on=["blk", "_salt"]).drop("_salt")
+    return a_s.join(b_s, on=[block_col, "_salt"]).drop("_salt")
 
 
 def embedding_neardup_pairs(
@@ -461,7 +471,7 @@ def semantic_dedup(
     from mesin_spark.ext.dedup import dedup_clusters
 
     comp = dedup_clusters(pairs.select("id_a", "id_b"))
-    losers = comp.filter(F.col("node") != F.col("lbl")).select(
+    losers = comp.filter(F.col("node") != F.col("canonical_id")).select(
         F.col("node").alias(id_col)
     )
     return assigned.select(id_col, "sem_cluster").join(

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -153,14 +154,24 @@ def build_stats(
     return TableStats(summary=summ, histograms=hists)
 
 
-def write_stats(stats: TableStats, spark: SparkSession, path: str) -> None:
+def write_stats(
+    stats: TableStats, spark: SparkSession, path: str, batch_id: int | None = None
+) -> None:
     """Persist the artifact as two tiny parquet files (summary rows +
     histogram rows) under ``path`` — the shape a 100 TB deployment keeps
     in its table-format commit log / stats store. Written driver-side
     with pyarrow: the artifact is catalog metadata (cols × bins rows),
     and a distributed write would spend a whole Spark job's scheduling
     overhead on kilobytes — measured 10-30× slower than the direct
-    serialize. The files are plain parquet, readable by any engine."""
+    serialize. The files are plain parquet, readable by any engine.
+
+    Atomicity: the PAIR commits as one unit. Both files (plus a meta.json
+    carrying ``batch_id`` for streaming replay detection) are written into
+    a staging directory, renamed to an immutable ``snap-<n>`` directory,
+    and published by an os.replace of the ``_CURRENT`` pointer file — a
+    crash at any point leaves readers on the complete previous snapshot,
+    never a (new hist, old summary) torn pair that merge_stats would
+    double-count on checkpoint replay."""
     srows = [
         {
             "col": c,
@@ -208,31 +219,92 @@ def write_stats(stats: TableStats, spark: SparkSession, path: str) -> None:
             ("n", pa.int64()),
         ]
     )
-    # write-then-replace per file, HIST FIRST: a crash mid-sequence leaves
-    # either the complete old pair or (old summary, new hist) — and since
-    # load_stats treats summary as the commit point, a torn write never
-    # surfaces a truncated file; maintain_stats_stream recovers on the
-    # next batch instead of failing every batch on a parquet parse error
-    tmp_h = os.path.join(path, ".hist.parquet.tmp")
-    pq.write_table(pa.Table.from_pylist(hrows, schema=schema_h), tmp_h)
-    os.replace(tmp_h, os.path.join(path, "hist.parquet"))
-    tmp_s = os.path.join(path, ".summary.parquet.tmp")
-    pq.write_table(pa.Table.from_pylist(srows, schema=schema_s), tmp_s)
-    os.replace(tmp_s, os.path.join(path, "summary.parquet"))
+    import json
+    import uuid
+
+    staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(staging)
+    pq.write_table(pa.Table.from_pylist(srows, schema=schema_s),
+                   os.path.join(staging, "summary.parquet"))
+    pq.write_table(pa.Table.from_pylist(hrows, schema=schema_h),
+                   os.path.join(staging, "hist.parquet"))
+    with open(os.path.join(staging, "meta.json"), "w") as f:
+        json.dump({"batch_id": batch_id}, f)
+    snap_n = 1 + max(
+        (int(d[5:]) for d in os.listdir(path)
+         if d.startswith("snap-") and d[5:].isdigit()),
+        default=0,
+    )
+    snap = os.path.join(path, f"snap-{snap_n}")
+    os.rename(staging, snap)  # atomic: target never pre-exists
+    tmp_ptr = os.path.join(path, f".ptr-{uuid.uuid4().hex}")
+    with open(tmp_ptr, "w") as f:
+        f.write(f"snap-{snap_n}")
+    os.replace(tmp_ptr, os.path.join(path, "_CURRENT"))  # the commit point
+    # prune superseded snapshots + pre-snapshot flat files (best-effort;
+    # a concurrent reader that already resolved _CURRENT holds its files
+    # open — POSIX keeps them readable until close)
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith("snap-") and d != f"snap-{snap_n}":
+            shutil.rmtree(full, ignore_errors=True)
+        elif d in ("summary.parquet", "hist.parquet"):
+            try:
+                os.remove(full)
+            except OSError:
+                pass
+
+
+def _stats_snapshot_dir(path: str) -> str | None:
+    """Resolve the committed snapshot directory, or the legacy flat layout
+    (pre-round-3 artifacts: summary/hist directly under ``path``), or None
+    when no committed artifact exists."""
+    cur = os.path.join(path, "_CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as f:
+            return os.path.join(path, f.read().strip())
+    if os.path.exists(os.path.join(path, "summary.parquet")):
+        return path
+    return None
+
+
+def stats_exist(path: str) -> bool:
+    """True when a committed stats artifact exists at ``path``."""
+    return _stats_snapshot_dir(path) is not None
+
+
+def stats_batch_id(path: str) -> int | None:
+    """The ``batch_id`` the committed snapshot was written with (None for
+    batch-mode or legacy artifacts) — the streaming replay-detection hook."""
+    import json
+
+    snap = _stats_snapshot_dir(path)
+    if snap is None:
+        return None
+    meta = os.path.join(snap, "meta.json")
+    if not os.path.exists(meta):
+        return None
+    with open(meta) as f:
+        return json.load(f).get("batch_id")
 
 
 def load_stats(spark: SparkSession, path: str) -> TableStats:
     """Reload a persisted artifact (pyarrow, driver-side — metadata scale;
     ``spark`` kept in the signature so callers treat this as the engine's
-    catalog API and the files stay readable via spark.read.parquet too)."""
+    catalog API and the files stay readable via spark.read.parquet too).
+    Reads through the ``_CURRENT`` snapshot pointer (write_stats' commit
+    point); legacy flat artifacts load unchanged."""
     import pyarrow.parquet as pq
 
+    snap = _stats_snapshot_dir(path)
+    if snap is None:
+        raise FileNotFoundError(f"no committed stats artifact at {path}")
     summ = {
         r["col"]: r
-        for r in pq.read_table(os.path.join(path, "summary.parquet")).to_pylist()
+        for r in pq.read_table(os.path.join(snap, "summary.parquet")).to_pylist()
     }
     hists: dict = {c: [] for c in summ}
-    for r in pq.read_table(os.path.join(path, "hist.parquet")).to_pylist():
+    for r in pq.read_table(os.path.join(snap, "hist.parquet")).to_pylist():
         hists.setdefault(r["col"], []).append(r)
     for c in hists:
         hists[c].sort(key=lambda x: x["bin"])
@@ -535,9 +607,15 @@ def maintain_stats_stream(
     stays fresh WITHOUT ever rescanning the corpus — each batch is
     scanned exactly once, on arrival. ``bounds`` should pin the known
     column domains so every batch buckets identically (mergeable bins);
-    unpinned columns keep summary-only maintenance. Exactly-once comes
-    from the checkpoint: a replayed batch would double-count, so the
-    artifact directory and checkpoint must be dropped together.
+    unpinned columns keep summary-only maintenance.
+
+    Exactly-once: write_stats commits the (summary, hist, batch_id)
+    triple atomically behind its snapshot pointer, and a replayed batch
+    (crash after the commit but before the checkpoint recorded it) is
+    detected by comparing the committed batch_id and SKIPPED — the merge
+    is not idempotent, so replay detection, not the checkpoint alone, is
+    what prevents double-counting. The artifact directory and checkpoint
+    must still be dropped together.
 
     Returns the DataStreamWriter — caller picks the trigger
     (`.trigger(availableNow=True)` to drain, or processingTime for
@@ -546,11 +624,17 @@ def maintain_stats_stream(
     def _update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_stats = build_stats(batch_df, cols, n_bins=n_bins, bounds=bounds)
         spark = batch_df.sparkSession
-        if os.path.exists(os.path.join(stats_path, "summary.parquet")):
-            batch_stats = merge_stats(load_stats(spark, stats_path), batch_stats)
-        write_stats(batch_stats, spark, stats_path)
+        if stats_exist(stats_path):
+            if stats_batch_id(stats_path) == batch_id:
+                return  # checkpoint replay of an already-committed batch
+            batch_stats = merge_stats(
+                load_stats(spark, stats_path),
+                build_stats(batch_df, cols, n_bins=n_bins, bounds=bounds),
+            )
+        else:
+            batch_stats = build_stats(batch_df, cols, n_bins=n_bins, bounds=bounds)
+        write_stats(batch_stats, spark, stats_path, batch_id=batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_update)

@@ -131,4 +131,41 @@ def load_all() -> None:
         llm2,
         llm,
         llm4,
+        dialects,
     )
+    _rotate_certified_to_tail()
+
+
+def _rotate_certified_to_tail() -> None:
+    """Move queries already certified by a prior driver round to the END of
+    the registry, preserving the cheap-first cost order within each group.
+
+    The driver certifies a fixed-size prefix of the registry per round
+    (50 names in rounds 1-2), so with a static order the same prefix is
+    re-certified forever and the tail never gets a CORRECTNESS row. The
+    certified set is read from the CORRECTNESS_r*.json files the driver
+    itself writes at the repo root — each round the freshly-certified
+    names rotate out automatically, so successive rounds walk the whole
+    registry. No-op (and harmless) when no CORRECTNESS file exists."""
+    import glob
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    certified: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                certified.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    if not certified:
+        return
+    ordered = [n for n in QUERIES if n not in certified] + [
+        n for n in QUERIES if n in certified
+    ]
+    rotated = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(rotated)
+    oracle = {n: ORACLE[n] for n in ordered if n in ORACLE}
+    ORACLE.clear()
+    ORACLE.update(oracle)

@@ -1,0 +1,85 @@
+"""Dialect-specific construct queries — the reference's 11-dialect knob
+(src/lib.rs:9-23) exercised with each dialect's signature idiom running
+END TO END through ``ExecutionContext.execute(dialect=...)``, not just
+accepted-and-ignored:
+
+- clickhouse ``ARRAY JOIN`` → explode subquery (context._rewrite_array_join)
+- bigquery ``SELECT * EXCEPT(cols)`` → native Spark ≥3.4 star-except
+- ``EXPLAIN <query>`` → the reference's only output artifact
+  (a printed plan, src/context.rs:53) reachable as a SQL statement.
+"""
+
+from __future__ import annotations
+
+import os
+
+from mesin_spark.queries import query
+
+
+def _ctx(spark, sf_dir, dialect, *tables):
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(dialect=dialect, spark=spark)
+    for t in tables:
+        ctx.register_parquet(t, os.path.join(sf_dir, f"{t}.parquet"))
+    return ctx
+
+
+@query(
+    "q_dialect_arrayjoin",
+    oracle="""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_dialect_arrayjoin(spark, sf_dir):
+    """ClickHouse's signature idiom, pasted verbatim: bare-column ``ARRAY
+    JOIN words`` (the element REPLACES the array column — rewritten to a
+    ``SELECT * EXCEPT (words), explode(words) AS words`` subquery, so the
+    replacement semantics are exact). Post-join WHERE filters on the
+    element, as ClickHouse evaluates it. Scale: explode is a map-side
+    generator — rows expand, nothing shuffles until the aggregate."""
+    ctx = _ctx(spark, sf_dir, "clickhouse", "documents")
+    return ctx.execute(
+        "SELECT doc_id, count(*) AS n_tokens"
+        " FROM (SELECT doc_id, split(text, ' ') AS words FROM documents) t"
+        " ARRAY JOIN words"
+        " WHERE words <> ''"
+        " GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+@query(
+    "q_dialect_except",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 512 ORDER BY o_orderkey
+    """,
+)
+def q_dialect_except(spark, sf_dir):
+    """BigQuery's ``SELECT * EXCEPT(cols)`` pasted verbatim (no space
+    before the paren, as BigQuery users write it) — parses natively on
+    Spark ≥3.4, verified here end to end rather than assumed. Column
+    pruning survives: the excluded columns never reach the scan."""
+    ctx = _ctx(spark, sf_dir, "bigquery", "orders")
+    return ctx.execute(
+        "SELECT * EXCEPT(o_orderpriority, o_orderdate) FROM orders"
+        " WHERE o_orderkey <= 512 ORDER BY o_orderkey"
+    )
+
+
+@query("q_explain")  # rows-only: a plan string has no SQL oracle
+def q_explain(spark, sf_dir):
+    """``EXPLAIN <query>`` as a statement through execute() — the
+    reference's terminal output was exactly this printed plan
+    (src/context.rs:53). Returns one row (plan STRING) carrying
+    Catalyst's parsed/analyzed/optimized/physical plan; pytest asserts
+    the key operators appear (tests/test_context.py)."""
+    ctx = _ctx(spark, sf_dir, "postgres", "region", "nation")
+    return ctx.execute(
+        "EXPLAIN SELECT r.r_name, count(*) AS n FROM region r"
+        " JOIN nation n ON n.n_regionkey = r.r_regionkey"
+        " GROUP BY r.r_name"
+    )

@@ -216,7 +216,6 @@ def q_sql_script(spark, sf_dir):
     final state is oracle-checked against the hand-computed constant
     result. Each mutation is a bounded copy-on-write on a scratch table
     — scan-scaled, never row-at-a-time."""
-    import tempfile
 
     from mesin_spark.context import ExecutionContext
 

@@ -515,28 +515,25 @@ def q_negative_sampling(spark, sf_dir):
     """Negative sampling for contrastive / recommendation training: per
     purchasing user, the catalog items (props.k bucketed to a 20-item
     catalog) they have NEVER purchased — the (user, item) pairs a
-    ranking model trains against as negatives. Plan: distinct
+    ranking model trains against as negatives. Runs
+    ext.pipeline.negative_sample in EXACT mode (k=None): distinct
     interactions (one hash agg), the small catalog broadcast-expanded
-    per user, one anti-join keyed on (user, item). At a real catalog
-    size the expansion is capped by sampling K candidates per user
-    with a portable hash (cf. q_weighted_sample) BEFORE the anti-join,
-    so the candidate set — not the catalog — bounds the shuffle."""
+    per user, one anti-join keyed on (user, item) — full enumeration is
+    the right plan when the catalog is 20 items by construction. At a
+    real catalog size the SAME function's ``k=`` path bounds the
+    candidate set to k×oversample portable-hash draws per user BEFORE
+    the anti-join (tested against a 5000-item catalog in
+    tests/test_round3.py), so candidates — never users×items — bound
+    the shuffle."""
+    from mesin_spark.ext.pipeline import negative_sample
+
     e = T(spark, sf_dir, "events")
-    interactions = (
-        e.filter(F.col("event_type") == "purchase")
-        .select(
-            "user_id",
-            (
-                F.get_json_object("props", "$.k").cast("long") % 20
-            ).alias("item"),
-        )
-        .distinct()
+    interactions = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.get_json_object("props", "$.k").cast("long") % 20).alias("item"),
     )
-    items = interactions.select("item").distinct()
-    buyers = interactions.select("user_id").distinct()
     return (
-        buyers.crossJoin(F.broadcast(items))
-        .join(interactions, ["user_id", "item"], "left_anti")
+        negative_sample(interactions, "user_id", "item", k=None)
         .select("user_id", F.col("item").alias("negative_item"))
         .orderBy("user_id", "negative_item")
     )

@@ -234,7 +234,6 @@ def q_ann_index(spark, sf_dir):
     pruning over a 32x-compressed codes table, the ANN serving layout
     at 100 TB. Recall vs the exact scan and the PartitionFilters plan
     are asserted in tests."""
-    import tempfile
 
     from mesin_spark.ext import ann_index as AI
 

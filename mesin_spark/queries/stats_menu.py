@@ -11,7 +11,6 @@ split, and the second columnar interchange format proven by round-trip.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 
@@ -229,7 +228,6 @@ def q_schema_evolution(spark, sf_dir):
     ingest reality of any long-lived 100 TB table (columns arrive over
     time; rewriting history is off the table). mergeSchema reconciles
     footers at planning time, scan cost is unchanged."""
-    import tempfile as _tf
 
     out = os.path.join(scratch_dir(prefix="mesin_evo_"), "orders_evo")
     o = T(spark, sf_dir, "orders")
@@ -420,7 +418,6 @@ def q_file_overlap(spark, sf_dir):
     compaction planning stays off the data path. (Written repartition(1)
     so each shard dir is exactly one file and the DuckDB oracle can
     reproduce file membership as l_suppkey % 4.)"""
-    import tempfile as _tf
 
     from mesin_spark.ext.sketches import kmv_overlap
     from mesin_spark.sources import zone_map_kmv
@@ -498,7 +495,6 @@ def q_analyze_stmt(spark, sf_dir):
     design; count/nulls/bounds are exact either way). The persisted
     artifact lands at <table>/_stats and the catalog pointer is set —
     asserted in tests/test_stats.py."""
-    import tempfile as _tf
 
     from mesin_spark.context import ExecutionContext
 
@@ -714,7 +710,6 @@ def q_copy_stmt(spark, sf_dir):
     encode/decode drift in the statement-routed sink breaks the hash.
     Completes the reference's I/O story (its only I/O is a hardcoded
     CSV ingest, src/context.rs:30-40) with the write side, as SQL."""
-    import tempfile as _tf
 
     from mesin_spark.context import ExecutionContext
 

@@ -8,7 +8,6 @@ with the table-format primitives a lakehouse user expects.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import functions as F
 

@@ -290,7 +290,12 @@ def _analyze(sess: DdlSession, sql: str) -> DataFrame:
     from mesin_spark.ext.stats import build_stats, write_stats
 
     stats = build_stats(df, cols)
-    stats_path = os.path.join(mt.path, "_stats")
+    if os.path.isfile(mt.path):
+        # table registered from a single parquet FILE: _stats can't nest
+        # under it — keep the artifact beside the file (same dir, suffixed)
+        stats_path = mt.path + "._stats"
+    else:
+        stats_path = os.path.join(mt.path, "_stats")
     write_stats(stats, sess.spark, stats_path)
     meta = sess.catalog.tables[name]
     meta.properties["stats_path"] = stats_path

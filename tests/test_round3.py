@@ -295,3 +295,84 @@ def test_unversioned_time_travel_rejected(spark):
     mt = sess.import_parquet("fl_nation", os.path.join(SF_DIR, "nation.parquet"))
     with pytest.raises(CatalogError, match="not versioned"):
         mt.time_travel(1)
+
+
+# -- negative sampling: capped candidate path (round-3 scale fix) ----------
+def _interactions(spark, n_users=200, n_items=5000, per_user=20):
+    """Synthetic large-catalog positives: each user interacted with
+    per_user deterministic items out of an n_items catalog."""
+    users = spark.range(n_users).select(F.col("id").alias("user_id"))
+    return users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(per_user - 1))).alias("s"),
+    ).select(
+        "user_id",
+        F.pmod(F.xxhash64("user_id", "s"), F.lit(n_items)).alias("item"),
+    )
+
+
+def test_negative_sample_capped_bounds_candidates(spark):
+    """The k= path must return exactly k true negatives per user on a
+    5000-item catalog — the candidate set (users × k × oversample) bounds
+    the work, never users × items."""
+    from mesin_spark.ext.pipeline import negative_sample
+
+    n_users, n_items, k = 200, 5000, 10
+    pos = _interactions(spark, n_users, n_items)
+    catalog = spark.range(n_items).select(F.col("id").alias("item"))
+    neg = negative_sample(pos, "user_id", "item", k=k, items=catalog)
+    counts = {r["user_id"]: r["n"] for r in neg.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    assert len(counts) == n_users
+    assert all(v == k for v in counts.values())
+    # every sampled pair is a TRUE negative
+    assert neg.join(pos.distinct(), ["user_id", "item"], "semi").count() == 0
+    # items come from the catalog
+    assert neg.join(catalog, "item", "anti").count() == 0
+
+
+def test_negative_sample_capped_deterministic(spark):
+    from mesin_spark.ext.pipeline import negative_sample
+
+    pos = _interactions(spark, 50, 1000)
+    catalog = spark.range(1000).select(F.col("id").alias("item"))
+    a = rows(negative_sample(pos, "user_id", "item", k=5, items=catalog), "user_id", "item")
+    b = rows(
+        negative_sample(pos.repartition(13), "user_id", "item", k=5, items=catalog),
+        "user_id",
+        "item",
+    )
+    assert a == b
+
+
+def test_negative_sample_exact_matches_manual(spark):
+    """k=None enumerates exactly the complement of the interaction set."""
+    from mesin_spark.ext.pipeline import negative_sample
+
+    pos = _interactions(spark, 10, 30, per_user=8)
+    got = rows(negative_sample(pos, "user_id", "item"), "user_id", "item")
+    items = pos.select("item").distinct()
+    users = pos.select("user_id").distinct()
+    want = rows(
+        users.crossJoin(items).join(pos.distinct(), ["user_id", "item"], "anti"),
+        "user_id",
+        "item",
+    )
+    assert got == want
+
+
+def test_negative_sample_empty_catalog(spark):
+    from mesin_spark.ext.pipeline import negative_sample
+
+    pos = _interactions(spark, 5, 10).limit(0)
+    assert negative_sample(pos, "user_id", "item", k=3).count() == 0
+
+
+def test_salted_all_pairs_block_col_param(spark):
+    from mesin_spark.ext.similarity import salted_all_pairs
+
+    a = spark.createDataFrame([(0, 1), (0, 2)], "grp int, id_a int")
+    b = spark.createDataFrame([(0, 1), (0, 2)], "grp int, id_b int")
+    got = salted_all_pairs(a, b, "id_a", n_salts=4, block_col="grp")
+    assert got.count() == 4  # 2x2 all pairs, each exactly once
+    with pytest.raises(ValueError, match="block column 'blk' missing"):
+        salted_all_pairs(a, b, "id_a")

@@ -514,6 +514,83 @@ def test_maintain_stats_stream_matches_batch(spark, tmp_path):
     assert got.summary["v"]["ndv"] >= 990  # capped-sum upper bound vs 1000 true
 
 
+def test_write_stats_atomic_snapshot_layout(spark, tmp_path):
+    """write_stats commits through an immutable snap dir + _CURRENT pointer
+    swap (the round-3 atomicity fix): repeated writes keep exactly one
+    snapshot, the pointer names it, and batch_id round-trips; a legacy
+    flat artifact (pre-pointer layout) still loads."""
+    import os
+
+    from mesin_spark.ext.stats import (
+        build_stats,
+        load_stats,
+        stats_batch_id,
+        stats_exist,
+        write_stats,
+    )
+
+    df = spark.range(0, 100).selectExpr("CAST(id AS DOUBLE) AS v")
+    stats = build_stats(df, ["v"], n_bins=4)
+    path = str(tmp_path / "art")
+    assert not stats_exist(path) if os.path.exists(path) else True
+    write_stats(stats, spark, path, batch_id=7)
+    write_stats(stats, spark, path, batch_id=8)
+    snaps = [d for d in os.listdir(path) if d.startswith("snap-")]
+    assert snaps == ["snap-2"]
+    with open(os.path.join(path, "_CURRENT")) as f:
+        assert f.read() == "snap-2"
+    assert stats_exist(path) and stats_batch_id(path) == 8
+    assert load_stats(spark, path).summary["v"]["n"] == 100
+    # legacy flat layout (files directly under path, no pointer)
+    import pyarrow.parquet as pq
+
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    for f_name in ("summary.parquet", "hist.parquet"):
+        pq.write_table(
+            pq.read_table(os.path.join(path, "snap-2", f_name)),
+            os.path.join(legacy, f_name),
+        )
+    assert stats_exist(legacy) and stats_batch_id(legacy) is None
+    assert load_stats(spark, legacy).summary["v"]["n"] == 100
+
+
+def test_stats_stream_replayed_batch_skipped(spark, tmp_path):
+    """Crash-after-commit-before-checkpoint replay must NOT double-count:
+    drain one file (commits batch 0), wipe the checkpoint so the stream
+    replays the identical batch 0, drain again — counts unchanged."""
+    import shutil
+
+    from mesin_spark.ext.stats import load_stats, maintain_stats_stream
+
+    src = str(tmp_path / "src")
+    spark.range(0, 5000).selectExpr("CAST(id % 100 AS DOUBLE) AS v").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    stats_path = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    bounds = {"v": (0.0, 100.0)}
+
+    def drain():
+        stream = (
+            spark.readStream.format("parquet").schema("v DOUBLE").load(src)
+        )
+        q = (
+            maintain_stats_stream(stream, ["v"], stats_path, ckpt, bounds=bounds)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert load_stats(spark, stats_path).summary["v"]["n"] == 5000
+    shutil.rmtree(ckpt)  # simulate crash before the checkpoint recorded batch 0
+    drain()
+    got = load_stats(spark, stats_path)
+    assert got.summary["v"]["n"] == 5000  # not 10000
+    assert sum(h["n"] for h in got.histograms["v"]) == 5000
+
+
 def test_dedup_routing_rules(spark):
     """Planted corpora route to the documented tiers: heavy exact-dup
     short corpus -> exact+ngram; long unique corpus -> minhash (+
