@@ -22,10 +22,12 @@ effective at scale — the honest Spark analog of a secondary index.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -133,17 +135,21 @@ class ManagedTable:
 
     def enable_versioning(self) -> int:
         """Convert a flat table directory to the versioned layout (the
-        current contents become v00001). Idempotent."""
-        cur = self.current_version()
-        if cur is not None:
-            return cur
-        v1 = os.path.join(self.path, "v00001")
-        os.makedirs(v1)
-        for entry in os.listdir(self.path):
-            if entry != "v00001":
-                os.rename(os.path.join(self.path, entry), os.path.join(v1, entry))
-        self._commit(1)
-        return 1
+        current contents become v00001). Idempotent; takes the writer
+        lock (the conversion races appends like any other rewrite)."""
+        with self._writer_lock():
+            cur = self.current_version()
+            if cur is not None:
+                return cur
+            v1 = os.path.join(self.path, "v00001")
+            os.makedirs(v1)
+            for entry in os.listdir(self.path):
+                if entry not in ("v00001", self._LOCK_FILE):
+                    os.rename(
+                        os.path.join(self.path, entry), os.path.join(v1, entry)
+                    )
+            self._commit(1)
+            return 1
 
     def time_travel(self, version: int) -> DataFrame:
         """Read a past committed version (versioned tables only)."""
@@ -215,18 +221,24 @@ class ManagedTable:
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last ``keep_last`` versions; returns removed
-        version numbers. Never touches the current version."""
-        cur = self.current_version()
-        if cur is None:
-            return []
-        removed = []
-        for entry in sorted(os.listdir(self.path)):
-            if entry.startswith("v") and entry[1:].isdigit():
-                v = int(entry[1:])
-                if v <= cur - keep_last and v != cur:
-                    shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
-                    removed.append(v)
-        return removed
+        version numbers. Never touches the current version. Takes the
+        writer lock: an unserialized vacuum could read a stale current
+        version and delete the dir a mid-commit appender is hard-linking
+        its base files from."""
+        with self._writer_lock():
+            cur = self.current_version()
+            if cur is None:
+                return []
+            removed = []
+            for entry in sorted(os.listdir(self.path)):
+                if entry.startswith("v") and entry[1:].isdigit():
+                    v = int(entry[1:])
+                    if v <= cur - keep_last and v != cur:
+                        shutil.rmtree(
+                            os.path.join(self.path, entry), ignore_errors=True
+                        )
+                        removed.append(v)
+            return removed
 
     # -- read --------------------------------------------------------------
     def df(self) -> DataFrame:
@@ -252,6 +264,63 @@ class ManagedTable:
                 meta.path = self.path
 
     # -- write plumbing ----------------------------------------------------
+    _LOCK_FILE = "_LOCK"
+
+    @contextlib.contextmanager
+    def _writer_lock(self, timeout: float = 60.0):
+        """Mutual exclusion between WRITERS (appends, rewrites, vacuum):
+        an O_CREAT|O_EXCL lock file in the table directory, the portable
+        local-fs primitive. Without it two writers can both read version N
+        and race on v(N+1) — _append fails loudly (makedirs), but
+        _swap_in's overwrite silently LOSES one update. Readers never take
+        the lock (the pointer swap already serializes them against
+        writers); the underscore prefix keeps the file invisible to
+        Spark/Hadoop directory scans. A crashed writer leaves a stale lock
+        — surfaced after ``timeout`` with the holder's pid in the error,
+        matching the documented single-writer contract rather than
+        silently breaking it."""
+        lock = os.path.join(self.path, self._LOCK_FILE)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileNotFoundError:
+                # the table dir is briefly absent mid flat-layout swap —
+                # transient, retry like contention
+                if time.monotonic() >= deadline:
+                    raise CatalogError(
+                        f"table directory for {self.name!r} missing while "
+                        f"acquiring writer lock"
+                    )
+                time.sleep(0.02)
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    try:
+                        with open(lock) as f:
+                            holder = f.read().strip()
+                    except OSError:
+                        holder = "?"
+                    raise CatalogError(
+                        f"could not acquire writer lock on {self.name!r} within "
+                        f"{timeout}s (held by pid {holder}; remove stale "
+                        f"{lock} if that writer crashed)"
+                    )
+                time.sleep(0.02)
+            except NotADirectoryError:
+                # single-file table: no directory to lock in; these tables
+                # only reach _swap_in via flat rewrites, single-writer by
+                # construction
+                yield
+                return
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.remove(lock)
+
     def _swap_in(self, df: DataFrame) -> None:
         """Copy-on-write: write the new contents beside the table dir, then
         swap directories.
@@ -259,32 +328,47 @@ class ManagedTable:
         Honest limitation: the rename pair is NOT one atomic commit point —
         between the two renames the table path briefly does not exist, and
         os.rename only works on a local POSIX filesystem. This managed-table
-        tier is a local-fs, single-writer facility (the reference's CRUD is
-        likewise single-process, tmp/crud.txt:178-504); concurrent readers
+        tier is a local-fs facility (the reference's CRUD is likewise
+        single-process, tmp/crud.txt:178-504); concurrent readers
         or object-store backends need a table format with transactional
         metadata (Delta/Iceberg), whose per-file copy-on-write strategy this
         operator shape matches. ``enable_versioning()`` upgrades the table
         to the versioned pointer-commit layout, which IS atomic (and keeps
-        history for time_travel)."""
-        cur = self.current_version()
-        if cur is not None:
-            nxt = os.path.join(self.path, f"v{cur + 1:05d}")
-            df.write.mode("overwrite").parquet(nxt)
-            self._commit(cur + 1)
-            return
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
-        self._refresh_view()
+        history for time_travel). Writers serialize on _writer_lock, so the
+        read-version → write → commit sequence is a transaction and
+        concurrent updates can't lose each other's commits."""
+        with self._writer_lock():
+            cur = self.current_version()
+            if cur is not None:
+                nxt = os.path.join(self.path, f"v{cur + 1:05d}")
+                df.write.mode("overwrite").parquet(nxt)
+                self._commit(cur + 1)
+                return
+            tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+            df.write.mode("overwrite").parquet(tmp)
+            old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+            os.rename(self.path, old)
+            os.rename(tmp, self.path)
+            # carry the held lock file into the renamed-in directory so the
+            # finally-release finds it (the swap replaced the whole dir)
+            with contextlib.suppress(OSError):
+                os.link(
+                    os.path.join(old, self._LOCK_FILE),
+                    os.path.join(self.path, self._LOCK_FILE),
+                )
+            shutil.rmtree(old, ignore_errors=True)
+            self._refresh_view()
 
     def _append(self, writer_df: DataFrame) -> None:
         """Append files to the table. Versioned layout: hard-link the
         current version's files into a new version dir (metadata-only — no
         data copy, the Delta 'add file' analog), write the new files there,
-        then pointer-commit. Flat layout: plain parquet append."""
+        then pointer-commit; writers serialize on _writer_lock (see
+        _swap_in). Flat layout: plain parquet append."""
+        with self._writer_lock():
+            self._append_locked(writer_df)
+
+    def _append_locked(self, writer_df: DataFrame) -> None:
         cur = self.current_version()
         if cur is None:
             pcols = self._partition_cols(self.path)

@@ -227,6 +227,37 @@ class StreamConfigError(ValueError):
     """Bad source/sink configuration (unknown kind, missing option)."""
 
 
+#: The schema every Spark kafka source batch/stream carries (fixed by the
+#: connector, not by topic contents) — downstream pipelines bind to this:
+#: value is BINARY, pair with from_json/from_avro after a cast to string.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_source_config(**options) -> tuple[str, dict[str, str]]:
+    """Resolve the EXACT (format, reader options) pair open_source's kafka
+    arm passes to Spark — pure configuration, split from ``.load()`` so an
+    environment without the spark-sql-kafka connector on the classpath can
+    still contract-test the reader spec it would run with (the load itself
+    needs the connector jar; everything up to it is this function)."""
+    servers = options.get("bootstrap_servers") or _missing("kafka", "bootstrap_servers")
+    conf = {
+        "kafka.bootstrap.servers": servers,
+        "startingOffsets": options.get("starting_offsets", "latest"),
+    }
+    if options.get("subscribe"):
+        conf["subscribe"] = options["subscribe"]
+    elif options.get("assign"):
+        conf["assign"] = options["assign"]
+    else:
+        _missing("kafka", "subscribe (or assign)")
+    if options.get("max_offsets_per_trigger"):
+        conf["maxOffsetsPerTrigger"] = str(options["max_offsets_per_trigger"])
+    return "kafka", conf
+
+
 def open_source(spark: SparkSession, kind: str, **options) -> DataFrame:
     """Open a streaming source by kind:
 
@@ -257,18 +288,10 @@ def open_source(spark: SparkSession, kind: str, **options) -> DataFrame:
             .load()
         )
     if kind == "kafka":
-        servers = options.get("bootstrap_servers") or _missing("kafka", "bootstrap_servers")
-        reader = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", servers)
-            .option("startingOffsets", options.get("starting_offsets", "latest"))
-        )
-        if options.get("subscribe"):
-            reader = reader.option("subscribe", options["subscribe"])
-        elif options.get("assign"):
-            reader = reader.option("assign", options["assign"])
-        else:
-            _missing("kafka", "subscribe (or assign)")
+        fmt, conf = kafka_source_config(**options)
+        reader = spark.readStream.format(fmt)
+        for k, v in conf.items():
+            reader = reader.option(k, v)
         return reader.load()
     raise StreamConfigError(f"unknown source kind {kind!r}; supported: {SOURCE_KINDS}")
 

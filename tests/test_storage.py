@@ -166,3 +166,93 @@ def test_partition_prune_scan_uses_partition_filters(spark, tmp_path):
     pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
     assert "event_type" not in pushed
     assert df.count() == T(spark, SF_DIR, "events").filter("event_type = 'purchase'").count()
+
+
+# -- round 3: concurrent writers on the versioned store ---------------------
+def test_concurrent_appends_linear_and_lossless(spark, scratch_nation):
+    """Two threads appending + one vacuuming in a loop, a reader polling:
+    the writer lock must serialize commits into a LINEAR version chain
+    (initial + one version per append, none lost), every appended row
+    present at the end, and no reader ever observing a half state."""
+    import threading
+
+    mt = scratch_nation
+    mt.enable_versioning()
+    v0 = mt.current_version()
+    base = mt.df().count()
+    per_thread, n_threads = 4, 2
+    errors: list[BaseException] = []
+    counts: list[int] = []
+
+    def appender(tid: int):
+        try:
+            for i in range(per_thread):
+                mt.insert_values(
+                    [(9000 + tid * 100 + i, f"T{tid}-{i}", 0)],
+                    ["n_nationkey", "n_name", "n_regionkey"],
+                )
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def vacuumer(stop: threading.Event):
+        try:
+            while not stop.is_set():
+                mt.vacuum(keep_last=2)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader(stop: threading.Event):
+        try:
+            while not stop.is_set():
+                counts.append(mt.df().count())
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    stop = threading.Event()
+    threads = [threading.Thread(target=appender, args=(t,)) for t in range(n_threads)]
+    aux = [
+        threading.Thread(target=vacuumer, args=(stop,)),
+        threading.Thread(target=reader, args=(stop,)),
+    ]
+    for t in threads + aux:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    stop.set()
+    for t in aux:
+        t.join(timeout=60)
+
+    assert not errors, errors
+    total = n_threads * per_thread
+    # linear chain: every append created exactly one new version
+    assert mt.current_version() == v0 + total
+    # lossless: every appended row survived every interleaving
+    assert mt.df().count() == base + total
+    got = {
+        r["n_name"]
+        for r in mt.df().filter(F.col("n_nationkey") >= 9000).collect()
+    }
+    assert got == {f"T{t}-{i}" for t in range(n_threads) for i in range(per_thread)}
+    # no reader ever saw a half state: counts only ever grow by whole rows
+    assert all(base <= c <= base + total for c in counts)
+    # the lock always releases
+    assert not os.path.exists(os.path.join(mt.path, "_LOCK"))
+
+
+def test_stale_writer_lock_surfaces_clearly(spark, scratch_nation):
+    from mesin_spark.catalog import CatalogError
+
+    mt = scratch_nation
+    mt.enable_versioning()
+    lock = os.path.join(mt.path, "_LOCK")
+    with open(lock, "w") as f:
+        f.write("424242")
+    try:
+        with pytest.raises(CatalogError, match="writer lock.*424242"):
+            with mt._writer_lock(timeout=0.3):
+                pass
+    finally:
+        os.remove(lock)
+    # released stale lock -> writes proceed
+    mt.insert_values([(9999, "OK", 0)], ["n_nationkey", "n_name", "n_regionkey"])
+    assert mt.df().filter(F.col("n_nationkey") == 9999).count() == 1
