@@ -144,7 +144,7 @@ class ManagedTable:
             v1 = os.path.join(self.path, "v00001")
             os.makedirs(v1)
             for entry in os.listdir(self.path):
-                if entry not in ("v00001", self._LOCK_FILE):
+                if entry != "v00001":
                     os.rename(
                         os.path.join(self.path, entry), os.path.join(v1, entry)
                     )
@@ -264,36 +264,29 @@ class ManagedTable:
                 meta.path = self.path
 
     # -- write plumbing ----------------------------------------------------
-    _LOCK_FILE = "_LOCK"
+    _LOCK_SUFFIX = "._LOCK"
 
     @contextlib.contextmanager
     def _writer_lock(self, timeout: float = 60.0):
-        """Mutual exclusion between WRITERS (appends, rewrites, vacuum):
-        an O_CREAT|O_EXCL lock file in the table directory, the portable
-        local-fs primitive. Without it two writers can both read version N
-        and race on v(N+1) — _append fails loudly (makedirs), but
-        _swap_in's overwrite silently LOSES one update. Readers never take
-        the lock (the pointer swap already serializes them against
-        writers); the underscore prefix keeps the file invisible to
-        Spark/Hadoop directory scans. A crashed writer leaves a stale lock
-        — surfaced after ``timeout`` with the holder's pid in the error,
-        matching the documented single-writer contract rather than
-        silently breaking it."""
-        lock = os.path.join(self.path, self._LOCK_FILE)
+        """Mutual exclusion between WRITERS (appends, rewrites, vacuum,
+        versioning conversion): an O_CREAT|O_EXCL lock file BESIDE the
+        table directory (``<path>._LOCK``), the portable local-fs
+        primitive. Without it two writers can both read version N and race
+        on v(N+1) — _append fails loudly (makedirs), but _swap_in's
+        overwrite silently LOSES one update. The lock lives outside the
+        table dir so the flat-layout directory swap (which renames the
+        whole dir away for a moment) can never make the held lock
+        disappear mid-critical-section. Readers never take it (the
+        pointer swap already serializes them against writers). A crashed
+        writer leaves a stale lock — surfaced after ``timeout`` with the
+        holder's pid in the error, matching the documented single-writer
+        contract rather than silently breaking it."""
+        lock = self.path.rstrip("/") + self._LOCK_SUFFIX
         deadline = time.monotonic() + timeout
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
-            except FileNotFoundError:
-                # the table dir is briefly absent mid flat-layout swap —
-                # transient, retry like contention
-                if time.monotonic() >= deadline:
-                    raise CatalogError(
-                        f"table directory for {self.name!r} missing while "
-                        f"acquiring writer lock"
-                    )
-                time.sleep(0.02)
             except FileExistsError:
                 if time.monotonic() >= deadline:
                     try:
@@ -307,12 +300,6 @@ class ManagedTable:
                         f"{lock} if that writer crashed)"
                     )
                 time.sleep(0.02)
-            except NotADirectoryError:
-                # single-file table: no directory to lock in; these tables
-                # only reach _swap_in via flat rewrites, single-writer by
-                # construction
-                yield
-                return
         try:
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
@@ -349,13 +336,6 @@ class ManagedTable:
             old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
             os.rename(self.path, old)
             os.rename(tmp, self.path)
-            # carry the held lock file into the renamed-in directory so the
-            # finally-release finds it (the swap replaced the whole dir)
-            with contextlib.suppress(OSError):
-                os.link(
-                    os.path.join(old, self._LOCK_FILE),
-                    os.path.join(self.path, self._LOCK_FILE),
-                )
             shutil.rmtree(old, ignore_errors=True)
             self._refresh_view()
 

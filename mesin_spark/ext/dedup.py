@@ -22,7 +22,7 @@ import random
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mesin_spark.ext.text import tokens
@@ -581,19 +581,37 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     n_salts: int = 16,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard over pairs within a blocking key (blocking
-    bounds the pair space; pass an LSH band or length bucket at scale).
-    Salted all-pairs join (ext.similarity.salted_all_pairs) spreads each
-    block over n_salts tasks. Returns (id_a, id_b, jaccard).
+    """Exact word-n-gram Jaccard over pairs within a blocking key.
+    Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    Grams fold to sorted xxhash64 longs BEFORE the pair join, so the
+    Two candidate strategies, both producing IDENTICAL output:
+
+    - ``prefix_filter=False`` (default): salted all-pairs join within the
+      block (ext.similarity.salted_all_pairs). Candidates grow with
+      block-occupancy² — the right trade while blocks stay bounded
+      (length bands, LSH bands) or the corpus is modest: measured 1.6s at
+      sf0.1 / time slope ≈3 for 3× data (pair-compare cost is cheap
+      against fixed per-stage overheads at these sizes).
+    - ``prefix_filter=True``: PPJoin-style prefix filtering inside each
+      block — grams rank by per-block document frequency (rarest first)
+      and two documents become a candidate only when they share a gram
+      inside their ``|g| - ceil(t·|g|) + 1`` prefixes; the pigeonhole
+      keeps every pair with Jaccard ≥ t (no recall loss, asserted in
+      pytest). Candidates scale with rare-gram collisions instead of
+      occupancy², the winning trade once blocks grow unbounded with the
+      corpus — but the freq-rank + candidate machinery costs ~5× the
+      all-pairs scan at sf0.1, and at LOW thresholds (t≤0.3, prefixes
+      ≈80% of grams) frequent grams keep candidate pruning weak. Flip it
+      on when block occupancy × gram overlap, not fixed overhead,
+      dominates.
+
+    Grams fold to sorted xxhash64 longs BEFORE any pairing, so the
     per-pair set ops compare longs instead of re-hashing ~g gram strings
     per pair — measured 5× at sf0.1 (same trick as the MinHash verify,
     which uses an even smaller 31-bit space; at 64 bits a cross-collision
     perturbing one pair's Jaccard is ~1e-15 per pair)."""
-    from mesin_spark.ext.similarity import salted_all_pairs
-
     grams = F.array_sort(
         F.transform(
             F.array_distinct(shingles(F.col(text_col), n)), lambda s: F.xxhash64(s)
@@ -606,10 +624,44 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         grams.alias("_g"),
     )
-    a = base.select(F.col("blk"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
-    b = base.select(F.col("blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
-    pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(F.col("id_a") < F.col("id_b"))
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    if prefix_filter:
+        flat = base.select(
+            "blk", "_id", F.size("_g").alias("_sz"), F.explode("_g").alias("_tok")
+        )
+        freq = flat.groupBy("blk", "_tok").agg(F.count(F.lit(1)).alias("_f"))
+        w = Window.partitionBy("blk", "_id").orderBy("_f", "_tok")
+        prefix = (
+            flat.join(freq, ["blk", "_tok"])
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(
+                F.col("_rn")
+                <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+            )
+            .select("blk", "_tok", "_id")
+        )
+        cands = (
+            prefix.withColumnRenamed("_id", "id_a")
+            .join(prefix.withColumnRenamed("_id", "id_b"), ["blk", "_tok"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        ga = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+        gb = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+        pairs = cands.join(ga, "id_a").join(gb, "id_b")
+    else:
+        from mesin_spark.ext.similarity import salted_all_pairs
+
+        a = base.select(
+            F.col("blk"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a")
+        )
+        b = base.select(
+            F.col("blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b")
+        )
+        pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
+            F.col("id_a") < F.col("id_b")
+        )
     return (
         pairs.select("id_a", "id_b", R(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -376,3 +376,33 @@ def test_salted_all_pairs_block_col_param(spark):
     assert got.count() == 4  # 2x2 all pairs, each exactly once
     with pytest.raises(ValueError, match="block column 'blk' missing"):
         salted_all_pairs(a, b, "id_a")
+
+
+def test_ngram_prefix_filter_exact_equivalence(spark):
+    """PPJoin prefix filtering is candidate PRUNING, never recall loss:
+    both strategies must return the identical pair set with identical
+    jaccard values, on a corpus with planted near-dups across blocks."""
+    from mesin_spark.ext.dedup import ngram_jaccard_pairs
+
+    rows = []
+    for i in range(40):
+        base = f"alpha beta gamma delta epsilon zeta eta theta doc{i % 7}"
+        rows.append((i, "A" if i % 2 else "B", base))
+        # planted near-dup of every 5th doc (one token changed)
+        if i % 5 == 0:
+            rows.append((1000 + i, "A" if i % 2 else "B", base.replace("zeta", "zz")))
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    for t in (0.3, 0.6):
+        a = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", block_col="src", threshold=t, prefix_filter=False
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", block_col="src", threshold=t, prefix_filter=True
+            ).collect()
+        )
+        assert a == b and len(a) > 0, (t, len(a), len(b))

@@ -236,7 +236,7 @@ def test_concurrent_appends_linear_and_lossless(spark, scratch_nation):
     # no reader ever saw a half state: counts only ever grow by whole rows
     assert all(base <= c <= base + total for c in counts)
     # the lock always releases
-    assert not os.path.exists(os.path.join(mt.path, "_LOCK"))
+    assert not os.path.exists(mt.path.rstrip("/") + "._LOCK")
 
 
 def test_stale_writer_lock_surfaces_clearly(spark, scratch_nation):
@@ -244,7 +244,7 @@ def test_stale_writer_lock_surfaces_clearly(spark, scratch_nation):
 
     mt = scratch_nation
     mt.enable_versioning()
-    lock = os.path.join(mt.path, "_LOCK")
+    lock = mt.path.rstrip("/") + "._LOCK"
     with open(lock, "w") as f:
         f.write("424242")
     try:

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Deterministic scale-up of a testdata directory for scaling-slope
+benchmarks: ``factor`` disjoint shards of every table, keys shifted per
+shard so join cardinalities grow LINEARLY (replicating keys verbatim
+would square join outputs and corrupt the slope measurement), and
+document text vowel-rotated per shard so content-dedup queries don't
+discover an artificial forest of cross-shard duplicates.
+
+Usage (also importable: ``ensure_scaled(sf_dir, factor)``):
+
+    python tools/make_scale.py /root/testdata/sf0.1 3 [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+#: per-table key columns shifted by shard * _OFFSET — every foreign key
+#: moves with its referenced key, so shard i only ever joins shard i.
+_KEYS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+#: larger than any key in sf<=10 testdata, far under int64 range × shards
+_OFFSET = 100_000_000
+
+_ROT_SRC = "etaoinsrhl"
+
+
+def _rot(i: int) -> str:
+    k = i % len(_ROT_SRC)
+    return _ROT_SRC[k:] + _ROT_SRC[:k]
+
+
+def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
+    """Build (or reuse) the scaled copy; returns its path. The build is
+    atomic (staging dir + rename) so a crashed run never leaves a
+    half-written cache that later benchmarks silently time against."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = out_dir or os.path.join(
+        os.environ.get("SPARK_GRAFT_SCALE_CACHE", "/tmp"),
+        f"mesin_scale_{base}_x{factor}",
+    )
+    if os.path.isdir(out_dir) and os.path.exists(os.path.join(out_dir, "_OK")):
+        return out_dir
+    from pyspark.sql import functions as F
+
+    from mesin_spark.session import get_session
+    from mesin_spark.sources import read_parquet
+
+    spark = get_session("mesin_scale")
+    staging = out_dir + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    for table, keys in _KEYS.items():
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = read_parquet(spark, src)
+        shards = []
+        for i in range(factor):
+            s = df
+            for k in keys:
+                s = s.withColumn(k, F.col(k) + F.lit(i * _OFFSET))
+            if table == "documents" and i > 0:
+                s = s.withColumn("text", F.translate("text", _ROT_SRC, _rot(i)))
+            shards.append(s)
+        out = shards[0]
+        for s in shards[1:]:
+            out = out.unionByName(s)
+        out.write.mode("overwrite").parquet(os.path.join(staging, f"{table}.parquet"))
+    with open(os.path.join(staging, "_OK"), "w") as f:
+        f.write(f"{sf_dir} x{factor}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(staging, out_dir)
+    return out_dir
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    out = sys.argv[3] if len(sys.argv) > 3 else None
+    print(ensure_scaled(sf_dir, factor, out))
