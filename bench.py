@@ -150,7 +150,7 @@ def main() -> None:
                     _noop_run(registry[name](spark, scaled_dir))
                     best = min(best, time.perf_counter() - t0)
                 timings2[name] = round(best, 3)
-            out["scale2"] = {
+            scale2 = {
                 "sf": round(sf * factor, 4),
                 "factor": factor,
                 "total": round(sum(timings2.values()), 3),
@@ -160,12 +160,28 @@ def main() -> None:
                     for n in HEADLINE
                 },
             }
+            # The driver captures only the tail of stdout and regex-parses
+            # the LAST json line — round 3's inline scale2 block pushed
+            # that line past the capture window and the round recorded no
+            # bench number at all.  Keep the final stdout line compact;
+            # the full two-scale record goes to a side file + stderr.
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_SCALE2.json"), "w") as f:
+                json.dump(scale2, f, indent=1)
+            print(json.dumps({"scale2": scale2}), file=sys.stderr)
+            out["scale2_total"] = scale2["total"]
+            out["scale2_worst_slope"] = max(scale2["slope"].values())
         except Exception as exc:  # noqa: BLE001 — the primary number must
             # still print even if the second scale point can't be built
             # (disk, permissions); say so instead of dying silently
             print(f"WARN scale2 skipped: {exc}", file=sys.stderr)
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:  # hard guard: never outgrow the driver's window
+        out.pop("scale2_total", None)
+        out.pop("scale2_worst_slope", None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

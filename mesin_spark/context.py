@@ -28,6 +28,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 from mesin_spark.catalog import TESTDATA_TABLES, Catalog
 from mesin_spark.session import get_session
@@ -118,6 +119,8 @@ def normalize_dialect(sql: str, dialect: str) -> str:
     sql = _rewrite_quantified(sql)
     if dialect == "clickhouse":
         sql = _rewrite_array_join(sql)
+    if dialect == "snowflake":
+        sql = _rewrite_flatten(sql)
     if dialect == "mssql":
         return _normalize_mssql(sql)
     if dialect not in _PG_LIKE:
@@ -442,7 +445,11 @@ def _rewrite_array_join(sql: str) -> str:
     # optional LEFT immediately before
     head_end = aj_at
     pre = sql[:aj_at].rstrip()
-    if pre.upper().endswith("LEFT"):
+    # word boundary: an alias/table name ENDING in 'left' (e.g. `FROM
+    # clicks cleft ARRAY JOIN xs`) is not the LEFT modifier
+    if pre.upper().endswith("LEFT") and (
+        len(pre) == 4 or not (pre[-5].isalnum() or pre[-5] == "_")
+    ):
         left = True
         head_end = len(pre) - 4
     # operand starts after 'JOIN'
@@ -495,6 +502,82 @@ def _rewrite_array_join(sql: str) -> str:
             )
         inner = f"SELECT * EXCEPT ({expr}), {explode}({expr}) AS {expr} FROM {src}"
     return _rewrite_array_join(f"{head}FROM ({inner}) _arrayjoin {rest}".rstrip())
+
+
+_FLATTEN_STOP_WORDS = frozenset(
+    "WHERE GROUP ORDER LIMIT HAVING UNION INTERSECT EXCEPT JOIN ON LEFT "
+    "RIGHT INNER CROSS FULL LATERAL SELECT QUALIFY WINDOW".split()
+)
+
+
+def _rewrite_flatten(sql: str) -> str:
+    """Snowflake ``[,] LATERAL FLATTEN(input => <expr>[, outer => true])
+    [AS] <alias>`` → Spark ``LATERAL VIEW [OUTER] explode(<expr>) <alias>
+    AS value`` — the signature Snowflake table function in its common
+    form (array input, element exposed as ``<alias>.value``). A
+    comma-join comma before LATERAL is dropped (Spark's LATERAL VIEW
+    attaches without one). Top-level occurrences only, re-run on the
+    rewritten output until none remain; FLATTEN's richer outputs
+    (seq/key/path/index over objects) surface Spark's error unchanged,
+    the documented contract for constructs beyond the normalizer."""
+    lat_at = -1
+    for i, ch, depth in _scan_top_level(sql):
+        if depth == 0 and _kw_at(sql, i, "LATERAL"):
+            rest = sql[i + 7 :].lstrip()
+            if rest.upper().startswith("FLATTEN"):
+                lat_at = i
+                break
+    if lat_at == -1:
+        return sql
+    p = sql.upper().index("FLATTEN", lat_at) + 7
+    while p < len(sql) and sql[p].isspace():
+        p += 1
+    if p >= len(sql) or sql[p] != "(":
+        return sql
+    depth = 0
+    q = p
+    while q < len(sql):
+        if sql[q] == "(":
+            depth += 1
+        elif sql[q] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        q += 1
+    if depth != 0:
+        raise ValueError("FLATTEN: unbalanced parentheses")
+    args, parts, d, cur = sql[p + 1 : q], [], 0, ""
+    for ch in args:
+        d += ch == "("
+        d -= ch == ")"
+        if ch == "," and d == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur)
+    input_expr, outer = None, False
+    for part in parts:
+        m = re.match(r"\s*(input|outer)\s*=>\s*(.*?)\s*$", part, re.I | re.S)
+        if m:
+            if m.group(1).lower() == "input":
+                input_expr = m.group(2)
+            else:
+                outer = m.group(2).upper() in ("TRUE", "1")
+        elif input_expr is None and part.strip():
+            input_expr = part.strip()  # positional input
+    if input_expr is None:
+        raise ValueError("FLATTEN requires an input => <expr> argument")
+    m = re.match(r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", sql[q + 1 :], re.I)
+    alias, end = "_flat", q + 1
+    if m and m.group(1).upper() not in _FLATTEN_STOP_WORDS:
+        alias, end = m.group(1), q + 1 + m.end()
+    pre = sql[:lat_at].rstrip()
+    if pre.endswith(","):
+        pre = pre[:-1]
+    lv = f" LATERAL VIEW {'OUTER ' if outer else ''}explode({input_expr}) {alias} AS value "
+    return _rewrite_flatten((pre + lv + sql[end:]).rstrip())
 
 
 def _normalize_mssql(sql: str) -> str:
@@ -707,11 +790,23 @@ class ExecutionContext:
                 max_rows, max_row_bytes = n_rows, row_bytes
             if n_rows * row_bytes <= thresh and name not in self._stats_hinted:
                 # rebuild from source (hinting spark.table(name) and
-                # re-registering under the same name would self-reference)
+                # re-registering under the same name would self-reference).
+                # meta.path for a versioned ManagedTable is the table ROOT
+                # (data under v*/ subdirs) — resolve the committed data
+                # dir, and guard the whole rebuild: a planning HINT must
+                # never be able to fail the query itself.
                 if meta.path and os.path.exists(meta.path):
-                    src = read_parquet(self.spark, meta.path)
-                    src.hint("broadcast").createOrReplaceTempView(name)
-                    self._stats_hinted.add(name)
+                    try:
+                        from mesin_spark.dml import ManagedTable
+
+                        data_dir = ManagedTable(
+                            self.spark, name, meta.path, catalog=None
+                        )._data_dir()
+                        src = read_parquet(self.spark, data_dir)
+                        src.hint("broadcast").createOrReplaceTempView(name)
+                        self._stats_hinted.add(name)
+                    except (OSError, AnalysisException):
+                        continue
         if max_rows:
             n = recommend_shuffle_partitions(max_rows, max_row_bytes)
             self.spark.conf.set("spark.sql.shuffle.partitions", str(n))

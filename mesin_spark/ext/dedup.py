@@ -582,9 +582,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n_salts: int = 16,
     prefix_filter: bool = False,
+    length_band: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over pairs within a blocking key.
     Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``length_band=W`` composes a fixed-width length band
+    (``distinct_gram_count div W``, integer division) into the block key:
+    only pairs whose distinct-gram counts fall in the same W-wide window
+    are compared. This bounds block occupancy when the caller's block
+    column is low-cardinality (occupancy per block drops by ≈ the number
+    of occupied bands), at the documented cost of dropping near-dup pairs
+    that straddle a band boundary — exact pairwise semantics WITHIN the
+    (block, band) key, a size-tolerance approximation across it. Any
+    oracle must mirror the same integer arithmetic (`sz // W`).
 
     Two candidate strategies, both producing IDENTICAL output:
 
@@ -617,12 +628,21 @@ def ngram_jaccard_pairs(
             F.array_distinct(shingles(F.col(text_col), n)), lambda s: F.xxhash64(s)
         )
     )
-    base = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    ).select(
-        (F.col(block_col) if block_col else F.lit(1)).alias("blk"),
-        F.col(id_col).alias("_id"),
-        grams.alias("_g"),
+    blk0 = F.col(block_col) if block_col else F.lit(1)
+    if length_band is not None:
+        # _g is already the distinct-gram hash array, so size(_g) is the
+        # distinct gram count; `div` is integer-exact in any engine (no
+        # float-log band boundaries)
+        band = F.expr(f"size(_g) div {int(length_band)}")
+        blk_expr = F.concat_ws(
+            "#", F.col("_blk0").cast("string"), band.cast("string")
+        )
+    else:
+        blk_expr = F.col("_blk0")
+    base = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(blk0.alias("_blk0"), F.col(id_col).alias("_id"), grams.alias("_g"))
+        .select(blk_expr.alias("blk"), "_id", "_g")
     )
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
     if prefix_filter:
@@ -640,16 +660,19 @@ def ngram_jaccard_pairs(
             )
             .select("blk", "_tok", "_id")
         )
+        # carry blk all the way through: ids need not be globally unique
+        # across blocks, and joining back by id alone would multiply rows
+        # / form cross-block pairs the all-pairs path can never produce
         cands = (
             prefix.withColumnRenamed("_id", "id_a")
             .join(prefix.withColumnRenamed("_id", "id_b"), ["blk", "_tok"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            .select("blk", "id_a", "id_b")
             .distinct()
         )
-        ga = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
-        gb = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
-        pairs = cands.join(ga, "id_a").join(gb, "id_b")
+        ga = base.select("blk", F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+        gb = base.select("blk", F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+        pairs = cands.join(ga, ["blk", "id_a"]).join(gb, ["blk", "id_b"])
     else:
         from mesin_spark.ext.similarity import salted_all_pairs
 

@@ -56,19 +56,23 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        # dangling mass: rank held by nodes with no out-edges, spread evenly
+        # dangling mass: rank held by nodes with no out-edges, spread
+        # evenly — folded into the plan as a broadcast 1-row aggregate
+        # (a per-round driver .collect() here serialized an extra job per
+        # iteration; the crossJoin keeps each round a single job)
         dangling = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
-                    F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.col("_dm") / n + F.coalesce("in_sum", F.lit(0.0)))
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

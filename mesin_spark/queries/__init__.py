@@ -136,33 +136,62 @@ def load_all() -> None:
     _rotate_certified_to_tail()
 
 
-def _rotate_certified_to_tail() -> None:
-    """Move queries already certified by a prior driver round to the END of
-    the registry, preserving the cheap-first cost order within each group.
+def _rotate_certified_to_tail(root: str | None = None) -> None:
+    """Reorder the registry so the driver's fixed-size verification prefix
+    (50 names/round) lands on the names that most need a CORRECTNESS row:
+    [names whose LATEST driver row is red] + [never-certified names] +
+    [green-certified names], preserving the cheap-first cost order within
+    each group.
 
-    The driver certifies a fixed-size prefix of the registry per round
-    (50 names in rounds 1-2), so with a static order the same prefix is
-    re-certified forever and the tail never gets a CORRECTNESS row. The
-    certified set is read from the CORRECTNESS_r*.json files the driver
-    itself writes at the repo root — each round the freshly-certified
-    names rotate out automatically, so successive rounds walk the whole
-    registry. No-op (and harmless) when no CORRECTNESS file exists."""
+    Only a fully-green row (rows+schema+hash all true, or a clean
+    rows-only run for queries without an oracle) counts as certified —
+    a FAILED or errored name rotates to the HEAD so the fix is
+    re-certified next round instead of waiting behind the whole backlog.
+    Rows are read from the CORRECTNESS_r*.json files the driver itself
+    writes (and commits) at the repo root; given the same checkout the
+    ordering is deterministic. No-op when no CORRECTNESS file exists.
+    The full registry is still exact-verified every round regardless of
+    order via tools/verify_oracle.py."""
     import glob
     import json
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    certified: set[str] = set()
+    if root is None:
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    # latest verdict per name wins: walk rounds in ascending order and
+    # overwrite, so a name red in r03 but green in r04 counts as green
+    latest: dict[str, bool] = {}
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(p) as f:
-                certified.update(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    if not certified:
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            # Only a fully-green exact row counts as certified.  A
+            # rows-only record (err == 'no_oracle') stays in the head
+            # group: the check is weaker, so those names keep cycling
+            # through the driver's prefix instead of being parked — and a
+            # name reclassified rows-only after a red round (e.g.
+            # q_approx_distinct) gets its clean rows-only row re-recorded
+            # rather than staying red forever.
+            latest[name] = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            )
+    if not latest:
         return
-    ordered = [n for n in QUERIES if n not in certified] + [
-        n for n in QUERIES if n in certified
-    ]
+    failed = {n for n, ok in latest.items() if not ok}
+    certified = {n for n, ok in latest.items() if ok}
+    ordered = (
+        [n for n in QUERIES if n in failed]
+        + [n for n in QUERIES if n not in failed and n not in certified]
+        + [n for n in QUERIES if n in certified]
+    )
     rotated = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(rotated)

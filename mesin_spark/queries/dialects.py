@@ -70,6 +70,32 @@ def q_dialect_except(spark, sf_dir):
     )
 
 
+@query(
+    "q_dialect_flatten",
+    oracle="""
+    SELECT doc_id, w AS value
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE doc_id <= 64)
+    WHERE w <> ''
+    ORDER BY doc_id, value
+    """,
+)
+def q_dialect_flatten(spark, sf_dir):
+    """Snowflake's signature table function pasted verbatim:
+    ``FROM t, LATERAL FLATTEN(input => <array>) f`` with the element read
+    back as ``f.value`` — rewritten to Spark's ``LATERAL VIEW explode``
+    (context._rewrite_flatten), comma-join comma dropped. Same map-side
+    generator shape as ARRAY JOIN: rows expand in place, nothing
+    shuffles before any downstream aggregate."""
+    ctx = _ctx(spark, sf_dir, "snowflake", "documents")
+    return ctx.execute(
+        "SELECT d.doc_id, f.value"
+        " FROM documents d, LATERAL FLATTEN(input => split(d.text, ' ')) f"
+        " WHERE d.doc_id <= 64 AND f.value <> ''"
+        " ORDER BY d.doc_id, f.value"
+    )
+
+
 @query("q_explain")  # rows-only: a plan string has no SQL oracle
 def q_explain(spark, sf_dir):
     """``EXPLAIN <query>`` as a statement through execute() — the

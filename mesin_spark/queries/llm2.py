@@ -178,7 +178,7 @@ def q_pack_sequences(spark, sf_dir):
     oracle=f"""
     WITH s AS (
         SELECT source AS domain, count(*) AS n_docs,
-               sum(len({_TK})) AS n_tokens
+               CAST(sum(len({_TK})) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source
     )
     SELECT domain, n_docs, n_tokens,

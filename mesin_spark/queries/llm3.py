@@ -81,13 +81,14 @@ def q_embed_stats(spark, sf_dir):
     "q_random_projection",
     oracle=f"""
     SELECT vec_id,
-           list_transform(range(0, 8), j ->
-               floor(list_sum(list_transform(range(1, 65), i ->
-                   CAST(embedding[i] AS DOUBLE) *
-                   (CASE WHEN ((((i - 1) * {_KNUTH} + j * {_PRIME2}) % 4294967296) >> 16) % 2 = 0
-                         THEN 1.0 ELSE -1.0 END)
-               )) * 10000.0 + 0.5) / 10000.0
-           ) AS proj
+           array_to_string(list_transform(range(0, 8), j ->
+               printf('%.4f',
+                   floor(list_sum(list_transform(range(1, 65), i ->
+                       CAST(embedding[i] AS DOUBLE) *
+                       (CASE WHEN ((((i - 1) * {_KNUTH} + j * {_PRIME2}) % 4294967296) >> 16) % 2 = 0
+                             THEN 1.0 ELSE -1.0 END)
+                   )) * 10000.0 + 0.5) / 10000.0)
+           ), ',') AS proj
     FROM embeddings
     """,
 )
@@ -106,16 +107,27 @@ def q_random_projection(spark, sf_dir):
         bit = F.pmod(F.shiftright(mix.cast("long"), 16), F.lit(2))
         return F.when(bit == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
-    proj = F.transform(
-        F.sequence(F.lit(0), F.lit(7)),
-        lambda j: R(
-            F.aggregate(
-                F.sequence(F.lit(1), F.size(emb)),
-                F.lit(0.0),
-                lambda acc, i: acc + F.element_at(emb, i).cast("double") * sign(i, j),
+    # emitted as a fixed-format CSV string ('%.4f' per dim) rather than a
+    # raw array<double>: the driver's pandas canonicalizer can't lexsort
+    # an unhashable list column, and fixed-decimal formatting sidesteps
+    # engine-specific double→string rendering
+    proj = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.format_string(
+                "%.4f",
+                R(
+                    F.aggregate(
+                        F.sequence(F.lit(1), F.size(emb)),
+                        F.lit(0.0),
+                        lambda acc, i: acc
+                        + F.element_at(emb, i).cast("double") * sign(i, j),
+                    ),
+                    4,
+                ),
             ),
-            4,
         ),
+        ",",
     )
     return T(spark, sf_dir, "embeddings").select("vec_id", proj.alias("proj"))
 

@@ -305,7 +305,7 @@ def q_argminmax(spark, sf_dir):
     "q_fn_lambda",
     oracle="""
     SELECT o_orderkey,
-           list_transform([1, 2, 3], x -> x * o_orderkey) AS scaled,
+           array_to_string(list_transform([1, 2, 3], x -> x * o_orderkey), ',') AS scaled,
            len(list_filter([1, 2, 3, 4, 5, 6], x -> x % 2 = 0)) AS n_even,
            list_reduce([CAST(o_custkey AS BIGINT), 10, 100], (a, b) -> a + b) AS folded
     FROM orders
@@ -318,9 +318,15 @@ def q_fn_lambda(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.transform(
-            F.array(F.lit(1), F.lit(2), F.lit(3)),
-            lambda x: x.cast("long") * F.col("o_orderkey"),
+        # The driver's pandas canonicalizer lexsorts every output column and
+        # cannot hash a raw list — emit the transformed array as a
+        # deterministic CSV string (oracle mirrors with array_to_string).
+        F.array_join(
+            F.transform(
+                F.array(F.lit(1), F.lit(2), F.lit(3)),
+                lambda x: (x.cast("long") * F.col("o_orderkey")).cast("string"),
+            ),
+            ",",
         ).alias("scaled"),
         F.size(
             F.filter(

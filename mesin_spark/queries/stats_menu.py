@@ -662,7 +662,7 @@ _DUP_SQL = "1.0 - count(DISTINCT " + _NORM_SQL + ")::DOUBLE / count(*)"
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum({_TOKS_SQL}) AS total_tokens,
+           CAST(sum({_TOKS_SQL}) AS BIGINT) AS total_tokens,
            {sr("avg(n_chars)", 4)} AS avg_chars,
            {sr(_DUP_SQL, 6)} AS exact_dup_share,
            {sr("avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)", 6)} AS en_share

@@ -491,3 +491,102 @@ def test_stats_enabled_seeds_shuffle_partitions(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         spark.catalog.dropTempView("sp_nation")
+
+
+# -- round 4: FLATTEN rewrite, ARRAY JOIN LEFT word boundary, rotation ------
+def test_array_join_left_word_boundary():
+    from mesin_spark.context import _rewrite_array_join as aj
+
+    # an alias ENDING in 'left' is not the LEFT modifier: the alias must
+    # survive and the inner explode must stay non-outer
+    got = aj("SELECT a FROM clicks cleft ARRAY JOIN tags AS tg")
+    assert "clicks cleft" in got and "explode(tags)" in got
+    assert "explode_outer" not in got
+    # real LEFT still detected across whitespace
+    got = aj("SELECT a FROM clicks c LEFT ARRAY JOIN tags AS tg")
+    assert "explode_outer(tags)" in got
+
+
+def test_flatten_rewrites():
+    from mesin_spark.context import _rewrite_flatten as fl
+
+    got = fl("SELECT d.id, f.value FROM t d, LATERAL FLATTEN(input => split(d.x, ' ')) f")
+    assert ", LATERAL FLATTEN" not in got
+    assert "LATERAL VIEW explode(split(d.x, ' ')) f AS value" in got
+    # outer => true keeps empty-array rows
+    got = fl("SELECT * FROM t, LATERAL FLATTEN(input => xs, outer => true) g")
+    assert "LATERAL VIEW OUTER explode(xs) g AS value" in got
+    # positional input, no alias -> default alias, stop keyword untouched
+    got = fl("SELECT * FROM t, LATERAL FLATTEN(xs) WHERE 1=1")
+    assert "LATERAL VIEW explode(xs) _flat AS value" in got and "WHERE 1=1" in got
+    # non-snowflake text / literals untouched
+    s = "SELECT 'LATERAL FLATTEN nope' FROM t"
+    assert fl(s) == s
+    with pytest.raises(ValueError, match="input"):
+        fl("SELECT * FROM t, LATERAL FLATTEN(outer => true) f")
+
+
+def test_flatten_end_to_end(spark):
+    c = ExecutionContext(dialect="snowflake", spark=spark)
+    spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])], "id long, tags array<string>"
+    ).createOrReplaceTempView("fl_t")
+    rows = c.execute(
+        "SELECT id, f.value FROM fl_t, LATERAL FLATTEN(input => tags) f ORDER BY id, value"
+    ).collect()
+    assert [(r["id"], r["value"]) for r in rows] == [(1, "a"), (1, "b")]
+    rows = c.execute(
+        "SELECT id, f.value FROM fl_t, LATERAL FLATTEN(input => tags, outer => true) f"
+        " ORDER BY id, value"
+    ).collect()
+    assert [(r["id"], r["value"]) for r in rows] == [(1, "a"), (1, "b"), (2, None)]
+
+
+def test_rotation_orders_failed_first(tmp_path):
+    """Registry order after rotation: [red driver rows] + [never-certified]
+    + [green-certified]; a rows-only (no_oracle) record stays in the head
+    group so the driver keeps re-recording the weaker check."""
+    import json
+
+    import mesin_spark.queries as Q
+
+    Q.load_all()
+    names = list(Q.QUERIES)
+    green, red = names[0], names[1]
+    rowsonly = names[2]
+    fake = {
+        green: {"rows_match": True, "schema_match": True, "hash_match": True,
+                "spark_rows": 1, "oracle_rows": 1, "err": None},
+        red: {"rows_match": True, "schema_match": True, "hash_match": False,
+              "spark_rows": 1, "oracle_rows": 1, "err": None},
+        rowsonly: {"rows_match": None, "schema_match": None, "hash_match": None,
+                   "spark_rows": 3, "oracle_rows": None, "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(fake))
+    saved_q, saved_o = dict(Q.QUERIES), dict(Q.ORACLE)
+    try:
+        Q._rotate_certified_to_tail(root=str(tmp_path))
+        order = list(Q.QUERIES)
+        assert set(order) == set(saved_q)
+        # red + rows-only lead; the green name sits behind every
+        # unrecorded name (the certified tail)
+        assert order.index(red) < order.index(green)
+        assert order.index(rowsonly) < order.index(green)
+        assert order[-1] == green or order.index(green) > max(
+            order.index(n) for n in saved_q if n not in fake
+        )
+        # a later round flipping the red row green moves it to the tail
+        fake2 = {red: {"rows_match": True, "schema_match": True,
+                       "hash_match": True, "spark_rows": 1, "oracle_rows": 1,
+                       "err": None}}
+        (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake2))
+        Q.QUERIES.clear(); Q.QUERIES.update(saved_q)
+        Q.ORACLE.clear(); Q.ORACLE.update(saved_o)
+        Q._rotate_certified_to_tail(root=str(tmp_path))
+        order2 = list(Q.QUERIES)
+        assert order2.index(red) > max(
+            order2.index(n) for n in saved_q if n not in fake
+        )
+    finally:
+        Q.QUERIES.clear(); Q.QUERIES.update(saved_q)
+        Q.ORACLE.clear(); Q.ORACLE.update(saved_o)

@@ -230,8 +230,12 @@ def test_random_projection_preserves_distance_rank(spark):
     from mesin_spark.queries import QUERIES, load_all
 
     load_all()
-    p1 = {r["vec_id"]: r["proj"] for r in QUERIES["q_random_projection"](spark, SF_DIR).collect()}
-    p2 = {r["vec_id"]: r["proj"] for r in QUERIES["q_random_projection"](spark, SF_DIR).collect()}
+    # proj is a fixed-format CSV string (driver-canonicalizable); parse it
+    def parse(rows_):
+        return {r["vec_id"]: [float(x) for x in r["proj"].split(",")] for r in rows_}
+
+    p1 = parse(QUERIES["q_random_projection"](spark, SF_DIR).collect())
+    p2 = parse(QUERIES["q_random_projection"](spark, SF_DIR).collect())
     assert p1 == p2
     assert all(len(v) == 8 for v in p1.values())
     # not degenerate: projections differ across vectors

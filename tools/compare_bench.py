@@ -41,6 +41,28 @@ def load(path: str) -> dict:
     raise SystemExit(f"{path}: no bench record found")
 
 
+def load_slopes(path: str, record: dict) -> dict[str, float]:
+    """Per-query scale slopes (t(3x)/t(1x)) for a bench record.
+
+    Rounds ≤3 embedded them as record['scale2']['slope']; bench.py now
+    routes the two-scale block to a BENCH_SCALE2.json side file next to
+    the record (so the driver's last-line capture stays short). Returns {}
+    when neither exists — the wall-time gate still runs."""
+    slopes = record.get("scale2", {}).get("slope")
+    if slopes:
+        return slopes
+    if "scale2_total" not in record:
+        # old record without an inline block — don't pick up a NEWER run's
+        # side file that happens to sit in the same directory
+        return {}
+    side = os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_SCALE2.json")
+    try:
+        with open(side) as f:
+            return json.load(f).get("slope", {})
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
@@ -72,10 +94,25 @@ def main() -> int:
         print(f"\nshared-query total: {pt:.2f}s -> {ct:.2f}s ({ct / pt:.2f}x)")
     else:
         print("\nno shared queries with a nonzero baseline — nothing to compare")
+    # scale-slope gate: a query whose t(3x)/t(1x) slope grew >THRESHOLD×
+    # between rounds has a scaling regression even if its sf0.1 wall-time
+    # held — exactly the class the single-scale diff above cannot see
+    ps, cs = load_slopes(sys.argv[1], prev), load_slopes(sys.argv[2], curr)
+    slope_regressions = []
+    shared_s = sorted(set(ps) & set(cs))
+    if shared_s:
+        print(f"\n{'query':28s} {'prev_slope':>10s} {'curr_slope':>10s}")
+        for name in shared_s:
+            ratio = cs[name] / ps[name] if ps[name] > 0 else float("inf")
+            mark = " <-- SLOPE REGRESSION" if ratio > THRESHOLD else ""
+            print(f"{name:28s} {ps[name]:10.2f} {cs[name]:10.2f}{mark}")
+            if ratio > THRESHOLD:
+                slope_regressions.append(name)
     if regressions:
         print(f"REGRESSED (> {THRESHOLD}x): {regressions}")
-        return 1
-    return 0
+    if slope_regressions:
+        print(f"SLOPE REGRESSED (> {THRESHOLD}x): {slope_regressions}")
+    return 1 if regressions or slope_regressions else 0
 
 
 if __name__ == "__main__":

@@ -6,7 +6,17 @@ sf_dir, then compares: row count, column names (sorted), and exact values
 strictly stronger than the driver's order-insensitive value hash.
 
 Usage:
-    python tools/verify_oracle.py [sf_dir] [query ...]
+    python tools/verify_oracle.py [sf_dir] [query ...] [--driver-canon]
+
+``--driver-canon`` additionally replays the DRIVER's stricter hash
+discipline on every compared pair: pandas lexsort over the raw columns
+(no object stringification first — an array/map output column raises the
+same ``unhashable type`` the driver records as an ERROR) and then
+cell-by-cell ``str()`` comparison (so an int64 483 from Spark vs a
+HUGEINT→float64 483.0 from DuckDB mismatches, exactly as the driver's
+order-insensitive value hash does even though ``483.0 == 483``). Run it
+before every round: it surfaces representation-level oracle defects the
+value-equality compare hides.
 """
 
 from __future__ import annotations
@@ -53,6 +63,40 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def driver_canon_problems(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Replay the driver's canonicalization on both frames and diff the
+    stringified cells. Returns [] when the driver's value hash would
+    match; otherwise one problem string per defect class."""
+    out: list[str] = []
+    frames = []
+    for side, df in (("spark", spark_pdf), ("duck", duck_pdf)):
+        df = df[sorted(df.columns)].copy()
+        try:
+            # the driver sorts the RAW columns — unhashable cells (list /
+            # dict / ndarray) kill its Categorical lexsort
+            df = df.sort_values(by=list(df.columns), na_position="first")
+        except TypeError as e:
+            out.append(f"driver-canon {side} lexsort ERROR: {e}")
+            continue
+        frames.append(df.reset_index(drop=True))
+    if out or len(frames) != 2:
+        return out
+    a, b = frames
+    if len(a) != len(b) or list(a.columns) != list(b.columns):
+        return out  # row/column mismatch already reported by compare()
+    for col in a.columns:
+        av = [str(v) for v in a[col].tolist()]
+        bv = [str(v) for v in b[col].tolist()]
+        bad = [(i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if x != y]
+        if bad:
+            i, x, y = bad[0]
+            out.append(
+                f"driver-canon repr differs in '{col}': {len(bad)}/{len(av)}"
+                f" cells; first row {i}: spark={x!r} duck={y!r}"
+            )
+    return out
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -78,8 +122,10 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a not in ("--driver-canon", "-v")]
+    driver_canon = "--driver-canon" in sys.argv
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from mesin_spark.session import get_session
@@ -107,6 +153,8 @@ def main() -> int:
                 continue
             dpdf = con.execute(oracles[name]).df()
             problems = compare(spdf, dpdf)
+            if driver_canon and not problems:
+                problems = driver_canon_problems(spdf, dpdf)
             if problems:
                 failed.append(name)
                 print(f"  FAIL {name}: " + " | ".join(problems))
