@@ -119,6 +119,7 @@ def normalize_dialect(sql: str, dialect: str) -> str:
     sql = _rewrite_quantified(sql)
     if dialect == "clickhouse":
         sql = _rewrite_array_join(sql)
+        sql = _rewrite_combinators(sql)
     if dialect == "snowflake":
         sql = _rewrite_flatten(sql)
     if dialect == "mssql":
@@ -502,6 +503,68 @@ def _rewrite_array_join(sql: str) -> str:
             )
         inner = f"SELECT * EXCEPT ({expr}), {explode}({expr}) AS {expr} FROM {src}"
     return _rewrite_array_join(f"{head}FROM ({inner}) _arrayjoin {rest}".rstrip())
+
+
+_COMBINATOR_BASES = frozenset({"count", "sum", "avg", "min", "max"})
+
+
+def _rewrite_combinators(sql: str) -> str:
+    """ClickHouse ``-If`` aggregate combinators → conditional aggregates:
+    ``sumIf(x, cond)`` / ``avgIf`` / ``minIf`` / ``maxIf`` →
+    ``sum(CASE WHEN cond THEN x END)`` (non-matching rows contribute
+    NULL, which the aggregate skips — ClickHouse's exact semantics), and
+    ``countIf(cond)`` → ``count(CASE WHEN cond THEN 1 END)``. String
+    literals are never touched; other combinators (-Array, -State,
+    -Merge) surface Spark's error unchanged."""
+    for i, ch, depth in _scan_top_level(sql):
+        if ch != "(":
+            continue
+        # identifier ending just before the paren (whitespace allowed)
+        e = i
+        while e > 0 and sql[e - 1].isspace():
+            e -= 1
+        j = e
+        while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            j -= 1
+        ident = sql[j:e]
+        if not ident.endswith("If"):
+            continue
+        base = ident[:-2]
+        if base.lower() not in _COMBINATOR_BASES:
+            continue
+        p = i
+        d, q = 0, p
+        while q < len(sql):
+            if sql[q] == "(":
+                d += 1
+            elif sql[q] == ")":
+                d -= 1
+                if d == 0:
+                    break
+            q += 1
+        if d != 0:
+            continue
+        args, parts, d, cur = sql[p + 1 : q], [], 0, ""
+        for c in args:
+            d += c == "("
+            d -= c == ")"
+            if c == "," and d == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += c
+        parts.append(cur)
+        if base.lower() == "count" and len(parts) == 1:
+            repl = f"count(CASE WHEN {parts[0].strip()} THEN 1 END)"
+        elif len(parts) == 2:
+            repl = (
+                f"{base.lower()}(CASE WHEN {parts[1].strip()}"
+                f" THEN {parts[0].strip()} END)"
+            )
+        else:
+            continue  # wrong arity: let Spark's parser report it
+        return _rewrite_combinators(sql[:j] + repl + sql[q + 1 :])
+    return sql
 
 
 _FLATTEN_STOP_WORDS = frozenset(

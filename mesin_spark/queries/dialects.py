@@ -96,6 +96,36 @@ def q_dialect_flatten(spark, sf_dir):
     )
 
 
+@query(
+    "q_dialect_combinators",
+    oracle="""
+    SELECT o_orderstatus,
+           count(CASE WHEN o_totalprice > 100000 THEN 1 END) AS n_big,
+           CAST(floor(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN o_totalprice END) * 100.0 + 0.5) / 100.0
+                AS DOUBLE) AS urgent_total,
+           CAST(floor(avg(CASE WHEN o_custkey % 2 = 0
+                               THEN o_totalprice END) * 100.0 + 0.5) / 100.0
+                AS DOUBLE) AS even_avg
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_dialect_combinators(spark, sf_dir):
+    """ClickHouse ``-If`` aggregate combinators pasted verbatim
+    (``countIf``/``sumIf``/``avgIf``) — rewritten to conditional
+    aggregates (context._rewrite_combinators), ClickHouse's exact
+    skip-non-matching semantics. Same single grouped-aggregate shuffle
+    as the plain forms: the conditionals fold into the partial agg."""
+    ctx = _ctx(spark, sf_dir, "clickhouse", "orders")
+    return ctx.execute(
+        "SELECT o_orderstatus,"
+        " countIf(o_totalprice > 100000) AS n_big,"
+        " CAST(floor(sumIf(o_totalprice, o_orderpriority = '1-URGENT') * 100.0 + 0.5) / 100.0 AS DOUBLE) AS urgent_total,"
+        " CAST(floor(avgIf(o_totalprice, o_custkey % 2 = 0) * 100.0 + 0.5) / 100.0 AS DOUBLE) AS even_avg"
+        " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
 @query("q_explain")  # rows-only: a plan string has no SQL oracle
 def q_explain(spark, sf_dir):
     """``EXPLAIN <query>`` as a statement through execute() — the

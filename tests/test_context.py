@@ -590,3 +590,31 @@ def test_rotation_orders_failed_first(tmp_path):
     finally:
         Q.QUERIES.clear(); Q.QUERIES.update(saved_q)
         Q.ORACLE.clear(); Q.ORACLE.update(saved_o)
+
+
+def test_combinator_rewrites():
+    from mesin_spark.context import _rewrite_combinators as cb
+
+    got = cb("SELECT countIf(x > 1), sumIf(y, x = 2) FROM t")
+    assert "count(CASE WHEN x > 1 THEN 1 END)" in got
+    assert "sum(CASE WHEN x = 2 THEN y END)" in got
+    # nested parens in either argument survive
+    got = cb("SELECT avgIf(f(a, b), g(x) > h(y, 1)) FROM t")
+    assert "avg(CASE WHEN g(x) > h(y, 1) THEN f(a, b) END)" in got
+    # not-a-combinator identifiers and string literals untouched
+    s = "SELECT notIf(x), 'sumIf(a, b)' FROM t"
+    assert cb(s) == s
+    # wrong arity passes through for Spark's parser to report
+    s = "SELECT sumIf(x) FROM t"
+    assert cb(s) == s
+
+
+def test_combinators_end_to_end(spark):
+    c = ExecutionContext(dialect="clickhouse", spark=spark)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double"
+    ).createOrReplaceTempView("cb_t")
+    r = c.execute(
+        "SELECT countIf(v > 15) AS n, sumIf(v, id % 2 = 1) AS s FROM cb_t"
+    ).collect()[0]
+    assert (r["n"], r["s"]) == (2, 40.0)
