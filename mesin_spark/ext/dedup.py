@@ -263,7 +263,15 @@ def minhash_lsh_dedup(
     sig = hashed.select(
         "_id", minhash_signature_numpy(num_perm)(F.col("_h")).alias("_sig")
     )
-    cands = _band_pairs(sig, num_perm, bands, max_bucket=max_bucket)
+    # eagerly materialize the candidate pairs before the verify joins:
+    # in one lazy plan the signature+banding subtree re-executes under
+    # AQE's stage planning and the joins size themselves off estimates;
+    # checkpointed, the (small, max_bucket-capped) pair set joins with
+    # its TRUE size — AQE broadcasts it locally, SMJ at cluster scale —
+    # measured 2.7s → ~2.3s for the full query at sf0.1
+    cands = _band_pairs(sig, num_perm, bands, max_bucket=max_bucket).localCheckpoint(
+        eager=True
+    )
     a = hashed.select(F.col("_id").alias("id_a"), F.col("_h").alias("h_a"))
     b = hashed.select(F.col("_id").alias("id_b"), F.col("_h").alias("h_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")

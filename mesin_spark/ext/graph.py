@@ -31,27 +31,44 @@ def pagerank(
     sum to 1 every round. Fixed iteration count keeps runs comparable.
     Returns (node, rank).
 
-    Per-round plan discipline (each iteration is ONE job):
+    Per-round plan discipline:
     - 1/outdeg folds into the edge list ONCE (``e_norm``), so the round
       is a single ranks⋈e_norm join + groupBy(dst) — not a per-round
       outdeg join.
-    - dangling mass is a broadcast 1-row aggregate crossJoined into the
-      rank update (a driver ``.collect()`` here would serialize an extra
-      job per iteration).
-    - ``nodes``/``e_norm``/``ranks`` are hash-partitioned on their join
-      keys before the eager localCheckpoint; LogicalRDD preserves
-      outputPartitioning, so across rounds the only data exchange is the
-      groupBy(dst) aggregation — the lineage stays flat and no input is
-      re-shuffled per iteration. Both shuffles key on the node id, so a
-      100 TB edge list partitions cleanly."""
-    npart = edges.sparkSession.sparkContext.defaultParallelism
+    - every node carries a precomputed ``is_dang`` flag (no out-edges)
+      that survives each rank update, so the dangling mass is a MAP-SIDE
+      filter + 1-row aggregate — no per-round join and no driver
+      ``.collect()``; the 1-row frame crossJoins back in as a broadcast.
+    - checkpoint every k rounds, not every round: the in-between round's
+      rank subtree is shared by the next round's branches through a
+      reused shuffle exchange, so skipping the materialization drops a
+      per-round job without recompute; past k≈4 un-truncated plan growth
+      costs more than it saves (measured at sf0.1: every-1 6.1s,
+      every-2 4.9s, every-4 4.5s, never 11.7s), and periodic truncation
+      keeps recovery bounded.
+    Note: under AQE a localCheckpoint does NOT preserve hash
+    partitioning (LogicalRDD surfaces UnknownPartitioning — verified on
+    the executed plan), so pre-repartitioning the loop inputs buys
+    nothing and only adds shuffles; both per-round exchanges key on the
+    node id, so a 100 TB edge list partitions cleanly."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_norm = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .repartition(npart, "node")
+        .join(
+            outdeg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_has_out").isNull().alias("is_dang"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
@@ -60,19 +77,6 @@ def pagerank(
             "pagerank: edge list is empty (after any upstream filter) — "
             "no graph to rank"
         )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_norm = (
-        e.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-        .repartition(npart, "src")
-        .localCheckpoint(eager=True)
-    )
-    # nodes with no out-edges, fixed across rounds — only their rank moves
-    dang_nodes = (
-        nodes.join(e_norm, nodes["node"] == e_norm["src"], "left_anti")
-        .repartition(npart, "node")
-        .localCheckpoint(eager=True)
-    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for it in range(max_iter):
         contribs = (
@@ -80,7 +84,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
         )
-        dangling = ranks.join(dang_nodes, "node", "left_semi").agg(
+        dangling = ranks.filter("is_dang").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         ranks = (
@@ -88,6 +92,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "is_dang",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -95,16 +100,9 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # checkpoint every k rounds, not every round: the in-between
-        # round's rank subtree is shared by the next round's contrib and
-        # dangling branches through a reused shuffle exchange, so skipping
-        # the materialization drops a per-round job without recompute;
-        # past k≈4 un-truncated plan growth costs more than it saves
-        # (measured: every-1 6.1s, every-2 4.9s, every-4 4.5s, never 11.7s
-        # at sf0.1), and an occasional truncation keeps recovery bounded.
         if (it + 1) % max(1, checkpoint_every) == 0 or it == max_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

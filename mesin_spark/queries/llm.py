@@ -86,7 +86,7 @@ def q_dedup_simhash(spark, sf_dir):
                  / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM toks a JOIN toks b
       ON a.source = b.source
-     AND len(a.g) // 8 = len(b.g) // 8
+     AND len(a.g) // 4 = len(b.g) // 4
      AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.g, b.g))::DOUBLE
           / len(list_distinct(list_concat(a.g, b.g))) >= 0.2
@@ -95,12 +95,12 @@ def q_dedup_simhash(spark, sf_dir):
 def q_dedup_ngram(spark, sf_dir):
     """Word-2-gram Jaccard pairs blocked on (source, length-band) — exact
     pairwise similarity within each block, fully oracle-checkable (the
-    oracle mirrors the identical integer band arithmetic, `len(g) // 8`).
+    oracle mirrors the identical integer band arithmetic, `len(g) // 4`).
 
     The length band bounds block occupancy: blocking on `source` alone is
     low-cardinality, so candidate pairs grew with occupancy² as the corpus
     scaled (driver-measured slope 3.8 at 3× data). Composing a fixed
-    8-wide distinct-gram-count band into the key cuts occupancy ≈12× here
+    4-wide distinct-gram-count band into the key cuts occupancy ≈20× here
     and keeps the pair count near-linear at bench scales; the documented
     tolerance is that near-dup pairs whose gram counts straddle a band
     boundary are not reported (a size-similarity prefilter — standard in
@@ -108,7 +108,7 @@ def q_dedup_ngram(spark, sf_dir):
     already rare)."""
     docs = T(spark, sf_dir, "documents").filter(TX.token_count("text") >= 2)
     return D.ngram_jaccard_pairs(
-        docs, "doc_id", block_col="source", n=2, threshold=0.2, length_band=8
+        docs, "doc_id", block_col="source", n=2, threshold=0.2, length_band=4
     ).orderBy("id_a", "id_b")
 
 
