@@ -151,7 +151,13 @@ def _rotate_certified_to_tail(root: str | None = None) -> None:
     writes (and commits) at the repo root; given the same checkout the
     ordering is deterministic. No-op when no CORRECTNESS file exists.
     The full registry is still exact-verified every round regardless of
-    order via tools/verify_oracle.py."""
+    order via tools/verify_oracle.py.
+
+    Within the certified tail, names order by the round that LAST
+    certified them, oldest first — once the never-certified backlog
+    drains, the driver's prefix automatically starts re-verifying the
+    stalest green rows, so every certified name is periodically
+    re-checked instead of parked forever."""
     import glob
     import json
 
@@ -162,7 +168,8 @@ def _rotate_certified_to_tail(root: str | None = None) -> None:
     # latest verdict per name wins: walk rounds in ascending order and
     # overwrite, so a name red in r03 but green in r04 counts as green
     latest: dict[str, bool] = {}
-    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    last_green_round: dict[str, int] = {}
+    for rnd, p in enumerate(sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))):
         try:
             with open(p) as f:
                 rows = json.load(f)
@@ -183,14 +190,20 @@ def _rotate_certified_to_tail(root: str | None = None) -> None:
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
+            if latest[name]:
+                last_green_round[name] = rnd
     if not latest:
         return
     failed = {n for n, ok in latest.items() if not ok}
     certified = {n for n, ok in latest.items() if ok}
+    tail = sorted(
+        (n for n in QUERIES if n in certified),
+        key=lambda n: last_green_round.get(n, 0),
+    )
     ordered = (
         [n for n in QUERIES if n in failed]
         + [n for n in QUERIES if n not in failed and n not in certified]
-        + [n for n in QUERIES if n in certified]
+        + tail
     )
     rotated = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()

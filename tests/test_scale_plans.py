@@ -429,3 +429,65 @@ def test_kmv_overlap_pair_join_is_metadata_sized(spark):
     sk = kmv_sketch(ev, "event_type", "user_id", k=64)
     plan = physical(kmv_overlap(sk, "event_type", k=64))
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_round_plan_shape(spark):
+    """One pagerank power-iteration round must keep its plan lean:
+    dangling mass is a map-side filter + 1-row broadcast (no per-round
+    dangling JOIN), no cartesian product, and at most 5 shuffle
+    exchanges (rank⋈edges SMJ pair + groupBy(dst) + rank-update SMJ
+    pair; the 1-row dangling agg's SinglePartition is metadata-sized)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mesin_spark.queries.stats_menu import _purchase_edges
+
+    edges = _purchase_edges(spark, SF_DIR)
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_norm = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(
+            outdeg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_has_out").isNull().alias("is_dang"))
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    contribs = (
+        ranks.join(e_norm, ranks["node"] == e_norm["src"])
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
+    )
+    dangling = ranks.filter("is_dang").agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+    )
+    one_round = (
+        nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            "is_dang",
+            (F.lit(0.15 / n) + F.lit(0.85) * (F.col("_dm") / n
+             + F.coalesce("in_sum", F.lit(0.0)))).alias("rank"),
+        )
+    )
+    plan = physical(one_round)
+    assert "CartesianProduct" not in plan
+    # the dangling-mass arm must be aggregate-then-broadcast, never a
+    # third data-sized join: exactly one nested-loop join (the 1-row
+    # crossJoin) and no more than two SMJ/shuffle-hash joins
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert len(re.findall(r"(SortMergeJoin|ShuffledHashJoin)", plan)) <= 2
+    assert len(re.findall(r"Exchange (hash|Single|range)", plan)) <= 5
