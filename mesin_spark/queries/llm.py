@@ -107,8 +107,13 @@ def q_dedup_ngram(spark, sf_dir):
     pair-generation dedup; J ≥ 0.2 pairs with very different sizes are
     already rare)."""
     docs = T(spark, sf_dir, "documents").filter(TX.token_count("text") >= 2)
+    # n_salts=4, not the 16 default: the length band multiplies block
+    # cardinality ~25x, so parallelism comes from the blocks themselves
+    # and heavy salting only replicates the gram-array side's shuffle
+    # payload (measured: 16 salts cost +20% at both scale points)
     return D.ngram_jaccard_pairs(
-        docs, "doc_id", block_col="source", n=2, threshold=0.2, length_band=4
+        docs, "doc_id", block_col="source", n=2, threshold=0.2,
+        length_band=4, n_salts=4,
     ).orderBy("id_a", "id_b")
 
 
