@@ -182,6 +182,12 @@ def main() -> None:
             # that line past the capture window and the round recorded no
             # bench number at all.  Keep the final stdout line compact;
             # the full two-scale record goes to a side file + stderr.
+            # t1_queries binds the side file to THIS run's primary record:
+            # compare_bench refuses to attach slopes to a bench record
+            # whose per-query timings don't match (a stale/newer side
+            # file sitting in the repo root would otherwise be silently
+            # attributed to the wrong round)
+            scale2["t1_queries"] = timings
             with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "BENCH_SCALE2.json"), "w") as f:
                 json.dump(scale2, f, indent=1)

@@ -58,9 +58,15 @@ def load_slopes(path: str, record: dict) -> dict[str, float]:
     side = os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_SCALE2.json")
     try:
         with open(side) as f:
-            return json.load(f).get("slope", {})
+            doc = json.load(f)
     except (OSError, ValueError):
         return {}
+    # the side file must belong to THIS record: bench.py stamps it with
+    # the run's primary timings; a mismatch means the file is from a
+    # different (older or newer) run and its slopes don't apply
+    if doc.get("t1_queries") != record.get("queries"):
+        return {}
+    return doc.get("slope", {})
 
 
 def main() -> int:
@@ -99,6 +105,16 @@ def main() -> int:
     # held — exactly the class the single-scale diff above cannot see
     ps, cs = load_slopes(sys.argv[1], prev), load_slopes(sys.argv[2], curr)
     slope_regressions = []
+    if not ps and "scale2_worst_slope" in prev:
+        # per-query slopes for an old round live only in its (since
+        # overwritten) side file — fall back to the worst-slope scalar
+        # the record itself carries, so the gate still fires on a
+        # round-over-round scaling regression
+        pw, cw = prev["scale2_worst_slope"], curr.get("scale2_worst_slope")
+        if cw is not None:
+            print(f"\nworst scale slope: {pw:.2f} -> {cw:.2f}")
+            if pw > 0 and cw / pw > THRESHOLD:
+                slope_regressions.append("<worst_slope>")
     shared_s = sorted(set(ps) & set(cs))
     if shared_s:
         print(f"\n{'query':28s} {'prev_slope':>10s} {'curr_slope':>10s}")
