@@ -282,6 +282,108 @@ def minhash_lsh_dedup(
     )
 
 
+#: portable-arithmetic modulus shared with the fingerprint/KMV tier
+_PORTABLE_MOD = 1_000_000_007
+
+
+def portable_perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for portable minhash permutations —
+    plain integer literals both engines inline, no RNG state."""
+    return [
+        (
+            (2654435761 + 40503 * j) % _PORTABLE_MOD,
+            (1013904223 * (j + 1)) % _PORTABLE_MOD,
+        )
+        for j in range(num_perm)
+    ]
+
+
+def minhash_lsh_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with BIT-REPRODUCIBLE sketches: every
+    hash is exact integer arithmetic mod 1e9+7 (shingle fingerprint =
+    the h·131+code polynomial, permutations = (a·h+b) mod P with inlined
+    literal params, band key = the same polynomial over the band's
+    signature rows), so an independent engine running the identical
+    arithmetic produces the identical candidate set and pair list — the
+    property engine-native sketches (xxhash64 / HLL blobs) can never
+    give an oracle. Same plan shape as minhash_lsh_dedup: one shingle
+    pass, banded bucket join with a pre-collect bucket cap, exact-
+    Jaccard verify on the hashed shingle sets. Returns
+    (id_a, id_b, jaccard), id_a < id_b.
+
+    All products stay under 2^63 (operands < 1e9+7, multipliers ≤ 131 or
+    < P with h < P → a·h < ~1e18), so the arithmetic is exact in any
+    64-bit engine — no silent overflow divergence."""
+    from mesin_spark.ext.sketches import token_fingerprint
+
+    rows_per_band = num_perm // bands
+    if rows_per_band * bands != num_perm:
+        raise ValueError("num_perm must be divisible by bands")
+    fps = F.transform(shingles(F.col(text_col), shingle_k), token_fingerprint)
+    params = portable_perm_params(num_perm)
+
+    def perm(a: int, b: int):
+        # closure, not default-arg binding: Spark reads the lambda's arity
+        # and a defaulted (h, a=..., b=...) signature parses as 3-ary
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_PORTABLE_MOD)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("_f"), perm(a, b))) for a, b in params]
+    )
+    base = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("_id"), fps.alias("_f"))
+        .withColumn("_sig", sig)
+        .localCheckpoint(eager=True)
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.aggregate(
+                    F.slice("_sig", j * rows_per_band + 1, rows_per_band),
+                    F.lit(0).cast("long"),
+                    lambda h, v: (h * 131 + v) % F.lit(_PORTABLE_MOD),
+                ).alias("bkey"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = base.select("_id", F.explode(band_structs).alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    w = Window.partitionBy("band", "bkey")
+    capped = banded.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bn") <= max_bucket
+    )
+    cands = (
+        capped.select(F.col("_id").alias("id_a"), "band", "bkey")
+        .join(capped.select(F.col("_id").alias("id_b"), "band", "bkey"), ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fa = base.select(F.col("_id").alias("id_a"), F.col("_f").alias("f_a"))
+    fb = base.select(F.col("_id").alias("id_b"), F.col("_f").alias("f_b"))
+    jac = F.size(F.array_intersect("f_a", "f_b")) / F.size(F.array_union("f_a", "f_b"))
+    return (
+        cands.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", R(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # -- SimHash ---------------------------------------------------------------
 #: Bit masks for the 64 simhash bits; bit 63 as the negative literal keeps
 #: every mask inside signed-64 range.

@@ -3,10 +3,13 @@ multimodal, streaming (SURVEY.md §2.11).
 
 Oracle strategy: deterministic closed-form operators (exact dedup, token
 stats, quality score, language ID, fingerprint, cosine similarity, n-gram
-Jaccard) are fully DuckDB-checkable. Sketch-based operators (MinHash-LSH,
-SimHash, LSH-ANN) are rows-only by design (engine-native hash functions);
-their *quality* is asserted in tests/test_llm_ops.py (recall vs the exact
-answer, planted-duplicate detection).
+Jaccard) are fully DuckDB-checkable. Sketch-based operators built on
+engine-native hashes (MinHash-LSH, SimHash, LSH-ANN) are rows-only by
+design; their *quality* is asserted in tests/test_llm_ops.py (recall vs
+the exact answer, planted-duplicate detection). q_minhash_portable is
+the exception that proves the tier: its sketch arithmetic is portable
+mod-1e9+7 integer math, so the full LSH pair list oracle-compares
+EXACTLY.
 """
 
 from __future__ import annotations
@@ -56,6 +59,83 @@ def q_dedup_minhash(spark, sf_dir):
     surface — asserted in tests; here the driver checks rows/schema."""
     dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
     return D.minhash_lsh_dedup(dup, "doc_id", threshold=0.7)
+
+
+@query(
+    "q_minhash_portable",
+    oracle=f"""
+    WITH dup AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    ), tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS t
+        FROM dup
+    ), sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM tk
+    ), fps AS (
+        SELECT doc_id, list_transform(s, g ->
+            list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                        list_filter(string_split(g, ''), c -> length(c) > 0),
+                        c -> CAST(unicode(c) AS BIGINT))),
+                (h, c) -> (h * 131 + c) % 1000000007)) AS f
+        FROM sh
+    ), sig AS (
+        SELECT doc_id, f,
+               list_transform([[654435747, 13904216], [654476250, 27808432], [654516753, 41712648], [654557256, 55616864], [654597759, 69521080], [654638262, 83425296], [654678765, 97329512], [654719268, 111233728], [654759771, 125137944], [654800274, 139042160], [654840777, 152946376], [654881280, 166850592], [654921783, 180754808], [654962286, 194659024], [655002789, 208563240], [655043292, 222467456]], p ->
+                   list_min(list_transform(f, h -> (p[1] * h + p[2]) % 1000000007))) AS sg
+        FROM fps
+    ), banded AS (
+        SELECT doc_id, j AS band,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), sg[j * 4 + 1 : j * 4 + 4]),
+                   (h, v) -> (h * 131 + v) % 1000000007) AS bkey
+        FROM sig, unnest([0, 1, 2, 3]) AS u(j)
+    ), capped AS (
+        SELECT * FROM (
+            SELECT doc_id, band, bkey,
+                   count(*) OVER (PARTITION BY band, bkey) AS bn
+            FROM banded)
+        WHERE bn <= 64
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           {sr("len(list_intersect(fa.f, fb.f))::DOUBLE / len(list_distinct(list_concat(fa.f, fb.f)))", 6)} AS jaccard
+    FROM cands c
+    JOIN fps fa ON fa.doc_id = c.id_a
+    JOIN fps fb ON fb.doc_id = c.id_b
+    WHERE len(list_intersect(fa.f, fb.f))::DOUBLE
+          / len(list_distinct(list_concat(fa.f, fb.f))) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def q_minhash_portable(spark, sf_dir):
+    """MinHash-LSH near-dup pairs whose ENTIRE sketch pipeline is
+    bit-reproducible in an independent engine — shingle fingerprints,
+    the 16 permutations, and band keys are all exact h*k+c mod 1e9+7
+    integer arithmetic with inlined literal parameters, so the DuckDB
+    oracle reproduces the identical candidate buckets and the pair list
+    compares EXACTLY (the engine-native q_dedup_minhash stays rows-only
+    because xxhash64 sketches can't cross engines; this variant closes
+    that gap the way the KMV sketch tier already does for distinct
+    counts). Plan shape unchanged from the native variant: one shingle
+    pass, window-capped LSH buckets, exact-Jaccard verify on hashed
+    shingle sets."""
+    dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    return D.minhash_lsh_portable(dup, "doc_id", threshold=0.7).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @query("q_dedup_simhash")  # rows-only: same reason

@@ -408,3 +408,25 @@ def test_ppm_roundtrip_resize_and_features(spark):
     feat = M.extract_features(mm).collect()[0]
     assert feat.n_bytes == 8 * 6 * 3
     assert abs(feat.feature_mean - float(px.mean())) < 1e-9
+
+
+def test_minhash_portable_captures_planted_dups(spark):
+    """Identical texts share every band deterministically, so ALL planted
+    (id, id+1e6) exact-duplicate pairs must surface with jaccard 1.0 —
+    and the portable arithmetic makes the whole pair list reproducible
+    (the oracle comparison is exact; here we pin the recall floor)."""
+    from mesin_spark.ext.dedup import minhash_lsh_portable
+    from mesin_spark.queries import T
+
+    import pyspark.sql.functions as F
+
+    d = T(spark, SF_DIR, "documents").select("doc_id", "text")
+    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = minhash_lsh_portable(dup, "doc_id", threshold=0.7)
+    planted = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1000000) & (F.col("jaccard") == 1.0)
+    )
+    n_docs = d.count()
+    # every doc whose LSH bucket wasn't capped must pair with its clone;
+    # with distinct texts buckets hold ~2 rows, far under the cap
+    assert planted.count() == n_docs
