@@ -419,6 +419,118 @@ def simhash64(col: Column | str) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
+def simhash_portable_chunks(col: Column | str) -> Column:
+    """4×16-bit SimHash chunk keys with PORTABLE arithmetic: per-token
+    polynomial fingerprints (h·131+code mod 1e9+7) vote on 64 bits
+    derived as mid-bits of fp·SALT_b products — exact integer math (all
+    products < 2^62), bit-reproducible in any engine. Returns
+    array<long> of the 4 chunk values (the Hamming-by-chunks layout
+    simhash_dedup uses, without packing through a signed 64-bit long).
+
+    Majority rule matches simhash64: +1/-1 votes per token, bit set on
+    a strictly positive sum (ties clear the bit)."""
+    from mesin_spark.ext.sketches import token_fingerprint
+
+    fps = F.transform(tokens(col), token_fingerprint)
+    salts = F.array(
+        *[F.lit(2654435761 + 40503 * b).cast("long") for b in range(64)]
+    )
+    votes = F.aggregate(
+        fps,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            salts,
+            lambda x, s: x
+            + F.when(
+                F.floor((h * s) % F.lit(2147483648) / F.lit(16384)) % 2 == 1,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
+        ),
+    )
+    bits = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    return F.array(
+        *[
+            F.aggregate(
+                F.slice(bits, c * 16 + 1, 16),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc * 2 + b,
+            )
+            for c in range(4)
+        ]
+    )
+
+
+def simhash_portable_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """simhash_dedup with bit-reproducible sketches (see
+    simhash_portable_chunks): identical pigeonhole candidate structure —
+    Hamming ≤ 3 over 64 bits forces one of the 4 chunks equal — and
+    exact per-pair Hamming verify via bit_count(xor) per chunk, but
+    every bit derives from portable integer arithmetic, so an
+    independent engine reproduces the identical pair list (the
+    cross-engine proof for the SimHash tier, like q_minhash_portable
+    for MinHash). Returns (id_a, id_b, hamming)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_portable_dedup generates 4 chunk keys, which guarantees "
+            f"recall only for Hamming <= 3; got max_hamming={max_hamming}"
+        )
+    sig = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            simhash_portable_chunks(F.col(text_col)).alias("_ch"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.element_at("_ch", c + 1).alias("ckey"),
+            )
+            for c in range(4)
+        ]
+    )
+    exploded = sig.select("_id", F.explode(chunks).alias("c")).select(
+        "_id", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey")
+    )
+    w = Window.partitionBy("chunk", "ckey")
+    capped = exploded.withColumn("_bn", F.count(F.lit(1)).over(w)).filter(
+        F.col("_bn") <= max_bucket
+    )
+    cands = (
+        capped.select(F.col("_id").alias("id_a"), "chunk", "ckey")
+        .join(
+            capped.select(F.col("_id").alias("id_b"), "chunk", "ckey"),
+            ["chunk", "ckey"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ca = sig.select(F.col("_id").alias("id_a"), F.col("_ch").alias("ch_a"))
+    cb = sig.select(F.col("_id").alias("id_b"), F.col("_ch").alias("ch_b"))
+    hamming = F.aggregate(
+        F.zip_with("ch_a", "ch_b", lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_dedup(
     df: DataFrame,
     id_col: str,

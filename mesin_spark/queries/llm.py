@@ -146,6 +146,79 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 @query(
+    "q_simhash_portable",
+    oracle="""
+    WITH dup AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    ), tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS t
+        FROM dup
+    ), fps AS (
+        SELECT doc_id, list_transform(t, tok ->
+            list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                        list_filter(string_split(tok, ''), c -> length(c) > 0),
+                        c -> CAST(unicode(c) AS BIGINT))),
+                (h, c) -> (h * 131 + c) % 1000000007)) AS f
+        FROM tk
+    ), bits AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), b ->
+                   CASE WHEN 2 * len(list_filter(f, h ->
+                            ((h * (2654435761 + 40503 * b)) % 2147483648) // 16384 % 2 = 1))
+                        > len(f)
+                        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bt
+        FROM fps
+    ), chx AS (
+        SELECT doc_id,
+               list_transform([0, 1, 2, 3], c ->
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT), bt[c * 16 + 1 : c * 16 + 16]),
+                       (a, b) -> a * 2 + b)) AS ch
+        FROM bits
+    ), banded AS (
+        SELECT doc_id, c AS chunk, ch[c + 1] AS ckey
+        FROM chx, unnest([0, 1, 2, 3]) AS u(c)
+    ), capped AS (
+        SELECT * FROM (
+            SELECT doc_id, chunk, ckey,
+                   count(*) OVER (PARTITION BY chunk, ckey) AS bn
+            FROM banded)
+        WHERE bn <= 256
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(fa.ch[1], fb.ch[1])) + bit_count(xor(fa.ch[2], fb.ch[2]))
+              + bit_count(xor(fa.ch[3], fb.ch[3])) + bit_count(xor(fa.ch[4], fb.ch[4]))
+              AS BIGINT) AS hamming
+    FROM cands c
+    JOIN chx fa ON fa.doc_id = c.id_a
+    JOIN chx fb ON fb.doc_id = c.id_b
+    WHERE bit_count(xor(fa.ch[1], fb.ch[1])) + bit_count(xor(fa.ch[2], fb.ch[2]))
+        + bit_count(xor(fa.ch[3], fb.ch[3])) + bit_count(xor(fa.ch[4], fb.ch[4])) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q_simhash_portable(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3) with BIT-REPRODUCIBLE
+    signatures: token fingerprints vote on 64 bits derived by exact
+    mod-2^31 integer arithmetic, chunk keys pack bit-slices, candidates
+    share a 16-bit chunk (pigeonhole) — the DuckDB oracle reproduces the
+    identical chunks and the pair list compares EXACTLY. The engine-
+    native q_dedup_simhash stays rows-only (xxhash64 bits); this is the
+    SimHash tier's cross-engine proof, like q_minhash_portable."""
+    dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    return D.simhash_portable_dedup(dup, "doc_id").orderBy("id_a", "id_b")
+
+
+@query(
     "q_dedup_ngram",
     oracle="""
     WITH toks AS (

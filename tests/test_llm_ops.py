@@ -430,3 +430,21 @@ def test_minhash_portable_captures_planted_dups(spark):
     # every doc whose LSH bucket wasn't capped must pair with its clone;
     # with distinct texts buckets hold ~2 rows, far under the cap
     assert planted.count() == n_docs
+
+
+def test_simhash_portable_captures_planted_dups(spark):
+    """Identical texts have identical portable signatures, so every
+    planted (id, id+1e6) pair must surface at hamming 0 (bucket caps
+    permitting — distinct texts keep chunks ~2-deep)."""
+    from mesin_spark.ext.dedup import simhash_portable_dedup
+    from mesin_spark.queries import T
+
+    import pyspark.sql.functions as F
+
+    d = T(spark, SF_DIR, "documents").select("doc_id", "text")
+    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = simhash_portable_dedup(dup, "doc_id")
+    planted = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1000000) & (F.col("hamming") == 0)
+    )
+    assert planted.count() == d.count()
