@@ -24,6 +24,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 10,
     checkpoint_every: int = 2,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges collapse):
     rank' = (1-d)/N + d·(Σ_in rank/outdeg + dangling_mass/N), the
@@ -78,6 +79,7 @@ def pagerank(
             "no graph to rank"
         )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    prev_ranks = ranks
     for it in range(max_iter):
         contribs = (
             ranks.join(e_norm, ranks["node"] == e_norm["src"])
@@ -101,7 +103,27 @@ def pagerank(
             )
         )
         if (it + 1) % max(1, checkpoint_every) == 0 or it == max_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            if tol is not None and it < max_iter - 1:
+                # optional convergence exit, evaluated only at checkpoint
+                # rounds so the steady-state cost is one extra 1-row
+                # aggregate per k iterations (rides the checkpoint
+                # materialization; no extra pass when tol is unset)
+                new_ranks = ranks.localCheckpoint(eager=True)
+                delta = (
+                    new_ranks.select("node", F.col("rank").alias("_r_new"))
+                    .join(
+                        prev_ranks.select("node", F.col("rank").alias("_r_old")),
+                        "node",
+                    )
+                    .agg(F.max(F.abs(F.col("_r_new") - F.col("_r_old"))))
+                    .collect()[0][0]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+                prev_ranks = new_ranks
+            else:
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 

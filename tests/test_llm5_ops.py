@@ -221,3 +221,22 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark, tmp_path):
     assert (2, 1) not in cont  # long not contained in short
     jac = ngram_jaccard_pairs(docs, "doc_id", block_col="source", threshold=0.8).collect()
     assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
+
+
+def test_pagerank_tol_early_exit(spark):
+    """With tol set, the power iteration stops once the max rank delta at
+    a checkpoint round falls under it — and the converged ranks still
+    conserve total mass."""
+    import pyspark.sql.functions as F
+
+    from mesin_spark.ext.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )  # 6-cycle: uniform stationary distribution, converges immediately
+    r = pagerank(edges, max_iter=20, tol=1e-9, checkpoint_every=2)
+    rows = r.collect()
+    assert len(rows) == 6
+    assert abs(sum(x["rank"] for x in rows) - 1.0) < 1e-9
+    for x in rows:
+        assert abs(x["rank"] - 1.0 / 6) < 1e-9
