@@ -61,10 +61,11 @@ def q_dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_dedup(dup, "doc_id", threshold=0.7)
 
 
-@query(
-    "q_minhash_portable",
-    oracle=f"""
-    WITH dup AS (
+#: shared CTE chain deriving the portable-arithmetic LSH candidate set
+#: (dup -> tokens -> shingles -> fingerprints -> signatures -> bands ->
+#: capped buckets -> cands); both the pair query and the clusters query
+#: compose their oracles from the SAME text, so the two stay in lockstep
+_MINHASH_PORTABLE_CTES = """dup AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000, text FROM documents
@@ -109,7 +110,13 @@ def q_dedup_minhash(spark, sf_dir):
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM capped a JOIN capped b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+@query(
+    "q_minhash_portable",
+    oracle=f"""
+    WITH {_MINHASH_PORTABLE_CTES}
     SELECT c.id_a, c.id_b,
            {sr("len(list_intersect(fa.f, fb.f))::DOUBLE / len(list_distinct(list_concat(fa.f, fb.f)))", 6)} AS jaccard
     FROM cands c
@@ -558,6 +565,48 @@ def q_chunk_docs(spark, sf_dir):
     48, final partial window kept. Map-side explode, linear scan."""
     d = T(spark, sf_dir, "documents")
     return P.chunk_documents(d, chunk_tokens=64, stride=48)
+
+
+@query(
+    "q_clusters_portable",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PORTABLE_CTES},
+    pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cands c
+        JOIN fps fa ON fa.doc_id = c.id_a
+        JOIN fps fb ON fb.doc_id = c.id_b
+        WHERE len(list_intersect(fa.f, fb.f))::DOUBLE
+              / len(list_distinct(list_concat(fa.f, fb.f))) >= 0.7
+    ), und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), nds AS (
+        SELECT DISTINCT src AS node FROM und
+    ), reach(node, lbl) AS (
+        SELECT node, node FROM nds
+        UNION
+        SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+    )
+    SELECT node, CAST(min(lbl) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY node
+    ORDER BY node
+    """,
+)
+def q_clusters_portable(spark, sf_dir):
+    """Connected-component canonicalization over the PORTABLE MinHash
+    pair set — with a deterministic cross-engine pair list, the cluster
+    map itself becomes exactly checkable: the oracle closes the
+    reachability transitively with a recursive CTE and takes each
+    component's minimum id, which is precisely what the min-label
+    pointer-jumping loop converges to. The engine-native
+    q_dedup_clusters stays rows-only (its pairs come from xxhash64
+    sketches); this is the iterative-algorithm tier's cross-engine
+    proof."""
+    dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
+    pairs = D.minhash_lsh_portable(dup, "doc_id", threshold=0.7)
+    return D.dedup_clusters(pairs).orderBy("node")
 
 
 @query("q_dedup_clusters")  # rows-only: iterative algorithm (non-SQL-expressible)
