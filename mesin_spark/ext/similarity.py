@@ -225,6 +225,87 @@ def lsh_topk(
     )
 
 
+def portable_plane_weight(p: int, d: int, dim: int = 64) -> float:
+    """±1 weight for (plane p, dim d): exact integer arithmetic, the one
+    definition both the Spark signature and any oracle inline from."""
+    mix = ((p * dim + d) * 2654435761) % (1 << 32)
+    return 1.0 if (mix >> 16) & 1 == 0 else -1.0
+
+
+def portable_plane_weights_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """The weight matrix as a SQL nested-list literal (1-indexed
+    [plane][dim]) for mirroring the signature arithmetic in an oracle."""
+    rows = []
+    for p in range(n_planes):
+        rows.append(
+            "[" + ", ".join(
+                ("1.0" if portable_plane_weight(p, d, dim) > 0 else "-1.0")
+                for d in range(dim)
+            ) + "]"
+        )
+    return "[" + ", ".join(rows) + "]"
+
+
+def portable_lsh_signature(vec_col, n_planes: int = 8, dim: int = 64):
+    """Bucket id from ±1 pseudo-hyperplanes with PORTABLE weights: the
+    sign for (plane p, dim d) comes from exact integer arithmetic
+    (((p·64+d)·2654435761) mod 2^32) >> 16 bit 0 — reproducible in any
+    engine, no RNG state, no float hyperplane literals to ship. The dot
+    products themselves are IEEE double folds in index order; a sign can
+    only diverge cross-engine when the projection is within summation
+    error of exactly 0 (measure-zero for real embeddings)."""
+    from pyspark.sql import Column  # noqa: F401 — signature documentation
+
+    def w(p: int, d: int):
+        return portable_plane_weight(p, d, dim)
+
+    def proj(p: int):
+        weights = F.array(*[F.lit(w(p, d)) for d in range(dim)])
+        return F.aggregate(
+            F.zip_with(vec_col, weights, lambda x, ww: x.cast("double") * ww),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sig = sig + F.when(proj(p) > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def portable_lsh_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k restricted to the query's portable-LSH bucket: exact
+    cosine ranking inside one deterministic bucket, so the result is
+    reproducible by an independent engine running the identical
+    arithmetic (the cross-engine proof for the ANN tier — the
+    engine-native lsh_topk stays rows-only). The query is identified by
+    id so both engines derive its vector and bucket from the same
+    stored row. At scale the bucket filter becomes partition pruning on
+    a corpus written partitioned by the signature."""
+    dim_row = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if dim_row is None:
+        raise ValueError(f"portable_lsh_topk: no row with {id_col}={query_id}")
+    dim = len(dim_row[0])
+    sig = portable_lsh_signature(F.col(vec_col), n_planes, dim)
+    bucketed = emb.withColumn("_sig", sig)
+    qrow = bucketed.filter(F.col(id_col) == query_id).select("_sig", vec_col).head()
+    qsig, qvec = qrow["_sig"], [float(x) for x in qrow[vec_col]]
+    q = lit_vector(qvec)
+    return (
+        bucketed.filter((F.col("_sig") == qsig) & (F.col(id_col) != query_id))
+        .select(F.col(id_col), R(cosine(F.col(vec_col), q), 6).alias("sim"))
+        .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col).asc_nulls_last())
+        .limit(k)
+    )
+
+
 # -- IVF (inverted-file) ANN ----------------------------------------------
 def _l2_rows(X: "np.ndarray") -> "np.ndarray":
     norms = np.linalg.norm(X, axis=1, keepdims=True)

@@ -317,6 +317,48 @@ def q_sim_topk(spark, sf_dir):
     return S.brute_force_topk(emb, qvec, k=10)
 
 
+@query(
+    "q_ann_portable",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding,
+               list_transform(range(0, 4), p ->
+                   CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                            CAST(embedding[i] AS DOUBLE)
+                            * ({S.portable_plane_weights_sql(4, 64)})[p + 1][i])) > 0
+                        THEN ([1, 2, 4, 8])[p + 1]
+                        ELSE 0 END) AS bits
+        FROM embeddings
+    ), keyed AS (
+        SELECT vec_id, embedding,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(bits, b -> CAST(b AS BIGINT))), (a, b) -> a + b) AS sig
+        FROM sigs
+    ), q AS (
+        SELECT embedding AS qe, sig AS qs FROM keyed WHERE vec_id = 0
+    )
+    SELECT s.vec_id,
+           {sr("list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))", 6)} AS sim
+    FROM keyed s, q
+    WHERE s.sig = q.qs AND s.vec_id <> 0
+    ORDER BY sim DESC NULLS LAST, s.vec_id ASC NULLS LAST
+    LIMIT 10
+    """,
+)
+def q_ann_portable(spark, sf_dir):
+    """ANN top-10 inside the query's portable-LSH bucket — ±1
+    hyperplane weights come from exact integer arithmetic (one shared
+    literal table both engines inline), so the bucket assignment and
+    therefore the candidate set are cross-engine deterministic, and the
+    exact cosine ranking inside the bucket compares EXACTLY. The
+    engine-native q_ann_lsh (md5 hyperplanes + multiprobe) stays
+    rows-only; this is the ANN tier's cross-engine proof. Scale path
+    unchanged: the signature filter becomes partition pruning on a
+    corpus written partitioned by bucket."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.portable_lsh_topk(emb, query_id=0, k=10, n_planes=4)
+
+
 @query("q_ann_lsh")  # rows-only: bucket pruning is approximate by design
 def q_ann_lsh(spark, sf_dir):
     """LSH-bucketed ANN top-10 (8 hyperplanes, 3-bit multiprobe): exact

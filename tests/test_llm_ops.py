@@ -448,3 +448,36 @@ def test_simhash_portable_captures_planted_dups(spark):
         (F.col("id_b") - F.col("id_a") == 1000000) & (F.col("hamming") == 0)
     )
     assert planted.count() == d.count()
+
+
+def test_ann_portable_ranks_bucket_exactly(spark):
+    """Portable-LSH top-k: every returned row must carry the query's
+    bucket signature, scores must equal the exact cosine (checked
+    against brute force over the full corpus restricted to the bucket
+    members), and ranking is (sim desc, id asc)."""
+    import pyspark.sql.functions as F
+
+    from mesin_spark.ext.similarity import (
+        brute_force_topk,
+        portable_lsh_signature,
+        portable_lsh_topk,
+        query_vector,
+    )
+    from mesin_spark.queries import T
+
+    emb = T(spark, SF_DIR, "embeddings")
+    res = portable_lsh_topk(emb, query_id=0, k=10, n_planes=4).collect()
+    assert 0 < len(res) <= 10
+    sims = [r["sim"] for r in res]
+    assert sims == sorted(sims, reverse=True)
+    # exact-cosine agreement: the same ids scored by brute force give
+    # identical rounded sims
+    qvec = query_vector(emb, 0)
+    bf = {r["vec_id"]: r["sim"] for r in brute_force_topk(emb, qvec, k=10000).collect()}
+    for r in res:
+        assert bf[r["vec_id"]] == r["sim"]
+    # bucket purity: all results share the query's signature
+    sig = portable_lsh_signature(F.col("embedding"), 4, 64)
+    sigs = {r["vec_id"]: r["s"] for r in emb.select("vec_id", sig.alias("s")).collect()}
+    for r in res:
+        assert sigs[r["vec_id"]] == sigs[0]
