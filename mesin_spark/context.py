@@ -508,6 +508,81 @@ def _rewrite_array_join(sql: str) -> str:
 _COMBINATOR_BASES = frozenset({"count", "sum", "avg", "min", "max"})
 
 
+def _matching_paren(sql: str, open_idx: int) -> int:
+    """Index of the ')' matching the '(' at ``open_idx``, honoring string
+    literals ('' escapes), double-quoted and backtick identifiers — the
+    quote-aware sibling of a raw paren count (a ')' inside a literal must
+    not close the argument list). Returns -1 when unbalanced."""
+    depth = 0
+    i, n = open_idx, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch in '"`':
+            j = sql.find(ch, i + 1)
+            i = n if j == -1 else j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _split_top_commas(segment: str) -> list[str]:
+    """Split an argument list on top-level commas, honoring nested parens
+    and string/identifier quoting (a comma inside '...' is data)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    i, n = 0, len(segment)
+    while i < n:
+        ch = segment[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if segment[j] == "'" and j + 1 < n and segment[j + 1] == "'":
+                    j += 2
+                    continue
+                if segment[j] == "'":
+                    break
+                j += 1
+            cur.append(segment[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        if ch in '"`':
+            j = segment.find(ch, i + 1)
+            j = n - 1 if j == -1 else j
+            cur.append(segment[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
 def _rewrite_combinators(sql: str) -> str:
     """ClickHouse ``-If`` aggregate combinators → conditional aggregates:
     ``sumIf(x, cond)`` / ``avgIf`` / ``minIf`` / ``maxIf`` →
@@ -532,28 +607,10 @@ def _rewrite_combinators(sql: str) -> str:
         base = ident[:-2]
         if base.lower() not in _COMBINATOR_BASES:
             continue
-        p = i
-        d, q = 0, p
-        while q < len(sql):
-            if sql[q] == "(":
-                d += 1
-            elif sql[q] == ")":
-                d -= 1
-                if d == 0:
-                    break
-            q += 1
-        if d != 0:
+        q = _matching_paren(sql, i)
+        if q == -1:
             continue
-        args, parts, d, cur = sql[p + 1 : q], [], 0, ""
-        for c in args:
-            d += c == "("
-            d -= c == ")"
-            if c == "," and d == 0:
-                parts.append(cur)
-                cur = ""
-            else:
-                cur += c
-        parts.append(cur)
+        parts = _split_top_commas(sql[i + 1 : q])
         if base.lower() == "count" and len(parts) == 1:
             repl = f"count(CASE WHEN {parts[0].strip()} THEN 1 END)"
         elif len(parts) == 2:
@@ -597,29 +654,10 @@ def _rewrite_flatten(sql: str) -> str:
         p += 1
     if p >= len(sql) or sql[p] != "(":
         return sql
-    depth = 0
-    q = p
-    while q < len(sql):
-        if sql[q] == "(":
-            depth += 1
-        elif sql[q] == ")":
-            depth -= 1
-            if depth == 0:
-                break
-        q += 1
-    if depth != 0:
+    q = _matching_paren(sql, p)
+    if q == -1:
         raise ValueError("FLATTEN: unbalanced parentheses")
-    args, parts, d, cur = sql[p + 1 : q], [], 0, ""
-    for ch in args:
-        d += ch == "("
-        d -= ch == ")"
-        if ch == "," and d == 0:
-            parts.append(cur)
-            cur = ""
-        else:
-            cur += ch
-    if cur.strip():
-        parts.append(cur)
+    parts = [a for a in _split_top_commas(sql[p + 1 : q]) if a.strip()]
     input_expr, outer = None, False
     for part in parts:
         m = re.match(r"\s*(input|outer)\s*=>\s*(.*?)\s*$", part, re.I | re.S)
@@ -868,7 +906,10 @@ class ExecutionContext:
                         src = read_parquet(self.spark, data_dir)
                         src.hint("broadcast").createOrReplaceTempView(name)
                         self._stats_hinted.add(name)
-                    except (OSError, AnalysisException):
+                    except (OSError, ValueError, AnalysisException):
+                        # ValueError: a corrupt _VERSION pointer raises in
+                        # current_version()'s int() parse — DML paths should
+                        # fail loudly on that, but a planning HINT must not
                         continue
         if max_rows:
             n = recommend_shuffle_partitions(max_rows, max_row_bytes)

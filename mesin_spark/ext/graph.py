@@ -17,6 +17,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank_round(
+    nodes: DataFrame, e_norm: DataFrame, ranks: DataFrame, damping: float, n: int
+) -> DataFrame:
+    """ONE power-iteration round — the exact frame pagerank() builds per
+    loop step, exposed so plan tests assert on the real implementation
+    instead of a hand-built replica. ``nodes`` carries (node, is_dang),
+    ``e_norm`` (src, dst, w=1/outdeg), ``ranks`` (node, is_dang, rank)."""
+    contribs = (
+        ranks.join(e_norm, ranks["node"] == e_norm["src"])
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
+    )
+    dangling = ranks.filter("is_dang").agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+    )
+    return (
+        nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            "is_dang",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.col("_dm") / n + F.coalesce("in_sum", F.lit(0.0)))
+            ).alias("rank"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -81,27 +111,7 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     prev_ranks = ranks
     for it in range(max_iter):
-        contribs = (
-            ranks.join(e_norm, ranks["node"] == e_norm["src"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
-        )
-        dangling = ranks.filter("is_dang").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                "is_dang",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.col("_dm") / n + F.coalesce("in_sum", F.lit(0.0)))
-                ).alias("rank"),
-            )
-        )
+        ranks = pagerank_round(nodes, e_norm, ranks, damping, n)
         if (it + 1) % max(1, checkpoint_every) == 0 or it == max_iter - 1:
             if tol is not None and it < max_iter - 1:
                 # optional convergence exit, evaluated only at checkpoint

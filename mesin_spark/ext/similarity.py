@@ -292,11 +292,21 @@ def portable_lsh_topk(
     dim_row = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
     if dim_row is None:
         raise ValueError(f"portable_lsh_topk: no row with {id_col}={query_id}")
-    dim = len(dim_row[0])
+    qvec = [float(x) for x in dim_row[0]]
+    dim = len(qvec)
+    # the query's signature is computed driver-side from the vector we
+    # already fetched: the same left-to-right IEEE double fold over the
+    # same literal weights the column expression inlines, so it matches
+    # bit-for-bit without a second Spark job on the ANN hot path
+    qsig = 0
+    for p in range(n_planes):
+        acc = 0.0
+        for d in range(dim):
+            acc += qvec[d] * portable_plane_weight(p, d, dim)
+        if acc > 0:
+            qsig |= 1 << p
     sig = portable_lsh_signature(F.col(vec_col), n_planes, dim)
     bucketed = emb.withColumn("_sig", sig)
-    qrow = bucketed.filter(F.col(id_col) == query_id).select("_sig", vec_col).head()
-    qsig, qvec = qrow["_sig"], [float(x) for x in qrow[vec_col]]
     q = lit_vector(qvec)
     return (
         bucketed.filter((F.col("_sig") == qsig) & (F.col(id_col) != query_id))

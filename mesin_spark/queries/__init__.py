@@ -178,18 +178,28 @@ def _rotate_certified_to_tail(root: str | None = None) -> None:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            # Only a fully-green exact row counts as certified.  A
-            # rows-only record (err == 'no_oracle') stays in the head
-            # group: the check is weaker, so those names keep cycling
-            # through the driver's prefix instead of being parked — and a
-            # name reclassified rows-only after a red round (e.g.
-            # q_approx_distinct) gets its clean rows-only row re-recorded
-            # rather than staying red forever.
-            latest[name] = bool(
+            # Certified = a fully-green exact row, OR a clean rows-only
+            # record for a name that still has no oracle today (the
+            # expected outcome of the weaker check — parking it is
+            # correct, and the oldest-first tail ordering re-checks it
+            # periodically). A rows-only record for a name that NOW has
+            # an oracle (converted since the record) stays in the head
+            # group so the driver records the exact row; so does any
+            # red/errored row. Without the clean-rows-only arm the
+            # rows-only names would accumulate at the head forever and
+            # starve the never-certified backlog out of the driver's
+            # fixed-size prefix.
+            exact_green = bool(
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
+            rows_only_clean = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and name not in ORACLE
+            )
+            latest[name] = exact_green or rows_only_clean
             if latest[name]:
                 last_green_round[name] = rnd
     if not latest:

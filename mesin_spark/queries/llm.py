@@ -65,7 +65,13 @@ def q_dedup_minhash(spark, sf_dir):
 #: (dup -> tokens -> shingles -> fingerprints -> signatures -> bands ->
 #: capped buckets -> cands); both the pair query and the clusters query
 #: compose their oracles from the SAME text, so the two stay in lockstep
-_MINHASH_PORTABLE_CTES = """dup AS (
+#: SQL literal of the 16 portable (a, b) permutation params, generated
+#: from the SAME function the Spark sketch uses — the oracle can't drift
+_PERM_PARAMS_SQL = "[" + ", ".join(
+    f"[{a}, {b}]" for a, b in D.portable_perm_params(16)
+) + "]"
+
+_MINHASH_PORTABLE_CTES = f"""dup AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000, text FROM documents
@@ -91,7 +97,7 @@ _MINHASH_PORTABLE_CTES = """dup AS (
         FROM sh
     ), sig AS (
         SELECT doc_id, f,
-               list_transform([[654435747, 13904216], [654476250, 27808432], [654516753, 41712648], [654557256, 55616864], [654597759, 69521080], [654638262, 83425296], [654678765, 97329512], [654719268, 111233728], [654759771, 125137944], [654800274, 139042160], [654840777, 152946376], [654881280, 166850592], [654921783, 180754808], [654962286, 194659024], [655002789, 208563240], [655043292, 222467456]], p ->
+               list_transform({_PERM_PARAMS_SQL}, p ->
                    list_min(list_transform(f, h -> (p[1] * h + p[2]) % 1000000007))) AS sg
         FROM fps
     ), banded AS (
@@ -122,8 +128,8 @@ _MINHASH_PORTABLE_CTES = """dup AS (
     FROM cands c
     JOIN fps fa ON fa.doc_id = c.id_a
     JOIN fps fb ON fb.doc_id = c.id_b
-    WHERE len(list_intersect(fa.f, fb.f))::DOUBLE
-          / len(list_distinct(list_concat(fa.f, fb.f))) >= 0.7
+    WHERE floor((len(list_intersect(fa.f, fb.f))::DOUBLE
+          / len(list_distinct(list_concat(fa.f, fb.f)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.7
     ORDER BY id_a, id_b
     """,
 )
@@ -248,8 +254,8 @@ def q_simhash_portable(spark, sf_dir):
       ON a.source = b.source
      AND len(a.g) // 4 = len(b.g) // 4
      AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.g, b.g))::DOUBLE
-          / len(list_distinct(list_concat(a.g, b.g))) >= 0.2
+    WHERE floor((len(list_intersect(a.g, b.g))::DOUBLE
+          / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
     """,
 )
 def q_dedup_ngram(spark, sf_dir):
@@ -618,8 +624,8 @@ def q_chunk_docs(spark, sf_dir):
         FROM cands c
         JOIN fps fa ON fa.doc_id = c.id_a
         JOIN fps fb ON fb.doc_id = c.id_b
-        WHERE len(list_intersect(fa.f, fb.f))::DOUBLE
-              / len(list_distinct(list_concat(fa.f, fb.f))) >= 0.7
+        WHERE floor((len(list_intersect(fa.f, fb.f))::DOUBLE
+              / len(list_distinct(list_concat(fa.f, fb.f)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.7
     ), und AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION

@@ -618,3 +618,18 @@ def test_combinators_end_to_end(spark):
         "SELECT countIf(v > 15) AS n, sumIf(v, id % 2 = 1) AS s FROM cb_t"
     ).collect()[0]
     assert (r["n"], r["s"]) == (2, 40.0)
+
+
+def test_rewriters_honor_string_literals():
+    from mesin_spark.context import _rewrite_combinators as cb
+    from mesin_spark.context import _rewrite_flatten as fl
+
+    # parens and commas inside string literals are data, not syntax
+    got = cb("SELECT countIf(s = ')') FROM t")
+    assert got == "SELECT count(CASE WHEN s = ')' THEN 1 END) FROM t"
+    got = cb("SELECT sumIf(price, status = 'a,b') FROM t")
+    assert got == "SELECT sum(CASE WHEN status = 'a,b' THEN price END) FROM t"
+    got = fl("SELECT * FROM t, LATERAL FLATTEN(input => split(x, '(')) f")
+    assert "explode(split(x, '(')) f AS value" in got
+    got = fl("SELECT * FROM t, LATERAL FLATTEN(input => split(x, ')')) f")
+    assert "explode(split(x, ')')) f AS value" in got

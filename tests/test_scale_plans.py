@@ -436,11 +436,14 @@ def test_pagerank_round_plan_shape(spark):
     dangling mass is a map-side filter + 1-row broadcast (no per-round
     dangling JOIN), no cartesian product, and at most 5 shuffle
     exchanges (rank⋈edges SMJ pair + groupBy(dst) + rank-update SMJ
-    pair; the 1-row dangling agg's SinglePartition is metadata-sized)."""
+    pair; the 1-row dangling agg's SinglePartition is metadata-sized).
+    Built from pagerank's OWN input/round builders, so a regression in
+    the real implementation fails here."""
     import re
 
     from pyspark.sql import functions as F
 
+    from mesin_spark.ext.graph import pagerank_round
     from mesin_spark.queries.stats_menu import _purchase_edges
 
     edges = _purchase_edges(spark, SF_DIR)
@@ -465,24 +468,7 @@ def test_pagerank_round_plan_shape(spark):
     )
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    contribs = (
-        ranks.join(e_norm, ranks["node"] == e_norm["src"])
-        .groupBy("dst")
-        .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
-    )
-    dangling = ranks.filter("is_dang").agg(
-        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-    )
-    one_round = (
-        nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-        .crossJoin(F.broadcast(dangling))
-        .select(
-            "node",
-            "is_dang",
-            (F.lit(0.15 / n) + F.lit(0.85) * (F.col("_dm") / n
-             + F.coalesce("in_sum", F.lit(0.0)))).alias("rank"),
-        )
-    )
+    one_round = pagerank_round(nodes, e_norm, ranks, damping=0.85, n=n)
     plan = physical(one_round)
     assert "CartesianProduct" not in plan
     # the dangling-mass arm must be aggregate-then-broadcast, never a

@@ -51,10 +51,6 @@ def load_slopes(path: str, record: dict) -> dict[str, float]:
     slopes = record.get("scale2", {}).get("slope")
     if slopes:
         return slopes
-    if "scale2_total" not in record:
-        # old record without an inline block — don't pick up a NEWER run's
-        # side file that happens to sit in the same directory
-        return {}
     side = os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_SCALE2.json")
     try:
         with open(side) as f:
@@ -63,7 +59,10 @@ def load_slopes(path: str, record: dict) -> dict[str, float]:
         return {}
     # the side file must belong to THIS record: bench.py stamps it with
     # the run's primary timings; a mismatch means the file is from a
-    # different (older or newer) run and its slopes don't apply
+    # different (older or newer) run and its slopes don't apply. The
+    # stamp alone decides — requiring an inline scale2 marker too would
+    # silently drop the slope gate whenever bench.py's line-length guard
+    # trimmed the printed record.
     if doc.get("t1_queries") != record.get("queries"):
         return {}
     return doc.get("slope", {})
@@ -105,6 +104,12 @@ def main() -> int:
     # held — exactly the class the single-scale diff above cannot see
     ps, cs = load_slopes(sys.argv[1], prev), load_slopes(sys.argv[2], curr)
     slope_regressions = []
+    # A slope regression needs BOTH a round-over-round ratio jump AND a
+    # current slope that is actually superlinear-ish: slope estimates
+    # compound two jittery timings (bench.py documents ~1.4x min-of-RUNS
+    # noise on sub-2s plans), so a bare 1.5x ratio between two sub-linear
+    # measurements is indistinguishable from noise.
+    SLOPE_FLOOR = float(os.environ.get("BENCH_SLOPE_FLOOR", "2.0"))
     if not ps and "scale2_worst_slope" in prev:
         # per-query slopes for an old round live only in its (since
         # overwritten) side file — fall back to the worst-slope scalar
@@ -113,16 +118,17 @@ def main() -> int:
         pw, cw = prev["scale2_worst_slope"], curr.get("scale2_worst_slope")
         if cw is not None:
             print(f"\nworst scale slope: {pw:.2f} -> {cw:.2f}")
-            if pw > 0 and cw / pw > THRESHOLD:
+            if pw > 0 and cw / pw > THRESHOLD and cw > SLOPE_FLOOR:
                 slope_regressions.append("<worst_slope>")
     shared_s = sorted(set(ps) & set(cs))
     if shared_s:
         print(f"\n{'query':28s} {'prev_slope':>10s} {'curr_slope':>10s}")
         for name in shared_s:
             ratio = cs[name] / ps[name] if ps[name] > 0 else float("inf")
-            mark = " <-- SLOPE REGRESSION" if ratio > THRESHOLD else ""
+            bad = ratio > THRESHOLD and cs[name] > SLOPE_FLOOR
+            mark = " <-- SLOPE REGRESSION" if bad else ""
             print(f"{name:28s} {ps[name]:10.2f} {cs[name]:10.2f}{mark}")
-            if ratio > THRESHOLD:
+            if bad:
                 slope_regressions.append(name)
     if regressions:
         print(f"REGRESSED (> {THRESHOLD}x): {regressions}")
