@@ -289,12 +289,17 @@ def q_ewma(spark, sf_dir):
 @query(
     "q_rollup_daily",
     oracle="""
+    WITH q AS (
+        SELECT ts, event_type,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS micro
+        FROM events
+    )
     SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
            event_type,
            count(*) AS n,
-           floor((SUM(value)) * 100.0 + 0.5) / 100.0 AS sum_v,
-           floor((SUM(value) / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
-    FROM events GROUP BY 1, 2
+           floor((SUM(micro) / 1000000.0) * 100.0 + 0.5) / 100.0 AS sum_v,
+           floor((SUM(micro)::DOUBLE / count(*) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS avg_v
+    FROM q GROUP BY 1, 2
     """,
 )
 def q_rollup_daily(spark, sf_dir):
@@ -302,18 +307,27 @@ def q_rollup_daily(spark, sf_dir):
     answered from an HOURLY rollup table, not raw events — sums/counts
     re-aggregate exactly, avg derived from decomposed state
     (mesin_spark.ext.rollup). The oracle aggregates raw events directly,
-    proving the rollup path is lossless."""
+    proving the rollup path is lossless.
+
+    Values are quantized to exact integer micro-units BEFORE any
+    aggregation (the metrics-store convention): double summation is
+    order-dependent, and a sweep under a different partitioning caught a
+    6-dp avg flipping a rounding boundary between engines — integer
+    sums are order-independent, so every engine and every partitioning
+    produces the identical rolled-up numbers."""
     from mesin_spark.ext.rollup import reaggregate, time_rollup
 
-    e = T(spark, sf_dir, "events")
+    e = T(spark, sf_dir, "events").withColumn(
+        "value", F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")
+    )
     hourly = time_rollup(e, "1 hour", group_cols=["event_type"])
     daily = reaggregate(hourly, "1 day", group_cols=["event_type"])
     return daily.select(
         F.unix_timestamp("bucket_start").alias("day_start"),
         "event_type",
         "n",
-        R(F.col("sum_v"), 2).alias("sum_v"),
-        R(F.col("avg_v"), 6).alias("avg_v"),
+        R(F.col("sum_v") / 1000000.0, 2).alias("sum_v"),
+        R(F.col("avg_v") / 1000000.0, 6).alias("avg_v"),
     )
 
 
