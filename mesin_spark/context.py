@@ -520,6 +520,9 @@ def _matching_paren(sql: str, open_idx: int) -> int:
         if ch == "'":
             j = i + 1
             while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2  # backslash escape (clickhouse-style \')
+                    continue
                 if sql[j] == "'" and j + 1 < n and sql[j + 1] == "'":
                     j += 2
                     continue
@@ -554,6 +557,9 @@ def _split_top_commas(segment: str) -> list[str]:
         if ch == "'":
             j = i + 1
             while j < n:
+                if segment[j] == "\\" and j + 1 < n:
+                    j += 2  # backslash escape (clickhouse-style \')
+                    continue
                 if segment[j] == "'" and j + 1 < n and segment[j + 1] == "'":
                     j += 2
                     continue

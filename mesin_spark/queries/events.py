@@ -317,8 +317,13 @@ def q_rollup_daily(spark, sf_dir):
     produces the identical rolled-up numbers."""
     from mesin_spark.ext.rollup import reaggregate, time_rollup
 
+    # decimal(20,0), not long: Spark's sum over LongType wraps silently
+    # past 2^63 (ANSI off) while the oracle's HUGEINT promotes — at the
+    # 100 TB/day bucket sizes this tier targets, micro-unit sums need the
+    # wider exact type (sum over decimal(20,0) yields decimal(30,0))
     e = T(spark, sf_dir, "events").withColumn(
-        "value", F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")
+        "value",
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("decimal(20,0)"),
     )
     hourly = time_rollup(e, "1 hour", group_cols=["event_type"])
     daily = reaggregate(hourly, "1 day", group_cols=["event_type"])

@@ -51,21 +51,26 @@ def load_slopes(path: str, record: dict) -> dict[str, float]:
     slopes = record.get("scale2", {}).get("slope")
     if slopes:
         return slopes
-    side = os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_SCALE2.json")
-    try:
-        with open(side) as f:
-            doc = json.load(f)
-    except (OSError, ValueError):
-        return {}
     # the side file must belong to THIS record: bench.py stamps it with
     # the run's primary timings; a mismatch means the file is from a
-    # different (older or newer) run and its slopes don't apply. The
-    # stamp alone decides — requiring an inline scale2 marker too would
-    # silently drop the slope gate whenever bench.py's line-length guard
-    # trimmed the printed record.
-    if doc.get("t1_queries") != record.get("queries"):
-        return {}
-    return doc.get("slope", {})
+    # different (older or newer) run and its slopes don't apply. Because
+    # the stamp alone decides ownership, it is safe to probe BOTH the
+    # record's directory and the working directory (the documented usage
+    # pipes the record to /tmp while bench.py writes the side file at
+    # the repo root).
+    candidates = [
+        os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_SCALE2.json"),
+        os.path.join(os.getcwd(), "BENCH_SCALE2.json"),
+    ]
+    for side in candidates:
+        try:
+            with open(side) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if doc.get("t1_queries") == record.get("queries"):
+            return doc.get("slope", {})
+    return {}
 
 
 def main() -> int:
@@ -110,17 +115,25 @@ def main() -> int:
     # noise on sub-2s plans), so a bare 1.5x ratio between two sub-linear
     # measurements is indistinguishable from noise.
     SLOPE_FLOOR = float(os.environ.get("BENCH_SLOPE_FLOOR", "2.0"))
-    if not ps and "scale2_worst_slope" in prev:
-        # per-query slopes for an old round live only in its (since
-        # overwritten) side file — fall back to the worst-slope scalar
-        # the record itself carries, so the gate still fires on a
-        # round-over-round scaling regression
-        pw, cw = prev["scale2_worst_slope"], curr.get("scale2_worst_slope")
-        if cw is not None:
+    shared_s = sorted(set(ps) & set(cs))
+    if not shared_s:
+        # per-query slopes unavailable for one side (an old round's side
+        # file was overwritten, or the current record sits away from its
+        # BENCH_SCALE2.json) — fall back to the worst-slope scalar both
+        # records carry inline, and SAY so: a gate that silently runs
+        # zero comparisons is a gate that silently dropped
+        pw, cw = prev.get("scale2_worst_slope"), curr.get("scale2_worst_slope")
+        if pw is not None and cw is not None:
             print(f"\nworst scale slope: {pw:.2f} -> {cw:.2f}")
             if pw > 0 and cw / pw > THRESHOLD and cw > SLOPE_FLOOR:
                 slope_regressions.append("<worst_slope>")
-    shared_s = sorted(set(ps) & set(cs))
+        else:
+            print(
+                "\nslope gate: no per-query slopes on "
+                + ("both sides" if not ps and not cs else
+                   ("prev side" if not ps else "curr side"))
+                + " and no inline worst-slope pair — slope comparison skipped"
+            )
     if shared_s:
         print(f"\n{'query':28s} {'prev_slope':>10s} {'curr_slope':>10s}")
         for name in shared_s:
