@@ -122,6 +122,8 @@ def normalize_dialect(sql: str, dialect: str) -> str:
         sql = _rewrite_combinators(sql)
     if dialect == "snowflake":
         sql = _rewrite_flatten(sql)
+    if dialect == "duckdb":
+        sql = _rewrite_exclude(sql)
     if dialect == "mssql":
         return _normalize_mssql(sql)
     if dialect not in _PG_LIKE:
@@ -587,6 +589,33 @@ def _split_top_commas(segment: str) -> list[str]:
         i += 1
     parts.append("".join(cur))
     return parts
+
+
+def _rewrite_exclude(sql: str) -> str:
+    """DuckDB ``* EXCLUDE (cols)`` / ``* EXCLUDE col`` → Spark's
+    ``* EXCEPT (cols)`` — same semantics, different keyword. Only an
+    EXCLUDE directly following a ``*`` (or ``alias.*``) is rewritten;
+    the single-bare-column form gains the parentheses Spark requires.
+    String literals are never touched (the shared top-level scanner)."""
+    for i, ch, depth in _scan_top_level(sql):
+        if not _kw_at(sql, i, "EXCLUDE"):
+            continue
+        pre = sql[:i].rstrip()
+        if not pre.endswith("*"):
+            continue
+        j = i + 7
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == "(":
+            return _rewrite_exclude(sql[:i] + "EXCEPT" + sql[i + 7 :])
+        m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", sql[j:])
+        if not m:
+            continue
+        col = m.group(0)
+        return _rewrite_exclude(
+            sql[:i] + f"EXCEPT ({col})" + sql[j + m.end() :]
+        )
+    return sql
 
 
 def _rewrite_combinators(sql: str) -> str:

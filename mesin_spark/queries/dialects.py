@@ -126,6 +126,23 @@ def q_dialect_combinators(spark, sf_dir):
     )
 
 
+@query(
+    "q_dialect_exclude",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_dialect_exclude(spark, sf_dir):
+    """DuckDB's ``* EXCLUDE (cols)`` pasted verbatim — rewritten to
+    Spark's ``* EXCEPT`` (context._rewrite_exclude; same semantics,
+    different keyword). Column pruning survives: the excluded column
+    never reaches the scan."""
+    ctx = _ctx(spark, sf_dir, "duckdb", "nation")
+    return ctx.execute(
+        "SELECT * EXCLUDE (n_regionkey) FROM nation ORDER BY n_nationkey"
+    )
+
+
 @query("q_explain")  # rows-only: a plan string has no SQL oracle
 def q_explain(spark, sf_dir):
     """``EXPLAIN <query>`` as a statement through execute() — the

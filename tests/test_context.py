@@ -633,3 +633,13 @@ def test_rewriters_honor_string_literals():
     assert "explode(split(x, '(')) f AS value" in got
     got = fl("SELECT * FROM t, LATERAL FLATTEN(input => split(x, ')')) f")
     assert "explode(split(x, ')')) f AS value" in got
+
+
+def test_exclude_rewrites():
+    from mesin_spark.context import _rewrite_exclude as ex
+
+    assert ex("SELECT * EXCLUDE (a, b) FROM t") == "SELECT * EXCEPT (a, b) FROM t"
+    assert ex("SELECT t.* EXCLUDE c FROM t") == "SELECT t.* EXCEPT (c) FROM t"
+    # EXCLUDE not after a star, or inside a literal: untouched
+    s = "SELECT 'EXCLUDE nope', x AS exclude_col FROM t"
+    assert ex(s) == s
