@@ -124,6 +124,8 @@ def normalize_dialect(sql: str, dialect: str) -> str:
         sql = _rewrite_flatten(sql)
     if dialect == "duckdb":
         sql = _rewrite_exclude(sql)
+    if dialect in ("postgres", "redshift", "duckdb"):
+        sql = _rewrite_regex_match(sql)
     if dialect == "mssql":
         return _normalize_mssql(sql)
     if dialect not in _PG_LIKE:
@@ -589,6 +591,45 @@ def _split_top_commas(segment: str) -> list[str]:
         i += 1
     parts.append("".join(cur))
     return parts
+
+
+def _rewrite_regex_match(sql: str) -> str:
+    """Postgres regex-match operators → Spark: ``expr ~ 'pat'`` →
+    ``expr RLIKE 'pat'``, ``expr !~ 'pat'`` → ``NOT (expr RLIKE 'pat')``
+    via suffix rewrite of the operator token, and the case-insensitive
+    forms ``~*`` / ``!~*`` prepend an inline ``(?i)`` flag to a literal
+    pattern. Only a ``~`` with a string-literal right operand is treated
+    as the operator (a tilde with any other operand passes through —
+    Spark has no other infix ``~``, so its parser reports it)."""
+    for i, ch, depth in _scan_top_level(sql):
+        if ch != "~":
+            continue
+        neg = i > 0 and sql[i - 1] == "!"
+        star = i + 1 < len(sql) and sql[i + 1] == "*"
+        j = i + (2 if star else 1)
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j >= len(sql) or sql[j] != "'":
+            continue  # not a literal pattern: leave for Spark's parser
+        # literal end ('' escapes)
+        k = j + 1
+        n = len(sql)
+        while k < n:
+            if sql[k] == "'" and k + 1 < n and sql[k + 1] == "'":
+                k += 2
+                continue
+            if sql[k] == "'":
+                break
+            k += 1
+        pat = sql[j : k + 1]
+        if star:
+            pat = "'(?i)" + pat[1:]
+        start = i - 1 if neg else i
+        # `lhs NOT RLIKE pat` parses on Spark with semantics identical to
+        # postgres `lhs !~ pat` (negation scoped to the comparison)
+        repl = f"NOT RLIKE {pat}" if neg else f"RLIKE {pat}"
+        return _rewrite_regex_match(sql[:start] + repl + sql[k + 1 :])
+    return sql
 
 
 def _rewrite_exclude(sql: str) -> str:

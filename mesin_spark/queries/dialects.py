@@ -143,6 +143,28 @@ def q_dialect_exclude(spark, sf_dir):
     )
 
 
+@query(
+    "q_dialect_regex",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE regexp_matches(n_name, 'NATION_1[0-9]$')
+      AND NOT regexp_matches(n_name, '3$')
+    ORDER BY n_nationkey
+    """,
+)
+def q_dialect_regex(spark, sf_dir):
+    """Postgres's regex-match operators pasted verbatim (``~`` / ``!~``)
+    — rewritten to Spark RLIKE / NOT RLIKE (context._rewrite_regex_match,
+    negation scoped to the comparison exactly as postgres scopes it).
+    The predicate stays a plain filter: pushdown-eligible, no UDF."""
+    ctx = _ctx(spark, sf_dir, "postgres", "nation")
+    return ctx.execute(
+        "SELECT n_nationkey, n_name FROM nation"
+        " WHERE n_name ~ 'NATION_1[0-9]$' AND n_name !~ '3$'"
+        " ORDER BY n_nationkey"
+    )
+
+
 @query("q_explain")  # rows-only: a plan string has no SQL oracle
 def q_explain(spark, sf_dir):
     """``EXPLAIN <query>`` as a statement through execute() — the

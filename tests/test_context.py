@@ -643,3 +643,18 @@ def test_exclude_rewrites():
     # EXCLUDE not after a star, or inside a literal: untouched
     s = "SELECT 'EXCLUDE nope', x AS exclude_col FROM t"
     assert ex(s) == s
+
+
+def test_regex_match_rewrites():
+    from mesin_spark.context import _rewrite_regex_match as rx
+
+    assert rx("SELECT * FROM t WHERE a ~ '^x'") == "SELECT * FROM t WHERE a RLIKE '^x'"
+    assert (
+        rx("SELECT * FROM t WHERE a !~ 'x' AND b ~* 'Y'")
+        == "SELECT * FROM t WHERE a NOT RLIKE 'x' AND b RLIKE '(?i)Y'"
+    )
+    # tilde in a literal or without a literal pattern: untouched
+    s = "SELECT '~ nope' FROM t"
+    assert rx(s) == s
+    s2 = "SELECT a ~ b FROM t"
+    assert rx(s2) == s2
