@@ -4,7 +4,11 @@ END TO END through ``ExecutionContext.execute(dialect=...)``, not just
 accepted-and-ignored:
 
 - clickhouse ``ARRAY JOIN`` → explode subquery (context._rewrite_array_join)
+- clickhouse ``countIf/sumIf/avgIf/minIf/maxIf`` → conditional aggregates
+- snowflake ``LATERAL FLATTEN(input => …)`` → LATERAL VIEW explode
 - bigquery ``SELECT * EXCEPT(cols)`` → native Spark ≥3.4 star-except
+- duckdb ``* EXCLUDE (cols)`` → Spark star-except
+- postgres ``~`` / ``!~`` / ``~*`` / ``!~*`` regex operators → RLIKE forms
 - ``EXPLAIN <query>`` → the reference's only output artifact
   (a printed plan, src/context.rs:53) reachable as a SQL statement.
 """
