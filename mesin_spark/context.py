@@ -122,6 +122,7 @@ def normalize_dialect(sql: str, dialect: str) -> str:
         sql = _rewrite_combinators(sql)
     if dialect == "snowflake":
         sql = _rewrite_flatten(sql)
+        sql = _rewrite_iff(sql)
     if dialect == "duckdb":
         sql = _rewrite_exclude(sql)
     if dialect in ("postgres", "redshift", "duckdb"):
@@ -591,6 +592,21 @@ def _split_top_commas(segment: str) -> list[str]:
         i += 1
     parts.append("".join(cur))
     return parts
+
+
+def _rewrite_iff(sql: str) -> str:
+    """Snowflake ``IFF(cond, a, b)`` → Spark ``IF(cond, a, b)`` — same
+    three-argument conditional, different name. Only a whole-word IFF
+    followed by '(' rewrites; string literals are never touched."""
+    for i, ch, depth in _scan_top_level(sql):
+        if not _kw_at(sql, i, "IFF"):
+            continue
+        j = i + 3
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j < len(sql) and sql[j] == "(":
+            return _rewrite_iff(sql[:i] + "IF" + sql[i + 3 :])
+    return sql
 
 
 def _rewrite_regex_match(sql: str) -> str:

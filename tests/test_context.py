@@ -658,3 +658,14 @@ def test_regex_match_rewrites():
     assert rx(s) == s
     s2 = "SELECT a ~ b FROM t"
     assert rx(s2) == s2
+
+
+def test_iff_rewrites_and_executes(spark):
+    from mesin_spark.context import _rewrite_iff as iff
+
+    assert iff("SELECT IFF(a > 1, 'y', 'n') FROM t") == "SELECT IF(a > 1, 'y', 'n') FROM t"
+    s = "SELECT 'IFF(nope)', my_iff(x) FROM t"
+    assert iff(s) == s
+    c = ExecutionContext(dialect="snowflake", spark=spark)
+    row = c.execute("SELECT IFF(1 < 2, 'yes', 'no') AS r").collect()[0]
+    assert row.r == "yes"
