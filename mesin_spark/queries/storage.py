@@ -181,3 +181,45 @@ def q_partition_prune(spark, sf_dir):
             R(F.sum("value").cast("double"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_dpp_join",
+    oracle="""
+    WITH dim AS (SELECT * FROM (VALUES (1995, 'keep'), (1997, 'other')) t(y, tag))
+    SELECT tag,
+           count(*) AS n,
+           (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
+    FROM lineitem JOIN dim ON CAST(year(l_shipdate) AS INT) = y
+    WHERE tag = 'keep'
+    GROUP BY tag
+    """,
+)
+def q_dpp_join(spark, sf_dir):
+    """Dynamic partition pruning end-to-end: the fact side is written
+    PARTITIONED BY ship_year (the lakehouse layout), the dim side is a
+    small filtered table joined on the partition column — Spark injects
+    a runtime `dynamicpruning` subquery into the scan's PartitionFilters
+    so only the matching year's files are read (plan-guarded in
+    tests/test_scale_plans.py). At 100 TB this is THE mechanism that
+    turns a star-join's dimension filter into a fact-scan reduction; the
+    oracle aggregates the raw table directly, proving the partitioned
+    layout + pruned scan changes nothing but the bytes read."""
+    d = scratch_dir("dpp_")
+    li = T(spark, sf_dir, "lineitem").withColumn("ship_year", F.year("l_shipdate"))
+    path = os.path.join(d, "li_part")
+    if not os.path.exists(path):
+        li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame([(1995, "keep"), (1997, "other")], "y int, tag string")
+    return (
+        fact.join(F.broadcast(dim), fact["ship_year"] == dim["y"])
+        .filter(F.col("tag") == "keep")
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -477,3 +477,14 @@ def test_pagerank_round_plan_shape(spark):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert len(re.findall(r"(SortMergeJoin|ShuffledHashJoin)", plan)) <= 2
     assert len(re.findall(r"Exchange (hash|Single|range)", plan)) <= 5
+
+
+def test_dpp_join_prunes_partitions(spark):
+    """q_dpp_join's fact scan must carry a runtime dynamicpruning
+    subquery in its PartitionFilters — the dimension filter reaches the
+    partitioned fact scan as file pruning, not a post-scan filter."""
+    from mesin_spark.queries.storage import q_dpp_join
+
+    plan = physical(q_dpp_join(spark, SF_DIR))
+    assert "dynamicpruning" in plan
+    assert "PartitionFilters: [isnotnull(ship_year" in plan
