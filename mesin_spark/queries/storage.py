@@ -208,8 +208,7 @@ def q_dpp_join(spark, sf_dir):
     d = scratch_dir("dpp_")
     li = T(spark, sf_dir, "lineitem").withColumn("ship_year", F.year("l_shipdate"))
     path = os.path.join(d, "li_part")
-    if not os.path.exists(path):
-        li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
     fact = spark.read.parquet(path)
     dim = spark.createDataFrame([(1995, "keep"), (1997, "other")], "y int, tag string")
     return (
