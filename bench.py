@@ -62,6 +62,7 @@ HEADLINE = [
     "q_dedup_incremental",# batch-vs-snapshot anti-join dedup
     "q_bm25",             # BM25 retrieval (postings filtered pre-shuffle)
     "q_pagerank",         # iterative PageRank (checkpointed keyed shuffles)
+    "q_minhash_portable", # portable-arithmetic LSH dedup (exact-oracle tier)
 ]
 
 
