@@ -216,6 +216,97 @@ def kmv_union(
     )
 
 
+def kmv_kway(
+    sketches: DataFrame,
+    group_col: str,
+    groups: list,
+    k: int = 64,
+) -> DataFrame:
+    """k-way intersection/union estimates over a FIXED group list from the
+    KMV sketches alone — the generalization of kmv_overlap past pairs.
+
+    Common-threshold multi-KMV (Beyer et al. 2007 §4): merge the chosen
+    groups' sketches, keep the k smallest distinct hashes (τ = their max,
+    D∪ = (k-1)/(τ/2³²), exact k_eff below k); every retained hash h ≤ τ is
+    a uniform sample of the union, and its membership profile (which
+    groups' sketches contain it) estimates ANY subset statistic:
+    |∩S| ≈ |{h ≤ τ : h in every g∈S}| / k_eff · D∪.
+
+    For three groups (a, b, c) the output is ONE row with the direct union
+    estimate plus all intersection terms and the inclusion-exclusion sum
+    union_ie = Σ singles − Σ pairs + triple. At the counting level the IE
+    identity is EXACT (n_a+n_b+n_c−n_ab−n_ac−n_bc+n_abc = n_any), so
+    union_ie must equal d_union bit-for-bit — an invariant the oracle
+    certifies cross-engine thanks to the portable Knuth hash.
+
+    Scale shape: everything after kmv_sketch touches ≤ |groups|·k longs —
+    one explode over the group sketches, a k-row window, a 1-row broadcast
+    of (τ, k_eff), one profile aggregate. Metadata cost at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    if len(groups) != 3:
+        raise ValueError("kmv_kway currently takes exactly three groups")
+    a, b, c = groups
+    exploded = (
+        sketches.filter(F.col(group_col).isin(list(groups)))
+        .select(F.col(group_col).alias("grp"), F.explode("kmv").alias("h"))
+    )
+    w = Window.orderBy("h")
+    uk = (
+        exploded.select("h").distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .agg(F.max("h").alias("tau"), F.count(F.lit(1)).alias("k_eff"))
+    )
+    prof = (
+        exploded.crossJoin(F.broadcast(uk))
+        .filter(F.col("h") <= F.col("tau"))
+        .groupBy("h")
+        .agg(
+            F.max(F.when(F.col("grp") == a, 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("grp") == b, 1).otherwise(0)).alias("in_b"),
+            F.max(F.when(F.col("grp") == c, 1).otherwise(0)).alias("in_c"),
+        )
+    )
+    cnt = prof.agg(
+        F.count(F.lit(1)).alias("n_any"),
+        F.sum("in_a").alias("n_a"),
+        F.sum("in_b").alias("n_b"),
+        F.sum("in_c").alias("n_c"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_ab"),
+        F.sum(F.col("in_a") * F.col("in_c")).alias("n_ac"),
+        F.sum(F.col("in_b") * F.col("in_c")).alias("n_bc"),
+        F.sum(F.col("in_a") * F.col("in_b") * F.col("in_c")).alias("n_abc"),
+    )
+    joined = cnt.crossJoin(F.broadcast(uk))
+    d_union = F.when(
+        F.col("k_eff") < F.lit(k), F.col("k_eff").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("tau") / F.lit(float(1 << 32))))
+
+    def est(n_col):
+        return F.col(n_col).cast("double") / F.col("k_eff") * F.col("d_union")
+
+    with_d = joined.withColumn("d_union", d_union)
+    ests = with_d.select(
+        F.col("k_eff"),
+        est("n_any").alias("est_union"),
+        est("n_a").alias("est_a"),
+        est("n_b").alias("est_b"),
+        est("n_c").alias("est_c"),
+        est("n_ab").alias("est_ab"),
+        est("n_ac").alias("est_ac"),
+        est("n_bc").alias("est_bc"),
+        est("n_abc").alias("est_abc"),
+    )
+    union_ie = (
+        F.col("est_a") + F.col("est_b") + F.col("est_c")
+        - F.col("est_ab") - F.col("est_ac") - F.col("est_bc")
+        + F.col("est_abc")
+    )
+    return ests.withColumn("union_ie", union_ie)
+
+
 def merge_kmv_arrays(arrays: list, k: int = 64) -> list:
     """Driver-side KMV merge for metadata-sized sketch lists: union,
     dedup, sort, keep k — the same operation kmv_union performs in-plan,

@@ -148,6 +148,109 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_with_progress(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int = 8,
+) -> tuple[DataFrame, list[dict]]:
+    """run_to_memory plus the per-micro-batch progress records Spark's
+    StreamingQueryProgress collected while the query ran — the instrument
+    for rate/latency measurement (trigger wall-time, input rows, rows/sec
+    come from the engine's own metrics, not hand-rolled timers)."""
+    spark = stream_df.sparkSession
+    checkpoint = tempfile.mkdtemp(prefix="mesin_ckpt_")
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = [_progress_dict(p) for p in q.recentProgress]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return spark.table(name), progress
+
+
+def _progress_dict(p) -> dict:
+    """Normalize a StreamingQueryProgress to a plain dict across PySpark
+    versions (3.x returns dicts already; 4.x returns objects with .json)."""
+    import json as _json
+
+    if isinstance(p, dict):
+        return p
+    raw = p.json() if callable(getattr(p, "json", None)) else p.json
+    return _json.loads(raw)
+
+
+def progress_metrics(progress: list[dict]) -> list[dict]:
+    """Flatten progress records into one row per micro-batch:
+    (batch_id, input_rows, trigger_ms, add_batch_ms, rows_per_sec,
+    state_rows) — trigger_ms is the end-to-end wall time of the trigger
+    (the emission latency of that micro-batch), add_batch_ms the execution
+    slice of it, state_rows the total rows held in state stores after the
+    batch (the number the watermark is supposed to bound)."""
+    rows = []
+    for p in progress:
+        dur = p.get("durationMs") or {}
+        state = p.get("stateOperators") or []
+        rows.append(
+            {
+                "batch_id": int(p.get("batchId", -1)),
+                "input_rows": int(p.get("numInputRows", 0) or 0),
+                "trigger_ms": int(dur.get("triggerExecution", 0) or 0),
+                "add_batch_ms": int(dur.get("addBatch", 0) or 0),
+                "rows_per_sec": float(p.get("processedRowsPerSecond", 0.0) or 0.0),
+                "state_rows": int(sum(int(s.get("numRowsTotal", 0) or 0) for s in state)),
+            }
+        )
+    return rows
+
+
+def measure_stream_latency(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 6,
+    max_files_per_trigger: int = 2,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> list[dict]:
+    """Rate/latency harness: split the events table into ``n_files``
+    parquet files, stream them through the windowed aggregation
+    ``max_files_per_trigger`` files per trigger (forcing multiple
+    micro-batches), and return one metrics row per batch from the
+    engine's own progress telemetry (progress_metrics).
+
+    This is the local stand-in for a production latency dashboard: on a
+    real cluster the same recentProgress stream feeds a metrics sink via
+    StreamingQueryListener; here it lands next to the correctness checks
+    so a state-store or watermark regression shows up as a latency cliff
+    in the same test run."""
+    from mesin_spark.sources import read_parquet
+
+    split_dir = tempfile.mkdtemp(prefix="mesin_stream_rate_")
+    events = read_parquet(spark, f"{sf_dir}/events.parquet")
+    events.repartition(n_files).write.mode("overwrite").parquet(split_dir)
+    raw = open_source(
+        spark,
+        "file",
+        path=split_dir,
+        schema=events.schema,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    agg = windowed_counts(raw, window=window, watermark=watermark)
+    _, progress = run_with_progress(agg, "mesin_stream_rate_out", output_mode="append")
+    return progress_metrics(progress)
+
+
 def _purchase_click(
     purchases: DataFrame,
     clicks: DataFrame,

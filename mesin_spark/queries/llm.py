@@ -874,6 +874,33 @@ def q_stream_stateful(spark, sf_dir):
     return latest.orderBy("user_id")
 
 
+@query("q_stream_rate")  # rows-only: wall-clock latency telemetry
+def q_stream_rate(spark, sf_dir):
+    """Streaming rate/latency harness: events split into 6 files, streamed
+    2 files per trigger through the watermarked tumbling aggregation, one
+    row per micro-batch from Spark's own StreamingQueryProgress telemetry
+    (trigger wall-time = emission latency, input rows, rows/sec, state-store
+    rows). Values are wall-clock (rows-only by nature); the invariants —
+    multiple batches, input-row conservation, bounded state — are asserted
+    in tests/test_streaming.py."""
+    rows = STR.measure_stream_latency(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (
+                r["batch_id"],
+                r["input_rows"],
+                r["trigger_ms"],
+                r["add_batch_ms"],
+                float(r["rows_per_sec"]),
+                r["state_rows"],
+            )
+            for r in rows
+        ],
+        "batch_id long, input_rows long, trigger_ms long, add_batch_ms long, "
+        "rows_per_sec double, state_rows long",
+    ).orderBy("batch_id")
+
+
 @query("q_stream_sliding")  # rows-only: streaming execution path
 def q_stream_sliding(spark, sf_dir):
     """Streaming sliding windows (30min/15min) with watermark — each event

@@ -362,6 +362,110 @@ def q_kmv_overlap(spark, sf_dir):
 
 
 @query(
+    "q_kmv_kway",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT event_type AS grp,
+               user_id * 1000
+                 + date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS key
+        FROM events WHERE event_type IN ('click', 'error', 'purchase')
+    ),
+    hashed AS (
+        SELECT DISTINCT grp,
+               CAST((CAST(key AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h
+        FROM ud
+    ),
+    ranked AS (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed
+    ),
+    sk AS (SELECT grp, h FROM ranked WHERE rn <= 64),
+    uranked AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM sk)
+    ),
+    uk AS (SELECT max(h) AS tau, count(*) AS k_eff FROM uranked WHERE rn <= 64),
+    prof AS (
+        SELECT s.h,
+               max(CASE WHEN s.grp = 'click' THEN 1 ELSE 0 END) AS in_a,
+               max(CASE WHEN s.grp = 'error' THEN 1 ELSE 0 END) AS in_b,
+               max(CASE WHEN s.grp = 'purchase' THEN 1 ELSE 0 END) AS in_c
+        FROM sk s, uk u WHERE s.h <= u.tau GROUP BY s.h
+    ),
+    cnt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_any,
+               CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(in_b) AS BIGINT) AS n_b,
+               CAST(sum(in_c) AS BIGINT) AS n_c,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_ab,
+               CAST(sum(in_a * in_c) AS BIGINT) AS n_ac,
+               CAST(sum(in_b * in_c) AS BIGINT) AS n_bc,
+               CAST(sum(in_a * in_b * in_c) AS BIGINT) AS n_abc
+        FROM prof
+    ),
+    est AS (
+        SELECT u.k_eff,
+               c.n_any::DOUBLE / u.k_eff * d.d_union AS est_union,
+               c.n_a::DOUBLE / u.k_eff * d.d_union AS est_a,
+               c.n_b::DOUBLE / u.k_eff * d.d_union AS est_b,
+               c.n_c::DOUBLE / u.k_eff * d.d_union AS est_c,
+               c.n_ab::DOUBLE / u.k_eff * d.d_union AS est_ab,
+               c.n_ac::DOUBLE / u.k_eff * d.d_union AS est_ac,
+               c.n_bc::DOUBLE / u.k_eff * d.d_union AS est_bc,
+               c.n_abc::DOUBLE / u.k_eff * d.d_union AS est_abc
+        FROM cnt c, uk u,
+             (SELECT CASE WHEN k_eff < 64 THEN k_eff::DOUBLE
+                          ELSE 63.0 / (tau / 4294967296.0) END AS d_union
+              FROM uk) d
+    )
+    SELECT k_eff,
+           {sr("est_union", 4)} AS est_union,
+           {sr("est_a", 4)} AS est_a,
+           {sr("est_b", 4)} AS est_b,
+           {sr("est_c", 4)} AS est_c,
+           {sr("est_ab", 4)} AS est_ab,
+           {sr("est_ac", 4)} AS est_ac,
+           {sr("est_bc", 4)} AS est_bc,
+           {sr("est_abc", 4)} AS est_abc,
+           {sr("est_a + est_b + est_c - est_ab - est_ac - est_bc + est_abc", 4)}
+             AS union_ie
+    FROM est
+    """,
+)
+def q_kmv_kway(spark, sf_dir):
+    """K-WAY KMV set algebra (ext/sketches.kmv_kway): distinct active
+    user-DAYS per event type sketched once, then every intersection term
+    among {click, error, purchase} and the union estimated from the
+    common-threshold membership profiles of ≤ 3·k retained hashes — the
+    §7.4 generalization of q_kmv_overlap past pairs. The final column
+    re-derives the union by inclusion-exclusion; at the counting level
+    the identity is exact, so union_ie == est_union is an invariant the
+    oracle certifies bit-for-bit (portable Knuth hash, same arithmetic
+    in DuckDB). At 100 TB: one sketch pass + metadata-cost algebra."""
+    from mesin_spark.ext.sketches import kmv_kway, kmv_sketch
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "user_day",
+        F.col("user_id") * 1000
+        + F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")),
+    )
+    sk = kmv_sketch(ev, "event_type", "user_day", k=64)
+    r = kmv_kway(sk, "event_type", ["click", "error", "purchase"], k=64)
+    return r.select(
+        "k_eff",
+        R(F.col("est_union"), 4).alias("est_union"),
+        R(F.col("est_a"), 4).alias("est_a"),
+        R(F.col("est_b"), 4).alias("est_b"),
+        R(F.col("est_c"), 4).alias("est_c"),
+        R(F.col("est_ab"), 4).alias("est_ab"),
+        R(F.col("est_ac"), 4).alias("est_ac"),
+        R(F.col("est_bc"), 4).alias("est_bc"),
+        R(F.col("est_abc"), 4).alias("est_abc"),
+        R(F.col("union_ie"), 4).alias("union_ie"),
+    )
+
+
+@query(
     "q_file_overlap",
     oracle=f"""
     WITH hashed AS (

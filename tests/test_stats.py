@@ -356,6 +356,39 @@ def test_kmv_overlap_disjoint_is_zero(spark):
     assert row["jaccard_est"] == 0.0 and row["overlap_est"] == 0.0
 
 
+def test_kmv_kway_planted_overlap(spark):
+    """Three planted groups with known set algebra: A=[0,1000),
+    B=[500,1500), C=[750,1750). Truths: |∪|=1750, |A∩B|=500, |A∩C|=250,
+    |B∩C|=750, |A∩B∩C|=250. k=256 estimates must land within 30%
+    relative error, and the inclusion-exclusion identity must hold
+    EXACTLY at the estimator level (union_ie ≈ est_union up to float
+    association, since the counts satisfy IE exactly)."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from mesin_spark.ext.sketches import kmv_kway, kmv_sketch
+
+    a = spark.range(0, 1000).selectExpr("'A' AS g", "id AS k")
+    b = spark.range(500, 1500).selectExpr("'B' AS g", "id AS k")
+    c = spark.range(750, 1750).selectExpr("'C' AS g", "id AS k")
+    sk = kmv_sketch(a.unionAll(b).unionAll(c), "g", "k", k=256)
+    row = kmv_kway(sk, "g", ["A", "B", "C"], k=256).collect()[0]
+    for col, truth in [
+        ("est_union", 1750), ("est_a", 1000), ("est_b", 1000), ("est_c", 1000),
+        ("est_ab", 500), ("est_ac", 250), ("est_bc", 750), ("est_abc", 250),
+    ]:
+        assert abs(row[col] - truth) / truth < 0.30, (col, row[col], truth)
+    assert abs(row["union_ie"] - row["est_union"]) < 1e-6 * row["est_union"]
+
+
+def test_kmv_kway_requires_three_groups(spark):
+    from mesin_spark.ext.sketches import kmv_kway, kmv_sketch
+
+    sk = kmv_sketch(
+        spark.range(0, 10).selectExpr("'A' AS g", "id AS k"), "g", "k", k=8
+    )
+    with pytest.raises(ValueError, match="three groups"):
+        kmv_kway(sk, "g", ["A", "B"], k=8)
+
+
 def test_selectivity_properties_hypothesis():
     """Estimator invariants over arbitrary histograms (no Spark): results
     stay in [0,1], < is monotone non-decreasing in the cut value, < and

