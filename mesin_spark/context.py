@@ -43,6 +43,8 @@ DIALECTS = frozenset(
         "generic",
         "hive",
         "mssql",
+        "mysql",  # EXTENSION: not in the reference's knob (src/lib.rs:9-23
+        # maps it to generic); here it gets a real arm (GROUP_CONCAT)
         "postgres",
         "redshift",
         "sqlite",
@@ -52,7 +54,8 @@ DIALECTS = frozenset(
 
 
 def get_dialect(name: str) -> str:
-    """Dialect selector; unknown names → generic (src/lib.rs:21)."""
+    """Dialect selector; unknown names → generic (src/lib.rs:21).
+    'mysql' is an extension arm the reference lacks."""
     name = name.lower()
     return name if name in DIALECTS else "generic"
 
@@ -80,6 +83,11 @@ def normalize_dialect(sql: str, dialect: str) -> str:
       scanner, not regex-over-everything).
     - mssql: ``SELECT TOP n`` → trailing ``LIMIT n``; ``[bracket]``
       identifiers → backticked.
+    - mysql (EXTENSION dialect — the reference maps it to generic) and
+      sqlite: ``GROUP_CONCAT([DISTINCT] expr [ORDER BY ord [ASC|DESC]]
+      [SEPARATOR 'sep'])`` and sqlite's two-arg ``group_concat(expr,
+      'sep')`` → array_join over collect_list/collect_set (struct-sorted
+      when ordered) — see _rewrite_group_concat.
     - hive/bigquery/clickhouse: backtick identifiers already match Spark —
       passthrough.
 
@@ -125,6 +133,8 @@ def normalize_dialect(sql: str, dialect: str) -> str:
         sql = _rewrite_iff(sql)
     if dialect == "duckdb":
         sql = _rewrite_exclude(sql)
+    if dialect in ("mysql", "sqlite"):
+        sql = _rewrite_group_concat(sql)
     if dialect in ("postgres", "redshift", "duckdb"):
         sql = _rewrite_regex_match(sql)
     if dialect == "mssql":
@@ -771,6 +781,88 @@ def _rewrite_flatten(sql: str) -> str:
         pre = pre[:-1]
     lv = f" LATERAL VIEW {'OUTER ' if outer else ''}explode({input_expr}) {alias} AS value "
     return _rewrite_flatten((pre + lv + sql[end:]).rstrip())
+
+
+def _rewrite_group_concat(sql: str) -> str:
+    """MySQL ``GROUP_CONCAT([DISTINCT] expr [ORDER BY ord [ASC|DESC]]
+    [SEPARATOR 'sep'])`` → Spark built-ins:
+
+    - unordered: ``array_join(collect_list|collect_set(expr), sep)``
+    - ordered: collect ``struct(ord AS _o, expr AS _v)``, ``array_sort``
+      (reversed for DESC), project ``_v``, join — the ordering survives
+      the aggregate exactly, which a bare collect_list cannot guarantee.
+
+    Default separator is ',' (MySQL's). NULL elements are skipped by
+    collect_list/collect_set, matching MySQL. With DISTINCT and ORDER BY
+    together, dedup is on the (ord, expr) pair — exact whenever ord is
+    derived from expr (the overwhelmingly common ``ORDER BY`` the same
+    column case). All parsing is quote-aware (shared scanners), nested
+    parens in expr/ord/sep survive, and multiple occurrences rewrite via
+    recursion. Everything stays a single grouped aggregate: the sort is
+    a per-group array sort after the partial agg, no extra shuffle."""
+    gc_at = -1
+    for i, ch, depth in _scan_top_level(sql):
+        if _kw_at(sql, i, "GROUP_CONCAT"):
+            gc_at = i
+            break
+    if gc_at == -1:
+        return sql
+    open_idx = sql.find("(", gc_at)
+    if open_idx == -1 or sql[gc_at + 12 : open_idx].strip():
+        return sql
+    close_idx = _matching_paren(sql, open_idx)
+    if close_idx == -1:
+        return sql
+    inner = sql[open_idx + 1 : close_idx]
+    body = inner.lstrip()
+    distinct = False
+    if _kw_at(body, 0, "DISTINCT"):
+        distinct = True
+        body = body[8:].lstrip()
+    # locate top-level ORDER ... BY and SEPARATOR within the argument
+    order_at = sep_at = -1
+    for i, ch, depth in _scan_top_level(body):
+        if depth != 0:
+            continue
+        if order_at == -1 and _kw_at(body, i, "ORDER"):
+            rest = body[i + 5 :].lstrip()
+            if rest.upper().startswith("BY"):
+                order_at = i
+        if sep_at == -1 and _kw_at(body, i, "SEPARATOR"):
+            sep_at = i
+            break
+    sep = "','"
+    if sep_at != -1:
+        sep = body[sep_at + 9 :].strip() or sep
+        body_main = body[:sep_at]
+    else:
+        body_main = body
+    if order_at != -1 and (sep_at == -1 or order_at < sep_at):
+        expr = body_main[:order_at].strip()
+        ord_part = body_main[order_at:].lstrip()[5:].lstrip()  # past ORDER
+        ord_part = ord_part[2:].strip()  # past BY
+        descending = False
+        up = ord_part.upper()
+        if up.endswith(" DESC"):
+            descending = True
+            ord_part = ord_part[:-5].rstrip()
+        elif up.endswith(" ASC"):
+            ord_part = ord_part[:-4].rstrip()
+        collect = "collect_set" if distinct else "collect_list"
+        arr = f"array_sort({collect}(struct({ord_part} AS _o, {expr} AS _v)))"
+        if descending:
+            arr = f"reverse({arr})"
+        repl = f"array_join(transform({arr}, _x -> _x._v), {sep})"
+    else:
+        expr = body_main.strip()
+        if sep_at == -1:
+            # sqlite's two-argument form: group_concat(expr, 'sep')
+            parts = _split_top_commas(expr)
+            if len(parts) == 2:
+                expr, sep = parts[0].strip(), parts[1].strip()
+        collect = "collect_set" if distinct else "collect_list"
+        repl = f"array_join({collect}({expr}), {sep})"
+    return _rewrite_group_concat(sql[:gc_at] + repl + sql[close_idx + 1 :])
 
 
 def _normalize_mssql(sql: str) -> str:

@@ -9,6 +9,9 @@ accepted-and-ignored:
 - bigquery ``SELECT * EXCEPT(cols)`` → native Spark ≥3.4 star-except
 - duckdb ``* EXCLUDE (cols)`` → Spark star-except
 - postgres ``~`` / ``!~`` / ``~*`` / ``!~*`` regex operators → RLIKE forms
+- mssql ``SELECT TOP n`` + ``[bracket]`` identifiers → LIMIT + backticks
+- mysql ``GROUP_CONCAT(DISTINCT … ORDER BY … SEPARATOR …)`` →
+  array_join over struct-sorted collect_set/collect_list
 - ``EXPLAIN <query>`` → the reference's only output artifact
   (a printed plan, src/context.rs:53) reachable as a SQL statement.
 """
@@ -166,6 +169,53 @@ def q_dialect_regex(spark, sf_dir):
         "SELECT n_nationkey, n_name FROM nation"
         " WHERE n_name ~ 'NATION_1[0-9]$' AND n_name !~ '3$'"
         " ORDER BY n_nationkey"
+    )
+
+
+@query(
+    "q_dialect_top",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+    """,
+)
+def q_dialect_top(spark, sf_dir):
+    """T-SQL's signature idiom pasted verbatim: ``SELECT TOP 5`` with
+    ``[bracket]`` identifiers — TOP lifts to a trailing LIMIT, brackets
+    become backticks (context._normalize_mssql, char scanner so literals
+    are safe). The deterministic tiebreak (orderkey) makes the top-5 set
+    exact. Plan: LIMIT fuses with the sort into TakeOrderedAndProject —
+    no global sort materializes at any scale."""
+    ctx = _ctx(spark, sf_dir, "mssql", "orders")
+    return ctx.execute(
+        "SELECT TOP 5 [o_orderkey], [o_totalprice] FROM orders"
+        " ORDER BY [o_totalprice] DESC, [o_orderkey]"
+    )
+
+
+@query(
+    "q_dialect_groupconcat",
+    oracle="""
+    SELECT r_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey ORDER BY r_regionkey
+    """,
+)
+def q_dialect_groupconcat(spark, sf_dir):
+    """MySQL's signature aggregate pasted verbatim: ``GROUP_CONCAT(
+    DISTINCT n_name ORDER BY n_name SEPARATOR '|')`` — rewritten to
+    array_join over a struct-sorted collect_set
+    (context._rewrite_group_concat), so the declared ordering actually
+    survives the aggregate. The DuckDB oracle is its string_agg ORDER BY
+    form (names are unique per region, so DISTINCT is semantically
+    transparent on both sides). Single grouped-aggregate shuffle; the
+    sort is per-group over the collected array."""
+    ctx = _ctx(spark, sf_dir, "mysql", "nation", "region")
+    return ctx.execute(
+        "SELECT r_regionkey,"
+        " GROUP_CONCAT(DISTINCT n_name ORDER BY n_name SEPARATOR '|') AS nations"
+        " FROM nation JOIN region ON n_regionkey = r_regionkey"
+        " GROUP BY r_regionkey ORDER BY r_regionkey"
     )
 
 

@@ -41,8 +41,9 @@ def test_semicolon_in_literal_not_split(ctx):
 
 
 def test_dialect_surface():
-    # 11 dialects incl. generic fallback (src/lib.rs:9-23)
-    assert len(DIALECTS) == 11
+    # the reference's 11 dialects incl. generic fallback (src/lib.rs:9-23)
+    # plus the mysql extension arm (reference maps mysql -> generic)
+    assert len(DIALECTS) == 12
     assert get_dialect("POSTGRES") == "postgres"
     assert get_dialect("no-such-dialect") == "generic"  # _ => generic arm
 
@@ -669,3 +670,65 @@ def test_iff_rewrites_and_executes(spark):
     c = ExecutionContext(dialect="snowflake", spark=spark)
     row = c.execute("SELECT IFF(1 < 2, 'yes', 'no') AS r").collect()[0]
     assert row.r == "yes"
+
+
+def test_group_concat_rewrites():
+    from mesin_spark.context import _rewrite_group_concat as gc
+
+    # bare form: default ',' separator, collect_list
+    got = gc("SELECT g, GROUP_CONCAT(name) FROM t GROUP BY g")
+    assert "array_join(collect_list(name), ',')" in got
+    # DISTINCT -> collect_set
+    got = gc("SELECT GROUP_CONCAT(DISTINCT name SEPARATOR '|') FROM t")
+    assert "array_join(collect_set(name), '|')" in got
+    # ORDER BY: struct-sorted, values projected back out
+    got = gc("SELECT GROUP_CONCAT(name ORDER BY name SEPARATOR '-') FROM t")
+    assert (
+        "array_join(transform(array_sort(collect_list("
+        "struct(name AS _o, name AS _v))), _x -> _x._v), '-')" in got
+    )
+    # DESC reverses the sorted array; ASC suffix is consumed
+    got = gc("SELECT GROUP_CONCAT(name ORDER BY rank DESC) FROM t")
+    assert "reverse(array_sort(collect_list(struct(rank AS _o, name AS _v))))" in got
+    got = gc("SELECT GROUP_CONCAT(name ORDER BY rank ASC) FROM t")
+    assert "struct(rank AS _o, name AS _v)" in got and " ASC" not in got
+    # nested parens and quoted commas in the expression survive
+    got = gc("SELECT GROUP_CONCAT(concat(a, ',', b) SEPARATOR '; ') FROM t")
+    assert "array_join(collect_list(concat(a, ',', b)), '; ')" in got
+    # string literals containing the keyword are untouched
+    s = "SELECT 'GROUP_CONCAT(x)' FROM t"
+    assert gc(s) == s
+    # multiple occurrences all rewrite
+    got = gc("SELECT GROUP_CONCAT(a), GROUP_CONCAT(b) FROM t")
+    assert got.count("array_join(collect_list(") == 2
+    # sqlite's two-argument form: second top-level arg is the separator
+    got = gc("SELECT group_concat(name, ' / ') FROM t")
+    assert "array_join(collect_list(name), ' / ')" in got
+    # ...but a comma inside nested parens is NOT an argument boundary
+    got = gc("SELECT group_concat(concat(a, b)) FROM t")
+    assert "array_join(collect_list(concat(a, b)), ',')" in got
+
+
+def test_mysql_dialect_is_extension_arm():
+    from mesin_spark.context import get_dialect
+
+    # the reference's knob maps mysql -> generic; ours gives it a real arm
+    assert get_dialect("mysql") == "mysql"
+    assert get_dialect("no_such_dialect") == "generic"
+
+
+def test_group_concat_end_to_end(spark):
+    c = ExecutionContext(dialect="mysql", spark=spark)
+    spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, "b"), (2, "z")], "g long, name string"
+    ).createOrReplaceTempView("gc_t")
+    rows = c.execute(
+        "SELECT g, GROUP_CONCAT(DISTINCT name ORDER BY name SEPARATOR '|')"
+        " AS names FROM gc_t GROUP BY g ORDER BY g"
+    ).collect()
+    assert [(r["g"], r["names"]) for r in rows] == [(1, "a|b"), (2, "z")]
+    rows = c.execute(
+        "SELECT g, GROUP_CONCAT(name ORDER BY name DESC) AS names"
+        " FROM gc_t GROUP BY g ORDER BY g"
+    ).collect()
+    assert rows[0]["names"] == "b|b|a".replace("|", ",")
