@@ -12,6 +12,8 @@ accepted-and-ignored:
 - mssql ``SELECT TOP n`` + ``[bracket]`` identifiers → LIMIT + backticks
 - mysql ``GROUP_CONCAT(DISTINCT … ORDER BY … SEPARATOR …)`` →
   array_join over struct-sorted collect_set/collect_list
+- hive ``DISTRIBUTE BY`` / ``SORT BY`` executed natively (Spark inherited
+  them) — verified, not assumed
 - ``EXPLAIN <query>`` → the reference's only output artifact
   (a printed plan, src/context.rs:53) reachable as a SQL statement.
 """
@@ -216,6 +218,32 @@ def q_dialect_groupconcat(spark, sf_dir):
         " GROUP_CONCAT(DISTINCT n_name ORDER BY n_name SEPARATOR '|') AS nations"
         " FROM nation JOIN region ON n_regionkey = r_regionkey"
         " GROUP BY r_regionkey ORDER BY r_regionkey"
+    )
+
+
+@query(
+    "q_dialect_clusterby",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+    WHERE l_orderkey <= 64
+    """,
+)
+def q_dialect_clusterby(spark, sf_dir):
+    """Hive's signature layout clauses pasted verbatim: ``DISTRIBUTE BY``
+    hashes rows across partitions, ``SORT BY`` orders within each
+    partition — Spark executes both natively (it inherited them from
+    Hive), verified end to end through execute(dialect="hive") rather
+    than assumed. The row SET equals the plain projection (the clauses
+    shape layout, not content) — exactly what the oracle asserts; the
+    within-partition ordering property is asserted separately in
+    tests/test_context.py. This is the writer-side primitive behind
+    clustered table layouts: one hash exchange, per-partition sort,
+    no global ordering barrier at any scale."""
+    ctx = _ctx(spark, sf_dir, "hive", "lineitem")
+    return ctx.execute(
+        "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+        " WHERE l_orderkey <= 64"
+        " DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_partkey"
     )
 
 

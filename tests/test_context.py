@@ -732,3 +732,46 @@ def test_group_concat_end_to_end(spark):
         " FROM gc_t GROUP BY g ORDER BY g"
     ).collect()
     assert rows[0]["names"] == "b|b|a".replace("|", ",")
+
+
+def test_hive_clusterby_partition_local_order(spark):
+    """DISTRIBUTE BY + SORT BY: rows land hashed by key and each
+    partition is internally sorted (no global order). Collect preserves
+    partition-internal order, so grouping the collected rows by
+    partition id must yield sorted runs, and all rows of one key must
+    share a partition."""
+    from pyspark.sql import functions as F
+    from mesin_spark.queries import T
+
+    c = ExecutionContext(dialect="hive", spark=spark)
+    c.register_parquet("li_cb", SF_DIR + "/lineitem.parquet")
+    df = c.execute(
+        "SELECT l_orderkey, l_partkey FROM li_cb WHERE l_orderkey <= 64"
+        " DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_partkey"
+    ).withColumn("pid", F.spark_partition_id())
+    rows = df.collect()
+    assert rows
+    by_pid: dict[int, list] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append((r["l_orderkey"], r["l_partkey"]))
+    for run in by_pid.values():
+        assert run == sorted(run)
+    key_pids: dict[int, set] = {}
+    for r in rows:
+        key_pids.setdefault(r["l_orderkey"], set()).add(r["pid"])
+    assert all(len(p) == 1 for p in key_pids.values())
+
+
+def test_sqlite_group_concat_end_to_end(spark):
+    c = ExecutionContext(dialect="sqlite", spark=spark)
+    spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "g long, name string"
+    ).createOrReplaceTempView("gc_sqlite_t")
+    rows = c.execute(
+        "SELECT g, group_concat(name, ' / ') AS names FROM gc_sqlite_t"
+        " GROUP BY g ORDER BY g"
+    ).collect()
+    assert [(r["g"], set(r["names"].split(" / "))) for r in rows] == [
+        (1, {"x", "y"}),
+        (2, {"z"}),
+    ]
