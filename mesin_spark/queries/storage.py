@@ -143,6 +143,91 @@ def q_stream_upsert(spark, sf_dir):
 
 
 @query(
+    "q_incremental_mv",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type, user_id,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_u
+        FROM events
+    ),
+    ins AS (
+        SELECT event_id + 10000000 AS event_id, 'replay' AS event_type,
+               user_id, value_u
+        FROM base WHERE user_id % 7 = 0
+    ),
+    all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+    kept AS (SELECT * FROM all_rows WHERE event_id % 13 <> 0),
+    final AS (
+        SELECT event_id, event_type, user_id,
+               CASE WHEN event_type = 'click' AND user_id % 5 = 0
+                    THEN value_u * 2 ELSE value_u END AS value_u
+        FROM kept
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(value_u) AS BIGINT) AS sum_value_u
+    FROM final GROUP BY event_type
+    """,
+)
+def q_incremental_mv(spark, sf_dir):
+    """Incremental materialized-view maintenance (ext/matview.AggView):
+    a count/sum aggregate view over a versioned events table is refreshed
+    AFTER EACH of an insert batch, a delete, and an update — every
+    refresh folds only the CDC delta between commits into the stored
+    view (signed per-group addition via one change-feed join + one
+    view-sized outer merge; the base is never re-aggregated). The final
+    view must equal a from-scratch GROUP BY over the final table state —
+    which is exactly what the oracle computes. Sums run in integer
+    micro-units so incremental merge order cannot drift a float sum.
+    Refresh-cost and group-move properties are pinned in
+    tests/test_storage.py."""
+    from mesin_spark.dml import DdlSession
+    from mesin_spark.ext.matview import create_agg_view
+    from mesin_spark.sources import read_parquet
+
+    base_dir = scratch_dir(prefix="mesin_mv_")
+    sess = DdlSession(spark, base_dir=base_dir)
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet")).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint").alias("value_u"),
+    )
+    mt = sess.create_table_as("mv_base", ev)
+    mt.enable_versioning()
+    view = create_agg_view(
+        sess,
+        "mv_by_type",
+        mt,
+        key_cols=["event_id"],
+        group_cols=["event_type"],
+        sum_cols=["value_u"],
+    )
+    mt.insert_select(
+        mt.df()
+        .filter(F.col("user_id") % 7 == 0)
+        .select(
+            (F.col("event_id") + 10000000).alias("event_id"),
+            F.lit("replay").alias("event_type"),
+            "user_id",
+            "value_u",
+        )
+    )
+    view.refresh()
+    mt.delete(F.col("event_id") % 13 == 0)
+    view.refresh()
+    mt.update(
+        {"value_u": F.col("value_u") * 2},
+        where=(F.col("event_type") == "click") & (F.col("user_id") % 5 == 0),
+    )
+    view.refresh()
+    return view.df().select(
+        "event_type",
+        F.col("_rows").alias("n_rows"),
+        F.col("sum_value_u"),
+    )
+
+
+@query(
     "q_partition_prune",
     oracle=f"""
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,

@@ -256,3 +256,111 @@ def test_stale_writer_lock_surfaces_clearly(spark, scratch_nation):
     # released stale lock -> writes proceed
     mt.insert_values([(9999, "OK", 0)], ["n_nationkey", "n_name", "n_regionkey"])
     assert mt.df().filter(F.col("n_nationkey") == 9999).count() == 1
+
+
+@pytest.fixture()
+def mv_setup(spark, tmp_path):
+    """Tiny versioned base table + count/sum view over it."""
+    from mesin_spark.dml import DdlSession
+    from mesin_spark.ext.matview import create_agg_view
+
+    sess = DdlSession(spark, base_dir=str(tmp_path))
+    base = sess.create_table_as(
+        "ivm_base",
+        spark.createDataFrame(
+            [(i, "g%d" % (i % 3), (i + 1) * 10) for i in range(30)],
+            "id long, grp string, amt long",
+        ),
+    )
+    base.enable_versioning()
+    view = create_agg_view(
+        sess, "ivm_view", base,
+        key_cols=["id"], group_cols=["grp"], sum_cols=["amt"],
+    )
+    return sess, base, view
+
+
+def _full_agg(base):
+    return {
+        r["grp"]: (r["n"], r["s"])
+        for r in base.df()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+
+
+def _view_agg(view):
+    return {
+        r["grp"]: (r["_rows"], r["sum_amt"]) for r in view.df().collect()
+    }
+
+
+def test_aggview_refresh_matches_full_reagg(spark, mv_setup):
+    """Insert, delete, group-moving update — after each incremental
+    refresh the view equals a from-scratch GROUP BY, and each refresh
+    touches only the delta's groups."""
+    sess, base, view = mv_setup
+    assert _view_agg(view) == _full_agg(base)
+
+    base.insert_values([(100, "g0", 5), (101, "g3", 7)], ["id", "grp", "amt"])
+    st = view.refresh()
+    assert st.applied and st.groups_touched == 2 and st.delta_rows == 2
+    assert _view_agg(view) == _full_agg(base)
+
+    base.delete(F.col("id") % 5 == 0)
+    st = view.refresh()
+    assert st.applied
+    assert _view_agg(view) == _full_agg(base)
+
+    # update that MOVES rows between groups: pre-image decrements g1,
+    # post-image increments g_moved
+    base.update({"grp": F.lit("g_moved")}, where=F.col("grp") == "g1")
+    st = view.refresh()
+    assert st.applied and st.groups_touched == 2
+    assert _view_agg(view) == _full_agg(base)
+    assert "g_moved" in _view_agg(view)
+
+
+def test_aggview_refresh_is_noop_without_commits(spark, mv_setup):
+    _, base, view = mv_setup
+    st = view.refresh()
+    assert not st.applied and st.delta_rows == 0 and st.groups_touched == 0
+    assert view.synced_version() == base.current_version()
+
+
+def test_aggview_drops_emptied_groups(spark, mv_setup):
+    _, base, view = mv_setup
+    base.delete(F.col("grp") == "g2")
+    view.refresh()
+    got = _view_agg(view)
+    assert "g2" not in got
+    assert got == _full_agg(base)
+
+
+def test_aggview_reopen_and_guards(spark, mv_setup, tmp_path):
+    from mesin_spark.catalog import CatalogError
+    from mesin_spark.dml import DdlSession
+    from mesin_spark.ext.matview import create_agg_view, open_agg_view
+
+    sess, base, view = mv_setup
+    base.insert_values([(200, "g0", 1)], ["id", "grp", "amt"])
+    # a fresh handle picks up the persisted state and keeps maintaining
+    reopened = open_agg_view(sess, "ivm_view", base)
+    st = reopened.refresh()
+    assert st.applied and st.delta_rows == 1
+    assert _view_agg(reopened) == _full_agg(base)
+    # wrong base is refused
+    other = sess.create_table_as(
+        "ivm_other", base.df().limit(1)
+    )
+    other.enable_versioning()
+    with pytest.raises(CatalogError, match="was built over"):
+        open_agg_view(sess, "ivm_view", other)
+    # unversioned base is refused at create
+    flat = sess.create_table_as("ivm_flat", base.df().limit(1))
+    with pytest.raises(CatalogError, match="versioned"):
+        create_agg_view(
+            sess, "ivm_v2", flat,
+            key_cols=["id"], group_cols=["grp"], sum_cols=["amt"],
+        )
