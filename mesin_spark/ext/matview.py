@@ -170,6 +170,53 @@ class AggView:
         return RefreshStats(synced, cur, int(delta_rows), int(touched))
 
 
+def maintain_view_stream(
+    stream_df: DataFrame,
+    view: AggView,
+    shuffle_partitions: int = 8,
+) -> list[RefreshStats]:
+    """Streaming materialized-view maintenance: foreachBatch appends each
+    micro-batch to the view's BASE table (one commit per batch — the
+    hard-linked versioned append) and immediately folds that commit into
+    the view. The view is fresh within one trigger of the data and each
+    fold costs O(|batch| + |view|) — the streaming shape of the same IVM
+    contract, sibling of streaming.run_upsert_to_table and
+    sketches.maintain_kmv_stream. Returns the per-batch refresh stats.
+
+    Replayed/duplicate micro-batches are NOT deduplicated here (append
+    is not idempotent); an exactly-once deployment keys the base on an
+    event id and routes through the upsert sink instead."""
+    import tempfile
+
+    spark = stream_df.sparkSession
+    cols = view.base.df().columns
+    stats: list[RefreshStats] = []
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        view.base._append(batch_df.select(*cols))
+        stats.append(view.refresh())
+
+    checkpoint = tempfile.mkdtemp(prefix="mesin_mv_ckpt_")
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return stats
+
+
 def create_agg_view(
     sess: DdlSession,
     name: str,

@@ -364,3 +364,28 @@ def test_aggview_reopen_and_guards(spark, mv_setup, tmp_path):
             sess, "ivm_v2", flat,
             key_cols=["id"], group_cols=["grp"], sum_cols=["amt"],
         )
+
+
+def test_aggview_streaming_maintenance(spark, mv_setup, tmp_path):
+    """foreachBatch maintenance: stream 24 new rows through the file
+    source in multiple micro-batches; every batch appends to the base
+    and folds into the view, which must end equal to a full re-agg."""
+    from mesin_spark.ext.matview import maintain_view_stream
+
+    _, base, view = mv_setup
+    new_rows = spark.createDataFrame(
+        [(1000 + i, "g%d" % (i % 4), i) for i in range(24)],
+        "id long, grp string, amt long",
+    )
+    src = str(tmp_path / "mv_stream_src")
+    new_rows.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(new_rows.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    stats = maintain_view_stream(stream, view)
+    assert len(stats) >= 2  # 4 files / 2 per trigger
+    assert all(s.applied for s in stats)
+    assert sum(s.delta_rows for s in stats) == 24
+    assert _view_agg(view) == _full_agg(base)
