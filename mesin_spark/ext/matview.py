@@ -165,6 +165,7 @@ class AggView:
                 "group_cols": self.group_cols,
                 "sum_cols": self.sum_cols,
                 "base_path": self.base.path,
+                "base_name": self.base.name,
             },
         )
         return RefreshStats(synced, cur, int(delta_rows), int(touched))
@@ -239,6 +240,16 @@ def create_agg_view(
     bad = [c for c in sum_cols if c in group_cols]
     if bad:
         raise CatalogError(f"sum_cols overlap group_cols: {bad}")
+    # the view adds _rows plus sum_<c> columns, and refresh adds _d_rows /
+    # _d_events / _d_<c> deltas — reject specs whose columns would collide
+    # with those aliases instead of silently producing ambiguous frames
+    reserved = {"_rows", "rows", "events", "_sg"}
+    reserved |= {f"sum_{c}" for c in sum_cols}
+    clash = [c for c in (*group_cols, *sum_cols) if c in reserved]
+    if clash:
+        raise CatalogError(
+            f"column names collide with view-internal aliases: {clash}"
+        )
     agg = base.df().groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("_rows"),
         *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
@@ -252,9 +263,20 @@ def create_agg_view(
             "group_cols": group_cols,
             "sum_cols": sum_cols,
             "base_path": base.path,
+            "base_name": base.name,
         },
     )
     return AggView(base, mv, key_cols, group_cols, sum_cols)
+
+
+def open_agg_view_by_name(sess: DdlSession, name: str) -> AggView:
+    """Reopen a view from its sidecar alone — the base table is
+    reconstructed from the recorded path (the resolution rule behind
+    ``REFRESH MATERIALIZED VIEW <name>``, which names no base)."""
+    mv = sess.table(name)
+    st = _load_state(mv)
+    base = ManagedTable(sess.spark, st.get("base_name", "base"), st["base_path"])
+    return AggView(base, mv, st["key_cols"], st["group_cols"], st["sum_cols"])
 
 
 def open_agg_view(sess: DdlSession, name: str, base: ManagedTable) -> AggView:

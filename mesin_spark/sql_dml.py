@@ -29,7 +29,7 @@ from mesin_spark.dml import ColumnDefinition, DdlSession
 
 #: Statement keywords this router owns; anything else is a query and
 #: falls through to ``spark.sql`` (the Query arm of the dispatcher).
-DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY")
+DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY", "REFRESH")
 
 
 def is_dml(sql: str) -> bool:
@@ -498,7 +498,104 @@ def _merge(sess: DdlSession, sql: str) -> DataFrame:
     return _status(sess, "MERGE", table, n)
 
 
+def _create_matview(sess: DdlSession, sql: str, m: "re.Match") -> DataFrame:
+    """CREATE MATERIALIZED VIEW <name> KEY (<id cols>) AS
+       SELECT <group cols>, COUNT(*) [AS _], SUM(<col>) [AS _]...
+       FROM <base table> GROUP BY <group cols>
+
+    The restricted self-maintainable form ext/matview.AggView supports:
+    bare-identifier group columns, COUNT(*) (required — it is the view's
+    maintenance anchor), SUM of bare columns. Aliases are accepted and
+    ignored; the materialized schema is canonical (_rows / sum_<col>),
+    exactly what REFRESH maintains. The base is auto-upgraded to the
+    versioned layout (idempotent) since the refresh contract is defined
+    over its commit history."""
+    from mesin_spark.ext.matview import create_agg_view
+
+    name = m.group(1)
+    key_cols = [c.strip() for c in m.group(2).split(",") if c.strip()]
+    if not key_cols:
+        raise ValueError("CREATE MATERIALIZED VIEW requires KEY (cols)")
+    body = m.group(3).strip()
+    sm = re.match(
+        rf"SELECT\s+(.*?)\s+FROM\s+({_IDENT})\s+GROUP\s+BY\s+(.+)$",
+        body,
+        re.I | re.S,
+    )
+    if not sm:
+        raise ValueError(
+            "materialized view body must be SELECT ... FROM <table> GROUP BY ..."
+        )
+    group_by = [g.strip() for g in sm.group(3).rstrip(";").split(",")]
+    group_cols: list[str] = []
+    sum_cols: list[str] = []
+    has_count = False
+    for item in _split_toplevel(sm.group(1)):
+        expr = item.strip()
+        alias = re.match(rf"(?is)^(.+?)\s+AS\s+{_IDENT}$", expr)
+        if alias:
+            expr = alias.group(1).strip()
+        if re.fullmatch(r"(?is)COUNT\s*\(\s*\*\s*\)", expr):
+            has_count = True
+        elif (sum_m := re.fullmatch(rf"(?is)SUM\s*\(\s*({_IDENT})\s*\)", expr)):
+            sum_cols.append(sum_m.group(1))
+        elif re.fullmatch(_IDENT, expr):
+            group_cols.append(expr)
+        else:
+            raise ValueError(
+                f"unsupported materialized-view select item {item.strip()!r} "
+                "(supported: group columns, COUNT(*), SUM(col))"
+            )
+    if not has_count:
+        raise ValueError(
+            "materialized view must include COUNT(*) — it is the "
+            "maintenance anchor (_rows) REFRESH folds deltas into"
+        )
+    if group_cols != group_by:
+        raise ValueError(
+            f"GROUP BY list {group_by} must equal the selected group "
+            f"columns {group_cols}"
+        )
+    base = sess.table(sm.group(2))
+    base.enable_versioning()
+    view = create_agg_view(
+        sess, name, base,
+        key_cols=key_cols, group_cols=group_cols, sum_cols=sum_cols,
+    )
+    return _status(
+        sess, "CREATE MATERIALIZED VIEW", name, view.df().count()
+    )
+
+
+def _refresh(sess: DdlSession, sql: str) -> DataFrame:
+    """REFRESH MATERIALIZED VIEW <name> — fold the base table's commits
+    since the last sync into the stored view (ext/matview.AggView.refresh:
+    one change-feed join + one view-sized merge, never a base rescan).
+    Returns the refresh audit record."""
+    m = re.match(rf"REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})$", sql, re.I)
+    if not m:
+        raise ValueError(f"Unsupported REFRESH statement: {sql[:80]}")
+    from mesin_spark.ext.matview import open_agg_view_by_name
+
+    st = open_agg_view_by_name(sess, m.group(1)).refresh()
+    return sess.spark.createDataFrame(
+        [(
+            "REFRESH MATERIALIZED VIEW", m.group(1), st.delta_rows,
+            st.groups_touched, st.from_version, st.to_version,
+        )],
+        "statement string, target string, delta_rows long, "
+        "groups_touched long, from_version long, to_version long",
+    )
+
+
 def _create(sess: DdlSession, sql: str) -> DataFrame:
+    mvm = re.match(
+        rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+KEY\s*\(([^)]*)\)\s+AS\s+(.+)$",
+        sql,
+        re.I | re.S,
+    )
+    if mvm:
+        return _create_matview(sess, sql, mvm)
     cm = re.match(
         rf"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+", sql, re.I
     )
@@ -608,6 +705,7 @@ def dispatch(sess: DdlSession, sql: str) -> DataFrame:
         "TRUNCATE": _truncate,
         "ANALYZE": _analyze,
         "COPY": _copy,
+        "REFRESH": _refresh,
     }.get(kw)
     if handler is None:
         raise ValueError(f"Not a DML/DDL statement: {s[:60]}")

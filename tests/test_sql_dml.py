@@ -425,3 +425,56 @@ def test_escaped_quote_statement_split(spark, tmp_path):
     ctx = _fresh_ctx(spark, tmp_path)
     out = ctx.execute(r"SELECT 'don\'t; oops' AS s").collect()
     assert out[0]["s"] == "don't; oops"
+
+
+def test_materialized_view_statement_roundtrip(ctx):
+    """CREATE MATERIALIZED VIEW ... KEY (...) AS SELECT / REFRESH
+    MATERIALIZED VIEW as statements: the view materializes the canonical
+    (_rows / sum_<col>) schema, a later INSERT + REFRESH folds only the
+    delta, and the refreshed view equals a from-scratch GROUP BY."""
+    ctx.execute("CREATE TABLE sales (id BIGINT, region STRING, amt BIGINT)")
+    ctx.execute(
+        "INSERT INTO sales VALUES (1,'eu',10),(2,'eu',20),(3,'us',5)"
+    )
+    st = ctx.execute(
+        "CREATE MATERIALIZED VIEW sales_by_region KEY (id) AS"
+        " SELECT region, COUNT(*) AS n, SUM(amt) AS total"
+        " FROM sales GROUP BY region"
+    ).collect()[0]
+    assert st["statement"] == "CREATE MATERIALIZED VIEW"
+    assert st["rows_affected"] == 2  # two regions materialized
+    ctx.execute("INSERT INTO sales VALUES (4,'us',7),(5,'apac',1)")
+    r = ctx.execute("REFRESH MATERIALIZED VIEW sales_by_region").collect()[0]
+    assert r["delta_rows"] == 2 and r["groups_touched"] == 2
+    got = {
+        (row["region"], row["_rows"], row["sum_amt"])
+        for row in ctx.execute("SELECT * FROM sales_by_region").collect()
+    }
+    assert got == {("eu", 2, 30), ("us", 2, 12), ("apac", 1, 1)}
+    # idle refresh is a no-op audit row
+    r2 = ctx.execute("REFRESH MATERIALIZED VIEW sales_by_region").collect()[0]
+    assert r2["delta_rows"] == 0 and r2["from_version"] == r2["to_version"]
+
+
+def test_materialized_view_statement_rejects_bad_forms(ctx):
+    ctx.execute("CREATE TABLE mv_src (id BIGINT, g STRING, v BIGINT)")
+    with pytest.raises(ValueError, match="COUNT"):
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW mv_bad KEY (id) AS"
+            " SELECT g, SUM(v) FROM mv_src GROUP BY g"
+        )
+    with pytest.raises(ValueError, match="unsupported materialized-view"):
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW mv_bad KEY (id) AS"
+            " SELECT g, COUNT(*), MAX(v) FROM mv_src GROUP BY g"
+        )
+    with pytest.raises(ValueError, match="GROUP BY list"):
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW mv_bad KEY (id) AS"
+            " SELECT g, COUNT(*) FROM mv_src GROUP BY id"
+        )
+    with pytest.raises(ValueError, match="KEY"):
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW mv_bad KEY () AS"
+            " SELECT g, COUNT(*) FROM mv_src GROUP BY g"
+        )

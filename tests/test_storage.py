@@ -364,6 +364,17 @@ def test_aggview_reopen_and_guards(spark, mv_setup, tmp_path):
             sess, "ivm_v2", flat,
             key_cols=["id"], group_cols=["grp"], sum_cols=["amt"],
         )
+    # alias collisions are rejected up front (a sum col named 'rows'
+    # would collide with the _d_rows delta alias)
+    clash = sess.create_table_as(
+        "ivm_clash", base.df().selectExpr("id", "grp", "amt AS rows")
+    )
+    clash.enable_versioning()
+    with pytest.raises(CatalogError, match="collide"):
+        create_agg_view(
+            sess, "ivm_v3", clash,
+            key_cols=["id"], group_cols=["grp"], sum_cols=["rows"],
+        )
 
 
 def test_aggview_streaming_maintenance(spark, mv_setup, tmp_path):
