@@ -134,7 +134,7 @@ def normalize_dialect(sql: str, dialect: str) -> str:
     if dialect == "duckdb":
         sql = _rewrite_exclude(sql)
     if dialect in ("mysql", "sqlite"):
-        sql = _rewrite_group_concat(sql)
+        sql = _rewrite_group_concat(sql, dialect)
     if dialect in ("postgres", "redshift", "duckdb"):
         sql = _rewrite_regex_match(sql)
     if dialect == "mssql":
@@ -783,23 +783,34 @@ def _rewrite_flatten(sql: str) -> str:
     return _rewrite_flatten((pre + lv + sql[end:]).rstrip())
 
 
-def _rewrite_group_concat(sql: str) -> str:
-    """MySQL ``GROUP_CONCAT([DISTINCT] expr [ORDER BY ord [ASC|DESC]]
+def _rewrite_group_concat(sql: str, dialect: str = "mysql") -> str:
+    """``GROUP_CONCAT([DISTINCT] exprs [ORDER BY k1 [ASC|DESC], ...]
     [SEPARATOR 'sep'])`` → Spark built-ins:
 
     - unordered: ``array_join(collect_list|collect_set(expr), sep)``
-    - ordered: collect ``struct(ord AS _o, expr AS _v)``, ``array_sort``
-      (reversed for DESC), project ``_v``, join — the ordering survives
-      the aggregate exactly, which a bare collect_list cannot guarantee.
+    - ordered: collect ``struct(k1 AS _o1, ..., expr AS _v)``,
+      ``array_sort`` (reversed when every key is DESC), project ``_v``,
+      join — the ordering survives the aggregate exactly, which a bare
+      collect_list cannot guarantee. MIXED ASC/DESC key directions are
+      left unrewritten (array_sort has one direction; the honest
+      contract is Spark's parse error, not silently wrong order).
 
-    Default separator is ',' (MySQL's). NULL elements are skipped by
-    collect_list/collect_set, matching MySQL. With DISTINCT and ORDER BY
-    together, dedup is on the (ord, expr) pair — exact whenever ord is
-    derived from expr (the overwhelmingly common ``ORDER BY`` the same
-    column case). All parsing is quote-aware (shared scanners), nested
-    parens in expr/ord/sep survive, and multiple occurrences rewrite via
-    recursion. Everything stays a single grouped aggregate: the sort is
-    a per-group array sort after the partial agg, no extra shuffle."""
+    The second-argument comma is DIALECT-SPECIFIC: sqlite's
+    ``group_concat(expr, 'sep')`` makes arg 2 the separator, while
+    MySQL's ``GROUP_CONCAT(a, b)`` concatenates the expressions per row
+    and joins with the default ',' — so mysql multi-arg becomes
+    ``concat(a, b)`` and only sqlite treats two args as (expr, sep)
+    (three+ args under sqlite pass through to the parse error).
+
+    Default separator is ',' (both dialects'). NULL elements are skipped
+    by collect_list/collect_set, matching both. With DISTINCT and ORDER
+    BY together, dedup is on the (keys, expr) tuple — exact whenever the
+    keys are derived from expr (the overwhelmingly common ``ORDER BY``
+    the same column case). All parsing is quote-aware (shared scanners),
+    nested parens in exprs/keys/sep survive, and multiple occurrences
+    rewrite via recursion. Everything stays a single grouped aggregate:
+    the sort is a per-group array sort after the partial agg, no extra
+    shuffle."""
     gc_at = -1
     for i, ch, depth in _scan_top_level(sql):
         if _kw_at(sql, i, "GROUP_CONCAT"):
@@ -837,32 +848,50 @@ def _rewrite_group_concat(sql: str) -> str:
         body_main = body[:sep_at]
     else:
         body_main = body
-    if order_at != -1 and (sep_at == -1 or order_at < sep_at):
-        expr = body_main[:order_at].strip()
-        ord_part = body_main[order_at:].lstrip()[5:].lstrip()  # past ORDER
-        ord_part = ord_part[2:].strip()  # past BY
-        descending = False
-        up = ord_part.upper()
-        if up.endswith(" DESC"):
-            descending = True
-            ord_part = ord_part[:-5].rstrip()
-        elif up.endswith(" ASC"):
-            ord_part = ord_part[:-4].rstrip()
-        collect = "collect_set" if distinct else "collect_list"
-        arr = f"array_sort({collect}(struct({ord_part} AS _o, {expr} AS _v)))"
-        if descending:
-            arr = f"reverse({arr})"
-        repl = f"array_join(transform({arr}, _x -> _x._v), {sep})"
-    else:
-        expr = body_main.strip()
-        if sep_at == -1:
-            # sqlite's two-argument form: group_concat(expr, 'sep')
-            parts = _split_top_commas(expr)
-            if len(parts) == 2:
-                expr, sep = parts[0].strip(), parts[1].strip()
-        collect = "collect_set" if distinct else "collect_list"
+    ordered = order_at != -1 and (sep_at == -1 or order_at < sep_at)
+    expr = (body_main[:order_at] if ordered else body_main).strip()
+    # dialect-specific argument-list comma (see docstring)
+    parts = [p.strip() for p in _split_top_commas(expr)]
+    if len(parts) == 2 and dialect == "sqlite" and sep_at == -1:
+        expr, sep = parts[0], parts[1]
+    elif len(parts) > 1 and dialect == "mysql":
+        expr = f"concat({', '.join(parts)})"
+    elif len(parts) > 1:
+        return sql  # 3+ args under sqlite: no such form — parse error
+    collect = "collect_set" if distinct else "collect_list"
+    if not ordered:
         repl = f"array_join({collect}({expr}), {sep})"
-    return _rewrite_group_concat(sql[:gc_at] + repl + sql[close_idx + 1 :])
+        return _rewrite_group_concat(
+            sql[:gc_at] + repl + sql[close_idx + 1 :], dialect
+        )
+    ord_part = body_main[order_at:].lstrip()[5:].lstrip()  # past ORDER
+    ord_part = ord_part[2:].strip()  # past BY
+    keys: list[str] = []
+    descs: list[bool] = []
+    for item in _split_top_commas(ord_part):
+        item = item.strip()
+        up = item.upper()
+        if up.endswith(" DESC"):
+            descs.append(True)
+            item = item[:-5].rstrip()
+        elif up.endswith(" ASC"):
+            descs.append(False)
+            item = item[:-4].rstrip()
+        else:
+            descs.append(False)
+        keys.append(item)
+    if len(set(descs)) > 1:
+        return sql  # mixed directions: unrewritable with one array_sort
+    fields = ", ".join(
+        f"{k} AS _o{i + 1}" for i, k in enumerate(keys)
+    )
+    arr = f"array_sort({collect}(struct({fields}, {expr} AS _v)))"
+    if descs[0]:
+        arr = f"reverse({arr})"
+    repl = f"array_join(transform({arr}, _x -> _x._v), {sep})"
+    return _rewrite_group_concat(
+        sql[:gc_at] + repl + sql[close_idx + 1 :], dialect
+    )
 
 
 def _normalize_mssql(sql: str) -> str:

@@ -111,6 +111,43 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def drive_stream(
+    stream_df: DataFrame,
+    configure,
+    shuffle_partitions: int = 8,
+    checkpoint_prefix: str = "mesin_ckpt_",
+) -> list[dict]:
+    """THE local stream runner every harness in this package goes
+    through: fresh checkpoint dir, shuffle-partition save/drop/restore,
+    start → processAllAvailable → stop, and the per-micro-batch progress
+    records collected before stop. ``configure`` receives the bare
+    DataStreamWriter and returns it with mode/sink/foreachBatch applied.
+
+    Why the partition drop: the stateful-operator partition count is
+    fixed at query start by spark.sql.shuffle.partitions; each partition
+    is a state-store instance checkpointed every micro-batch, so the
+    session default (32) spends most of a local run on empty-store
+    bookkeeping. A production deployment keeps the large count (state
+    parallelism is exactly what you want on a real cluster)."""
+    spark = stream_df.sparkSession
+    checkpoint = tempfile.mkdtemp(prefix=checkpoint_prefix)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            configure(stream_df.writeStream)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            return [_progress_dict(p) for p in q.recentProgress]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -118,34 +155,10 @@ def run_to_memory(
     shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Drive a streaming query to completion against the memory sink and
-    return the materialized result (local smoke-test harness).
-
-    The stateful-operator partition count is fixed at query start by
-    spark.sql.shuffle.partitions; each partition is a state-store instance
-    checkpointed every micro-batch, so the session default (32) spends most
-    of a local run on empty-store bookkeeping. The harness drops it to
-    ``shuffle_partitions`` for the duration of the query and restores the
-    prior value — a production deployment keeps the large count (state
-    parallelism is exactly what you want on a real cluster)."""
-    spark = stream_df.sparkSession
-    checkpoint = tempfile.mkdtemp(prefix="mesin_ckpt_")
-    prior = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior)
-    return spark.table(name)
+    return the materialized result (local smoke-test harness over
+    drive_stream)."""
+    df, _ = run_with_progress(stream_df, name, output_mode, shuffle_partitions)
+    return df
 
 
 def run_with_progress(
@@ -154,30 +167,16 @@ def run_with_progress(
     output_mode: str = "append",
     shuffle_partitions: int = 8,
 ) -> tuple[DataFrame, list[dict]]:
-    """run_to_memory plus the per-micro-batch progress records Spark's
+    """Memory-sink run plus the per-micro-batch progress records Spark's
     StreamingQueryProgress collected while the query ran — the instrument
     for rate/latency measurement (trigger wall-time, input rows, rows/sec
     come from the engine's own metrics, not hand-rolled timers)."""
-    spark = stream_df.sparkSession
-    checkpoint = tempfile.mkdtemp(prefix="mesin_ckpt_")
-    prior = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            progress = [_progress_dict(p) for p in q.recentProgress]
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior)
-    return spark.table(name), progress
+    progress = drive_stream(
+        stream_df,
+        lambda w: w.outputMode(output_mode).format("memory").queryName(name),
+        shuffle_partitions=shuffle_partitions,
+    )
+    return stream_df.sparkSession.table(name), progress
 
 
 def _progress_dict(p) -> dict:
@@ -498,7 +497,6 @@ def run_upsert_to_table(
     would let a LATE batch overwrite a newer row). This is the streaming
     CDC-apply pattern; at scale the same fold runs against a Delta/Iceberg
     target with the union replaced by a keyed MERGE + ts guard."""
-    spark = stream_df.sparkSession
     cols = [c for c in stream_df.columns]
     ordkey = F.struct(*[F.col(c) for c in order_cols])
 
@@ -521,22 +519,12 @@ def run_upsert_to_table(
         # the plan may read the current table contents while writing
         table._swap_in(merged)
 
-    checkpoint = tempfile.mkdtemp(prefix="mesin_upsert_ckpt_")
-    prior = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            stream_df.writeStream.outputMode("update")
-            .foreachBatch(apply_batch)
-            .option("checkpointLocation", checkpoint)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    drive_stream(
+        stream_df,
+        lambda w: w.outputMode("update").foreachBatch(apply_batch),
+        shuffle_partitions=shuffle_partitions,
+        checkpoint_prefix="mesin_upsert_ckpt_",
+    )
     return table.df()
 
 

@@ -43,6 +43,11 @@ def is_dml(sql: str) -> bool:
         rest = head[1].upper() if len(head) > 1 else ""
         if re.match(r"(OR\s+REPLACE\s+)?(GLOBAL\s+)?(TEMP(ORARY)?\s+)?VIEW\b", rest):
             return False
+    if kw == "REFRESH":
+        # only REFRESH MATERIALIZED VIEW is ours; Spark's native
+        # REFRESH TABLE / REFRESH FUNCTION statements stay on spark.sql
+        rest = head[1].upper() if len(head) > 1 else ""
+        return rest.startswith("MATERIALIZED")
     return kw in DML_KEYWORDS
 
 
@@ -557,6 +562,16 @@ def _create_matview(sess: DdlSession, sql: str, m: "re.Match") -> DataFrame:
             f"columns {group_cols}"
         )
     base = sess.table(sm.group(2))
+    managed_root = os.path.abspath(sess.base_dir)
+    if not os.path.abspath(base.path).startswith(managed_root + os.sep):
+        # same refusal as create_index(apply_layout=True): versioning an
+        # EXTERNAL path would physically restructure (or crash on) data
+        # the engine doesn't own
+        raise ValueError(
+            f"CREATE MATERIALIZED VIEW refused: base table "
+            f"{sm.group(2)!r} is external ({base.path}); import it into "
+            "the warehouse first"
+        )
     base.enable_versioning()
     view = create_agg_view(
         sess, name, base,

@@ -685,13 +685,24 @@ def test_group_concat_rewrites():
     got = gc("SELECT GROUP_CONCAT(name ORDER BY name SEPARATOR '-') FROM t")
     assert (
         "array_join(transform(array_sort(collect_list("
-        "struct(name AS _o, name AS _v))), _x -> _x._v), '-')" in got
+        "struct(name AS _o1, name AS _v))), _x -> _x._v), '-')" in got
     )
     # DESC reverses the sorted array; ASC suffix is consumed
     got = gc("SELECT GROUP_CONCAT(name ORDER BY rank DESC) FROM t")
-    assert "reverse(array_sort(collect_list(struct(rank AS _o, name AS _v))))" in got
+    assert "reverse(array_sort(collect_list(struct(rank AS _o1, name AS _v))))" in got
     got = gc("SELECT GROUP_CONCAT(name ORDER BY rank ASC) FROM t")
-    assert "struct(rank AS _o, name AS _v)" in got and " ASC" not in got
+    assert "struct(rank AS _o1, name AS _v)" in got and " ASC" not in got
+    # multi-key ORDER BY, uniform direction: one struct field per key
+    got = gc("SELECT GROUP_CONCAT(name ORDER BY a, b) FROM t")
+    assert "struct(a AS _o1, b AS _o2, name AS _v)" in got
+    got = gc("SELECT GROUP_CONCAT(name ORDER BY a DESC, b DESC) FROM t")
+    assert "reverse(array_sort" in got and "struct(a AS _o1, b AS _o2" in got
+    # MIXED directions cannot map onto one array_sort: untouched
+    for mixed in (
+        "SELECT GROUP_CONCAT(name ORDER BY a DESC, b) FROM t",
+        "SELECT GROUP_CONCAT(name ORDER BY a, b DESC) FROM t",
+    ):
+        assert gc(mixed) == mixed
     # nested parens and quoted commas in the expression survive
     got = gc("SELECT GROUP_CONCAT(concat(a, ',', b) SEPARATOR '; ') FROM t")
     assert "array_join(collect_list(concat(a, ',', b)), '; ')" in got
@@ -701,10 +712,18 @@ def test_group_concat_rewrites():
     # multiple occurrences all rewrite
     got = gc("SELECT GROUP_CONCAT(a), GROUP_CONCAT(b) FROM t")
     assert got.count("array_join(collect_list(") == 2
-    # sqlite's two-argument form: second top-level arg is the separator
-    got = gc("SELECT group_concat(name, ' / ') FROM t")
+    # mysql multi-arg means per-row CONCAT, joined with the default ','
+    got = gc("SELECT GROUP_CONCAT(city, state) FROM t")
+    assert "array_join(collect_list(concat(city, state)), ',')" in got
+    got = gc("SELECT GROUP_CONCAT(a, ' ', b) FROM t")
+    assert "array_join(collect_list(concat(a, ' ', b)), ',')" in got
+    # sqlite: the second top-level arg is the separator
+    got = gc("SELECT group_concat(name, ' / ') FROM t", "sqlite")
     assert "array_join(collect_list(name), ' / ')" in got
-    # ...but a comma inside nested parens is NOT an argument boundary
+    # sqlite has no 3-arg form: untouched (Spark reports the error)
+    s3 = "SELECT group_concat(a, b, c) FROM t"
+    assert gc(s3, "sqlite") == s3
+    # a comma inside nested parens is NOT an argument boundary
     got = gc("SELECT group_concat(concat(a, b)) FROM t")
     assert "array_join(collect_list(concat(a, b)), ',')" in got
 

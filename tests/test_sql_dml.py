@@ -5,6 +5,8 @@ actual SQL strings, which the reference itself can only pretty-print."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from mesin_spark.context import ExecutionContext
@@ -478,3 +480,40 @@ def test_materialized_view_statement_rejects_bad_forms(ctx):
             "CREATE MATERIALIZED VIEW mv_bad KEY () AS"
             " SELECT g, COUNT(*) FROM mv_src GROUP BY g"
         )
+
+
+def test_refresh_table_stays_native(ctx):
+    """Spark's own REFRESH TABLE statement must keep falling through to
+    spark.sql — only REFRESH MATERIALIZED VIEW routes to the DML tier."""
+    ctx.execute("CREATE TABLE rt_t (id BIGINT)")
+    # the managed table registers a temp view; native REFRESH TABLE on it
+    # must execute without the DML router rejecting it
+    ctx.execute("REFRESH TABLE rt_t")
+
+
+def test_materialized_view_refuses_external_base(ctx, tmp_path):
+    """CREATE MATERIALIZED VIEW must refuse a register_parquet'd external
+    path — enable_versioning would physically restructure user data."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # genuinely outside the session's managed base_dir (tmp_path IS the
+    # base_dir in this fixture, so a file under it would count as managed)
+    ext = os.path.join(tempfile.mkdtemp(prefix="mesin_ext_"), "external_events.parquet")
+    pq.write_table(pa.table({"id": [1, 2], "g": ["a", "b"], "v": [1, 2]}), ext)
+    ctx.register_parquet("ext_ev", ext)
+    with pytest.raises(ValueError, match="external"):
+        ctx.execute(
+            "CREATE MATERIALIZED VIEW ext_mv KEY (id) AS"
+            " SELECT g, COUNT(*) FROM ext_ev GROUP BY g"
+        )
+
+
+def test_refresh_mv_on_plain_table_clean_error(ctx):
+    from mesin_spark.catalog import CatalogError
+
+    ctx.execute("CREATE TABLE plain_t (id BIGINT)")
+    with pytest.raises(CatalogError, match="not a materialized view"):
+        ctx.execute("REFRESH MATERIALIZED VIEW plain_t")

@@ -400,3 +400,57 @@ def test_aggview_streaming_maintenance(spark, mv_setup, tmp_path):
     assert all(s.applied for s in stats)
     assert sum(s.delta_rows for s in stats) == 24
     assert _view_agg(view) == _full_agg(base)
+
+
+def test_aggview_null_group_and_null_sum_semantics(spark, tmp_path):
+    """The two GROUP BY edge semantics naive signed folding gets wrong:
+    (a) a NULL group key is ONE group across refreshes (null-safe merge,
+    no stale/delta row split); (b) a group whose remaining values are
+    all NULL reports SUM = NULL, not 0 — including after deletes remove
+    the last non-null value."""
+    from mesin_spark.dml import DdlSession
+    from mesin_spark.ext.matview import create_agg_view
+
+    sess = DdlSession(spark, base_dir=str(tmp_path / "nullmv"))
+    base = sess.create_table_as(
+        "nv_base",
+        spark.createDataFrame(
+            [(1, None, 10), (2, None, None), (3, "g1", 5), (4, "g2", None)],
+            "id long, grp string, amt long",
+        ),
+    )
+    base.enable_versioning()
+    view = create_agg_view(
+        sess, "nv_view", base,
+        key_cols=["id"], group_cols=["grp"], sum_cols=["amt"],
+    )
+    # (a) add more NULL-group rows: the NULL group must fold, not split
+    base.insert_values([(5, None, 7)], ["id", "grp", "amt"])
+    view.refresh()
+    assert _view_agg(view) == _full_agg(base)
+    rows = view.df().filter(F.col("grp").isNull()).collect()
+    assert len(rows) == 1 and rows[0]["_rows"] == 3 and rows[0]["sum_amt"] == 17
+    # (b) all-NULL-valued group sums to NULL, as SUM does
+    g2 = view.df().filter(F.col("grp") == "g2").collect()[0]
+    assert g2["sum_amt"] is None
+    # deleting the last non-null value must flip the sum back to NULL
+    base.delete(F.col("id") == 3)  # g1's only (non-null) row
+    base.insert_values([(6, "g1", None)], ["id", "grp", "amt"])
+    view.refresh()
+    g1 = view.df().filter(F.col("grp") == "g1").collect()[0]
+    assert g1["sum_amt"] is None and g1["_rows"] == 1
+    assert _view_agg(view) == _full_agg(base)
+
+
+def test_aggview_state_commits_atomically_with_data(spark, mv_setup):
+    """The sync state rides inside the committed version dir — a stale
+    (pre-crash) version carries its own state, so data and
+    synced_version can never disagree."""
+    import os
+
+    _, base, view = mv_setup
+    base.insert_values([(300, "g0", 2)], ["id", "grp", "amt"])
+    view.refresh()
+    data_dir = view.mv._data_dir()
+    assert os.path.exists(os.path.join(data_dir, "_MV_STATE.json"))
+    assert view.synced_version() == base.current_version()
