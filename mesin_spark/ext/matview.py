@@ -245,6 +245,33 @@ class AggView:
         return RefreshStats(synced, cur, int(delta_rows), int(touched))
 
 
+    def rebuild(self) -> RefreshStats:
+        """Full recompute, committed through the same atomic path — the
+        recovery when the base was vacuumed past the synced version (the
+        change feed needs both endpoints; retention lapsed, as with a
+        Delta CDF gap). refresh() raises CatalogError in that case and
+        this is the documented answer; it is the ONE operation whose
+        cost scales with the base."""
+        cur = self.base.current_version()
+        if cur is None:
+            raise CatalogError("AggView requires a versioned base table")
+        synced = self.synced_version()
+        agg = self.base.df().groupBy(*self.group_cols).agg(
+            F.count(F.lit(1)).alias("_rows"),
+            *[
+                col
+                for c in self.sum_cols
+                for col in (
+                    F.sum(c).alias(f"sum_{c}"),
+                    F.count(F.col(c)).alias(f"_nn_{c}"),
+                )
+            ],
+        )
+        self._commit_view(agg, cur)
+        n = self.mv.df().count()
+        return RefreshStats(synced, cur, -1, int(n))
+
+
 def maintain_view_stream(
     stream_df: DataFrame,
     view: AggView,

@@ -454,3 +454,25 @@ def test_aggview_state_commits_atomically_with_data(spark, mv_setup):
     data_dir = view.mv._data_dir()
     assert os.path.exists(os.path.join(data_dir, "_MV_STATE.json"))
     assert view.synced_version() == base.current_version()
+
+
+def test_aggview_rebuild_recovers_from_vacuumed_base(spark, mv_setup):
+    """Vacuuming the base past the synced version breaks the change feed
+    (both endpoints gone) -> refresh raises the documented CatalogError,
+    and rebuild() recovers through the same atomic commit path."""
+    from mesin_spark.catalog import CatalogError
+
+    _, base, view = mv_setup
+    base.insert_values([(400, "g0", 3)], ["id", "grp", "amt"])
+    base.insert_values([(401, "g1", 4)], ["id", "grp", "amt"])
+    base.vacuum(keep_last=1)  # drops the synced version dir
+    with pytest.raises(CatalogError, match="vacuumed"):
+        view.refresh()
+    st = view.rebuild()
+    assert st.applied
+    assert _view_agg(view) == _full_agg(base)
+    # and incremental refresh works again from the rebuilt sync point
+    base.insert_values([(402, "g2", 5)], ["id", "grp", "amt"])
+    st2 = view.refresh()
+    assert st2.applied and st2.delta_rows == 1
+    assert _view_agg(view) == _full_agg(base)
