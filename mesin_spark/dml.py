@@ -23,6 +23,7 @@ effective at scale — the honest Spark analog of a secondary index.
 from __future__ import annotations
 
 import contextlib
+import math
 import os
 import re
 import shutil
@@ -239,6 +240,84 @@ class ManagedTable:
                         )
                         removed.append(v)
             return removed
+
+    def compact(
+        self, target_file_mb: int = 256, sort_by: list[str] | None = None
+    ) -> int:
+        """OPTIMIZE: rewrite the current contents into ~target-sized files
+        (the small-file compaction every long-running ingest needs —
+        thousands of KB files destroy scan scheduling and footer-read
+        time at scale). Contents are bit-identical; only the physical
+        layout changes. Returns the new data-file count.
+
+        Layout strategy (all decisions from driver-side metadata — the
+        data path is one distributed read + one write):
+
+        - target file count = ceil(current_bytes / target_file_mb),
+          from a directory walk (no Spark job).
+        - ``sort_by``: ``repartitionByRange`` on the sort keys + sort
+          within partitions — files end up with NON-overlapping key
+          ranges, so zone maps / min-max footer stats prune scans
+          (the Delta ``OPTIMIZE ZORDER`` analog for one key prefix).
+        - hive-partitioned layout: rows are hash-repartitioned on the
+          partition columns so each partition value lands in exactly one
+          task → one output file per partition directory (the common
+          compaction target; a single >>target partition would need a
+          salt, which is the caller's re-partitioning decision).
+        - otherwise: plain ``repartition(n)`` — a round-robin shuffle,
+          keeping the parquet scan fully parallel (``coalesce(n)`` would
+          avoid the shuffle but collapse read parallelism to n tasks,
+          the wrong trade when n is small — compaction IS the read).
+
+        Versioned layout: the rewrite lands as a NEW version dir + atomic
+        pointer commit — time travel to pre-compaction versions keeps
+        working until vacuum(). Flat layout: sibling temp dir + rename
+        pair (same copy-on-write discipline as _swap_in). Serialized
+        against other writers via the writer lock."""
+        from mesin_spark.sources import read_parquet
+
+        with self._writer_lock():
+            cur = self.current_version()
+            src = self._data_dir(cur)
+            total = 0
+            for root, _dirs, files in os.walk(src):
+                for fname in files:
+                    if fname.endswith(".parquet") or fname.startswith("part-"):
+                        total += os.path.getsize(os.path.join(root, fname))
+            n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+            pcols = self._partition_cols(src)
+            df = read_parquet(self.spark, src)
+            if sort_by:
+                df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
+                    *sort_by
+                )
+            elif pcols:
+                df = df.repartition(*pcols)
+            else:
+                df = df.repartition(n_files)
+            writer = df.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            if cur is not None:
+                nxt = os.path.join(self.path, f"v{cur + 1:05d}")
+                writer.parquet(nxt)
+                self._commit(cur + 1)
+                out_dir = nxt
+            else:
+                tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+                writer.parquet(tmp)
+                old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+                os.rename(self.path, old)
+                os.rename(tmp, self.path)
+                shutil.rmtree(old, ignore_errors=True)
+                self._refresh_view()
+                out_dir = self.path
+            return sum(
+                1
+                for root, _dirs, files in os.walk(out_dir)
+                for fname in files
+                if fname.endswith(".parquet")
+            )
 
     # -- read --------------------------------------------------------------
     def df(self) -> DataFrame:

@@ -307,3 +307,46 @@ def q_dpp_join(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q_optimize_stmt",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+           CAST({sr("sum(l_extendedprice)", 2)} AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_optimize_stmt(spark, sf_dir):
+    """OPTIMIZE + VACUUM as driver-certified statements (Delta OPTIMIZE
+    analog; the reference dispatcher src/planner/mod.rs:21-38 has no
+    storage-maintenance arm): materialize lineitem as a deliberately
+    fragmented managed table (48 small files), version it, compact it
+    through ``OPTIMIZE ... TARGET 256 MB SORT BY l_orderkey`` (range-
+    clustered rewrite committed as a new version), drop the fragmented
+    version with ``VACUUM ... KEEP 1``, and aggregate the surviving
+    table. The oracle aggregates the raw lineitem view directly — the
+    invariant a compaction must preserve is that ONLY the physical
+    layout changed. File-count reduction, version advance, and
+    time-travel-until-vacuum are asserted in tests/test_sql_dml.py."""
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark=spark)
+    ctx.ddl.base_dir = scratch_dir(prefix="mesin_optimize_")
+    ctx.ddl.create_table_as("opt_li", T(spark, sf_dir, "lineitem").repartition(48))
+    ctx.ddl.table("opt_li").enable_versioning()
+    ctx.execute("OPTIMIZE opt_li TARGET 256 MB SORT BY l_orderkey")
+    ctx.execute("VACUUM opt_li KEEP 1")
+    return (
+        ctx.ddl.table("opt_li")
+        .df()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").cast("bigint").alias("sum_okey"),
+            R(F.sum("l_extendedprice"), 2).cast("double").alias("sum_price"),
+        )
+    )

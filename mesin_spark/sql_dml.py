@@ -29,7 +29,7 @@ from mesin_spark.dml import ColumnDefinition, DdlSession
 
 #: Statement keywords this router owns; anything else is a query and
 #: falls through to ``spark.sql`` (the Query arm of the dispatcher).
-DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY", "REFRESH")
+DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY", "REFRESH", "OPTIMIZE", "VACUUM")
 
 
 def is_dml(sql: str) -> bool:
@@ -603,6 +603,43 @@ def _refresh(sess: DdlSession, sql: str) -> DataFrame:
     )
 
 
+def _optimize(sess: DdlSession, sql: str) -> DataFrame:
+    """OPTIMIZE <table> [TARGET <n> MB] [SORT BY c1, c2, ...] — the
+    small-file compaction statement (Delta OPTIMIZE analog; the
+    reference plans no storage-maintenance statements at all). Routes to
+    ManagedTable.compact(): contents unchanged, physical layout rewritten
+    to ~target-sized files, range-clustered on the SORT BY prefix when
+    given. On a versioned table the rewrite is a new commit, so it is
+    time-travel-safe until VACUUM. rows_affected = new data-file count."""
+    m = re.match(
+        rf"OPTIMIZE\s+({_IDENT})"
+        rf"(?:\s+TARGET\s+(\d+)\s*MB)?"
+        rf"(?:\s+SORT\s+BY\s+(.+))?\s*$",
+        sql,
+        re.I,
+    )
+    if not m:
+        raise ValueError(f"Cannot parse OPTIMIZE statement: {sql[:80]}")
+    mt = sess.table(m.group(1))
+    target = int(m.group(2)) if m.group(2) else 256
+    sort_by = None
+    if m.group(3):
+        sort_by = [c.strip().strip('"').strip("`") for c in m.group(3).split(",")]
+    n_files = mt.compact(target_file_mb=target, sort_by=sort_by)
+    return _status(sess, "OPTIMIZE", m.group(1), n_files)
+
+
+def _vacuum(sess: DdlSession, sql: str) -> DataFrame:
+    """VACUUM <table> [KEEP <n>] — drop all but the last n committed
+    versions (default 1). rows_affected = versions removed."""
+    m = re.match(rf"VACUUM\s+({_IDENT})(?:\s+KEEP\s+(\d+))?\s*$", sql, re.I)
+    if not m:
+        raise ValueError(f"Cannot parse VACUUM statement: {sql[:80]}")
+    mt = sess.table(m.group(1))
+    removed = mt.vacuum(keep_last=int(m.group(2)) if m.group(2) else 1)
+    return _status(sess, "VACUUM", m.group(1), len(removed))
+
+
 def _create(sess: DdlSession, sql: str) -> DataFrame:
     mvm = re.match(
         rf"CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s+KEY\s*\(([^)]*)\)\s+AS\s+(.+)$",
@@ -721,6 +758,8 @@ def dispatch(sess: DdlSession, sql: str) -> DataFrame:
         "ANALYZE": _analyze,
         "COPY": _copy,
         "REFRESH": _refresh,
+        "OPTIMIZE": _optimize,
+        "VACUUM": _vacuum,
     }.get(kw)
     if handler is None:
         raise ValueError(f"Not a DML/DDL statement: {s[:60]}")

@@ -517,3 +517,108 @@ def test_refresh_mv_on_plain_table_clean_error(ctx):
     ctx.execute("CREATE TABLE plain_t (id BIGINT)")
     with pytest.raises(CatalogError, match="not a materialized view"):
         ctx.execute("REFRESH MATERIALIZED VIEW plain_t")
+
+
+# -- OPTIMIZE / VACUUM ------------------------------------------------------
+
+
+def _data_files(root):
+    return sorted(
+        os.path.join(dp, f)
+        for dp, _dirs, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def _frag_table(ctx, spark, name, n_files=12):
+    df = spark.range(0, 5000).selectExpr(
+        "id AS k", "id % 7 AS grp", "CAST(id AS DOUBLE) * 1.5 AS v"
+    )
+    mt = ctx.ddl.create_table_as(name, df.repartition(n_files))
+    return mt
+
+
+def test_optimize_statement_compacts_and_versions(ctx, spark):
+    mt = _frag_table(ctx, spark, "opt1")
+    mt.enable_versioning()
+    before = _data_files(mt._data_dir())
+    assert len(before) >= 12
+    st = ctx.execute("OPTIMIZE opt1 TARGET 256 MB").collect()[0]
+    assert st["statement"] == "OPTIMIZE"
+    assert st["rows_affected"] == 1  # 5000 tiny rows << 256 MB
+    assert mt.current_version() == 2
+    assert len(_data_files(mt._data_dir())) == 1
+    # contents identical, fragmented version still time-travelable
+    cur = ctx.execute("SELECT count(*) AS n, sum(k) AS s FROM opt1").collect()[0]
+    assert (cur["n"], cur["s"]) == (5000, 5000 * 4999 // 2)
+    old = mt.time_travel(1)
+    assert old.count() == 5000
+
+
+def test_optimize_sort_by_range_clusters_files(ctx, spark):
+    from pyspark.sql import functions as F
+
+    mt = _frag_table(ctx, spark, "opt2", n_files=16)
+    mt.enable_versioning()
+    ctx.execute("OPTIMIZE opt2 SORT BY k")
+    assert len(_data_files(mt._data_dir())) == 1  # tiny table -> one sorted file
+    # force a multi-file range layout to check the clustering invariant
+    big = spark.range(0, 200_000).selectExpr(
+        "id AS k", "repeat(uuid(), 2) AS payload"
+    )
+    mt2 = ctx.ddl.create_table_as("opt2b", big.repartition(16))
+    mt2.compact(target_file_mb=1, sort_by=["k"])
+    files = _data_files(mt2._data_dir())
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        mm = spark.read.parquet(f).agg(F.min("k"), F.max("k")).collect()[0]
+        spans.append((mm[0], mm[1]))
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # non-overlapping key ranges -> zone maps prune
+
+
+def test_vacuum_statement_drops_old_versions(ctx, spark):
+    mt = _frag_table(ctx, spark, "opt3")
+    mt.enable_versioning()
+    ctx.execute("OPTIMIZE opt3")
+    st = ctx.execute("VACUUM opt3 KEEP 1").collect()[0]
+    assert (st["statement"], st["rows_affected"]) == ("VACUUM", 1)
+    import pytest as _pytest
+
+    from mesin_spark.catalog import CatalogError
+
+    with _pytest.raises(CatalogError):
+        mt.time_travel(1)
+    assert ctx.execute("SELECT count(*) AS n FROM opt3").collect()[0]["n"] == 5000
+
+
+def test_compact_flat_layout_preserves_contents(ctx, spark):
+    mt = _frag_table(ctx, spark, "opt4", n_files=10)
+    assert mt.current_version() is None  # flat, unversioned
+    before = len(_data_files(mt.path))
+    n = mt.compact(target_file_mb=256)
+    assert n == 1 and before >= 10
+    got = mt.df().agg({"k": "sum"}).collect()[0][0]
+    assert got == 5000 * 4999 // 2
+
+
+def test_compact_partitioned_layout_one_file_per_partition(ctx, spark):
+    df = spark.range(0, 2000).selectExpr("id AS k", "id % 4 AS part", "id * 2 AS v")
+    path = os.path.join(ctx.ddl.base_dir, "opt5")
+    df.repartition(8).write.partitionBy("part").mode("overwrite").parquet(path)
+    from mesin_spark.dml import ManagedTable
+
+    mt = ManagedTable(spark, "opt5", path)
+    assert len(_data_files(path)) > 4
+    mt.compact(target_file_mb=256)
+    files = _data_files(mt.path)
+    by_part = {}
+    for f in files:
+        part = [p for p in f.split(os.sep) if p.startswith("part=")][0]
+        by_part.setdefault(part, []).append(f)
+    assert len(by_part) == 4
+    assert all(len(v) == 1 for v in by_part.values())
+    assert spark.read.parquet(path).count() == 2000
