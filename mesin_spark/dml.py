@@ -23,6 +23,7 @@ effective at scale — the honest Spark analog of a secondary index.
 from __future__ import annotations
 
 import contextlib
+import json
 import math
 import os
 import re
@@ -125,14 +126,65 @@ class ManagedTable:
         v = self.current_version() if version is None else version
         return self.path if v is None else os.path.join(self.path, f"v{v:05d}")
 
-    def _commit(self, version: int) -> None:
+    _COMMITS_FILE = "_commits.jsonl"
+
+    def _commit(self, version: int, op: str = "WRITE") -> None:
         """Atomically advance the pointer to ``version`` (write-temp +
-        os.replace — one atomic commit point)."""
+        os.replace — one atomic commit point), then append the audit
+        record. The log line lands AFTER the pointer swap: a crash
+        between the two loses only the audit line, never a committed
+        version (the log is DESCRIBE HISTORY metadata, not the commit
+        protocol — the pointer file alone decides visibility)."""
         tmp = self._version_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._version_path())
+        self._log_commit(version, op)
         self._refresh_view()
+
+    def _log_commit(self, version: int, op: str, extra: dict | None = None) -> None:
+        """One JSONL audit line per commit (versioned layout only — the
+        flat layout's whole-dir swap has no stable root to keep a log
+        in, and no version identity to describe). Appends run inside
+        the writer lock like every commit, so lines never interleave."""
+        rec = {"version": version, "op": op, "ts": time.time()}
+        if extra:
+            rec.update(extra)
+        with open(os.path.join(self.path, self._COMMITS_FILE), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY (Delta analog): the commit audit log as a
+        DataFrame — (version, op, ts, details) per commit, plus VACUUM
+        records. Driver-side file read, bounded by commit count (commit
+        logs are metadata-scale by construction; a 100 TB table has
+        thousands of commits, not billions)."""
+        if self.current_version() is None:
+            raise CatalogError(
+                f"table {self.name!r} is not versioned — no commit history"
+            )
+        p = os.path.join(self.path, self._COMMITS_FILE)
+        recs = []
+        if os.path.exists(p):
+            with open(p) as f:
+                recs = [json.loads(line) for line in f if line.strip()]
+        rows = [
+            (
+                int(r["version"]),
+                str(r["op"]),
+                float(r["ts"]),
+                json.dumps(
+                    {k: v for k, v in r.items() if k not in ("version", "op", "ts")},
+                    sort_keys=True,
+                )
+                if len(r) > 3
+                else None,
+            )
+            for r in recs
+        ]
+        return self.spark.createDataFrame(
+            rows, "version BIGINT, op STRING, ts DOUBLE, details STRING"
+        )
 
     def enable_versioning(self) -> int:
         """Convert a flat table directory to the versioned layout (the
@@ -149,7 +201,7 @@ class ManagedTable:
                     os.rename(
                         os.path.join(self.path, entry), os.path.join(v1, entry)
                     )
-            self._commit(1)
+            self._commit(1, op="CONVERT")
             return 1
 
     def time_travel(self, version: int) -> DataFrame:
@@ -239,6 +291,8 @@ class ManagedTable:
                             os.path.join(self.path, entry), ignore_errors=True
                         )
                         removed.append(v)
+            if removed:
+                self._log_commit(cur, "VACUUM", {"removed": removed})
             return removed
 
     def compact(
@@ -301,7 +355,7 @@ class ManagedTable:
             if cur is not None:
                 nxt = os.path.join(self.path, f"v{cur + 1:05d}")
                 writer.parquet(nxt)
-                self._commit(cur + 1)
+                self._commit(cur + 1, op="OPTIMIZE")
                 out_dir = nxt
             else:
                 tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -387,7 +441,7 @@ class ManagedTable:
             with contextlib.suppress(OSError):
                 os.remove(lock)
 
-    def _swap_in(self, df: DataFrame) -> None:
+    def _swap_in(self, df: DataFrame, op: str = "REWRITE") -> None:
         """Copy-on-write: write the new contents beside the table dir, then
         swap directories.
 
@@ -408,7 +462,7 @@ class ManagedTable:
             if cur is not None:
                 nxt = os.path.join(self.path, f"v{cur + 1:05d}")
                 df.write.mode("overwrite").parquet(nxt)
-                self._commit(cur + 1)
+                self._commit(cur + 1, op=op)
                 return
             tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
             df.write.mode("overwrite").parquet(tmp)
@@ -418,16 +472,16 @@ class ManagedTable:
             shutil.rmtree(old, ignore_errors=True)
             self._refresh_view()
 
-    def _append(self, writer_df: DataFrame) -> None:
+    def _append(self, writer_df: DataFrame, op: str = "INSERT") -> None:
         """Append files to the table. Versioned layout: hard-link the
         current version's files into a new version dir (metadata-only — no
         data copy, the Delta 'add file' analog), write the new files there,
         then pointer-commit; writers serialize on _writer_lock (see
         _swap_in). Flat layout: plain parquet append."""
         with self._writer_lock():
-            self._append_locked(writer_df)
+            self._append_locked(writer_df, op)
 
-    def _append_locked(self, writer_df: DataFrame) -> None:
+    def _append_locked(self, writer_df: DataFrame, op: str = "INSERT") -> None:
         cur = self.current_version()
         if cur is None:
             pcols = self._partition_cols(self.path)
@@ -460,7 +514,7 @@ class ManagedTable:
             # file next to partition dirs is an unreadable mixed layout
             w = w.partitionBy(*pcols)
         w.parquet(nxt)
-        self._commit(nxt_v)
+        self._commit(nxt_v, op=op)
 
     @staticmethod
     def _partition_cols(data_dir: str) -> list[str]:
@@ -554,7 +608,7 @@ class ManagedTable:
                 select_list.append(guarded.alias(c))
             else:
                 select_list.append(F.col(c))
-        self._swap_in(df.select(*select_list))
+        self._swap_in(df.select(*select_list), op="UPDATE")
 
     def merge(
         self,
@@ -629,7 +683,7 @@ class ManagedTable:
             keep = keep & ~matched
         if not insert_unmatched:
             keep = keep & F.col("t._t").isNotNull()
-        self._swap_in(j.filter(keep).select(*out_cols))
+        self._swap_in(j.filter(keep).select(*out_cols), op="MERGE")
 
     # -- DDL: ALTER TABLE --------------------------------------------------
     # The reference rejects ALTER outright ("Unsupported Statement",
@@ -648,21 +702,21 @@ class ManagedTable:
             # data through the copy-on-write swap — must be an error
             raise CatalogError(f"column {name!r} already exists in {self.name!r}")
         dt = ddl_type(data_type)
-        self._swap_in(df.withColumn(name, F.lit(default).cast(dt)))
+        self._swap_in(df.withColumn(name, F.lit(default).cast(dt)), op="ALTER")
 
     def alter_drop_column(self, name: str) -> None:
         """ALTER TABLE DROP COLUMN name."""
         df = self.df()
         if name not in df.columns:
             raise CatalogError(f"column {name!r} does not exist in {self.name!r}")
-        self._swap_in(df.drop(name))
+        self._swap_in(df.drop(name), op="ALTER")
 
     def alter_rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME COLUMN old TO new."""
         df = self.df()
         if old not in df.columns:
             raise CatalogError(f"column {old!r} does not exist in {self.name!r}")
-        self._swap_in(df.withColumnRenamed(old, new))
+        self._swap_in(df.withColumnRenamed(old, new), op="ALTER")
 
     def delete(self, where: Column | str | None = None) -> None:
         """DELETE [WHERE pred] (reference tmp/crud.txt:480-504). No WHERE →
@@ -675,7 +729,7 @@ class ManagedTable:
             # keep rows where the predicate is NOT satisfied; null-safe:
             # a NULL predicate must keep the row (SQL DELETE semantics)
             out = df.filter(~cond.eqNullSafe(F.lit(True)))
-        self._swap_in(out)
+        self._swap_in(out, op="DELETE")
 
 
 class DdlSession:
@@ -794,7 +848,7 @@ class DdlSession:
                     f"({mt.path}); import it into the warehouse first"
                 )
             clustered = mt.df().repartition(F.col(columns[0])).sortWithinPartitions(*columns)
-            mt._swap_in(clustered)
+            mt._swap_in(clustered, op="CLUSTER")
         return meta
 
     # -- DROP --------------------------------------------------------------

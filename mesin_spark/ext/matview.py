@@ -160,7 +160,7 @@ class AggView:
             nxt = os.path.join(self.mv.path, f"v{cur + 1:05d}")
             new_mv.write.mode("overwrite").parquet(nxt)
             _write_state(nxt, self._state_dict(synced))
-            self.mv._commit(cur + 1)
+            self.mv._commit(cur + 1, op="REFRESH_MV")
 
     def refresh(self) -> RefreshStats:
         """Fold base-table changes since the last sync into the view.

@@ -350,3 +350,34 @@ def q_optimize_stmt(spark, sf_dir):
             R(F.sum("l_extendedprice"), 2).cast("double").alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_describe_history",
+    oracle="""
+    SELECT CAST(version AS BIGINT) AS version, op
+    FROM (VALUES (1, 'CONVERT'), (2, 'INSERT'), (3, 'UPDATE'),
+                 (4, 'DELETE'), (5, 'OPTIMIZE'), (5, 'VACUUM')) t(version, op)
+    """,
+)
+def q_describe_history(spark, sf_dir):
+    """DESCRIBE HISTORY (Delta analog): every commit on a versioned
+    managed table appends an audit record — op label, version, wall
+    time — inside the same writer-locked critical section as the
+    pointer swap; VACUUM logs without a version bump. The full
+    statement lifecycle runs through ExecutionContext.execute and the
+    history is read back as a statement too. ts/details are projected
+    away (wall time is nondeterministic by nature); the op/version
+    sequence is the exact contract."""
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark=spark)
+    ctx.ddl.base_dir = scratch_dir(prefix="mesin_history_")
+    ctx.ddl.import_parquet("hist_nation", os.path.join(sf_dir, "nation.parquet"))
+    ctx.ddl.table("hist_nation").enable_versioning()
+    ctx.execute("INSERT INTO hist_nation VALUES (900, 'LEMURIA', 2)")
+    ctx.execute("UPDATE hist_nation SET n_name = 'ZEALANDIA' WHERE n_nationkey = 3")
+    ctx.execute("DELETE FROM hist_nation WHERE n_nationkey = 10")
+    ctx.execute("OPTIMIZE hist_nation TARGET 256 MB")
+    ctx.execute("VACUUM hist_nation KEEP 1")
+    return ctx.execute("DESCRIBE HISTORY hist_nation").select("version", "op")

@@ -29,7 +29,7 @@ from mesin_spark.dml import ColumnDefinition, DdlSession
 
 #: Statement keywords this router owns; anything else is a query and
 #: falls through to ``spark.sql`` (the Query arm of the dispatcher).
-DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY", "REFRESH", "OPTIMIZE", "VACUUM")
+DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY", "REFRESH", "OPTIMIZE", "VACUUM", "DESCRIBE")
 
 
 def is_dml(sql: str) -> bool:
@@ -48,6 +48,11 @@ def is_dml(sql: str) -> bool:
         # REFRESH TABLE / REFRESH FUNCTION statements stay on spark.sql
         rest = head[1].upper() if len(head) > 1 else ""
         return rest.startswith("MATERIALIZED")
+    if kw == "DESCRIBE":
+        # only DESCRIBE HISTORY is ours; Spark's native DESCRIBE
+        # TABLE/QUERY/FUNCTION statements stay on spark.sql
+        rest = head[1].upper() if len(head) > 1 else ""
+        return rest.startswith("HISTORY")
     return kw in DML_KEYWORDS
 
 
@@ -629,6 +634,17 @@ def _optimize(sess: DdlSession, sql: str) -> DataFrame:
     return _status(sess, "OPTIMIZE", m.group(1), n_files)
 
 
+def _describe(sess: DdlSession, sql: str) -> DataFrame:
+    """DESCRIBE HISTORY <table> — the commit audit log (version, op, ts,
+    details) of a versioned managed table (Delta DESCRIBE HISTORY
+    analog). Spark-native DESCRIBE forms never reach here (is_dml routes
+    only the HISTORY form)."""
+    m = re.match(rf"DESCRIBE\s+HISTORY\s+({_IDENT})\s*$", sql, re.I)
+    if not m:
+        raise ValueError(f"Cannot parse DESCRIBE statement: {sql[:80]}")
+    return sess.table(m.group(1)).history()
+
+
 def _vacuum(sess: DdlSession, sql: str) -> DataFrame:
     """VACUUM <table> [KEEP <n>] — drop all but the last n committed
     versions (default 1). rows_affected = versions removed."""
@@ -760,6 +776,7 @@ def dispatch(sess: DdlSession, sql: str) -> DataFrame:
         "REFRESH": _refresh,
         "OPTIMIZE": _optimize,
         "VACUUM": _vacuum,
+        "DESCRIBE": _describe,
     }.get(kw)
     if handler is None:
         raise ValueError(f"Not a DML/DDL statement: {s[:60]}")

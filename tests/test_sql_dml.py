@@ -622,3 +622,40 @@ def test_compact_partitioned_layout_one_file_per_partition(ctx, spark):
     assert len(by_part) == 4
     assert all(len(v) == 1 for v in by_part.values())
     assert spark.read.parquet(path).count() == 2000
+
+
+def test_describe_history_records_commit_lifecycle(ctx, spark):
+    mt = _frag_table(ctx, spark, "hist1", n_files=4)
+    mt.enable_versioning()
+    ctx.execute("INSERT INTO hist1 VALUES (99999, 3, 1.0)")
+    ctx.execute("UPDATE hist1 SET v = 0.0 WHERE k = 1")
+    ctx.execute("DELETE FROM hist1 WHERE k = 2")
+    ctx.execute("OPTIMIZE hist1")
+    ctx.execute("VACUUM hist1 KEEP 2")
+    hist = ctx.execute("DESCRIBE HISTORY hist1").collect()
+    seq = [(r["version"], r["op"]) for r in hist]
+    assert seq == [
+        (1, "CONVERT"), (2, "INSERT"), (3, "UPDATE"),
+        (4, "DELETE"), (5, "OPTIMIZE"), (5, "VACUUM"),
+    ]
+    # ts monotone non-decreasing; VACUUM details carry the removed list
+    tss = [r["ts"] for r in hist]
+    assert tss == sorted(tss)
+    import json as _json
+
+    details = _json.loads(hist[-1]["details"])
+    assert details["removed"] == [1, 2, 3]
+
+
+def test_describe_history_requires_versioned_table(ctx, spark):
+    _frag_table(ctx, spark, "hist2", n_files=2)
+    from mesin_spark.catalog import CatalogError
+
+    with pytest.raises(CatalogError):
+        ctx.execute("DESCRIBE HISTORY hist2")
+
+
+def test_native_describe_still_routes_to_spark(ctx, spark):
+    spark.range(3).createOrReplaceTempView("plainview")
+    rows = ctx.execute("DESCRIBE plainview").collect()
+    assert any(r[0] == "id" for r in rows)
