@@ -38,6 +38,25 @@ from pyspark.sql import types as Ty
 
 from mesin_spark.catalog import Catalog, CatalogError, IndexMeta, TableMeta
 
+
+class ConstraintViolation(CatalogError):
+    """An enforced table constraint rejected a write (opt-in via the
+    ``enforce_constraints`` table property — see
+    ManagedTable.validate_constraints)."""
+
+
+def _balanced_paren_body(text: str, start: int) -> str:
+    """Contents of the paren group opening at ``start`` (nesting-aware)."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+    raise ValueError(f"unbalanced parens in constraint text: {text[:60]!r}")
+
 # DataTypeEnum (reference common.rs:69-80) → Spark types; sqlparser mapping
 # at tmp/crud.txt:423-437. Unsupported there (decimal/interval/arrays/...)
 # is supported here for free — noted divergence (SURVEY.md §1.2).
@@ -561,6 +580,8 @@ class ManagedTable:
                         f"INSERT row has {len(r)} values; table has {len(names)} columns"
                     )
         new = self.spark.createDataFrame(rows, schema=schema)
+        if self._enforcing():
+            self.validate_constraints(batch=new)
         self._append(new)
         return len(rows)
 
@@ -580,6 +601,8 @@ class ManagedTable:
                 for src, f in zip(source.columns, schema.fields)
             ]
         )
+        if self._enforcing():
+            self.validate_constraints(batch=aligned)
         self._append(aligned)
 
     def update(self, assignments: dict[str, Column | str], where: Column | str | None = None):
@@ -608,7 +631,10 @@ class ManagedTable:
                 select_list.append(guarded.alias(c))
             else:
                 select_list.append(F.col(c))
-        self._swap_in(df.select(*select_list), op="UPDATE")
+        post = df.select(*select_list)
+        if self._enforcing():
+            self.validate_constraints(candidate=post)
+        self._swap_in(post, op="UPDATE")
 
     def merge(
         self,
@@ -683,7 +709,10 @@ class ManagedTable:
             keep = keep & ~matched
         if not insert_unmatched:
             keep = keep & F.col("t._t").isNotNull()
-        self._swap_in(j.filter(keep).select(*out_cols), op="MERGE")
+        post = j.filter(keep).select(*out_cols)
+        if self._enforcing():
+            self.validate_constraints(candidate=post)
+        self._swap_in(post, op="MERGE")
 
     # -- DDL: ALTER TABLE --------------------------------------------------
     # The reference rejects ALTER outright ("Unsupported Statement",
@@ -730,6 +759,185 @@ class ManagedTable:
             # a NULL predicate must keep the row (SQL DELETE semantics)
             out = df.filter(~cond.eqNullSafe(F.lit(True)))
         self._swap_in(out, op="DELETE")
+
+    # -- constraint enforcement (opt-in extension) -------------------------
+    # The reference stores PK/UNIQUE/CHECK/FK metadata and never enforces
+    # it (common.rs:100-110); so does this engine BY DEFAULT. Setting the
+    # table property ``enforce_constraints`` (ALTER TABLE t SET PROPERTIES
+    # ('enforce_constraints'='true'), or set_constraint_enforcement())
+    # turns on write-time validation — the Delta-constraints analog.
+
+    def _enforcing(self) -> bool:
+        if self.catalog is None:
+            return False
+        meta = self.catalog.tables.get(self.name)
+        return bool(meta) and str(
+            meta.properties.get("enforce_constraints", "")
+        ).lower() in ("1", "true", "yes")
+
+    def set_constraint_enforcement(self, on: bool = True) -> None:
+        """Opt this table in/out of write-time constraint validation."""
+        meta = self.catalog.tables.get(self.name) if self.catalog else None
+        if meta is None:
+            raise CatalogError(
+                f"table {self.name!r} has no catalog entry to hold the "
+                "enforcement property"
+            )
+        meta.properties["enforce_constraints"] = "true" if on else "false"
+
+    def _constraint_specs(self):
+        """Recorded constraint metadata → checkable specs:
+        (key_sets, check_exprs, not_null_cols, fks)."""
+        meta = self.catalog.tables.get(self.name) if self.catalog else None
+        if meta is None:
+            return [], [], [], []
+        key_sets, checks, not_null, fks = [], [], [], []
+        for c in meta.properties.get("columns") or []:
+            if c.get("primary_key"):
+                key_sets.append(("PRIMARY KEY", [c["name"]]))
+            if c.get("nullable") is False:
+                not_null.append(c["name"])
+        for con in meta.constraints or []:
+            kind, text = con.get("kind"), con.get("text", "")
+            if kind in ("PRIMARY_KEY", "UNIQUE"):
+                m = re.search(r"\(([^)]*)\)", text)
+                if m:
+                    cols = [
+                        x.strip().strip('"').strip("`")
+                        for x in m.group(1).split(",")
+                        if x.strip()
+                    ]
+                    label = "PRIMARY KEY" if kind == "PRIMARY_KEY" else "UNIQUE"
+                    key_sets.append((label, cols))
+            elif kind == "CHECK":
+                i = text.find("(")
+                if i >= 0:
+                    checks.append(_balanced_paren_body(text, i).strip())
+            elif kind == "FOREIGN_KEY":
+                m = re.search(
+                    r"FOREIGN\s+KEY\s*\(([^)]*)\)\s*REFERENCES\s+"
+                    r"([A-Za-z_][A-Za-z0-9_]*)\s*\(([^)]*)\)",
+                    text,
+                    re.I,
+                )
+                if m:
+                    child = [x.strip() for x in m.group(1).split(",") if x.strip()]
+                    parent_cols = [
+                        x.strip() for x in m.group(3).split(",") if x.strip()
+                    ]
+                    fks.append((child, m.group(2), parent_cols))
+        # PRIMARY KEY implies NOT NULL on its columns (SQL standard)
+        for label, cols in key_sets:
+            if label == "PRIMARY KEY":
+                not_null.extend(c for c in cols if c not in not_null)
+        return key_sets, checks, not_null, fks
+
+    def validate_constraints(
+        self, batch: DataFrame | None = None, candidate: DataFrame | None = None
+    ) -> None:
+        """Validate the table's recorded constraints, raising
+        ConstraintViolation with bounded samples on the first class that
+        fails. Three modes:
+
+        - ``batch=df``: an append is being validated incrementally — row
+          checks (NOT NULL / CHECK) scan ONLY the batch; key uniqueness
+          is intra-batch dups plus one batch-vs-table semi-join; FKs
+          check only batch rows. Cost O(batch + key join), never a full
+          table rescan — the append path stays incremental at 100 TB.
+        - ``candidate=df``: an UPDATE/MERGE post-image — the rewrite
+          already scans the whole table, so validation rides the same
+          frame: one combined row-check pass + one keyed agg per key
+          set + one anti-join per FK, all LIMITed collects.
+        - neither: audit the current table contents as stored.
+
+        Semantics are SQL-standard: CHECK fails only on FALSE (NULL is
+        unknown → passes); UNIQUE permits multiple NULL keys; PRIMARY
+        KEY implies NOT NULL; FK rows with any NULL child key pass
+        (MATCH SIMPLE)."""
+        key_sets, checks, not_null, fks = self._constraint_specs()
+        if not (key_sets or checks or not_null or fks):
+            return
+        incremental = batch is not None
+        row_df = batch if incremental else (candidate if candidate is not None else self.df())
+        # one combined pass over row-level checks
+        preds = [(f"NOT NULL ({c})", F.col(c).isNull()) for c in not_null]
+        preds += [
+            (f"CHECK ({e})", F.expr(e).eqNullSafe(F.lit(False))) for e in checks
+        ]
+        if preds:
+            arr = F.array(*[F.when(p, F.lit(lbl)) for lbl, p in preds])
+            hits = (
+                row_df.select(
+                    F.explode(
+                        F.filter(arr, lambda x: x.isNotNull())
+                    ).alias("violated")
+                )
+                .groupBy("violated")
+                .count()
+                .orderBy("violated")
+                .limit(10)
+                .collect()
+            )
+            if hits:
+                detail = ", ".join(f"{r['violated']}: {r['count']} row(s)" for r in hits)
+                raise ConstraintViolation(
+                    f"write to {self.name!r} rejected — {detail}"
+                )
+        for label, cols in key_sets:
+            keyed = row_df
+            if label == "UNIQUE":
+                for c in cols:  # multiple NULL keys are allowed
+                    keyed = keyed.filter(F.col(c).isNotNull())
+            dups = (
+                keyed.groupBy(*cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(5)
+                .collect()
+            )
+            if not dups and incremental:
+                clash = (
+                    keyed.select(*cols)
+                    .join(self.df().select(*cols), cols, "left_semi")
+                    .limit(5)
+                    .collect()
+                )
+                dups = clash
+            if dups:
+                sample = "; ".join(str(tuple(r[c] for c in cols)) for r in dups)
+                raise ConstraintViolation(
+                    f"write to {self.name!r} rejected — {label} ({', '.join(cols)}) "
+                    f"duplicated for key(s) {sample}"
+                )
+        for child_cols, parent_name, parent_cols in fks:
+            pmeta = self.catalog.tables.get(parent_name)
+            if pmeta is None or pmeta.path is None:
+                raise ConstraintViolation(
+                    f"FOREIGN KEY on {self.name!r} references unknown table "
+                    f"{parent_name!r}"
+                )
+            parent = ManagedTable(
+                self.spark, parent_name, pmeta.path, self.catalog
+            ).df()
+            parent_keys = parent.select(
+                *[F.col(p).alias(c) for p, c in zip(parent_cols, child_cols)]
+            )
+            orphans = (
+                row_df.select(*child_cols)
+                .na.drop()
+                .join(parent_keys, child_cols, "left_anti")
+                .limit(5)
+                .collect()
+            )
+            if orphans:
+                sample = "; ".join(
+                    str(tuple(r[c] for c in child_cols)) for r in orphans
+                )
+                raise ConstraintViolation(
+                    f"write to {self.name!r} rejected — FOREIGN KEY "
+                    f"({', '.join(child_cols)}) -> {parent_name}"
+                    f"({', '.join(parent_cols)}) has no parent for {sample}"
+                )
 
 
 class DdlSession:

@@ -381,3 +381,52 @@ def q_describe_history(spark, sf_dir):
     ctx.execute("OPTIMIZE hist_nation TARGET 256 MB")
     ctx.execute("VACUUM hist_nation KEEP 1")
     return ctx.execute("DESCRIBE HISTORY hist_nation").select("version", "op")
+
+
+@query(
+    "q_constraint_enforce",
+    oracle="""
+    SELECT CAST(id AS BIGINT) AS id, CAST(ref AS BIGINT) AS ref,
+           CAST(amt AS DOUBLE) AS amt
+    FROM (VALUES (1, 1, 5.0), (4, NULL, NULL)) t(id, ref, amt)
+    """,
+)
+def q_constraint_enforce(spark, sf_dir):
+    """Opt-in constraint enforcement (Delta-constraints analog; the
+    reference stores PK/UNIQUE/CHECK/FK metadata and never enforces it,
+    common.rs:100-110 — and so does this engine until the
+    `enforce_constraints` table property is set). Five writes are
+    attempted through the statement surface; exactly the three that
+    violate PRIMARY KEY / CHECK / FOREIGN KEY are rejected (each as a
+    bounded incremental validation: batch row checks + one key
+    semi-join + one FK anti-join — never a base rescan on append), and
+    SQL null semantics hold (NULL fk passes MATCH SIMPLE, NULL check is
+    unknown → passes). The surviving table is the exact contract."""
+    from mesin_spark.context import ExecutionContext
+    from mesin_spark.dml import ConstraintViolation
+
+    ctx = ExecutionContext(spark=spark)
+    ctx.ddl.base_dir = scratch_dir(prefix="mesin_constraints_")
+    ctx.execute("CREATE TABLE parent (pk BIGINT PRIMARY KEY)")
+    ctx.execute("INSERT INTO parent VALUES (1), (2)")
+    ctx.execute(
+        """CREATE TABLE child (
+            id BIGINT, ref BIGINT, amt DOUBLE,
+            PRIMARY KEY (id), CHECK (amt > 0),
+            FOREIGN KEY (ref) REFERENCES parent (pk)
+        )"""
+    )
+    ctx.execute("ALTER TABLE child SET PROPERTIES ('enforce_constraints' = 'true')")
+    attempts = [
+        "INSERT INTO child VALUES (1, 1, 5.0)",    # clean
+        "INSERT INTO child VALUES (1, 2, 3.0)",    # PK dup vs table
+        "INSERT INTO child VALUES (2, 2, -1.0)",   # CHECK fails
+        "INSERT INTO child VALUES (3, 9, 1.0)",    # FK orphan
+        "INSERT INTO child VALUES (4, NULL, NULL)",  # clean under SQL null rules
+    ]
+    for stmt in attempts:
+        try:
+            ctx.execute(stmt)
+        except ConstraintViolation:
+            pass
+    return ctx.execute("SELECT id, ref, amt FROM child")

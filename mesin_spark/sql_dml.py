@@ -753,6 +753,27 @@ def _alter(sess: DdlSession, sql: str) -> DataFrame:
     if rm:
         mt.alter_rename_column(rm.group(2), rm.group(3))
         return _status(sess, "ALTER TABLE RENAME", table, 0)
+    pm = re.match(r"SET\s+PROPERTIES\s*\(", action, re.I)
+    if pm:
+        # ALTER TABLE t SET PROPERTIES ('k' = 'v', ...) — catalog-entry
+        # key/value metadata; 'enforce_constraints' = 'true' switches on
+        # write-time constraint validation (ManagedTable.validate_constraints)
+        open_at = pm.end() - 1
+        seg = action[open_at:]
+        close = open_at + next(
+            i for i, ch, depth, q in _scan(seg) if ch == ")" and depth == 0 and not q
+        )
+        n_set = 0
+        for pair in _split_toplevel(action[open_at + 1 : close]):
+            km = re.match(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'$", pair)
+            if not km:
+                raise ValueError(
+                    f"SET PROPERTIES expects 'key' = 'value' pairs; got {pair!r}"
+                )
+            key = km.group(1).replace("''", "'")
+            sess.catalog.tables[table].properties[key] = km.group(2).replace("''", "'")
+            n_set += 1
+        return _status(sess, "ALTER TABLE SET", table, n_set)
     raise ValueError(f"Unsupported ALTER action: {action[:60]}")
 
 

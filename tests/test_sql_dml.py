@@ -659,3 +659,77 @@ def test_native_describe_still_routes_to_spark(ctx, spark):
     spark.range(3).createOrReplaceTempView("plainview")
     rows = ctx.execute("DESCRIBE plainview").collect()
     assert any(r[0] == "id" for r in rows)
+
+
+# -- constraint enforcement (opt-in) ---------------------------------------
+
+
+@pytest.fixture()
+def enforced(ctx):
+    ctx.execute("CREATE TABLE parent (pk BIGINT PRIMARY KEY)")
+    ctx.execute("INSERT INTO parent VALUES (1), (2)")
+    ctx.execute(
+        """CREATE TABLE child (
+            id BIGINT,
+            ref BIGINT,
+            amt DOUBLE,
+            PRIMARY KEY (id),
+            CHECK (amt > 0),
+            FOREIGN KEY (ref) REFERENCES parent (pk)
+        )"""
+    )
+    ctx.execute("ALTER TABLE child SET PROPERTIES ('enforce_constraints' = 'true')")
+    return ctx
+
+
+def test_constraints_not_enforced_by_default(ctx):
+    ctx.execute("CREATE TABLE lax (id BIGINT, PRIMARY KEY (id))")
+    ctx.execute("INSERT INTO lax VALUES (1), (1)")  # no error: metadata-only
+    assert ctx.execute("SELECT count(*) AS n FROM lax").collect()[0]["n"] == 2
+
+
+def test_enforced_insert_accepts_and_rejects(enforced):
+    from mesin_spark.dml import ConstraintViolation
+
+    ctx = enforced
+    ctx.execute("INSERT INTO child VALUES (1, 1, 5.0)")
+    with pytest.raises(ConstraintViolation, match="PRIMARY KEY"):
+        ctx.execute("INSERT INTO child VALUES (1, 2, 3.0)")  # dup vs table
+    with pytest.raises(ConstraintViolation, match="PRIMARY KEY"):
+        ctx.execute("INSERT INTO child VALUES (5, 1, 1.0), (5, 1, 1.0)")  # intra-batch
+    with pytest.raises(ConstraintViolation, match="CHECK"):
+        ctx.execute("INSERT INTO child VALUES (2, 2, -1.0)")
+    with pytest.raises(ConstraintViolation, match="FOREIGN KEY"):
+        ctx.execute("INSERT INTO child VALUES (3, 9, 1.0)")
+    with pytest.raises(ConstraintViolation, match="NOT NULL"):
+        ctx.execute("INSERT INTO child VALUES (NULL, 1, 1.0)")
+    # SQL semantics: NULL FK passes (MATCH SIMPLE), NULL CHECK is unknown -> passes
+    ctx.execute("INSERT INTO child VALUES (4, NULL, NULL)")
+    assert ctx.execute("SELECT count(*) AS n FROM child").collect()[0]["n"] == 2
+    # every rejected write left the table untouched
+    ids = {r["id"] for r in ctx.execute("SELECT id FROM child").collect()}
+    assert ids == {1, 4}
+
+
+def test_enforced_update_rejects_key_collision(enforced):
+    from mesin_spark.dml import ConstraintViolation
+
+    ctx = enforced
+    ctx.execute("INSERT INTO child VALUES (1, 1, 5.0), (2, 2, 6.0)")
+    with pytest.raises(ConstraintViolation, match="PRIMARY KEY"):
+        ctx.execute("UPDATE child SET id = 2 WHERE id = 1")
+    with pytest.raises(ConstraintViolation, match="CHECK"):
+        ctx.execute("UPDATE child SET amt = -5.0 WHERE id = 2")
+    vals = {r["id"]: r["amt"] for r in ctx.execute("SELECT id, amt FROM child").collect()}
+    assert vals == {1: 5.0, 2: 6.0}  # both rejected rewrites rolled back
+
+
+def test_unique_allows_multiple_nulls(ctx):
+    from mesin_spark.dml import ConstraintViolation
+
+    ctx.execute("CREATE TABLE uq (id BIGINT, u STRING, UNIQUE (u))")
+    ctx.execute("ALTER TABLE uq SET PROPERTIES ('enforce_constraints' = 'true')")
+    ctx.execute("INSERT INTO uq VALUES (1, NULL), (2, NULL), (3, 'x')")
+    with pytest.raises(ConstraintViolation, match="UNIQUE"):
+        ctx.execute("INSERT INTO uq VALUES (4, 'x')")
+    assert ctx.execute("SELECT count(*) AS n FROM uq").collect()[0]["n"] == 3
