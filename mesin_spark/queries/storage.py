@@ -430,3 +430,39 @@ def q_constraint_enforce(spark, sf_dir):
         except ConstraintViolation:
             pass
     return ctx.execute("SELECT id, ref, amt FROM child")
+
+
+@query(
+    "q_show_create",
+    oracle="""
+    SELECT 'audit' AS tbl,
+           'CREATE TABLE audit ( id BIGINT PRIMARY KEY, who STRING NOT NULL, amount DOUBLE DEFAULT 1.5, UNIQUE (who), CHECK (amount > 0) ) PROPERTIES (''enforce_constraints'' = ''true'')' AS create_stmt
+    """,
+)
+def q_show_create(spark, sf_dir):
+    """SHOW CREATE TABLE — executable DDL reconstructed from the managed
+    catalog (columns with types/nullability/defaults, constraint clauses
+    verbatim, user table properties; internal keys filtered). The
+    round-trip property (reconstructed DDL re-executes into an identical
+    catalog entry) is asserted in tests/test_sql_dml.py; here the exact
+    string is the contract (newlines flattened — the driver canon is
+    line-oriented)."""
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark=spark)
+    ctx.ddl.base_dir = scratch_dir(prefix="mesin_showcreate_")
+    ctx.execute(
+        """CREATE TABLE audit (
+            id BIGINT PRIMARY KEY,
+            who STRING NOT NULL,
+            amount DOUBLE DEFAULT 1.5,
+            UNIQUE (who),
+            CHECK (amount > 0)
+        )"""
+    )
+    ctx.execute("ALTER TABLE audit SET PROPERTIES ('enforce_constraints' = 'true')")
+    out = ctx.execute("SHOW CREATE TABLE audit")
+    return out.select(
+        F.col("table").alias("tbl"),
+        F.regexp_replace(F.col("create_stmt"), r"\s+", " ").alias("create_stmt"),
+    )

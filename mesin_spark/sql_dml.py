@@ -29,7 +29,7 @@ from mesin_spark.dml import ColumnDefinition, DdlSession
 
 #: Statement keywords this router owns; anything else is a query and
 #: falls through to ``spark.sql`` (the Query arm of the dispatcher).
-DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY", "REFRESH", "OPTIMIZE", "VACUUM", "DESCRIBE")
+DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY", "REFRESH", "OPTIMIZE", "VACUUM", "DESCRIBE", "SHOW")
 
 
 def is_dml(sql: str) -> bool:
@@ -53,6 +53,11 @@ def is_dml(sql: str) -> bool:
         # TABLE/QUERY/FUNCTION statements stay on spark.sql
         rest = head[1].upper() if len(head) > 1 else ""
         return rest.startswith("HISTORY")
+    if kw == "SHOW":
+        # only SHOW CREATE TABLE is ours (reconstructed from the managed
+        # catalog); Spark's native SHOW TABLES/VIEWS/etc stay on spark.sql
+        rest = head[1].upper() if len(head) > 1 else ""
+        return bool(re.match(r"CREATE\s+TABLE\b", rest))
     return kw in DML_KEYWORDS
 
 
@@ -645,6 +650,57 @@ def _describe(sess: DdlSession, sql: str) -> DataFrame:
     return sess.table(m.group(1)).history()
 
 
+def _show(sess: DdlSession, sql: str) -> DataFrame:
+    """SHOW CREATE TABLE <t> — reconstruct executable DDL from the
+    managed catalog's metadata (columns with types/nullability/defaults,
+    table constraints verbatim, non-internal properties). Deterministic:
+    ordering follows the recorded column/constraint order. Native SHOW
+    forms never reach here (is_dml routes only CREATE TABLE)."""
+    m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", sql, re.I)
+    if not m:
+        raise ValueError(f"Cannot parse SHOW statement: {sql[:80]}")
+    name = m.group(1)
+    mt = sess.table(name)
+    meta = sess.catalog.tables[name]
+    cols = meta.properties.get("columns") or [
+        # CTAS/imported tables record no DDL columns — fall back to the
+        # live schema (driver-side metadata read)
+        {
+            "name": f.name,
+            "data_type": f.dataType.simpleString().upper(),
+            "nullable": f.nullable,
+            "default": None,
+            "primary_key": False,
+        }
+        for f in mt.df().schema.fields
+    ]
+    lines = []
+    for c in cols:
+        piece = f"    {c['name']} {c['data_type']}"
+        if c.get("primary_key"):
+            piece += " PRIMARY KEY"
+        elif c.get("nullable") is False:
+            piece += " NOT NULL"
+        if c.get("default") is not None:
+            # _column_def records the default as raw SQL literal TEXT
+            # (quotes included for strings) — emit verbatim
+            piece += f" DEFAULT {c['default']}"
+        lines.append(piece)
+    lines += [f"    {con['text']}" for con in meta.constraints or [] if con.get("text")]
+    ddl = f"CREATE TABLE {name} (\n" + ",\n".join(lines) + "\n)"
+    props = {
+        k: v
+        for k, v in (meta.properties or {}).items()
+        if k not in ("columns", "stats_path", "stats_columns")
+    }
+    if props:
+        kv = ", ".join(
+            f"'{k}' = '{v}'" for k, v in sorted(props.items())
+        )
+        ddl += f"\nPROPERTIES ({kv})"
+    return sess.spark.createDataFrame([(name, ddl)], "table string, create_stmt string")
+
+
 def _vacuum(sess: DdlSession, sql: str) -> DataFrame:
     """VACUUM <table> [KEEP <n>] — drop all but the last n committed
     versions (default 1). rows_affected = versions removed."""
@@ -798,6 +854,7 @@ def dispatch(sess: DdlSession, sql: str) -> DataFrame:
         "OPTIMIZE": _optimize,
         "VACUUM": _vacuum,
         "DESCRIBE": _describe,
+        "SHOW": _show,
     }.get(kw)
     if handler is None:
         raise ValueError(f"Not a DML/DDL statement: {s[:60]}")

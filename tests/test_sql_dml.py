@@ -733,3 +733,38 @@ def test_unique_allows_multiple_nulls(ctx):
     with pytest.raises(ConstraintViolation, match="UNIQUE"):
         ctx.execute("INSERT INTO uq VALUES (4, 'x')")
     assert ctx.execute("SELECT count(*) AS n FROM uq").collect()[0]["n"] == 3
+
+
+def test_show_create_table_roundtrips(ctx):
+    ctx.execute(
+        """CREATE TABLE sct (
+            id BIGINT PRIMARY KEY,
+            name STRING NOT NULL,
+            bal DOUBLE DEFAULT 0.0,
+            CHECK (bal >= 0)
+        )"""
+    )
+    ctx.execute("ALTER TABLE sct SET PROPERTIES ('enforce_constraints' = 'true')")
+    r = ctx.execute("SHOW CREATE TABLE sct").collect()[0]
+    ddl = r["create_stmt"]
+    assert "id BIGINT PRIMARY KEY" in ddl
+    assert "name STRING NOT NULL" in ddl
+    assert "bal DOUBLE DEFAULT 0.0" in ddl
+    assert "CHECK (bal >= 0)" in ddl
+    assert "'enforce_constraints' = 'true'" in ddl
+    # the reconstructed DDL must be executable (round-trip into a new session)
+    from mesin_spark.dml import DdlSession
+
+    sess2 = DdlSession(ctx.spark)
+    import mesin_spark.sql_dml as S
+
+    S.dispatch(sess2, ddl.replace("TABLE sct", "TABLE sct2").split("\nPROPERTIES")[0])
+    assert {c["name"] for c in sess2.catalog.tables["sct2"].properties["columns"]} == {
+        "id", "name", "bal",
+    }
+
+
+def test_show_tables_stays_native(ctx, spark):
+    spark.range(1).createOrReplaceTempView("nativevis")
+    names = {r[1] for r in ctx.execute("SHOW TABLES").collect()}
+    assert "nativevis" in names
