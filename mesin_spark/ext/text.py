@@ -390,3 +390,27 @@ def bm25_scores(
     )
     term_score = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
     return joined.groupBy("_id").agg(F.sum(term_score).alias("score"))
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization — the canonical-composition pass every
+    multilingual ingest needs before exact/near dedup (decomposed
+    'e'+U+0301 and composed U+00E9 must hash identically or dup pairs
+    silently split). Spark has NO JVM builtin for unicode normalization,
+    so this is the module's one deliberate exception to the
+    zero-Python-in-hot-path rule: an Arrow-batched pandas_udf over
+    pandas' vectorized ``Series.str.normalize`` (C-implemented ICU-free
+    NFC via unicodedata) — map-side, no shuffle, scales like any other
+    projection with the usual Arrow batch-transfer overhead. NULLs pass
+    through. Matches DuckDB's ``nfc_normalize`` exactly (both implement
+    Unicode canonical composition)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf cannot resolve 'pd.Series' against a local
+    # import; the returnType + default SCALAR eval type carry the schema
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)

@@ -1041,3 +1041,45 @@ def q_lang_confusion(spark, sf_dir):
         "n",
         R(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_true"),
     ).orderBy("lang_true", "lang_pred")
+
+
+@query(
+    "q_unicode_normalize",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               text || repeat('e' || chr(769), (doc_id % 3) + 1) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS len_nfc,
+           right(nfc_normalize(t), 4) AS tail_nfc
+    FROM raw
+    """,
+)
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization (ext/text.nfc_normalize — Arrow-batched
+    pandas_udf; Spark has no JVM unicode-normalize builtin): the corpus
+    is ASCII, so a per-doc decomposed suffix ('e'+COMBINING ACUTE,
+    repeated doc_id%3+1 times) is appended deterministically; NFC must
+    compose every pair into U+00E9, shrinking the length by exactly the
+    repeat count and leaving 'é' runs on the tail. Cross-engine exact
+    vs DuckDB's nfc_normalize — both implement Unicode canonical
+    composition. Map-side only; at 100 TB this is a plain projection
+    with Arrow batch-transfer overhead, no shuffle."""
+    from mesin_spark.ext.text import nfc_normalize
+
+    d = T(spark, sf_dir, "documents")
+    decomposed = "e\u0301"  # LATIN SMALL E + COMBINING ACUTE (2 codepoints)
+    raw = F.concat(
+        F.col("text"),
+        F.repeat(F.lit(decomposed), (F.col("doc_id") % 3 + 1).cast("int")),
+    )
+    t = d.select("doc_id", raw.alias("t"), nfc_normalize(raw).alias("n"))
+    return t.select(
+        "doc_id",
+        F.length("t").cast("bigint").alias("len_raw"),
+        F.length("n").cast("bigint").alias("len_nfc"),
+        F.expr("right(n, 4)").alias("tail_nfc"),
+    )

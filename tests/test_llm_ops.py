@@ -504,3 +504,31 @@ def test_ivf_portable_ranks_probed_lists_exactly(spark):
     bf = {r["vec_id"]: r["sim"] for r in brute_force_topk(emb, qvec, k=10000).collect()}
     for vid, s in r1:
         assert bf[vid] == s
+
+
+def test_nfc_normalize_composes_and_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext.text import nfc_normalize
+
+    rows = [
+        (1, "cafe\u0301"),  # decomposed: e + COMBINING ACUTE (5 codepoints)
+        (2, "caf\u00e9"),   # already composed (4 codepoints)
+        (3, None),           # null passthrough
+        (4, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    out = (
+        df.select(
+            "id",
+            nfc_normalize("t").alias("n1"),
+            nfc_normalize(nfc_normalize("t")).alias("n2"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0]["n1"] == "caf\u00e9"      # composed
+    assert out[0]["n1"] == out[1]["n1"]     # forms hash-identical post-NFC
+    assert out[2]["n1"] is None
+    assert out[3]["n1"] == "plain ascii"
+    assert all(r["n1"] == r["n2"] for r in out)  # idempotent
