@@ -349,6 +349,8 @@ class ManagedTable:
         against other writers via the writer lock."""
         from mesin_spark.sources import read_parquet
 
+        if target_file_mb <= 0:
+            raise ValueError(f"compact: target_file_mb must be positive, got {target_file_mb}")
         with self._writer_lock():
             cur = self.current_version()
             src = self._data_dir(cur)

@@ -768,3 +768,9 @@ def test_show_tables_stays_native(ctx, spark):
     spark.range(1).createOrReplaceTempView("nativevis")
     names = {r[1] for r in ctx.execute("SHOW TABLES").collect()}
     assert "nativevis" in names
+
+
+def test_optimize_rejects_nonpositive_target(ctx, spark):
+    mt = _frag_table(ctx, spark, "opt0", n_files=2)
+    with pytest.raises(ValueError, match="positive"):
+        ctx.execute("OPTIMIZE opt0 TARGET 0 MB")
