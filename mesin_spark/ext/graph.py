@@ -153,3 +153,62 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
         )
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph (the
+    third classic graph kernel next to pagerank/degrees; the reference
+    has no graph surface). Returns (node, triangles) for every node in
+    at least one triangle.
+
+    Plan — the degree-ordered "node-iterator++" shape that bounds the
+    join fan-out at scale:
+    1. canonicalize to (u < v) distinct edges, self-loops dropped;
+    2. compute degrees (one agg), orient every edge from the lower
+       (degree, id) endpoint to the higher — every triangle then exists
+       EXACTLY once as a<b<c with oriented edges a→b, b→c, a→c;
+    3. wedge join (a→b)⋈(b→c) on b, closed by a semi-ish inner join to
+       the oriented edge set on (a,c);
+    4. explode each triangle's three corners and count per node.
+    The orientation caps each node's out-degree at O(sqrt(edges)) on
+    skewed graphs — the wedge join's fan-out bound that makes this the
+    standard distributed triangle algorithm (hub nodes emit no wedges;
+    their triangles are counted from their low-degree corners)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = o.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

@@ -1031,3 +1031,61 @@ def q_pagerank(spark, sf_dir):
         .orderBy(F.col("rank").desc(), "node")
         .limit(20)
     )
+
+
+@query(
+    "q_triangles",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48
+    ),
+    co AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM co e1
+        JOIN co e2 ON e1.v = e2.u
+        JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node
+    """,
+)
+def q_triangles(spark, sf_dir):
+    """Triangle counting over the supplier co-supply graph (suppliers
+    sharing a high-quantity order) — the third classic graph kernel
+    (ext/graph.triangle_count): degree-ordered edge orientation caps
+    wedge fan-out at O(sqrt(E)) per node, so hub suppliers emit no
+    wedges and the join stays bounded on power-law graphs at 100 TB.
+    The oracle is an INDEPENDENT formulation (canonical a<b<c triple
+    join, no degree ordering) — two different exactly-once counting
+    schemes must agree on every per-node count."""
+    from mesin_spark.ext.graph import triangle_count
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    out = triangle_count(co)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("triangles").cast("bigint").alias("triangles"),
+    )

@@ -240,3 +240,25 @@ def test_pagerank_tol_early_exit(spark):
     assert abs(sum(x["rank"] for x in rows) - 1.0) < 1e-9
     for x in rows:
         assert abs(x["rank"] - 1.0 / 6) < 1e-9
+
+
+def test_triangle_count_known_graphs(spark):
+    from mesin_spark.ext.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+
+    # K4: every node in C(3,2)=3 triangles; input deliberately messy
+    # (duplicates, reversed orientation, a self-loop) to exercise
+    # canonicalization
+    k4 = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (3, 3)]
+    assert tri(k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+    # C5 cycle and a star: triangle-free
+    assert tri([(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]) == {}
+    assert tri([(0, i) for i in range(1, 9)]) == {}
+    # hub + one closing edge: exactly one triangle through the hub —
+    # the degree-ordered orientation must still find triangles whose
+    # apex is the HIGH-degree node
+    hub = [(0, i) for i in range(1, 9)] + [(1, 2)]
+    assert tri(hub) == {0: 1, 1: 1, 2: 1}
