@@ -362,12 +362,23 @@ class ManagedTable:
             n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
             pcols = self._partition_cols(src)
             df = read_parquet(self.spark, src)
-            if sort_by:
+            if pcols:
+                # partition dirs stay the compaction unit: one task (and
+                # so one file) per partition value; SORT BY then orders
+                # rows WITHIN each partition file (zone-map clustering
+                # inside the dir). Range-partitioning on the sort key
+                # instead would spread every partition value over many
+                # tasks and the partitionBy writer would re-fragment.
+                df = df.repartition(*pcols)
+                if sort_by:
+                    # lead with the partition columns: the partitionBy
+                    # writer requires rows ordered by them and would
+                    # otherwise re-sort, destroying the sort_by order
+                    df = df.sortWithinPartitions(*pcols, *sort_by)
+            elif sort_by:
                 df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(
                     *sort_by
                 )
-            elif pcols:
-                df = df.repartition(*pcols)
             else:
                 df = df.repartition(n_files)
             writer = df.write.mode("overwrite")
@@ -462,7 +473,9 @@ class ManagedTable:
             with contextlib.suppress(OSError):
                 os.remove(lock)
 
-    def _swap_in(self, df: DataFrame, op: str = "REWRITE") -> None:
+    def _swap_in(
+        self, df: DataFrame, op: str = "REWRITE", validate: bool = False
+    ) -> None:
         """Copy-on-write: write the new contents beside the table dir, then
         swap directories.
 
@@ -479,6 +492,16 @@ class ManagedTable:
         read-version → write → commit sequence is a transaction and
         concurrent updates can't lose each other's commits."""
         with self._writer_lock():
+            if validate and self._enforcing():
+                # materialize the post-image ONCE (localCheckpoint), so
+                # (a) the three validation actions and the write don't
+                # each re-execute the full rewrite plan, and (b) the
+                # rows validated are bit-identical to the rows written
+                # even under non-deterministic assignment expressions;
+                # inside the lock so the key checks can't race a
+                # concurrent writer (same TOCTOU argument as _append)
+                df = df.localCheckpoint(eager=True)
+                self.validate_constraints(candidate=df)
             cur = self.current_version()
             if cur is not None:
                 nxt = os.path.join(self.path, f"v{cur + 1:05d}")
@@ -498,8 +521,15 @@ class ManagedTable:
         current version's files into a new version dir (metadata-only — no
         data copy, the Delta 'add file' analog), write the new files there,
         then pointer-commit; writers serialize on _writer_lock (see
-        _swap_in). Flat layout: plain parquet append."""
+        _swap_in). Flat layout: plain parquet append.
+
+        Enforcement runs HERE, inside the lock: a batch-vs-table key
+        check outside the critical section is a TOCTOU race (two
+        concurrent enforced INSERTs of the same key would both validate
+        against the pre-state and both commit)."""
         with self._writer_lock():
+            if self._enforcing():
+                self.validate_constraints(batch=writer_df)
             self._append_locked(writer_df, op)
 
     def _append_locked(self, writer_df: DataFrame, op: str = "INSERT") -> None:
@@ -582,8 +612,6 @@ class ManagedTable:
                         f"INSERT row has {len(r)} values; table has {len(names)} columns"
                     )
         new = self.spark.createDataFrame(rows, schema=schema)
-        if self._enforcing():
-            self.validate_constraints(batch=new)
         self._append(new)
         return len(rows)
 
@@ -603,8 +631,6 @@ class ManagedTable:
                 for src, f in zip(source.columns, schema.fields)
             ]
         )
-        if self._enforcing():
-            self.validate_constraints(batch=aligned)
         self._append(aligned)
 
     def update(self, assignments: dict[str, Column | str], where: Column | str | None = None):
@@ -633,10 +659,7 @@ class ManagedTable:
                 select_list.append(guarded.alias(c))
             else:
                 select_list.append(F.col(c))
-        post = df.select(*select_list)
-        if self._enforcing():
-            self.validate_constraints(candidate=post)
-        self._swap_in(post, op="UPDATE")
+        self._swap_in(df.select(*select_list), op="UPDATE", validate=True)
 
     def merge(
         self,
@@ -711,10 +734,7 @@ class ManagedTable:
             keep = keep & ~matched
         if not insert_unmatched:
             keep = keep & F.col("t._t").isNotNull()
-        post = j.filter(keep).select(*out_cols)
-        if self._enforcing():
-            self.validate_constraints(candidate=post)
-        self._swap_in(post, op="MERGE")
+        self._swap_in(j.filter(keep).select(*out_cols), op="MERGE", validate=True)
 
     # -- DDL: ALTER TABLE --------------------------------------------------
     # The reference rejects ALTER outright ("Unsupported Statement",

@@ -181,6 +181,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # the canonicalized edge list feeds the degree agg AND the
+        # orientation join; materialize once (same discipline as
+        # pagerank's e_norm) instead of re-running the dedup shuffle
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -200,6 +204,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
+        # o fans out into all three legs of the wedge join — without a
+        # materialization the orient join would execute three times
+        .localCheckpoint(eager=True)
     )
     e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))

@@ -517,7 +517,7 @@ def run_upsert_to_table(
         )
         # safe: _swap_in writes to a fresh dir BEFORE the pointer swap, so
         # the plan may read the current table contents while writing
-        table._swap_in(merged, op="STREAM_UPSERT")
+        table._swap_in(merged, op="STREAM_UPSERT", validate=True)
 
     drive_stream(
         stream_df,

@@ -657,8 +657,11 @@ def _show(sess: DdlSession, sql: str) -> DataFrame:
     ordering follows the recorded column/constraint order. Native SHOW
     forms never reach here (is_dml routes only CREATE TABLE)."""
     m = re.match(rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*$", sql, re.I)
-    if not m:
-        raise ValueError(f"Cannot parse SHOW statement: {sql[:80]}")
+    if not m or m.group(1) not in sess.catalog.tables:
+        # SHOW CREATE TABLE is ALSO a native Spark statement — qualified
+        # names and tables outside the managed catalog keep Spark's own
+        # behavior instead of erroring here
+        return sess.spark.sql(sql)
     name = m.group(1)
     mt = sess.table(name)
     meta = sess.catalog.tables[name]
@@ -695,7 +698,10 @@ def _show(sess: DdlSession, sql: str) -> DataFrame:
     }
     if props:
         kv = ", ".join(
-            f"'{k}' = '{v}'" for k, v in sorted(props.items())
+            "'{}' = '{}'".format(
+                str(k).replace("'", "''"), str(v).replace("'", "''")
+            )
+            for k, v in sorted(props.items())
         )
         ddl += f"\nPROPERTIES ({kv})"
     return sess.spark.createDataFrame([(name, ddl)], "table string, create_stmt string")
@@ -816,9 +822,17 @@ def _alter(sess: DdlSession, sql: str) -> DataFrame:
         # write-time constraint validation (ManagedTable.validate_constraints)
         open_at = pm.end() - 1
         seg = action[open_at:]
-        close = open_at + next(
-            i for i, ch, depth, q in _scan(seg) if ch == ")" and depth == 0 and not q
+        close_rel = next(
+            (i for i, ch, depth, q in _scan(seg) if ch == ")" and depth == 0 and not q),
+            None,
         )
+        if close_rel is None:
+            raise ValueError(f"SET PROPERTIES has unbalanced parens: {action[:60]}")
+        close = open_at + close_rel
+        if action[close + 1 :].strip():
+            raise ValueError(
+                f"Unexpected text after SET PROPERTIES list: {action[close + 1 :][:40]!r}"
+            )
         n_set = 0
         for pair in _split_toplevel(action[open_at + 1 : close]):
             km = re.match(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'$", pair)

@@ -774,3 +774,51 @@ def test_optimize_rejects_nonpositive_target(ctx, spark):
     mt = _frag_table(ctx, spark, "opt0", n_files=2)
     with pytest.raises(ValueError, match="positive"):
         ctx.execute("OPTIMIZE opt0 TARGET 0 MB")
+
+
+def test_show_create_falls_through_to_spark_for_non_managed(ctx, spark):
+    from pyspark.errors import AnalysisException
+
+    spark.range(2).createOrReplaceTempView("native_v")
+    # not in the managed catalog -> Spark's own SHOW CREATE TABLE semantics
+    # (temp views raise Spark's error, not our CatalogError/ValueError)
+    with pytest.raises(AnalysisException):
+        ctx.execute("SHOW CREATE TABLE native_v").collect()
+
+
+def test_show_create_redoubles_quotes_in_properties(ctx):
+    ctx.execute("CREATE TABLE qp (a BIGINT)")
+    ctx.execute("ALTER TABLE qp SET PROPERTIES ('note' = 'it''s fine')")
+    ddl = ctx.execute("SHOW CREATE TABLE qp").collect()[0]["create_stmt"]
+    assert "'note' = 'it''s fine'" in ddl
+
+
+def test_set_properties_parse_errors(ctx):
+    ctx.execute("CREATE TABLE pe (a BIGINT)")
+    with pytest.raises(ValueError, match="unbalanced"):
+        ctx.execute("ALTER TABLE pe SET PROPERTIES ('a' = 'b'")
+    with pytest.raises(ValueError, match="Unexpected text"):
+        ctx.execute("ALTER TABLE pe SET PROPERTIES ('a' = 'b') trailing")
+
+
+def test_compact_partitioned_with_sort_keeps_one_file_per_partition(ctx, spark):
+    from pyspark.sql import functions as F
+
+    from mesin_spark.dml import ManagedTable
+
+    df = spark.range(0, 2000).selectExpr("id AS k", "id % 3 AS part", "id * 7 % 11 AS v")
+    path = os.path.join(ctx.ddl.base_dir, "opt6")
+    df.repartition(8).write.partitionBy("part").mode("overwrite").parquet(path)
+    mt = ManagedTable(spark, "opt6", path)
+    mt.compact(target_file_mb=256, sort_by=["v"])
+    files = _data_files(path)
+    by_part = {}
+    for f in files:
+        p = [x for x in f.split(os.sep) if x.startswith("part=")][0]
+        by_part.setdefault(p, []).append(f)
+    assert len(by_part) == 3 and all(len(v) == 1 for v in by_part.values())
+    # rows inside each file are sorted by v
+    for flist in by_part.values():
+        vs = [r["v"] for r in spark.read.parquet(flist[0]).select("v").collect()]
+        assert vs == sorted(vs)
+    assert spark.read.parquet(path).count() == 2000
