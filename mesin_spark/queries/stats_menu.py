@@ -1089,3 +1089,74 @@ def q_triangles(spark, sf_dir):
         F.col("node").cast("bigint").alias("node"),
         F.col("triangles").cast("bigint").alias("triangles"),
     )
+
+
+@query(
+    "q_link_prediction",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48
+    ),
+    e AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    adj AS (
+        SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+    pairs AS (
+        SELECT a1.nb AS a, a2.nb AS b, deg.d
+        FROM adj a1
+        JOIN adj a2 ON a1.n = a2.n AND a1.nb < a2.nb
+        JOIN deg ON deg.n = a1.n
+    ),
+    scored AS (
+        SELECT a, b,
+               count(*) AS cn,
+               sum(1.0 / ln(d)) AS aa
+        FROM pairs GROUP BY a, b
+    )
+    SELECT CAST(s.a AS BIGINT) AS a, CAST(s.b AS BIGINT) AS b,
+           CAST(s.cn AS BIGINT) AS common_neighbors,
+           {sr("s.aa", 6)} AS adamic_adar
+    FROM scored s
+    ANTI JOIN e ON e.u = s.a AND e.v = s.b
+    """,
+)
+def q_link_prediction(spark, sf_dir):
+    """Link-prediction features over the supplier co-supply graph:
+    common-neighbor count and Adamic-Adar weight for every NON-adjacent
+    supplier pair (ext/graph.link_scores) — the feature table a
+    recommender pipeline trains on, next to q_negative_sampling. Hub
+    centers emit C(d,2) wedge pairs, so the op carries a
+    max_center_degree cap for power-law graphs (uncapped here; the
+    co-supply graph is supplier-bounded). Oracle mirrors the wedge
+    formulation in DuckDB exactly."""
+    from mesin_spark.ext.graph import link_scores
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    out = link_scores(co)
+    return out.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
+        R(F.col("adamic_adar"), 6).alias("adamic_adar"),
+    )

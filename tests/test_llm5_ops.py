@@ -262,3 +262,25 @@ def test_triangle_count_known_graphs(spark):
     # apex is the HIGH-degree node
     hub = [(0, i) for i in range(1, 9)] + [(1, 2)]
     assert tri(hub) == {0: 1, 1: 1, 2: 1}
+
+
+def test_link_scores_known_graph(spark):
+    import math
+
+    from mesin_spark.ext.graph import link_scores
+
+    # path graph 1-2-3-4 plus edge 2-4: candidate pairs and their shared
+    # neighbors are hand-computable
+    edges = [(1, 2), (2, 3), (3, 4), (2, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in link_scores(df).collect()
+    }
+    # (1,3): shared 2 (deg 3); (1,4): shared 2 (deg 3); (2,4) is an EDGE
+    # -> excluded; (3,4) edge -> excluded
+    assert set(got) == {(1, 3), (1, 4)}
+    assert got[(1, 3)][0] == 1 and abs(got[(1, 3)][1] - 1 / math.log(3)) < 1e-9
+    assert got[(1, 4)][0] == 1 and abs(got[(1, 4)][1] - 1 / math.log(3)) < 1e-9
+    # degree cap drops the only shared neighbor (deg 3) -> no candidates
+    assert link_scores(df, max_center_degree=2).count() == 0
