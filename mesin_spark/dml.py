@@ -147,7 +147,9 @@ class ManagedTable:
 
     _COMMITS_FILE = "_commits.jsonl"
 
-    def _commit(self, version: int, op: str = "WRITE") -> None:
+    def _commit(
+        self, version: int, op: str = "WRITE", extra: dict | None = None
+    ) -> None:
         """Atomically advance the pointer to ``version`` (write-temp +
         os.replace — one atomic commit point), then append the audit
         record. The log line lands AFTER the pointer swap: a crash
@@ -158,7 +160,7 @@ class ManagedTable:
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, self._version_path())
-        self._log_commit(version, op)
+        self._log_commit(version, op, extra)
         self._refresh_view()
 
     def _log_commit(self, version: int, op: str, extra: dict | None = None) -> None:
@@ -313,6 +315,42 @@ class ManagedTable:
             if removed:
                 self._log_commit(cur, "VACUUM", {"removed": removed})
             return removed
+
+    def restore(self, version: int) -> int:
+        """RESTORE ... TO VERSION n (Delta analog): re-commit a past
+        version's contents as a NEW version — rollback that PRESERVES
+        history (the bad versions stay time-travelable until vacuum, and
+        the restore is itself an audited commit carrying
+        ``restored_from``). Metadata-only: the old version's data files
+        hard-link into the new version dir, no data copy, no Spark job.
+        Returns the new version number."""
+        with self._writer_lock():
+            cur = self.current_version()
+            if cur is None:
+                raise CatalogError(
+                    f"table {self.name!r} is not versioned — nothing to restore"
+                )
+            src = self._data_dir(version)
+            if not os.path.isdir(src):
+                raise CatalogError(
+                    f"version {version} of {self.name!r} does not exist (vacuumed?)"
+                )
+            nxt = cur + 1
+            nxt_dir = os.path.join(self.path, f"v{nxt:05d}")
+            os.makedirs(nxt_dir)
+            for root, _dirs, files in os.walk(src):
+                rel = os.path.relpath(root, src)
+                for fname in files:
+                    if fname.endswith(".parquet") or fname.startswith("part-"):
+                        dst_dir = (
+                            nxt_dir if rel == "." else os.path.join(nxt_dir, rel)
+                        )
+                        os.makedirs(dst_dir, exist_ok=True)
+                        os.link(
+                            os.path.join(root, fname), os.path.join(dst_dir, fname)
+                        )
+            self._commit(nxt, op="RESTORE", extra={"restored_from": version})
+            return nxt
 
     def compact(
         self, target_file_mb: int = 256, sort_by: list[str] | None = None

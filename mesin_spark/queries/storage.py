@@ -466,3 +466,31 @@ def q_show_create(spark, sf_dir):
         F.col("table").alias("tbl"),
         F.regexp_replace(F.col("create_stmt"), r"\s+", " ").alias("create_stmt"),
     )
+
+
+@query(
+    "q_restore_table",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_restore_table(spark, sf_dir):
+    """RESTORE ... TO VERSION (Delta RESTORE analog): after a bad delete
+    and a junk insert, rolling back to v1 must reproduce the original
+    table EXACTLY — while the bad versions stay time-travelable and the
+    restore itself lands as an audited hard-link commit (metadata-only,
+    no data copy, no Spark job; asserted with history/vacuum edge cases
+    in tests/test_sql_dml.py). The oracle is simply the untouched
+    nation view."""
+    from mesin_spark.context import ExecutionContext
+
+    ctx = ExecutionContext(spark=spark)
+    ctx.ddl.base_dir = scratch_dir(prefix="mesin_restore_")
+    ctx.ddl.import_parquet("rst_nation", os.path.join(sf_dir, "nation.parquet"))
+    ctx.ddl.table("rst_nation").enable_versioning()
+    ctx.execute("DELETE FROM rst_nation WHERE n_regionkey = 0")
+    ctx.execute("INSERT INTO rst_nation VALUES (999, 'JUNK', 4)")
+    ctx.execute("RESTORE rst_nation TO VERSION 1")
+    return ctx.execute(
+        "SELECT n_nationkey, n_name, n_regionkey FROM rst_nation"
+    )

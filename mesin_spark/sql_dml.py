@@ -29,7 +29,7 @@ from mesin_spark.dml import ColumnDefinition, DdlSession
 
 #: Statement keywords this router owns; anything else is a query and
 #: falls through to ``spark.sql`` (the Query arm of the dispatcher).
-DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY", "REFRESH", "OPTIMIZE", "VACUUM", "DESCRIBE", "SHOW")
+DML_KEYWORDS = ("INSERT", "UPDATE", "DELETE", "CREATE", "DROP", "ALTER", "MERGE", "TRUNCATE", "ANALYZE", "COPY", "REFRESH", "OPTIMIZE", "VACUUM", "DESCRIBE", "SHOW", "RESTORE")
 
 
 def is_dml(sql: str) -> bool:
@@ -707,6 +707,16 @@ def _show(sess: DdlSession, sql: str) -> DataFrame:
     return sess.spark.createDataFrame([(name, ddl)], "table string, create_stmt string")
 
 
+def _restore(sess: DdlSession, sql: str) -> DataFrame:
+    """RESTORE <table> TO VERSION <n> — rollback as an audited hard-link
+    commit (ManagedTable.restore). rows_affected = the new version."""
+    m = re.match(rf"RESTORE\s+({_IDENT})\s+TO\s+VERSION\s+(\d+)\s*$", sql, re.I)
+    if not m:
+        raise ValueError(f"Cannot parse RESTORE statement: {sql[:80]}")
+    nxt = sess.table(m.group(1)).restore(int(m.group(2)))
+    return _status(sess, "RESTORE", m.group(1), nxt)
+
+
 def _vacuum(sess: DdlSession, sql: str) -> DataFrame:
     """VACUUM <table> [KEEP <n>] — drop all but the last n committed
     versions (default 1). rows_affected = versions removed."""
@@ -869,6 +879,7 @@ def dispatch(sess: DdlSession, sql: str) -> DataFrame:
         "VACUUM": _vacuum,
         "DESCRIBE": _describe,
         "SHOW": _show,
+        "RESTORE": _restore,
     }.get(kw)
     if handler is None:
         raise ValueError(f"Not a DML/DDL statement: {s[:60]}")

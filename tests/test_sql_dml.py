@@ -822,3 +822,28 @@ def test_compact_partitioned_with_sort_keeps_one_file_per_partition(ctx, spark):
         vs = [r["v"] for r in spark.read.parquet(flist[0]).select("v").collect()]
         assert vs == sorted(vs)
     assert spark.read.parquet(path).count() == 2000
+
+
+def test_restore_statement_rolls_back_preserving_history(ctx, spark):
+    import json as _json
+
+    mt = _frag_table(ctx, spark, "rst", n_files=2)
+    mt.enable_versioning()
+    ctx.execute("DELETE FROM rst WHERE k >= 2500")          # v2
+    ctx.execute("INSERT INTO rst VALUES (99999, 0, 0.0)")   # v3
+    st = ctx.execute("RESTORE rst TO VERSION 1").collect()[0]
+    assert (st["statement"], st["rows_affected"]) == ("RESTORE", 4)
+    assert ctx.execute("SELECT count(*) AS n FROM rst").collect()[0]["n"] == 5000
+    assert ctx.execute("SELECT max(k) AS m FROM rst").collect()[0]["m"] == 4999
+    # bad versions remain time-travelable; the restore is audited
+    assert mt.time_travel(3).count() == 2501
+    hist = ctx.execute("DESCRIBE HISTORY rst").collect()
+    last = hist[-1]
+    assert last["op"] == "RESTORE" and last["version"] == 4
+    assert _json.loads(last["details"])["restored_from"] == 1
+    # restoring a vacuumed version errors cleanly
+    ctx.execute("VACUUM rst KEEP 1")
+    from mesin_spark.catalog import CatalogError
+
+    with pytest.raises(CatalogError, match="vacuumed"):
+        ctx.execute("RESTORE rst TO VERSION 2")
