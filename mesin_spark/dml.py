@@ -337,6 +337,8 @@ class ManagedTable:
                 )
             nxt = cur + 1
             nxt_dir = os.path.join(self.path, f"v{nxt:05d}")
+            if os.path.isdir(nxt_dir):
+                shutil.rmtree(nxt_dir)  # crashed-writer orphan (see _append_locked)
             os.makedirs(nxt_dir)
             for root, _dirs, files in os.walk(src):
                 rel = os.path.relpath(root, src)
@@ -582,6 +584,13 @@ class ManagedTable:
             return
         src, nxt_v = self._data_dir(cur), cur + 1
         nxt = os.path.join(self.path, f"v{nxt_v:05d}")
+        if os.path.isdir(nxt):
+            # orphan from a writer that crashed between writing the
+            # version dir and the pointer commit. We hold the writer
+            # lock and the pointer does not reference nxt, so the dir is
+            # provably garbage — clear it instead of bricking every
+            # future append with FileExistsError
+            shutil.rmtree(nxt)
         os.makedirs(nxt)
         # link RECURSIVELY: a hive-partitioned layout keeps its data under
         # key=value subdirectories — linking only top-level files would

@@ -847,3 +847,21 @@ def test_restore_statement_rolls_back_preserving_history(ctx, spark):
 
     with pytest.raises(CatalogError, match="vacuumed"):
         ctx.execute("RESTORE rst TO VERSION 2")
+
+
+def test_orphan_version_dir_from_crashed_writer_is_cleared(ctx, spark):
+    mt = _frag_table(ctx, spark, "orph", n_files=2)
+    mt.enable_versioning()
+    # simulate a writer that crashed after creating v00002 but before the
+    # pointer commit: the orphan must not brick subsequent writes
+    orphan = os.path.join(mt.path, "v00002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    ctx.execute("INSERT INTO orph VALUES (77777, 1, 1.0)")
+    assert mt.current_version() == 2
+    assert ctx.execute("SELECT count(*) AS n FROM orph").collect()[0]["n"] == 5001
+    # RESTORE over an orphan likewise recovers
+    os.makedirs(os.path.join(mt.path, "v00003"))
+    ctx.execute("RESTORE orph TO VERSION 1")
+    assert ctx.execute("SELECT count(*) AS n FROM orph").collect()[0]["n"] == 5000
