@@ -269,3 +269,62 @@ def link_scores(
         ["a", "b"],
         "left_anti",
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Nodes of the k-core — the maximal induced subgraph where every
+    node keeps degree ≥ k — by synchronous peeling: drop all nodes of
+    degree < k, recompute degrees in the induced subgraph, repeat to the
+    fixpoint (the k-core is mathematically UNIQUE, so any engine
+    reaching the fixpoint agrees bit-exactly regardless of round count).
+    Returns (node, core_degree).
+
+    Per round: one degree agg + two semi-joins on the node id, induced
+    edge set checkpointed eagerly (flat lineage, the pagerank
+    discipline); the edge count rides the checkpoint materialization,
+    so the fixpoint test costs one bounded driver read per round — and
+    the edge set only ever SHRINKS, so rounds get cheaper as they
+    proceed. Graphs peel in O(log n)-ish rounds in practice;
+    ``max_rounds`` bounds pathological chains."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .union(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e2 = (
+            e.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break  # fixpoint: every surviving node already has degree >= k
+        e, n_edges = e2, n2
+    return (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )

@@ -1160,3 +1160,76 @@ def q_link_prediction(spark, sf_dir):
         F.col("common_neighbors").cast("bigint").alias("common_neighbors"),
         R(F.col("adamic_adar"), 6).alias("adamic_adar"),
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Generate the fixed-round peeling oracle: DuckDB's recursive CTEs
+    are monotone (UNION-append), so the shrinking-fixpoint loop unrolls
+    into ``rounds`` chained CTE rounds instead — peeling is idempotent
+    once converged, so any round count >= the true peel depth yields
+    exactly the k-core (depth 4 here; convergence asserted in pytest)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48) a
+        JOIN (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""k{i} AS MATERIALIZED (
+        SELECT n FROM (
+            SELECT u AS n FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1}
+        ) GROUP BY n HAVING count(*) >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+        SELECT u, v FROM e{i - 1}
+        WHERE u IN (SELECT n FROM k{i}) AND v IN (SELECT n FROM k{i})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(n AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY n HAVING count(*) >= {k}
+    """
+    )
+
+
+@query("q_kcore", oracle=_kcore_oracle(k=3, rounds=10))
+def q_kcore(spark, sf_dir):
+    """3-core of the supplier co-supply graph (ext/graph.k_core):
+    synchronous peeling to the unique fixpoint — per round one degree
+    agg + two node-keyed semi-joins over an edge set that only shrinks,
+    eagerly checkpointed (flat lineage). The oracle unrolls the same
+    peeling into 10 fixed DuckDB rounds (idempotent past convergence;
+    the graph peels in 4). The k-core's uniqueness is what makes an
+    iterative algorithm exactly cross-engine checkable — the sibling
+    proof strategy to q_clusters_portable."""
+    from mesin_spark.ext.graph import k_core
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    out = k_core(co, k=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("core_degree").cast("bigint").alias("core_degree"),
+    )

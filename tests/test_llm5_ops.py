@@ -284,3 +284,50 @@ def test_link_scores_known_graph(spark):
     assert got[(1, 4)][0] == 1 and abs(got[(1, 4)][1] - 1 / math.log(3)) < 1e-9
     # degree cap drops the only shared neighbor (deg 3) -> no candidates
     assert link_scores(df, max_center_degree=2).count() == 0
+
+
+def test_k_core_known_graphs(spark):
+    from mesin_spark.ext.graph import k_core
+
+    def core(edges, k):
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return {r["node"]: r["core_degree"] for r in k_core(df, k).collect()}
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]  # complete K5
+    assert core(k5, 4) == {i: 4 for i in range(5)}
+    assert core(k5, 5) == {}
+    # a tree has an empty 2-core
+    tree = [(1, 2), (1, 3), (2, 4), (2, 5), (3, 6)]
+    assert core(tree, 2) == {}
+    # triangle with a pendant chain: 2-core is exactly the triangle —
+    # peeling must cascade down the chain (4 is dropped only after 5)
+    g = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert core(g, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_query_converges_within_oracle_rounds(spark):
+    # the q_kcore oracle unrolls 10 peel rounds; the real graph must
+    # reach its fixpoint within that budget at every tested SF
+    from mesin_spark.ext.graph import k_core
+    from mesin_spark.queries import T
+    from pyspark.sql import functions as F
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        li = (
+            T(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") > 48)
+            .select("l_orderkey", "l_suppkey")
+        )
+        a, b = li.alias("a"), li.alias("b")
+        co = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            )
+            .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+            .distinct()
+        )
+        full = {(r["node"], r["core_degree"]) for r in k_core(co, 3, max_rounds=20).collect()}
+        capped = {(r["node"], r["core_degree"]) for r in k_core(co, 3, max_rounds=10).collect()}
+        assert full == capped
