@@ -476,3 +476,43 @@ def test_aggview_rebuild_recovers_from_vacuumed_base(spark, mv_setup):
     st2 = view.refresh()
     assert st2.applied and st2.delta_rows == 1
     assert _view_agg(view) == _full_agg(base)
+
+
+def test_concurrent_enforced_inserts_cannot_both_commit_dup_key(spark, tmp_path_factory):
+    """TOCTOU regression for constraint enforcement: validation runs
+    INSIDE the writer-locked critical section, so when N threads race to
+    insert the SAME primary key, exactly one commit wins and every other
+    writer gets ConstraintViolation — never a duplicate-key table."""
+    import threading
+
+    from mesin_spark.dml import ColumnDefinition, ConstraintViolation, DdlSession
+
+    sess = DdlSession(spark, base_dir=str(tmp_path_factory.mktemp("enforce_race")))
+    mt = sess.create_table(
+        "race", [ColumnDefinition("id", "BIGINT", primary_key=True)]
+    )
+    mt.enable_versioning()
+    mt.set_constraint_enforcement(True)
+    n_threads = 4
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def writer(tid: int):
+        try:
+            mt.insert_values([(42,)], ["id"])
+            with lock:
+                outcomes.append("committed")
+        except ConstraintViolation:
+            with lock:
+                outcomes.append("rejected")
+        except BaseException as e:  # noqa: BLE001
+            with lock:
+                outcomes.append(f"error:{e}")
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(outcomes) == ["committed"] + ["rejected"] * (n_threads - 1), outcomes
+    assert mt.df().filter("id = 42").count() == 1
