@@ -656,3 +656,84 @@ def query_vector(emb: DataFrame, vec_id, id_col: str = "vec_id",
     if row is None:
         raise ValueError(f"query vector {id_col}={vec_id!r} not found")
     return [float(x) for x in row[vec_col]]
+
+
+def dbscan(
+    emb: DataFrame,
+    eps: float = 0.35,
+    min_pts: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over an
+    embedding column, composed entirely from this tier's primitives —
+    no new join shapes:
+
+    1. eps-neighbor pairs: exact cosine ≥ eps via
+       embedding_neardup_pairs (salted pair join; pass an LSH bucket /
+       IVF list as ``block_col`` at 100 TB — neighbors then come from
+       within buckets, the standard approximate-DBSCAN scale path);
+    2. core points: ≥ ``min_pts`` neighbors (self excluded);
+    3. clusters: connected components over CORE-CORE edges
+       (dedup_clusters' pointer-jumping loop); an isolated core (no
+       core neighbor) forms its own singleton cluster;
+    4. borders: non-core points adopt the MINIMUM cluster id among
+       their core neighbors — classic DBSCAN leaves border assignment
+       scan-order-dependent; taking the min makes the output unique and
+       exactly cross-engine checkable;
+    5. noise (no core neighbor, not core) is dropped.
+
+    Returns (node, cluster_id, role in {'core','border'})."""
+    if block_col is None:
+        src = emb.withColumn("_all", F.lit(1))
+        block = "_all"
+    else:
+        src, block = emb, block_col
+    pairs = embedding_neardup_pairs(
+        src,
+        threshold=eps,
+        block_col=block,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_salts=n_salts,
+    )
+    sym = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    core = (
+        sym.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_pts)
+        .select(F.col("s").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    core_edges = (
+        sym.join(core.select(F.col("node").alias("s")), "s", "left_semi")
+        .join(core.select(F.col("node").alias("d")), "d", "left_semi")
+        .filter(F.col("s") < F.col("d"))
+        .select(F.col("s").alias("id_a"), F.col("d").alias("id_b"))
+    )
+    from mesin_spark.ext.dedup import dedup_clusters
+
+    cc = dedup_clusters(core_edges).select("node", F.col("canonical_id").alias("cluster_id"))
+    isolated = core.join(cc.select("node"), "node", "left_anti").select(
+        "node", F.col("node").alias("cluster_id")
+    )
+    cores_all = cc.union(isolated).withColumn("role", F.lit("core"))
+    border = (
+        sym.join(core.select(F.col("node").alias("s")), "s", "left_anti")
+        .join(
+            cores_all.select(
+                F.col("node").alias("d"), F.col("cluster_id").alias("_cid")
+            ),
+            "d",
+        )
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.min("_cid").alias("cluster_id"))
+        .withColumn("role", F.lit("border"))
+    )
+    return cores_all.unionByName(border)

@@ -402,3 +402,70 @@ def q_multimodal_video(spark, sf_dir):
         F.round(F.element_at("frame_means", 1), 6).alias("first_frame_mean"),
         F.round(F.element_at("frame_means", -1), 6).alias("last_frame_mean"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_dbscan",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+              / 1000000.0 >= 0.35
+    ),
+    sym AS (SELECT ia AS s, ib AS d FROM p UNION SELECT ib, ia FROM p),
+    core AS (SELECT s AS node FROM sym GROUP BY s HAVING count(*) >= 3),
+    ce AS (
+        SELECT s, d FROM sym
+        WHERE s IN (SELECT node FROM core) AND d IN (SELECT node FROM core)
+    ),
+    reach(node, lbl) AS (
+        SELECT node, node FROM (SELECT DISTINCT s AS node FROM ce)
+        UNION
+        SELECT ce.d, r.lbl FROM reach r JOIN ce ON ce.s = r.node
+    ),
+    cc AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    iso AS (
+        SELECT node, node AS cluster_id FROM core
+        WHERE node NOT IN (SELECT node FROM cc)
+    ),
+    cores AS (
+        SELECT node, cluster_id, 'core' AS role FROM cc
+        UNION ALL SELECT node, cluster_id, 'core' FROM iso
+    ),
+    border AS (
+        SELECT sym.s AS node, min(c.cluster_id) AS cluster_id,
+               'border' AS role
+        FROM sym
+        JOIN cores c ON c.node = sym.d
+        WHERE sym.s NOT IN (SELECT node FROM core)
+        GROUP BY sym.s
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(cluster_id AS BIGINT) AS cluster_id, role
+    FROM (SELECT * FROM cores UNION ALL SELECT * FROM border)
+    """,
+)
+def q_dbscan(spark, sf_dir):
+    """DBSCAN over the embedding corpus (eps = 0.35 cosine, min_pts = 3)
+    — density clustering composed from the tier's own primitives
+    (ext/similarity.dbscan): salted exact eps-pairs → core-point agg →
+    connected components over core-core edges (the dedup_clusters
+    pointer-jumping loop) → min-cluster border adoption (makes classic
+    DBSCAN's order-dependent border assignment unique, hence exactly
+    cross-engine checkable) → noise dropped. The oracle rebuilds the
+    whole pipeline in DuckDB with a recursive-CTE reachability closure.
+    At 100 TB pass an LSH bucket as block_col — approximate DBSCAN with
+    the identical downstream plan."""
+    from mesin_spark.ext.similarity import dbscan
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = dbscan(emb, eps=0.35, min_pts=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "role",
+    )

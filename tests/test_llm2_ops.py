@@ -286,3 +286,35 @@ def test_lm_score_ranks_fluent_above_scrambled(spark, docs):
     # a verbatim corpus doc has frequent bigrams; the scrambled version of
     # the same words has mostly unseen ones
     assert out[900001] > out[900002]
+
+
+def test_dbscan_planted_geometry(spark):
+    import math
+
+    from mesin_spark.ext.similarity import dbscan
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    # blob A at 0-6deg (ids 1-4, mutually within eps=0.9 ~= 25.8deg, 3
+    # neighbors each -> cores), border id 5 at 28deg (reaches only 4deg
+    # and 6deg -> 2 neighbors < min_pts, both core -> border, adopts A's
+    # min id), blob B at 90-96deg (ids 6-9 -> cores), noise id 10 at
+    # 60deg (no neighbor at all)
+    rows = [
+        (1, vec(0)), (2, vec(2)), (3, vec(4)), (4, vec(6)),
+        (5, vec(28)),
+        (6, vec(90)), (7, vec(92)), (8, vec(94)), (9, vec(96)),
+        (10, vec(60)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {
+        r["node"]: (r["cluster_id"], r["role"])
+        for r in dbscan(df, eps=0.9, min_pts=3).collect()
+    }
+    assert got == {
+        1: (1, "core"), 2: (1, "core"), 3: (1, "core"), 4: (1, "core"),
+        5: (1, "border"),
+        6: (6, "core"), 7: (6, "core"), 8: (6, "core"), 9: (6, "core"),
+    }  # id 10 is noise -> absent
