@@ -414,3 +414,62 @@ def nfc_normalize(col: Column | str) -> Column:
         return s.str.normalize("NFC")
 
     return _nfc(F.col(col) if isinstance(col, str) else col)
+
+
+def tfidf_pair_sims(
+    docs: "DataFrame",  # noqa: F821
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.85,
+    max_df: int | None = None,
+) -> "DataFrame":  # noqa: F821
+    """Pairwise TF-IDF cosine similarity via an inverted-index join —
+    the SPARSE sibling of embedding_neardup_pairs, and the scalable
+    text-similarity path when no dense embeddings exist: documents
+    never meet all-pairs, only through shared terms (postings join on
+    the term), so the join fan-out is Σ df(t)² over terms, not n².
+
+    One pass builds (doc, term, tf); idf = ln(N/df) with the corpus
+    size broadcast as a 1-row frame (no driver collect); per-doc norms
+    fold BEFORE the pair join so the per-pair work is one
+    multiply-accumulate. ``max_df`` drops terms above a document
+    frequency ceiling — the standard bound at 100 TB: an
+    every-document term has idf ≈ 0 and contributes nothing but its
+    df² join cost. Returns (id_a, id_b, sim ≥ threshold), sim rounded
+    to 6 dp BEFORE thresholding (cross-engine exactness discipline)."""
+    toks = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    nd = toks.agg(F.countDistinct("_id").cast("double").alias("nd"))
+    dfq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    if max_df is not None:
+        dfq = dfq.filter(F.col("df") <= max_df)
+    w = (
+        toks.join(dfq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "_id", "tok", (F.col("tf") * F.log(F.col("nd") / F.col("df"))).alias("wt")
+        )
+    )
+    nrm = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nr"))
+    a = w.select(F.col("tok"), F.col("_id").alias("id_a"), F.col("wt").alias("wa"))
+    b = w.select(F.col("tok"), F.col("_id").alias("id_b"), F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    sim = R(
+        F.col("dp")
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    return (
+        dots.join(nrm.select(F.col("_id").alias("id_a"), F.col("nr").alias("na")), "id_a")
+        .join(nrm.select(F.col("_id").alias("id_b"), F.col("nr").alias("nb")), "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

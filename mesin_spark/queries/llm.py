@@ -1083,3 +1083,55 @@ def q_unicode_normalize(spark, sf_dir):
         F.length("n").cast("bigint").alias("len_nfc"),
         F.expr("right(n, 4)").alias("tail_nfc"),
     )
+
+
+@query(
+    "q_tfidf_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, tok, count(*)::DOUBLE AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> len(t) > 0)) AS tok
+            FROM documents
+        )
+        GROUP BY 1, 2
+    ),
+    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM toks),
+    dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM toks GROUP BY tok),
+    w AS (
+        SELECT doc_id, t.tok, tf * ln((SELECT nd FROM n) / df) AS wt
+        FROM toks t JOIN dfq USING (tok)
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nr FROM w GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.wt * b.wt) AS dp
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           {sr("dp / (na.nr * nb.nr)", 6)} AS sim
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    WHERE {sr("dp / (na.nr * nb.nr)", 6)} >= 0.85
+    """,
+)
+def q_tfidf_pairs(spark, sf_dir):
+    """Pairwise TF-IDF cosine document similarity through an
+    inverted-index join (ext/text.tfidf_pair_sims) — the SPARSE sibling
+    of q_dedup_embed: documents meet only through shared terms, so the
+    pair space is Σ df² over the vocabulary, not n² over the corpus;
+    at 100 TB a max_df ceiling drops the near-zero-idf hub terms that
+    carry all the join cost and none of the signal. Corpus size rides a
+    broadcast 1-row frame; per-doc norms fold before the pair join;
+    sim rounds to 6 dp BEFORE thresholding on both engines."""
+    from mesin_spark.ext.text import tfidf_pair_sims
+
+    d = T(spark, sf_dir, "documents")
+    return tfidf_pair_sims(d, threshold=0.85).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "sim",
+    )

@@ -532,3 +532,32 @@ def test_nfc_normalize_composes_and_is_idempotent(spark):
     assert out[2]["n1"] is None
     assert out[3]["n1"] == "plain ascii"
     assert all(r["n1"] == r["n2"] for r in out)  # idempotent
+
+
+def test_tfidf_pair_sims_hand_computed(spark):
+    import math
+
+    from mesin_spark.ext.text import tfidf_pair_sims
+
+    # 3 docs over a 3-term vocab; doc 3 shares no informative term with 1
+    docs = [
+        (1, "apple banana apple"),
+        (2, "apple banana"),
+        (3, "cherry cherry"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in tfidf_pair_sims(df, threshold=0.0).collect()
+    }
+    # idf: apple ln(3/2), banana ln(3/2), cherry ln(3/1)
+    ia = math.log(3 / 2)
+    w1 = {"apple": 2 * ia, "banana": 1 * ia}
+    w2 = {"apple": 1 * ia, "banana": 1 * ia}
+    dot = w1["apple"] * w2["apple"] + w1["banana"] * w2["banana"]
+    n1 = math.sqrt(sum(v * v for v in w1.values()))
+    n2 = math.sqrt(sum(v * v for v in w2.values()))
+    assert set(got) == {(1, 2)}  # cherry-only doc 3 shares no term
+    assert abs(got[(1, 2)] - round(dot / (n1 * n2), 6)) < 2e-6
+    # max_df ceiling: dropping terms with df > 1 leaves no shared terms
+    assert tfidf_pair_sims(df, threshold=0.0, max_df=1).count() == 0
