@@ -328,3 +328,72 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
+
+
+#: Portable walk-hash constants (mirrored literally in oracle SQL):
+#: step chooser H(u, t) = ((u*A + t*B + C) mod P) mod deg(u).
+WALK_A = 1315423911
+WALK_B = 2654435761
+WALK_P = 1_000_000_007
+WALK_C = 104729
+
+
+def random_walks(
+    edges: DataFrame,
+    n_steps: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic 'random' walks from EVERY node — the
+    DeepWalk/node2vec corpus generator, made exactly reproducible (and
+    so cross-engine checkable) by replacing the RNG with a portable
+    integer hash: at step t on node u the walker moves to the neighbor
+    with rank ``((u*A + t*B + C) mod P) mod deg(u)`` in the id-ordered
+    adjacency list. Same trajectory on any engine, any partitioning,
+    any rerun — the property a training pipeline needs for cacheable
+    walk corpora anyway (true RNG walks are rows-only-verifiable).
+
+    Plan: adjacency ranked once (one sort-window per node), then one
+    keyed join per step against the ranked list — walk state is
+    (start, cur), so each step shuffles on the current node id only;
+    the frontier stays |nodes| rows for all T steps. Returns
+    (start, step, node) with step 0 = the start itself."""
+    from pyspark.sql import Window as W
+
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+        .union(e.select(F.col("v").alias("n"), F.col("u").alias("nb")))
+        .withColumn("rk", F.row_number().over(W.partitionBy("n").orderBy("nb")) - 1)
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    adj = adj.join(deg, "n").localCheckpoint(eager=True)
+    walk = adj.select(F.col("n").alias("start")).distinct().select(
+        "start", F.lit(0).alias("step"), F.col("start").alias("node")
+    )
+    out = [walk]
+    cur = walk
+    for t in range(1, n_steps + 1):
+        pick = (
+            (F.col("node") * F.lit(WALK_A) + F.lit(t) * F.lit(WALK_B) + F.lit(WALK_C))
+            % F.lit(WALK_P)
+        ) % F.col("deg")
+        nxt = (
+            cur.join(adj.select(F.col("n").alias("node"), "rk", "nb", "deg"), "node")
+            .filter(F.col("rk") == pick)
+            .select("start", F.lit(t).alias("step"), F.col("nb").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(nxt)
+        cur = nxt
+    res = out[0]
+    for w in out[1:]:
+        res = res.union(w)
+    return res

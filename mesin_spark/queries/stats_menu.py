@@ -1233,3 +1233,86 @@ def q_kcore(spark, sf_dir):
         F.col("node").cast("bigint").alias("node"),
         F.col("core_degree").cast("bigint").alias("core_degree"),
     )
+
+
+def _walks_oracle(n_steps: int) -> str:
+    """Unrolled deterministic-walk oracle: one MATERIALIZED CTE per step
+    (DuckDB inlines CTEs otherwise — the k-core lesson), each picking
+    the neighbor whose id-ordered rank equals the portable step hash
+    ((u*A + t*B + C) mod P) mod deg, mirroring ext/graph.random_walks'
+    integer arithmetic literally."""
+    from mesin_spark.ext.graph import WALK_A, WALK_B, WALK_C, WALK_P
+
+    parts = [
+        """e AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48) a
+        JOIN (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    adj AS MATERIALIZED (
+        SELECT n, nb,
+               row_number() OVER (PARTITION BY n ORDER BY nb) - 1 AS rk,
+               count(*) OVER (PARTITION BY n) AS deg
+        FROM (SELECT u AS n, v AS nb FROM e UNION ALL SELECT v, u FROM e)
+    ),
+    w0 AS MATERIALIZED (
+        SELECT DISTINCT n AS start, 0 AS step, n AS node FROM adj
+    )"""
+    ]
+    for t in range(1, n_steps + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+        SELECT w.start, {t} AS step, a.nb AS node
+        FROM w{t - 1} w JOIN adj a
+          ON a.n = w.node
+         AND a.rk = ((w.node * {WALK_A} + {t} * {WALK_B} + {WALK_C})
+                     % {WALK_P}) % a.deg
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM w{t}" for t in range(n_steps + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(start AS BIGINT) AS start, CAST(step AS BIGINT) AS step,
+           CAST(node AS BIGINT) AS node
+    FROM ({union})
+    """
+    )
+
+
+@query("q_random_walks", oracle=_walks_oracle(4))
+def q_random_walks(spark, sf_dir):
+    """Deterministic hash-seeded walks (4 steps from every node of the
+    co-supply graph) — the DeepWalk/node2vec training-corpus generator
+    with the RNG replaced by a portable integer hash, so the full
+    trajectory table is exactly reproducible cross-engine (the sketch
+    tier's portability strategy applied to an iterative sampler). One
+    node-keyed join per step, frontier stays |nodes| rows
+    (ext/graph.random_walks)."""
+    from mesin_spark.ext.graph import random_walks
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    out = random_walks(co, n_steps=4)
+    return out.select(
+        F.col("start").cast("bigint").alias("start"),
+        F.col("step").cast("bigint").alias("step"),
+        F.col("node").cast("bigint").alias("node"),
+    )

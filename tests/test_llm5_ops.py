@@ -361,3 +361,24 @@ def test_basket_rules_hand_computed(spark):
     assert pairs == {(1, 2): 3, (1, 3): 1}
     # lift for (1,2): n_ab*N/(n_a*n_b) = 3*4/(4*3) = 1.0 (independence)
     assert abs(pairs[(1, 2)] * tot / (4 * 3) - 1.0) < 1e-12
+
+
+def test_random_walks_deterministic_and_edge_respecting(spark):
+    from mesin_spark.ext.graph import random_walks
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    w1 = sorted(map(tuple, random_walks(df, n_steps=3).collect()))
+    w2 = sorted(map(tuple, random_walks(df, n_steps=3).collect()))
+    assert w1 == w2  # bit-identical across runs
+    # every walk has exactly steps 0..3 and starts at its own node
+    by_start = {}
+    for start, step, node in w1:
+        by_start.setdefault(start, {})[step] = node
+    assert set(by_start) == {1, 2, 3, 4}
+    und = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    for start, path in by_start.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert path[0] == start
+        for t in range(1, 4):
+            assert (path[t - 1], path[t]) in und  # every hop is a real edge
