@@ -397,3 +397,66 @@ def random_walks(
     for w in out[1:]:
         res = res.union(w)
     return res
+
+
+PR_SCALE = 10**12  # fixed-point unit for the portable pagerank
+
+
+def pagerank_portable(
+    edges: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank in integer FIXED-POINT arithmetic — the portable-sketch
+    strategy applied to the one iterative algorithm the tier still
+    verified rows-only: float power iteration accumulates
+    engine-specific summation order, but with ranks held in units of
+    1e-12 and every operation an integer add / multiply / truncating
+    div, two engines running the same round count agree BIT-EXACTLY.
+    Truncation leaks mass (~1e-12/node/round — far below any ranking
+    decision); damping 0.85 becomes *85 div 100.
+
+    Same plan shape as pagerank(): per round one groupBy(dst) shuffle +
+    one rank join, dangling mass as a broadcast 1-row aggregate, eager
+    checkpoints. Returns (node, rank_fp) with rank_fp ≈ rank * 1e12."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(outdeg.select(F.col("src").alias("node"), "od"), "node", "left")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank_portable: empty edge list")
+    base = (15 * PR_SCALE) // (100 * n)
+    r = nodes.withColumn("rank", F.lit(PR_SCALE // n))
+    for it in range(rounds):
+        contrib = (
+            r.filter(F.col("od").isNotNull())
+            .join(e, r["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div od")).alias("c"))
+        )
+        dang = r.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("_dg")
+        )
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "od",
+                (
+                    F.lit(base)
+                    + F.expr(f"(85 * (coalesce(c, 0) + (_dg div {n}))) div 100")
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % 2 == 0 or it == rounds - 1:
+            r = r.localCheckpoint(eager=True)
+    return r.select("node", F.col("rank").alias("rank_fp"))

@@ -1316,3 +1316,69 @@ def q_random_walks(spark, sf_dir):
         F.col("step").cast("bigint").alias("step"),
         F.col("node").cast("bigint").alias("node"),
     )
+
+
+def _pagerank_portable_oracle(rounds: int) -> str:
+    """Unrolled fixed-point power iteration (MATERIALIZED CTE per round
+    — the k-core lesson). Every expression is integer add / multiply /
+    `//` (truncating div on non-negatives), mirroring
+    ext/graph.pagerank_portable literally; DuckDB's `//` and Spark's
+    `div` agree on non-negative BIGINTs."""
+    head = f"""e AS MATERIALIZED ({_EDGE_SQL.strip().split('(', 1)[1].rsplit(')', 1)[0]}),
+    outd AS MATERIALIZED (SELECT src AS node, count(*) AS od FROM e GROUP BY src),
+    nodes AS MATERIALIZED (
+        SELECT n.node, outd.od
+        FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+        LEFT JOIN outd ON outd.node = n.node
+    ),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+        SELECT node, od, 1000000000000 // (SELECT n FROM nn) AS rank FROM nodes
+    )"""
+    parts = [head]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+        SELECT e.dst AS node, sum(r.rank // r.od) AS c
+        FROM r{t - 1} r JOIN e ON e.src = r.node
+        WHERE r.od IS NOT NULL GROUP BY e.dst
+    ),
+    d{t} AS MATERIALIZED (
+        SELECT coalesce(sum(rank), 0) AS dg FROM r{t - 1} WHERE od IS NULL
+    ),
+    r{t} AS MATERIALIZED (
+        SELECT n.node, n.od,
+               (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+               + (85 * (coalesce(c.c, 0)
+                        + (SELECT dg FROM d{t}) // (SELECT n FROM nn))) // 100
+               AS rank
+        FROM nodes n LEFT JOIN c{t} c ON c.node = n.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_fp
+    FROM r{rounds}
+    """
+    )
+
+
+@query("q_pagerank_portable", oracle=_pagerank_portable_oracle(6))
+def q_pagerank_portable(spark, sf_dir):
+    """PageRank over the purchase graph in integer FIXED-POINT
+    arithmetic (ext/graph.pagerank_portable, 6 rounds) — the portable
+    proof for the ITERATIVE-FLOAT class: the engine-native q_pagerank
+    stays rows-only because double summation order is engine-specific,
+    but with ranks in 1e-12 units and truncating integer division the
+    full per-node rank vector is bit-reproducible cross-engine (the
+    oracle unrolls the identical arithmetic into MATERIALIZED DuckDB
+    rounds). Same shuffle shape as the float version: one groupBy(dst)
+    + one rank join per round, dangling mass broadcast."""
+    from mesin_spark.ext.graph import pagerank_portable
+
+    return pagerank_portable(_purchase_edges(spark, sf_dir), rounds=6).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rank_fp").cast("bigint").alias("rank_fp"),
+    )

@@ -382,3 +382,21 @@ def test_random_walks_deterministic_and_edge_respecting(spark):
         assert path[0] == start
         for t in range(1, 4):
             assert (path[t - 1], path[t]) in und  # every hop is a real edge
+
+
+def test_pagerank_portable_tracks_float_pagerank(spark):
+    from mesin_spark.ext.graph import PR_SCALE, pagerank, pagerank_portable
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # cycle + feeder, 3 dangling-free
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fp = {r["node"]: r["rank_fp"] for r in pagerank_portable(df, rounds=10).collect()}
+    fl = {r["node"]: r["rank"] for r in pagerank(df, max_iter=10, checkpoint_every=10).collect()}
+    assert set(fp) == set(fl)
+    for n in fp:
+        # fixed-point truncation loses ~1e-12/node/round; agreement to 1e-9
+        assert abs(fp[n] / PR_SCALE - fl[n]) < 1e-9, (n, fp[n], fl[n])
+    # total mass within truncation loss of 1
+    assert 0.999999 < sum(fp.values()) / PR_SCALE <= 1.000001
+    # bit-determinism across reruns
+    fp2 = {r["node"]: r["rank_fp"] for r in pagerank_portable(df, rounds=10).collect()}
+    assert fp == fp2
