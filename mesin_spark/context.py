@@ -804,9 +804,10 @@ def _rewrite_group_concat(sql: str, dialect: str = "mysql") -> str:
 
     Default separator is ',' (both dialects'). NULL elements are skipped
     by collect_list/collect_set, matching both. With DISTINCT and ORDER
-    BY together, dedup is on the (keys, expr) tuple — exact whenever the
-    keys are derived from expr (the overwhelmingly common ``ORDER BY``
-    the same column case). All parsing is quote-aware (shared scanners),
+    BY together, values are deduped AFTER the sort (array_distinct keeps
+    the first occurrence in sort order) — exact MySQL semantics whenever
+    the keys derive from expr, and a deterministic dedup-by-value when
+    they don't. All parsing is quote-aware (shared scanners),
     nested parens in exprs/keys/sep survive, and multiple occurrences
     rewrite via recursion. Everything stays a single grouped aggregate:
     the sort is a per-group array sort after the partial agg, no extra
@@ -888,7 +889,15 @@ def _rewrite_group_concat(sql: str, dialect: str = "mysql") -> str:
     arr = f"array_sort({collect}(struct({fields}, {expr} AS _v)))"
     if descs[0]:
         arr = f"reverse({arr})"
-    repl = f"array_join(transform({arr}, _x -> _x._v), {sep})"
+    vals = f"transform({arr}, _x -> _x._v)"
+    if distinct:
+        # collect_set dedups the (keys, expr) STRUCT — duplicate values
+        # with distinct order keys would survive it. array_distinct on
+        # the post-sort value array keeps the FIRST occurrence in sort
+        # order, matching MySQL whenever the key is derived from expr
+        # and giving a deterministic dedup-by-value otherwise.
+        vals = f"array_distinct({vals})"
+    repl = f"array_join({vals}, {sep})"
     return _rewrite_group_concat(
         sql[:gc_at] + repl + sql[close_idx + 1 :], dialect
     )

@@ -167,12 +167,20 @@ class ManagedTable:
         """One JSONL audit line per commit (versioned layout only — the
         flat layout's whole-dir swap has no stable root to keep a log
         in, and no version identity to describe). Appends run inside
-        the writer lock like every commit, so lines never interleave."""
+        the writer lock like every commit, so lines never interleave.
+
+        Best-effort: the pointer swap has already decided visibility, so
+        a failed audit append must not surface a successfully-committed
+        write as a failure (which would also skip _refresh_view and
+        invite a duplicate retry of a write that landed)."""
         rec = {"version": version, "op": op, "ts": time.time()}
         if extra:
             rec.update(extra)
-        with open(os.path.join(self.path, self._COMMITS_FILE), "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        try:
+            with open(os.path.join(self.path, self._COMMITS_FILE), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY (Delta analog): the commit audit log as a
@@ -188,7 +196,17 @@ class ManagedTable:
         recs = []
         if os.path.exists(p):
             with open(p) as f:
-                recs = [json.loads(line) for line in f if line.strip()]
+                for line in f:
+                    if not line.strip():
+                        continue
+                    try:
+                        recs.append(json.loads(line))
+                    except ValueError:
+                        # torn final line from a crash mid-append — the
+                        # commit itself is decided by the pointer file;
+                        # a damaged audit line must not make DESCRIBE
+                        # HISTORY raise permanently
+                        continue
         rows = [
             (
                 int(r["version"]),
@@ -343,7 +361,14 @@ class ManagedTable:
             for root, _dirs, files in os.walk(src):
                 rel = os.path.relpath(root, src)
                 for fname in files:
-                    if fname.endswith(".parquet") or fname.startswith("part-"):
+                    # data files PLUS underscore-metadata sidecars
+                    # (_MV_STATE.json rides the version dir — dropping it
+                    # would break every subsequent matview refresh)
+                    if (
+                        fname.endswith(".parquet")
+                        or fname.startswith("part-")
+                        or (fname.startswith("_") and not fname.startswith("._"))
+                    ):
                         dst_dir = (
                             nxt_dir if rel == "." else os.path.join(nxt_dir, rel)
                         )
@@ -353,6 +378,32 @@ class ManagedTable:
                         )
             self._commit(nxt, op="RESTORE", extra={"restored_from": version})
             return nxt
+
+    def _carry_metadata(self, src: str, dst: str) -> None:
+        """Copy top-level underscore-metadata sidecars (e.g.
+        ``_MV_STATE.json``) from the source data dir into a rewritten one.
+        OPTIMIZE rewrites the version dir from a Spark write, which only
+        emits data files + _SUCCESS — without this, compacting a
+        materialized-view table silently drops its refresh state and
+        every later refresh fails. Commit-protocol files are excluded
+        (they live at the table root, never inside a version dir, but
+        the flat layout shares the root so filter defensively)."""
+        skip = {self._VERSION_FILE, self._COMMITS_FILE, "_SUCCESS"}
+        try:
+            entries = os.listdir(src)
+        except OSError:
+            return
+        for fname in entries:
+            if (
+                not fname.startswith("_")
+                or fname in skip
+                or fname.startswith("._")
+            ):
+                continue
+            s = os.path.join(src, fname)
+            d = os.path.join(dst, fname)
+            if os.path.isfile(s) and not os.path.exists(d):
+                shutil.copy2(s, d)
 
     def compact(
         self, target_file_mb: int = 256, sort_by: list[str] | None = None
@@ -427,11 +478,13 @@ class ManagedTable:
             if cur is not None:
                 nxt = os.path.join(self.path, f"v{cur + 1:05d}")
                 writer.parquet(nxt)
+                self._carry_metadata(src, nxt)
                 self._commit(cur + 1, op="OPTIMIZE")
                 out_dir = nxt
             else:
                 tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
                 writer.parquet(tmp)
+                self._carry_metadata(src, tmp)
                 old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
                 os.rename(self.path, old)
                 os.rename(tmp, self.path)
@@ -985,9 +1038,25 @@ class ManagedTable:
                     f"FOREIGN KEY on {self.name!r} references unknown table "
                     f"{parent_name!r}"
                 )
-            parent = ManagedTable(
-                self.spark, parent_name, pmeta.path, self.catalog
-            ).df()
+            if parent_name == self.name and candidate is not None:
+                # self-referential FK under UPDATE/MERGE: the post-image
+                # replaces the whole table, so child refs must resolve
+                # against the post-image's OWN parent keys — validating
+                # against the pre-image wrongly rejects a statement that
+                # rewrites parent keys and refs together, and wrongly
+                # passes a parent-key removal that orphans children
+                parent = candidate
+            elif parent_name == self.name and incremental:
+                # self-referential FK under append: the post-image is
+                # stored ∪ batch, so batch rows may reference keys
+                # introduced by the same (atomic) insert
+                parent = self.df().select(*parent_cols).unionByName(
+                    batch.select(*parent_cols)
+                )
+            else:
+                parent = ManagedTable(
+                    self.spark, parent_name, pmeta.path, self.catalog
+                ).df()
             parent_keys = parent.select(
                 *[F.col(p).alias(c) for p, c in zip(parent_cols, child_cols)]
             )

@@ -753,6 +753,24 @@ def test_group_concat_end_to_end(spark):
     assert rows[0]["names"] == "b|b|a".replace("|", ",")
 
 
+def test_group_concat_distinct_with_foreign_order_key(spark):
+    """DISTINCT + ORDER BY a key NOT derived from expr: duplicate values
+    with distinct keys must still dedup (MySQL keeps one per value);
+    dedup happens post-sort, keeping the first occurrence in key order."""
+    c = ExecutionContext(dialect="mysql", spark=spark)
+    spark.createDataFrame(
+        [(1, 3, "a"), (1, 1, "b"), (1, 2, "a"), (1, 4, "c")],
+        "g long, k long, name string",
+    ).createOrReplaceTempView("gc_fk_t")
+    rows = c.execute(
+        "SELECT g, GROUP_CONCAT(DISTINCT name ORDER BY k SEPARATOR '|')"
+        " AS names FROM gc_fk_t GROUP BY g"
+    ).collect()
+    # key order: (1,b) (2,a) (3,a) (4,c) -> values b, a, a, c -> dedup
+    # keeping first occurrence -> b|a|c
+    assert rows[0]["names"] == "b|a|c"
+
+
 def test_hive_clusterby_partition_local_order(spark):
     """DISTRIBUTE BY + SORT BY: rows land hashed by key and each
     partition is internally sorted (no global order). Collect preserves

@@ -724,6 +724,35 @@ def test_enforced_update_rejects_key_collision(enforced):
     assert vals == {1: 5.0, 2: 6.0}  # both rejected rewrites rolled back
 
 
+def test_self_referential_fk_validates_against_post_image(ctx):
+    """Self-FK under UPDATE must check child refs against the POST-image
+    parent keys: a statement rewriting parent keys and refs together is
+    legal; one that orphans existing children is not. Under INSERT the
+    batch may reference keys introduced by the same atomic insert."""
+    from mesin_spark.dml import ConstraintViolation
+
+    ctx.execute(
+        """CREATE TABLE emp (
+            id BIGINT PRIMARY KEY,
+            mgr BIGINT,
+            FOREIGN KEY (mgr) REFERENCES emp (id)
+        )"""
+    )
+    ctx.execute("ALTER TABLE emp SET PROPERTIES ('enforce_constraints' = 'true')")
+    # one batch where a row references another row of the SAME batch
+    ctx.execute("INSERT INTO emp VALUES (1, NULL), (2, 1)")
+    # rewrite parent keys and child refs together: legal post-image
+    ctx.execute("UPDATE emp SET id = id + 10, mgr = mgr + 10")
+    vals = {r["id"]: r["mgr"] for r in ctx.execute("SELECT id, mgr FROM emp").collect()}
+    assert vals == {11: None, 12: 11}
+    # renaming only the parent key orphans the child: must reject
+    with pytest.raises(ConstraintViolation, match="FOREIGN KEY"):
+        ctx.execute("UPDATE emp SET id = 99 WHERE id = 11")
+    # and an insert referencing a key absent from both table and batch
+    with pytest.raises(ConstraintViolation, match="FOREIGN KEY"):
+        ctx.execute("INSERT INTO emp VALUES (20, 777)")
+
+
 def test_unique_allows_multiple_nulls(ctx):
     from mesin_spark.dml import ConstraintViolation
 

@@ -478,6 +478,47 @@ def test_aggview_rebuild_recovers_from_vacuumed_base(spark, mv_setup):
     assert _view_agg(view) == _full_agg(base)
 
 
+def test_optimize_and_restore_preserve_matview_state(spark, mv_setup):
+    """OPTIMIZE rewrites the version dir from a Spark write and RESTORE
+    hard-links data files — both must carry the _MV_STATE.json sidecar
+    into the new version dir, or the table silently stops being a
+    materialized view and every later refresh raises."""
+    _, base, view = mv_setup
+    before = _view_agg(view)
+
+    # OPTIMIZE (compact) the view's own table
+    view.mv.compact(target_file_mb=64)
+    assert view.synced_version() >= 1  # state still readable
+    assert _view_agg(view) == before
+
+    # RESTORE the view's table to its current version (a no-op rollback
+    # that still goes through the hard-link re-commit path)
+    cur = view.mv.current_version()
+    view.mv.restore(cur)
+    assert view.synced_version() >= 1
+
+    # and an incremental refresh still works end-to-end
+    base.insert_values([(500, "g0", 7)], ["id", "grp", "amt"])
+    st = view.refresh()
+    assert st.applied
+    assert _view_agg(view) == _full_agg(base)
+
+
+def test_describe_history_tolerates_torn_final_line(spark, scratch_nation):
+    """A crash mid-append can leave a torn (unparsable) final line in
+    _commits.jsonl; history() must skip it, not raise forever."""
+    import os
+
+    mt = scratch_nation
+    mt.enable_versioning()
+    mt.insert_values([(9001, "A", 0)], ["n_nationkey", "n_name", "n_regionkey"])
+    with open(os.path.join(mt.path, mt._COMMITS_FILE), "a") as f:
+        f.write('{"version": 3, "op": "WRI')  # torn: no newline, no close
+    ops = [r["op"] for r in mt.history().collect()]
+    assert "INSERT" in ops  # intact records survive
+    assert all(op != "WRI" for op in ops)
+
+
 def test_concurrent_enforced_inserts_cannot_both_commit_dup_key(spark, tmp_path_factory):
     """TOCTOU regression for constraint enforcement: validation runs
     INSIDE the writer-locked critical section, so when N threads race to
