@@ -18,12 +18,28 @@ from pyspark.sql import functions as F
 
 
 def pagerank_round(
-    nodes: DataFrame, e_norm: DataFrame, ranks: DataFrame, damping: float, n: int
+    nodes: DataFrame,
+    e_norm: DataFrame,
+    ranks: DataFrame,
+    damping: float,
+    n: int,
+    carry_prev: bool = False,
 ) -> DataFrame:
     """ONE power-iteration round — the exact frame pagerank() builds per
     loop step, exposed so plan tests assert on the real implementation
     instead of a hand-built replica. ``nodes`` carries (node, is_dang),
-    ``e_norm`` (src, dst, w=1/outdeg), ``ranks`` (node, is_dang, rank)."""
+    ``e_norm`` (src, dst, w=1/outdeg), ``ranks`` (node, is_dang, rank).
+
+    ``carry_prev=True`` keys the update join on ``ranks`` instead of
+    ``nodes`` so the OLD rank rides along as ``_prev``: the tol
+    convergence check in pagerank() is then a 1-row agg on the
+    already-checkpointed round output — no rank-pairing join, no extra
+    shuffle (a separate new⋈old delta join measured SLOWER than the two
+    rounds it saved at sf0.1). It must be requested ONLY for a round
+    that is immediately checkpointed: referencing ``ranks`` on both
+    sides doubles the logical plan per round, so chaining carry_prev
+    rounds un-truncated grows the plan 2^rounds (measured as a
+    multi-minute analysis hang at checkpoint_every=10)."""
     contribs = (
         ranks.join(e_norm, ranks["node"] == e_norm["src"])
         .groupBy("dst")
@@ -32,18 +48,20 @@ def pagerank_round(
     dangling = ranks.filter("is_dang").agg(
         F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
     )
+    new_rank = (
+        F.lit((1.0 - damping) / n)
+        + F.lit(damping) * (F.col("_dm") / n + F.coalesce("in_sum", F.lit(0.0)))
+    ).alias("rank")
+    if carry_prev:
+        return (
+            ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node", "is_dang", F.col("rank").alias("_prev"), new_rank)
+        )
     return (
         nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
         .crossJoin(F.broadcast(dangling))
-        .select(
-            "node",
-            "is_dang",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.col("_dm") / n + F.coalesce("in_sum", F.lit(0.0)))
-            ).alias("rank"),
-        )
+        .select("node", "is_dang", new_rank)
     )
 
 
@@ -109,31 +127,27 @@ def pagerank(
             "no graph to rank"
         )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    prev_ranks = ranks
     for it in range(max_iter):
-        ranks = pagerank_round(nodes, e_norm, ranks, damping, n)
-        if (it + 1) % max(1, checkpoint_every) == 0 or it == max_iter - 1:
-            if tol is not None and it < max_iter - 1:
-                # optional convergence exit, evaluated only at checkpoint
-                # rounds so the steady-state cost is one extra 1-row
-                # aggregate per k iterations (rides the checkpoint
-                # materialization; no extra pass when tol is unset)
-                new_ranks = ranks.localCheckpoint(eager=True)
-                delta = (
-                    new_ranks.select("node", F.col("rank").alias("_r_new"))
-                    .join(
-                        prev_ranks.select("node", F.col("rank").alias("_r_old")),
-                        "node",
-                    )
-                    .agg(F.max(F.abs(F.col("_r_new") - F.col("_r_old"))))
-                    .collect()[0][0]
-                )
-                ranks = new_ranks
+        at_ckpt = (it + 1) % max(1, checkpoint_every) == 0 or it == max_iter - 1
+        check_tol = at_ckpt and tol is not None and it < max_iter - 1
+        # carry_prev only on a round that is checkpointed RIGHT AFTER —
+        # see pagerank_round: an un-truncated carry_prev chain doubles
+        # the logical plan per round
+        ranks = pagerank_round(nodes, e_norm, ranks, damping, n, carry_prev=check_tol)
+        if at_ckpt:
+            ranks = ranks.localCheckpoint(eager=True)
+            if check_tol:
+                # convergence exit, evaluated only at checkpoint rounds:
+                # the round output carries the previous rank as _prev,
+                # so the single-round max delta is one 1-row aggregate
+                # over the JUST-materialized frame — no rank-pairing
+                # join, no extra shuffle, zero cost when tol is unset
+                delta = ranks.agg(
+                    F.max(F.abs(F.col("rank") - F.col("_prev")))
+                ).collect()[0][0]
                 if delta is not None and delta < tol:
                     break
-                prev_ranks = new_ranks
-            else:
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = ranks.drop("_prev")
     return ranks.select("node", "rank")
 
 
@@ -302,8 +316,10 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+    converged = False
     for _ in range(max_rounds):
         if n_edges == 0:
+            converged = True
             break
         deg = (
             e.select(F.col("u").alias("n"))
@@ -319,8 +335,19 @@ def k_core(
         )
         n2 = e2.count()
         if n2 == n_edges:
+            converged = True
             break  # fixpoint: every surviving node already has degree >= k
         e, n_edges = e2, n2
+    if not converged:
+        # a partial peel is a SUPERSET of the true k-core, and the final
+        # core_degree filter below would mask it — the unique-fixpoint
+        # contract the cross-engine oracle depends on would silently
+        # break on a pathological chain graph. Fail loudly instead.
+        raise RuntimeError(
+            f"k_core: peeling did not reach the fixpoint within "
+            f"max_rounds={max_rounds} rounds ({n_edges} edges still "
+            f"shrinking) — raise max_rounds"
+        )
     return (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))

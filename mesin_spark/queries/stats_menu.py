@@ -1025,7 +1025,11 @@ def q_pagerank(spark, sf_dir):
     dangling customers redistribute."""
     from mesin_spark.ext.graph import pagerank
 
-    ranks = pagerank(_purchase_edges(spark, sf_dir), max_iter=8)
+    # tol=1e-6 exits at the measured convergence round (sf0.1: single-
+    # round deltas 3.6e-4 / 8.2e-6 / 1.8e-7 at checkpoint iters 2/4/6 →
+    # exits after 6 of 8), and the check is a 1-row agg riding the
+    # checkpoint materialization — see pagerank_round's _prev column
+    ranks = pagerank(_purchase_edges(spark, sf_dir), max_iter=8, tol=1e-6)
     return (
         ranks.select("node", R(F.col("rank"), 9).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")

@@ -305,6 +305,23 @@ def test_k_core_known_graphs(spark):
     assert core(g, 2) == {1: 2, 2: 2, 3: 2}
 
 
+def test_k_core_raises_on_round_cap_instead_of_superset(spark):
+    """A chain graph peels one edge per round; exhausting max_rounds
+    before the fixpoint must raise, not silently return a superset of
+    the true k-core (the final degree filter would mask the partial
+    peel — the unique-fixpoint oracle contract depends on this)."""
+    import pytest
+
+    from mesin_spark.ext.graph import k_core
+
+    chain = [(i, i + 1) for i in range(12)]  # 2-core is empty, slowly
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        k_core(df, 2, max_rounds=3)
+    # with enough rounds the same graph converges to the empty 2-core
+    assert k_core(df, 2, max_rounds=20).count() == 0
+
+
 def test_kcore_query_converges_within_oracle_rounds(spark):
     # the q_kcore oracle unrolls 10 peel rounds; the real graph must
     # reach its fixpoint within that budget at every tested SF
