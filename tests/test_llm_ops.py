@@ -37,6 +37,27 @@ def test_minhash_finds_planted_duplicates(spark, docs):
     assert all(r.jaccard == 1.0 for r in pairs if (r.id_a, r.id_b) in expected)
 
 
+def test_embedding_neardup_finds_planted_clones(spark, emb):
+    """embedding_neardup_pairs at the production 0.99 threshold must
+    surface planted exact clones within a label block and must NOT pair
+    across blocks (blocking semantics) — the operator's own recall
+    property, independent of the fixture-calibrated q_dedup_embed
+    threshold (the synthetic embeddings have no natural near-dups)."""
+    base = emb.select("vec_id", "label", "embedding").limit(20)
+    clones = base.withColumn("vec_id", F.col("vec_id") + 100000)
+    cross = base.withColumn("vec_id", F.col("vec_id") + 200000).withColumn(
+        "label", F.col("label") + 1000000
+    )
+    df = base.union(clones).union(cross)
+    pairs = S.embedding_neardup_pairs(df, threshold=0.99).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(r.vec_id, r.vec_id + 100000) for r in base.collect()}
+    assert expected <= found  # every planted same-block clone surfaces
+    assert all(r.sim >= 0.99 for r in pairs)
+    # identical vectors in a DIFFERENT block never pair
+    assert not any(b >= 200000 for _a, b in found)
+
+
 def test_simhash_identical_docs_zero_hamming(spark, docs):
     base = docs.select("doc_id", "text").limit(50)
     dup = base.union(base.withColumn("doc_id", F.col("doc_id") + 10000))

@@ -142,7 +142,7 @@ def main() -> int:
                 "matches nothing would report success while verifying nothing"
             )
     names = [n for n in qs if not only or n in only]
-    passed, failed, rows_only = [], [], []
+    passed, failed, rows_only, vacuous = [], [], [], []
     for name in names:
         try:
             sdf = qs[name](spark, sf_dir)
@@ -160,7 +160,14 @@ def main() -> int:
                 print(f"  FAIL {name}: " + " | ".join(problems))
             else:
                 passed.append(name)
-                print(f"  ok   {name} ({len(spdf)} rows)")
+                # a Spark-0 == DuckDB-0 match proves only that both
+                # return empty — flag it so no oracle certifies
+                # vacuously (VERDICT r04 "What's wrong" #2)
+                if len(spdf) == 0:
+                    vacuous.append(name)
+                    print(f"  ok   {name} (0 rows — VACUOUS)")
+                else:
+                    print(f"  ok   {name} ({len(spdf)} rows)")
         except Exception as e:
             failed.append(name)
             print(f"  ERROR {name}: {type(e).__name__}: {e}")
@@ -170,6 +177,8 @@ def main() -> int:
         f"\n{len(passed)} passed, {len(failed)} failed, {len(rows_only)} rows-only "
         f"(of {len(names)} at {sf_dir})"
     )
+    if vacuous:
+        print(f"vacuous 0-row passes ({len(vacuous)}):", " ".join(vacuous))
     if failed:
         print("failed:", " ".join(failed))
     return 1 if failed else 0
