@@ -15,7 +15,15 @@ SQLAppStatusStore (works headless — the SQL listener is always on):
 
 The shuffle/scan ratio is the headline number: a well-shaped aggregate
 query shuffles a tiny fraction of what it scans (partial agg), a
-well-shaped join shuffles at most ~1x its probe side. Writes SHUFFLE.md.
+well-shaped join shuffles at most ~1x its probe side.
+
+The audit also re-runs every query on the 3x scaled copy (the same one
+bench.py times) and reports the SHUFFLE-BYTES slope: bytes are machine-
+noise-free, so a plan whose shuffle grows superlinearly in the data
+(candidate-pair blowup, accidental rescan) shows up here rounds before
+wall-clock can prove it on a loaded host. Linear plans sit at slope
+<= factor; slope near factor^2 is a quadratic candidate space. Writes
+SHUFFLE.md. Set SPARK_GRAFT_SCALE2=0 to skip the scaled pass.
 
 Usage:
     python tools/shuffle_audit.py [sf_dir]
@@ -23,12 +31,15 @@ Usage:
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 _UNITS = {"B": 1, "KIB": 1024, "MIB": 1024**2, "GIB": 1024**3, "TIB": 1024**4}
+
+SCALE_FACTOR = 3
 
 
 def parse_bytes(text: str) -> float:
@@ -75,8 +86,27 @@ def execution_metric_totals(store, first_id: int) -> dict[str, float]:
     return totals
 
 
+def audit(spark, store, registry, names, sf_dir) -> dict[str, dict[str, float]]:
+    """Run each query at sf_dir to a noop sink; return per-query byte
+    totals from the engine's own SQLMetrics."""
+    out: dict[str, dict[str, float]] = {}
+    for name in names:
+        execs = store.executionsList()
+        first_id = (
+            execs.apply(execs.size() - 1).executionId() + 1 if execs.size() else 0
+        )
+        df = registry[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        # metrics land on the ASYNC listener bus after save() returns —
+        # drain it or totals undercount on a loaded machine
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+        out[name] = execution_metric_totals(store, first_id)
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    do_scale2 = os.environ.get("SPARK_GRAFT_SCALE2", "1") != "0"
 
     import __spark_entry__ as entrymod
     from bench import HEADLINE
@@ -87,24 +117,42 @@ def main() -> int:
     registry = entrymod.queries()
     store = spark._jsparkSession.sharedState().statusStore()
 
-    rows = []
-    for name in HEADLINE:
-        execs = store.executionsList()
-        first_id = (
-            execs.apply(execs.size() - 1).executionId() + 1 if execs.size() else 0
-        )
-        df = registry[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        # metrics land on the ASYNC listener bus after save() returns —
-        # drain it or totals undercount on a loaded machine
-        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(10_000)
-        t = execution_metric_totals(store, first_id)
+    base = audit(spark, store, registry, HEADLINE, sf_dir)
+    for name, t in base.items():
         ratio = (t["shuffle"] / t["scan"]) if t["scan"] else 0.0
-        rows.append((name, t["scan"], t["shuffle"], ratio, t["spill"]))
         print(
             f"{name:24s} scan={fmt(t['scan']):>12s} shuffle={fmt(t['shuffle']):>12s} "
             f"ratio={ratio:6.3f} spill={fmt(t['spill'])}"
         )
+
+    scaled: dict[str, dict[str, float]] | None = None
+    scaled_note = ""
+    if do_scale2:
+        try:
+            from tools.make_scale import ensure_scaled
+
+            scaled_dir = ensure_scaled(sf_dir, SCALE_FACTOR)
+            scaled = audit(spark, store, registry, HEADLINE, scaled_dir)
+            scaled_note = (
+                f"Scaled pass: same queries at {SCALE_FACTOR}x data "
+                f"({scaled_dir}). shuffle-slope = shuffle bytes at "
+                f"{SCALE_FACTOR}x / at 1x — linear plans sit at <= "
+                f"{SCALE_FACTOR}.0; a slope near {SCALE_FACTOR**2} means a "
+                "quadratic candidate space. ratio-slope compares the "
+                "shuffle/scan ratio across scales (1.0 = the plan's shape "
+                "is scale-invariant)."
+            )
+        except Exception as exc:  # noqa: BLE001 — audit must still emit 1x
+            print(f"WARN scaled audit skipped: {exc}", file=sys.stderr)
+
+    hdr = "| query | scan | shuffle | shuffle/scan | spill |"
+    sep = "|---|---|---|---|---|"
+    if scaled:
+        hdr = (
+            "| query | scan | shuffle | shuffle/scan | spill "
+            f"| shuffle@{SCALE_FACTOR}x | shuffle-slope | ratio-slope |"
+        )
+        sep = "|---|---|---|---|---|---|---|---|"
 
     out = [
         "# SHUFFLE — bytes scanned vs bytes shuffled per headline query",
@@ -119,19 +167,44 @@ def main() -> int:
         "network and the query is exchange-bound at 100 TB. Spill must be",
         "0 — nonzero means a partition outgrew its task's memory.",
         "",
-        "| query | scan | shuffle | shuffle/scan | spill |",
-        "|---|---|---|---|---|",
     ]
-    for name, scan, shuffle, ratio, spill in rows:
-        out.append(
-            f"| {name} | {fmt(scan)} | {fmt(shuffle)} | {ratio:.3f} | {fmt(spill)} |"
+    if scaled_note:
+        out += [scaled_note, ""]
+    out += [hdr, sep]
+
+    worst_slope = 0.0
+    for name, t in base.items():
+        ratio = (t["shuffle"] / t["scan"]) if t["scan"] else 0.0
+        line = (
+            f"| {name} | {fmt(t['scan'])} | {fmt(t['shuffle'])} | "
+            f"{ratio:.3f} | {fmt(t['spill'])} |"
         )
-    total_scan = sum(r[1] for r in rows)
-    total_shuf = sum(r[2] for r in rows)
-    out.append(
+        if scaled:
+            s = scaled[name]
+            sl = (s["shuffle"] / t["shuffle"]) if t["shuffle"] else 0.0
+            r2 = (s["shuffle"] / s["scan"]) if s["scan"] else 0.0
+            rslope = (r2 / ratio) if ratio else 0.0
+            worst_slope = max(worst_slope, sl)
+            line += f" {fmt(s['shuffle'])} | {sl:.2f} | {rslope:.2f} |"
+        out.append(line)
+    total_scan = sum(t["scan"] for t in base.values())
+    total_shuf = sum(t["shuffle"] for t in base.values())
+    total_line = (
         f"| **total** | **{fmt(total_scan)}** | **{fmt(total_shuf)}** | "
         f"**{(total_shuf / total_scan if total_scan else 0):.3f}** | |"
     )
+    if scaled:
+        s_shuf = sum(t["shuffle"] for t in scaled.values())
+        total_line += (
+            f" **{fmt(s_shuf)}** | "
+            f"**{(s_shuf / total_shuf if total_shuf else 0):.2f}** | |"
+        )
+        print(
+            f"scaled audit: total shuffle {fmt(total_shuf)} -> {fmt(s_shuf)}, "
+            f"worst per-query shuffle-slope {worst_slope:.2f} "
+            f"(linear = {SCALE_FACTOR}.0)"
+        )
+    out.append(total_line)
     out.append("")
     out.append("## Known-by-design outliers")
     out.append("")
