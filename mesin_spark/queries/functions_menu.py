@@ -203,13 +203,17 @@ def q_between(spark, sf_dir):
 @query(
     "q_in",
     oracle="""
-    SELECT n_nationkey, n_name FROM nation WHERE n_name IN ('CHINA', 'FRANCE', 'KENYA')
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_19')
     """,
 )
 def q_in(spark, sf_dir):
-    """IN-list → Column.isin."""
+    """IN-list → Column.isin. Literals name real fixture rows (the
+    synthetic nations are NATION_0..NATION_24): TPC-H names like
+    'CHINA' matched nothing, so the oracle certified a vacuous
+    Spark-0 == DuckDB-0 and never compared a value."""
     n = T(spark, sf_dir, "nation")
-    return n.filter(F.col("n_name").isin("CHINA", "FRANCE", "KENYA")).select(
+    return n.filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_19")).select(
         "n_nationkey", "n_name"
     )
 

@@ -244,11 +244,18 @@ def q_join_semi(spark, sf_dir):
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+    )
     """,
 )
 def q_join_anti(spark, sf_dir):
-    """Left-anti join (extension — the Spark lowering of NOT EXISTS)."""
+    """Left-anti join (extension — the Spark lowering of NOT EXISTS):
+    customers with no big-ticket order. The price predicate keeps the
+    result non-empty at every SF (3/30/308 rows) — in this fixture every
+    customer has at least one order, so the bare NOT EXISTS certified a
+    vacuous empty result."""
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")

@@ -74,16 +74,30 @@ def q_intersect(spark, sf_dir):
 @query(
     "q_except",
     oracle="""
-    SELECT c_nationkey AS nk FROM customer
+    SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 250000.0
     EXCEPT
-    SELECT s_nationkey AS nk FROM supplier
+    SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 0.0
     """,
 )
 def q_except(spark, sf_dir):
     """EXCEPT (distinct semantics) = exceptAll∘distinct ≡ df.subtract... we
-    use exceptAll on distinct input to match SQL EXCEPT exactly."""
-    a = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    b = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    use exceptAll on distinct input to match SQL EXCEPT exactly.
+
+    Operands are big-ticket order custkeys minus positive-balance
+    customers (11/122/1319 rows at sf 0.001/0.01/0.1): the original
+    customer-nations EXCEPT supplier-nations form certified a vacuous
+    empty result — the 25-value nation domain is fully covered by both
+    sides at every SF above 0.001."""
+    a = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000.0)
+        .select(F.col("o_custkey").alias("ck"))
+    )
+    b = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .select(F.col("c_custkey").alias("ck"))
+    )
     return a.distinct().exceptAll(b.distinct())
 
 
