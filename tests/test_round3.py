@@ -410,3 +410,52 @@ def test_ngram_prefix_filter_exact_equivalence(spark):
             ).collect()
         )
         assert a == b and len(a) > 0, (t, len(a), len(b))
+
+
+def test_ngram_auto_routing_by_occupancy(spark):
+    """prefix_filter='auto' measures the all-pairs candidate space and
+    routes: a corpus of small blocks stays on the all-pairs path, one
+    whose single fat block exceeds auto_pairs_per_doc flips to the
+    prefix path — and either way the RESULT equals both explicit paths
+    (routing is a cost decision, never a semantics one)."""
+    from mesin_spark.ext.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (i, f"blk{i % 20}", f"alpha beta gamma delta epsilon doc{i % 3} w{i}")
+        for i in range(60)
+    ]
+    spread = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    # 20 blocks of 3 docs -> 3 candidate pairs per block = 1 per doc
+    routed = ngram_jaccard_pairs(
+        spread, "doc_id", block_col="src", threshold=0.3,
+        prefix_filter="auto", auto_pairs_per_doc=4.0,
+    )
+    # the prefix path is recognizable by its row_number window
+    assert "Window" not in routed._jdf.queryExecution().optimizedPlan().toString()
+    got = sorted(tuple(r) for r in routed.collect())
+    want = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            spread, "doc_id", block_col="src", threshold=0.3, prefix_filter=False
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    fat = spark.createDataFrame(
+        [(i, "one", f"alpha beta gamma delta epsilon doc{i % 3} w{i}") for i in range(40)],
+        "doc_id long, src string, text string",
+    )
+    # one 40-doc block -> 780 pairs = 19.5 per doc > threshold 4 -> prefix
+    routed = ngram_jaccard_pairs(
+        fat, "doc_id", block_col="src", threshold=0.3,
+        prefix_filter="auto", auto_pairs_per_doc=4.0,
+    )
+    assert "Window" in routed._jdf.queryExecution().optimizedPlan().toString()
+    got = sorted(tuple(r) for r in routed.collect())
+    want = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            fat, "doc_id", block_col="src", threshold=0.3, prefix_filter=True
+        ).collect()
+    )
+    assert got == want and len(got) > 0
