@@ -599,6 +599,7 @@ class ManagedTable:
             if cur is not None:
                 nxt = os.path.join(self.path, f"v{cur + 1:05d}")
                 df.write.mode("overwrite").parquet(nxt)
+                self._carry_metadata(self._data_dir(cur), nxt)
                 self._commit(cur + 1, op=op)
                 return
             tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
@@ -657,6 +658,7 @@ class ManagedTable:
                     os.link(
                         os.path.join(root, fname), os.path.join(dst_dir, fname)
                     )
+        self._carry_metadata(src, nxt)
         pcols = self._partition_cols(src)
         w = writer_df.write.mode("append")
         if pcols:

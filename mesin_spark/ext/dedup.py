@@ -879,17 +879,29 @@ def ngram_jaccard_pairs(
         .select(blk0.alias("_blk0"), F.col(id_col).alias("_id"), grams.alias("_g"))
         .select(blk_expr.alias("blk"), "_id", "_g")
     )
+    if isinstance(prefix_filter, str) and prefix_filter != "auto":
+        raise ValueError(
+            f"prefix_filter must be True, False, or 'auto' — got "
+            f"{prefix_filter!r} (any other string would silently enable "
+            "the prefix path via truthiness)"
+        )
     if prefix_filter == "auto":
         # one extra (linear, metadata-result) pass: block occupancies →
         # the exact all-pairs candidate count. Materialize base first so
         # neither the probe nor the chosen path re-hashes the shingles.
+        # occupancy counts go through double BEFORE the multiply: long
+        # occ*(occ-1) overflows at ~3e9-doc blocks — exactly the
+        # mega-block case this probe exists to catch (ANSI mode would
+        # throw; non-ANSI wraps negative and mis-routes)
         base = base.localCheckpoint(eager=True)
-        occ = base.groupBy("blk").agg(F.count(F.lit(1)).alias("_occ"))
+        occ = base.groupBy("blk").agg(
+            F.count(F.lit(1)).cast("double").alias("_occ")
+        )
         row = occ.agg(
             F.sum(F.col("_occ") * (F.col("_occ") - 1) / 2).alias("_pairs"),
             F.sum("_occ").alias("_docs"),
         ).collect()[0]
-        pairs_per_doc = (row["_pairs"] or 0.0) / max(row["_docs"] or 1, 1)
+        pairs_per_doc = (row["_pairs"] or 0.0) / max(row["_docs"] or 1.0, 1.0)
         prefix_filter = pairs_per_doc > auto_pairs_per_doc
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
     if prefix_filter:

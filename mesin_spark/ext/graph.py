@@ -74,7 +74,17 @@ def pagerank(
     checkpoint_every: int = 2,
     tol: float | None = None,
 ) -> DataFrame:
-    """PageRank over a directed edge list (duplicate edges collapse):
+    """PageRank over a directed edge list (duplicate edges collapse).
+
+    ``tol`` bounds the SINGLE-ROUND max rank delta, evaluated at
+    checkpoint rounds (the round output carries the previous rank, so
+    the check is one 1-row aggregate on the materialized frame). Note a
+    single-round delta is smaller than the k-round-window delta an
+    earlier revision compared, by roughly the geometric tail factor
+    1/(1-damping·λ) — a tol calibrated against window semantics exits
+    sooner here; calibrate against measured single-round deltas (the
+    registry q_pagerank documents its sweep).
+
     rank' = (1-d)/N + d·(Σ_in rank/outdeg + dangling_mass/N), the
     standard power iteration with dangling-node redistribution so ranks
     sum to 1 every round. Fixed iteration count keeps runs comparable.
@@ -338,6 +348,11 @@ def k_core(
             converged = True
             break  # fixpoint: every surviving node already has degree >= k
         e, n_edges = e2, n2
+    if not converged and n_edges == 0:
+        # the LAST allowed round peeled to the empty graph: that IS the
+        # fixpoint (nothing left to shrink) — the in-loop emptiness check
+        # only runs at the top of the next iteration, which never happens
+        converged = True
     if not converged:
         # a partial peel is a SUPERSET of the true k-core, and the final
         # core_degree filter below would mask it — the unique-fixpoint

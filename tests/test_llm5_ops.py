@@ -320,6 +320,10 @@ def test_k_core_raises_on_round_cap_instead_of_superset(spark):
         k_core(df, 2, max_rounds=3)
     # with enough rounds the same graph converges to the empty 2-core
     assert k_core(df, 2, max_rounds=20).count() == 0
+    # boundary: the peel reaches 0 edges on EXACTLY the last allowed
+    # round (12 edges shed 2/round = 6 rounds) — that IS the fixpoint,
+    # so it must return the empty core, not raise
+    assert k_core(df, 2, max_rounds=6).count() == 0
 
 
 def test_kcore_query_converges_within_oracle_rounds(spark):

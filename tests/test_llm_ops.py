@@ -43,7 +43,10 @@ def test_embedding_neardup_finds_planted_clones(spark, emb):
     across blocks (blocking semantics) — the operator's own recall
     property, independent of the fixture-calibrated q_dedup_embed
     threshold (the synthetic embeddings have no natural near-dups)."""
-    base = emb.select("vec_id", "label", "embedding").limit(20)
+    # orderBy before limit: an unordered limit is evaluated independently
+    # in the pairs computation and in the expected-set collect below, and
+    # Spark may pick different rows each time (flaky expected-set)
+    base = emb.select("vec_id", "label", "embedding").orderBy("vec_id").limit(20)
     clones = base.withColumn("vec_id", F.col("vec_id") + 100000)
     cross = base.withColumn("vec_id", F.col("vec_id") + 200000).withColumn(
         "label", F.col("label") + 1000000

@@ -503,6 +503,16 @@ def test_optimize_and_restore_preserve_matview_state(spark, mv_setup):
     assert st.applied
     assert _view_agg(view) == _full_agg(base)
 
+    # direct DML on the view's own table (INSERT via _append_locked,
+    # UPDATE via _swap_in) also rewrites the version dir — the state
+    # sidecar must survive those too, not just OPTIMIZE/RESTORE
+    view.mv.insert_values(
+        [("gX", 1, 1)], ["grp", "_rows", "sum_amt"]
+    )
+    assert view.synced_version() >= 1
+    view.mv.update(assignments={"_rows": "2"}, where="grp = 'gX'")
+    assert view.synced_version() >= 1
+
 
 def test_describe_history_tolerates_torn_final_line(spark, scratch_nation):
     """A crash mid-append can leave a torn (unparsable) final line in
