@@ -385,3 +385,91 @@ def maintain_kmv_stream(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+# -- Portable HyperLogLog ----------------------------------------------------
+#: Portable HLL parameters, inlined literally into oracle SQL: hash
+#: h = (key·A + C) mod P; bucket = h mod M; rank window is the remaining
+#: h div M < P/M < 2^24 bits. alpha_64 is the standard HLL bias constant
+#: for m=64 (Flajolet et al. 2007).
+HLL_A = 2654435761
+HLL_C = 104729
+HLL_P = 1_000_000_007
+HLL_M = 64
+HLL_WBITS = 24
+HLL_ALPHA = 0.709
+
+
+def hll_portable(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Mergeable distinct-count sketch whose ENTIRE pipeline is exact
+    integer arithmetic reproducible in any engine — the HyperLogLog
+    analog of the portable MinHash/SimHash/IVF tier (the engine-native
+    q_hll_rollup stays rows-only: DataSketches registers can't cross
+    engines).
+
+    Per group: hash each key with the portable LCG, split into 64
+    buckets × a 24-bit rank window, keep max rank per bucket
+    (one groupBy — the same mergeable partial-agg shape as
+    hll_sketch_agg), then fold the registers into:
+
+    - ``reg_csv``: the sorted ``bucket·100+rank`` register encoding as a
+      CSV string — the sketch itself, EXACTLY comparable cross-engine;
+    - ``s_scaled``: Σ_j 2^(25−M_j) over all 64 registers (absent
+      buckets count 2^25) — the harmonic denominator as a BIT-exact
+      integer;
+    - ``users_est``: the HLL estimate α·m²·2^25 / s_scaled with the
+      standard linear-counting small-range correction
+      (est ≤ 2.5m and empty buckets → m·ln(m/zeros)) — double math on
+      identical integers, identical literals, so both engines produce
+      the same rounded value.
+
+    ``floor(log2(w))`` is computed as ``length(bin(w)) − 1`` — an
+    integer-exact formulation in both Spark and DuckDB (no float-log
+    boundary risk at exact powers of two). Scale shape: one hash
+    shuffle to (group, bucket) partials, one group re-aggregation over
+    ≤64 rows per group — COUNT(DISTINCT) made composable at 100 TB."""
+    hv = (F.col(key_col).cast("long") * F.lit(HLL_A) + F.lit(HLL_C)) % F.lit(
+        HLL_P
+    )
+    bucket = F.pmod(hv, F.lit(HLL_M))
+    # hv < P ≈ 1e9 is exact in double, so floor-division is safe
+    w = F.floor(hv / F.lit(HLL_M)).cast("long")
+    rank = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        df.select(*group_cols, bucket.alias("_b"), rank.alias("_r"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_r").alias("_reg"))
+    )
+    wscale = 1 << (HLL_WBITS + 1)
+    n_hit = F.count(F.lit(1))
+    s_scaled = (
+        F.sum(F.pow(F.lit(2.0), F.lit(HLL_WBITS + 1) - F.col("_reg")).cast("long"))
+        + (F.lit(HLL_M) - n_hit) * F.lit(wscale)
+    ).alias("s_scaled")
+    out = regs.groupBy(*group_cols).agg(
+        n_hit.alias("n_hit"),
+        s_scaled,
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.col("_b") * 100 + F.col("_reg"))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("reg_csv"),
+    )
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * wscale) / F.col("s_scaled")
+    zeros = F.lit(HLL_M) - F.col("n_hit")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    from mesin_spark.functions import stable_round
+
+    return out.select(
+        *group_cols, "n_hit", "s_scaled", "reg_csv",
+        stable_round(est, 6).alias("users_est"),
+    )

@@ -178,6 +178,71 @@ def q_udtf_split(spark, sf_dir):
     )
 
 
+_HLL_EST = (
+    "CASE WHEN ((CAST(0.709 AS DOUBLE) * 64 * 64) * 33554432.0) / s_scaled"
+    " <= 160.0 AND (64 - n_hit) > 0"
+    " THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / (64 - n_hit))"
+    " ELSE ((CAST(0.709 AS DOUBLE) * 64 * 64) * 33554432.0) / s_scaled END"
+)
+
+
+@query(
+    "q_hll_portable",
+    oracle=f"""
+    WITH h AS (
+        SELECT date_trunc('week', ts) AS wk,
+               (user_id * 2654435761 + 104729) % 1000000007 AS hv
+        FROM events
+    ), br AS (
+        SELECT wk, hv % 64 AS b,
+               CASE WHEN hv // 64 = 0 THEN 25
+                    ELSE 25 - length(bin(hv // 64)) END AS r
+        FROM h
+    ), regs AS (
+        SELECT wk, b, max(r) AS reg FROM br GROUP BY wk, b
+    ), agg AS (
+        SELECT wk,
+               CAST(count(*) AS BIGINT) AS n_hit,
+               CAST(CAST(sum(CAST(power(2, 25 - reg) AS BIGINT)) AS BIGINT)
+                    + (64 - count(*)) * 33554432 AS BIGINT) AS s_scaled,
+               array_to_string(list_transform(
+                   list_sort(list(b * 100 + reg)),
+                   x -> CAST(x AS VARCHAR)), ',') AS reg_csv
+        FROM regs GROUP BY wk
+    )
+    SELECT CAST(epoch(wk) AS BIGINT) AS week_ts, n_hit, s_scaled, reg_csv,
+           {sr(_HLL_EST, 6)} AS users_est
+    FROM agg
+    """,
+)
+def q_hll_portable(spark, sf_dir):
+    """Weekly distinct-user HLL whose registers are BIT-exact
+    cross-engine (ext/sketches.hll_portable) — the HyperLogLog analog of
+    q_minhash_portable: portable LCG hash, 64 buckets, integer
+    leading-zero ranks via length(bin(w)), the harmonic denominator as
+    an exact scaled integer, and the estimate (with the standard
+    linear-counting small-range correction) as identical double math on
+    identical integers. The engine-native q_hll_rollup stays rows-only
+    (DataSketches registers don't cross engines); this closes the last
+    rows-only-by-design sketch class without an exactly-verifiable
+    portable variant. Same mergeable partial-agg scale shape as
+    hll_sketch_agg: one hash shuffle to (week, bucket) partials, one
+    ≤64-row-per-week re-aggregation."""
+    from mesin_spark.ext.sketches import hll_portable
+
+    ev = T(spark, sf_dir, "events").select(
+        F.date_trunc("week", "ts").alias("wk"), "user_id"
+    )
+    return (
+        hll_portable(ev, "user_id", ["wk"])
+        .select(
+            F.unix_timestamp("wk").alias("week_ts"),
+            "n_hit", "s_scaled", "reg_csv", "users_est",
+        )
+        .orderBy("week_ts")
+    )
+
+
 @query("q_hll_rollup")  # rows-only: sketch estimates are engine-specific
 def q_hll_rollup(spark, sf_dir):
     """Mergeable distinct-count rollup: per-day DataSketches HLL sketches
