@@ -149,7 +149,16 @@ def main() -> int:
             spdf = sdf.toPandas()
             if name not in oracles:
                 rows_only.append((name, len(spdf)))
-                print(f"  ROWS-ONLY {name}: {len(spdf)} rows, cols={sorted(spdf.columns)}")
+                if len(spdf) == 0:
+                    # a rows-only query returning nothing exercises
+                    # nothing — as weak as a vacuous exact pass
+                    vacuous.append(name)
+                    print(f"  ROWS-ONLY {name}: 0 rows — VACUOUS")
+                else:
+                    print(
+                        f"  ROWS-ONLY {name}: {len(spdf)} rows, "
+                        f"cols={sorted(spdf.columns)}"
+                    )
                 continue
             dpdf = con.execute(oracles[name]).df()
             problems = compare(spdf, dpdf)
