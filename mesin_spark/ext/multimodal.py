@@ -2,10 +2,12 @@
 typed metadata, processed by Arrow-batched pandas functions via
 mapInPandas.
 
-Two real pure-Python codecs are implemented — WAV (RIFF PCM audio) and
-PPM (P6 binary images) — so the decode path runs end-to-end on genuine
-media bytes without PIL/ffmpeg. Formats that need a native codec
-(jpeg/mp4/...) stay clearly-marked NotImplementedError stubs.
+Three real pure-Python codecs are implemented — WAV (RIFF PCM audio),
+PPM (P6 binary images), and baseline JPEG (ext/jpeg.py: full T.81
+encoder + decoder, grayscale/4:4:4, tables read from the file) — so the
+decode path runs end-to-end on genuine media bytes without PIL/ffmpeg.
+Formats that still need a native codec (mp4, progressive/subsampled
+jpeg) stay clearly-marked NotImplementedError stubs.
 
 At 100 TB the shape matters more than the codec: media blobs stay in
 binary columns next to their metadata (one scan, no sidecar fetch), decode
@@ -25,7 +27,7 @@ from pyspark.sql import functions as F
 
 SUPPORTED_FAKE_FORMAT = "txt"
 #: formats _decode_payload can decode without external codecs
-DECODABLE_FORMATS = ("txt", "wav", "ppm")
+DECODABLE_FORMATS = ("txt", "wav", "ppm", "jpeg")
 
 FEATURE_SCHEMA = (
     "doc_id long, format string, n_bytes long, checksum long, feature_mean double"
@@ -143,6 +145,23 @@ def decode_ppm(payload: bytes) -> tuple["np.ndarray", dict]:
     return px, meta
 
 
+def decode_image(payload: bytes) -> tuple["np.ndarray", dict]:
+    """Format-sniffing image decoder: P6 PPM or baseline JPEG by magic
+    bytes — the one entry point the image operators (resize, perceptual
+    hash) use, so each works on either payload format. Grayscale JPEGs
+    are broadcast to (h, w, 3) so downstream shapes stay uniform."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from mesin_spark.ext.jpeg import decode_jpeg
+
+        px, meta = decode_jpeg(payload)
+        if px.ndim == 2:
+            px = np.repeat(px[..., None], 3, axis=-1)
+        return px, meta
+    raise ValueError("unrecognized image payload (not P6 PPM or JPEG)")
+
+
 # -- video: MPPM (concatenated P6 frames) ----------------------------------
 def make_video_payload(frames: list["np.ndarray"]) -> bytes:
     """Serialize a frame sequence as MPPM — concatenated binary P6 images
@@ -171,6 +190,10 @@ def _decode_payload(fmt: str, payload: bytes) -> bytes:
         return decode_wav(payload)[0]
     if fmt == "ppm":
         return decode_ppm(payload)[0].tobytes()
+    if fmt == "jpeg":
+        from mesin_spark.ext.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)[0].tobytes()
     raise NotImplementedError(
         f"decode for format {fmt!r} requires a media codec (PIL/ffmpeg) "
         "not present in this environment — plug one in here"
@@ -266,7 +289,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in it:
             out_payloads, widths, heights = [], [], []
             for pl in pdf["payload"]:
-                px, _ = decode_ppm(bytes(pl))
+                px, _ = decode_image(bytes(pl))
                 h, w = px.shape[:2]
                 yi = (np.arange(height) * h // height).clip(0, h - 1)
                 xi = (np.arange(width) * w // width).clip(0, w - 1)
@@ -411,7 +434,7 @@ def image_ahash(df: DataFrame) -> DataFrame:
         for pdf in it:
             hashes = []
             for pl in pdf["payload"]:
-                px, _ = decode_ppm(bytes(pl))
+                px, _ = decode_image(bytes(pl))
                 gray = px.astype(np.float64).mean(axis=-1)
                 h, w = gray.shape
                 yi = (np.arange(8) * h // 8).clip(0, h - 1)
@@ -427,3 +450,38 @@ def image_ahash(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
 
     return df.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+TRANSCODE_SCHEMA = "doc_id long, payload binary, n_bytes long, ratio double"
+
+
+def transcode_to_jpeg(df: DataFrame, quality: int = 85) -> DataFrame:
+    """Re-encode image payloads (PPM or JPEG) as baseline JPEG — the
+    storage-compaction ingest step a 100 TB image corpus runs before
+    anything else (raw RGB is ~10-50x the bytes of its JPEG). Pure
+    per-partition mapInPandas: decode (format-sniffing), encode with the
+    deterministic pure-Python T.81 codec, report the compression ratio.
+    Lossy by design; the perceptual-hash dedup downstream is exactly the
+    operator built to survive this re-encoding."""
+    from mesin_spark.ext.jpeg import make_jpeg_payload
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, sizes, ratios = [], [], []
+            for pl in pdf["payload"]:
+                raw = bytes(pl)
+                px, _ = decode_image(raw)
+                enc = make_jpeg_payload(px, quality=quality)
+                payloads.append(enc)
+                sizes.append(len(enc))
+                ratios.append(len(enc) / max(len(raw), 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "n_bytes": sizes,
+                    "ratio": ratios,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=TRANSCODE_SCHEMA)

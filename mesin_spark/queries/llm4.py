@@ -194,6 +194,38 @@ def q_image_dedup(spark, sf_dir):
     )
 
 
+@query("q_image_jpeg")  # rows-only: lossy binary codec path (no SQL analogue)
+def q_image_jpeg(spark, sf_dir):
+    """Image dedup THROUGH a real lossy codec: synthesize PPMs (ids
+    +1e6 are planted near-dups), transcode every payload to baseline
+    JPEG with the pure-Python T.81 encoder (ext/jpeg.py — the
+    storage-compaction step a 100 TB image corpus runs at ingest),
+    decode the JPEGs back, and perceptual-hash the RECOMPRESSED pixels.
+    Quality 90: at q85 the quantization noise flips an ahash bit on ~2%
+    of these tiny high-contrast fixtures (measured 294/300) — q90 keeps
+    every planted pair. Near-dup groups must survive the quantization
+    noise — the property
+    ahash exists for, now exercised against genuine codec loss instead
+    of synthetic pixel noise. All stages are per-partition mapInPandas;
+    the hash groupBy is the only shuffle. Round-trip PSNR and planted
+    recall are asserted in tests/test_llm4_ops.py."""
+    from mesin_spark.ext import multimodal as MM
+
+    d = T(spark, sf_dir, "documents").select("doc_id").limit(300)
+    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    jpg = MM.transcode_to_jpeg(MM.synth_image(dup), quality=90)
+    hashed = MM.image_ahash(jpg.select("doc_id", "payload"))
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .orderBy(F.element_at("ids", 1))
+    )
+
+
 @query("q_bpe_encode")  # rows-only: the iterative trainer has no SQL mirror
 def q_bpe_encode(spark, sf_dir):
     """Apply the trained tokenizer: learn 12 BPE merges from the corpus,

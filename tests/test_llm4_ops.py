@@ -347,6 +347,80 @@ def test_q_image_dedup_recalls_all_planted_pairs(spark):
     assert len(paired) == n_docs
 
 
+def test_jpeg_codec_roundtrip_properties(spark):
+    """The pure-Python baseline JPEG codec: (1) deterministic bytes;
+    (2) round-trip PSNR well above usable thresholds on smooth and
+    high-contrast inputs, color and grayscale; (3) self-describing —
+    the decoder reads quant/Huffman tables from the file, so re-reading
+    our own output needs no shared state; (4) documented envelope
+    errors raise NotImplementedError/ValueError, never wrong pixels."""
+    import numpy as np
+    import pytest
+
+    from mesin_spark.ext.jpeg import decode_jpeg, make_jpeg_payload
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    smooth = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    enc = make_jpeg_payload(smooth, quality=90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    assert make_jpeg_payload(smooth, quality=90) == enc  # deterministic
+    dec, meta = decode_jpeg(enc)
+    assert (meta["width"], meta["height"]) == (53, 37)
+    assert dec.shape == smooth.shape
+    assert psnr(smooth, dec) > 40
+
+    gray = ((np.sin(yy / 5) + np.cos(xx / 7)) * 60 + 128).astype(np.uint8)
+    gdec, gmeta = decode_jpeg(make_jpeg_payload(gray, quality=85))
+    assert gmeta["n_components"] == 1 and gdec.shape == gray.shape
+    assert psnr(gray, gdec) > 38
+
+    hard = np.zeros((16, 16, 3), np.uint8)
+    hard[::2, ::2] = 255  # checkerboard: worst case for DCT
+    hdec, _ = decode_jpeg(make_jpeg_payload(hard, quality=95))
+    assert psnr(hard, hdec) > 20
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # progressive SOF2 marker stream must refuse, not mis-decode
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+
+def test_q_image_jpeg_dedup_survives_recompression(spark):
+    """Planted near-dup pairs must still group on the perceptual hash
+    after a REAL lossy JPEG re-encode (quantization noise, not synthetic
+    pixel noise), and the transcode must actually compress raw PPM."""
+    from mesin_spark.ext import multimodal as MM
+    from mesin_spark.queries.llm4 import q_image_jpeg
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # 64x48: large enough that JPEG's fixed table overhead (~600 B)
+    # amortizes — tiny 16x12 PPMs are smaller than any JPEG
+    jpg = MM.transcode_to_jpeg(
+        MM.synth_image(ids, width=64, height=48), quality=85
+    )
+    stats = jpg.agg(F.max("ratio").alias("mx")).collect()[0]
+    assert stats["mx"] < 1.0  # JPEG strictly smaller than raw PPM here
+
+    groups = q_image_jpeg(spark, SF_DIR).collect()
+    paired = set()
+    for g in groups:
+        s = set(g["ids"])
+        for i in s:
+            if i < 1_000_000 and i + 1_000_000 in s:
+                paired.add(i)
+    # all 300 sampled docs' planted pairs survive the recompression
+    assert len(paired) == 300
+
+
 def test_ann_index_persist_prune_recall(spark, tmp_path):
     """Persisted IVF-PQ index: (1) reopening from disk reproduces the
     in-memory build's answer exactly; (2) the probe scan prunes

@@ -264,9 +264,18 @@ def test_multimodal_unknown_format_raises(spark):
 
 def test_multimodal_codec_boundaries_marked(spark, docs):
     mm = M.attach_binary(docs.limit(1))
-    # native-codec formats still raise a clearly-marked NotImplementedError
+    # formats still needing a native codec raise a clearly-marked
+    # NotImplementedError (jpeg graduated to a real pure-Python codec)
     with pytest.raises(NotImplementedError, match="codec"):
-        M._decode_payload("jpeg", b"\xff\xd8")
+        M._decode_payload("mp4", b"\x00\x00\x00\x18ftyp")
+    # jpeg now decodes for real: a round-trip through the T.81 codec
+    import numpy as np
+
+    from mesin_spark.ext.jpeg import make_jpeg_payload
+
+    px = np.full((8, 8, 3), 128, np.uint8)
+    raw = M._decode_payload("jpeg", make_jpeg_payload(px))
+    assert len(raw) == 8 * 8 * 3
     # frame_sample and resize are real for MPPM/PPM payloads but txt
     # payloads fail in the decoder at execution time
     with pytest.raises(Exception, match="P6|PPM"):
