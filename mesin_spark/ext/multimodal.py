@@ -2,12 +2,14 @@
 typed metadata, processed by Arrow-batched pandas functions via
 mapInPandas.
 
-Three real pure-Python codecs are implemented — WAV (RIFF PCM audio),
-PPM (P6 binary images), and baseline JPEG (ext/jpeg.py: full T.81
-encoder + decoder, grayscale/4:4:4, tables read from the file) — so the
-decode path runs end-to-end on genuine media bytes without PIL/ffmpeg.
-Formats that still need a native codec (mp4, progressive/subsampled
-jpeg) stay clearly-marked NotImplementedError stubs.
+Four real pure-Python codecs are implemented — WAV (RIFF PCM audio),
+PPM (P6 binary images), baseline JPEG (ext/jpeg.py: full T.81 encoder +
+decoder, grayscale/4:4:4, tables read from the file), and AVI/MJPEG
+video (ext/avi.py: RIFF container, one baseline JPEG per frame) — so
+the decode path runs end-to-end on genuine media bytes without
+PIL/ffmpeg. Formats that still need a native codec (mp4/h264
+inter-frame video, progressive/subsampled jpeg) stay clearly-marked
+NotImplementedError stubs.
 
 At 100 TB the shape matters more than the codec: media blobs stay in
 binary columns next to their metadata (one scan, no sidecar fetch), decode
@@ -171,8 +173,15 @@ def make_video_payload(frames: list["np.ndarray"]) -> bytes:
 
 
 def decode_video(payload: bytes) -> list["np.ndarray"]:
-    """Decode an MPPM payload to its list of (h, w, 3) uint8 frames by
-    walking the self-describing P6 headers."""
+    """Format-sniffing video decoder: MPPM (concatenated P6 frames,
+    walked by their self-describing headers) or AVI/MJPEG (RIFF chunk
+    tree, each frame a baseline JPEG — ext/avi.py). Returns the list of
+    (h, w, 3) uint8 frames either way, so frame_sample and every other
+    video operator is container-agnostic."""
+    if payload[:4] == b"RIFF":
+        from mesin_spark.ext.avi import decode_avi
+
+        return decode_avi(payload)[0]
     frames, pos = [], 0
     while pos < len(payload):
         px, _, pos = _parse_ppm_at(payload, pos)
@@ -485,3 +494,37 @@ def transcode_to_jpeg(df: DataFrame, quality: int = 85) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=TRANSCODE_SCHEMA)
+
+
+VIDEO_TRANSCODE_SCHEMA = "doc_id long, payload binary, n_bytes long, ratio double"
+
+
+def transcode_video_to_mjpeg(
+    df: DataFrame, fps: int = 10, quality: int = 85
+) -> DataFrame:
+    """Re-encode video payloads (MPPM or AVI/MJPEG) as AVI/MJPEG — the
+    video sibling of transcode_to_jpeg: raw concatenated frames compress
+    to per-frame JPEGs inside a standard RIFF container real tools can
+    read. Per-partition mapInPandas; reports the compression ratio."""
+    from mesin_spark.ext.avi import make_avi_payload
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, sizes, ratios = [], [], []
+            for pl in pdf["payload"]:
+                raw = bytes(pl)
+                frames = decode_video(raw)
+                enc = make_avi_payload(frames, fps=fps, quality=quality)
+                payloads.append(enc)
+                sizes.append(len(enc))
+                ratios.append(len(enc) / max(len(raw), 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "n_bytes": sizes,
+                    "ratio": ratios,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=VIDEO_TRANSCODE_SCHEMA)

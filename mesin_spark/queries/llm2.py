@@ -404,6 +404,29 @@ def q_multimodal_video(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query("q_video_mjpeg")  # rows-only: lossy binary container path (no SQL analogue)
+def q_video_mjpeg(spark, sf_dir):
+    """Video pipeline through a REAL standard container: synthesize
+    12-frame MPPM videos, transcode each to AVI/MJPEG (ext/avi.py — RIFF
+    container, one baseline JPEG per frame, the storage-compaction step
+    a raw-frame corpus runs at ingest), then frame-sample the AVI
+    payloads through the same container-agnostic decode path. Frame
+    counts are exact through the lossy re-encode; means shift only by
+    JPEG quantization (bounded in tests/test_llm2_ops.py, alongside
+    container round-trip and compression-ratio properties). All stages
+    per-partition mapInPandas — no shuffle."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    avi = M.transcode_video_to_mjpeg(M.synth_video(d), fps=10, quality=90)
+    sampled = M.frame_sample(avi.select("doc_id", "payload"), every_n=3)
+    return sampled.select(
+        "doc_id",
+        "n_frames",
+        "n_sampled",
+        F.round(F.element_at("frame_means", 1), 2).alias("first_frame_mean"),
+        F.round(F.element_at("frame_means", -1), 2).alias("last_frame_mean"),
+    ).orderBy("doc_id")
+
+
 @query(
     "q_dbscan",
     oracle="""

@@ -177,6 +177,61 @@ def test_frame_sample_deterministic(spark, docs):
     assert [(r.doc_id, r.frame_means) for r in a] == [(r.doc_id, r.frame_means) for r in b]
 
 
+def test_avi_mjpeg_container_roundtrip():
+    """AVI/MJPEG codec: deterministic bytes, exact frame count and
+    header metadata, per-frame PSNR above usable thresholds, and the
+    container-agnostic decode_video dispatch."""
+    from mesin_spark.ext.avi import decode_avi, make_avi_payload
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = [
+        np.stack(
+            [(yy * 3 + t * 10) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for t in range(5)
+    ]
+    avi = make_avi_payload(frames, fps=10, quality=90)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert make_avi_payload(frames, fps=10, quality=90) == avi
+    dec, meta = decode_avi(avi)
+    assert (meta["width"], meta["height"], meta["fps"], meta["n_frames"]) == (
+        32, 24, 10.0, 5,
+    )
+    assert len(dec) == 5
+    assert all(psnr(a, b) > 40 for a, b in zip(frames, dec))
+    # decode_video dispatches on the RIFF magic
+    assert len(M.decode_video(avi)) == 5
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # RIFF but not AVI
+
+
+def test_video_mjpeg_transcode_spark_path(spark, docs):
+    """Transcode MPPM → AVI/MJPEG in Spark: frame counts exact through
+    the lossy re-encode, means within JPEG quantization error of the
+    raw path, and the AVI strictly smaller than raw frames at this
+    geometry."""
+    d = docs.limit(10)
+    raw = M.frame_sample(M.synth_video(d, width=32, height=24), every_n=3)
+    avi = M.transcode_video_to_mjpeg(
+        M.synth_video(d, width=32, height=24), quality=90
+    )
+    assert avi.agg({"ratio": "max"}).collect()[0][0] < 1.0
+    jp = M.frame_sample(avi.select("doc_id", "payload"), every_n=3)
+    a = {r.doc_id: r for r in raw.collect()}
+    b = {r.doc_id: r for r in jp.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].n_frames == b[k].n_frames
+        assert a[k].n_sampled == b[k].n_sampled
+        for ma, mb in zip(a[k].frame_means, b[k].frame_means):
+            assert abs(ma - mb) < 3.0  # JPEG quantization bound
+
+
 # -- minhash numpy/fold equivalence ----------------------------------------
 def test_minhash_numpy_matches_fold(spark, docs):
     from mesin_spark.ext.dedup import (
