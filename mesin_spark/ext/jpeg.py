@@ -10,8 +10,9 @@ decodes any spec-compliant baseline JPEG within its documented envelope:
 - baseline sequential (SOF0) only — progressive (SOF2) raises
   NotImplementedError;
 - 8-bit precision, 1 (grayscale) or 3 (YCbCr) components;
-- no chroma subsampling (all sampling factors 1x1 — the 4:4:4 layout this
-  encoder emits); subsampled files raise NotImplementedError;
+- ANY sampling-factor layout on decode (4:4:4, the photographic-default
+  4:2:0, 4:2:2, ...): general MCU interleave + replication upsampling;
+  the encoder emits 4:4:4 or 4:2:0 (``subsampling=`` parameter);
 - no restart intervals (DRI) — raises if one is declared.
 
 JPEG is lossy: round-trips are verified by PSNR, not byte equality
@@ -245,27 +246,45 @@ def _encode_block(
     return dc
 
 
-def make_jpeg_payload(pixels: np.ndarray, quality: int = 85) -> bytes:
+def make_jpeg_payload(
+    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline sequential JPEG (4:4:4, standard tables, deterministic)."""
+    baseline sequential JPEG (standard tables, deterministic).
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2x2 luma blocks + one block of each 2x2-mean-downsampled chroma per
+    16x16 MCU — the photographic default, ~30% smaller at equal
+    quality; ignored for grayscale)."""
     px = np.asarray(pixels)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    sub420 = subsampling == "420" and not gray
     qt_l, qt_c = _quality_tables(quality)
     if gray:
-        planes = [px.astype(np.float64)]
+        raw_planes = [px.astype(np.float64)]
         qts = [qt_l]
+        samps = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(px.astype(np.float64))
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        raw_planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
         qts = [qt_l, qt_c, qt_c]
-    # pad to 8-multiples by edge replication
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
+        samps = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * 3
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    # pad to MCU multiples by edge replication, then per-plane downsample
+    ph = -(-h // (8 * vmax)) * 8 * vmax
+    pw = -(-w // (8 * hmax)) * 8 * hmax
+    planes = []
+    for (hi, vi), p in zip(samps, raw_planes):
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # 2x2 mean downsample for subsampled chroma
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        planes.append(p)
 
     dc_l = _canonical_codes(*DC_LUMA_SPEC)
     ac_l = _canonical_codes(*AC_LUMA_SPEC)
@@ -275,15 +294,22 @@ def make_jpeg_payload(pixels: np.ndarray, quality: int = 85) -> bytes:
 
     writer = _BitWriter()
     preds = [0] * len(planes)
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    for my in range(ph // (8 * vmax)):
+        for mx in range(pw // (8 * hmax)):
             for ci, plane in enumerate(planes):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coefs = _D @ block @ _D.T
-                qzd = np.round(coefs.flatten() / qts[ci].reshape(8, 8).flatten())
-                preds[ci] = _encode_block(
-                    writer, qzd.astype(np.int64), preds[ci], *comp_codes[ci]
-                )
+                hi, vi = samps[ci]
+                for bv in range(vi):
+                    for bh in range(hi):
+                        y0 = (my * vi + bv) * 8
+                        x0 = (mx * hi + bh) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coefs = _D @ block @ _D.T
+                        qzd = np.round(
+                            coefs.flatten() / qts[ci].reshape(8, 8).flatten()
+                        )
+                        preds[ci] = _encode_block(
+                            writer, qzd.astype(np.int64), preds[ci], *comp_codes[ci]
+                        )
     scan = writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -293,7 +319,8 @@ def make_jpeg_payload(pixels: np.ndarray, quality: int = 85) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += b"\xff\xc0" + sof
     specs = [(0x00, DC_LUMA_SPEC), (0x10, AC_LUMA_SPEC)]
     if not gray:
@@ -364,10 +391,11 @@ def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 
 
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a baseline sequential JPEG (8-bit, 1 or 3 components, no
-    subsampling, no restart markers). Quantization and Huffman tables are
-    read from the file. Returns ((h, w[, 3]) uint8 array,
-    {width, height, n_components, quality_tables})."""
+    """Decode a baseline sequential JPEG — 8-bit, 1 or 3 components, ANY
+    sampling-factor layout (4:4:4, 4:2:0, 4:2:2, ...; subsampled planes
+    are decoded per-MCU and upsampled by replication), no restart
+    markers. Quantization and Huffman tables are read from the file.
+    Returns ((h, w[, 3]) uint8 array, {width, height, n_components})."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -412,11 +440,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 raise NotImplementedError("only 8-bit precision")
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)"
-                    )
-                comps.append({"id": cid, "tq": tq})
+                comps.append(
+                    {"id": cid, "tq": tq, "hi": samp >> 4, "vi": samp & 0xF}
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -435,41 +461,61 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 comp["ac"] = htables[0x10 | (tt & 0xF)]
                 order.append(comp)
             r = _BitReader(payload, pos + seglen)
-            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-            planes = [np.zeros((ph, pw)) for _ in order]
+            hmax = max(c["hi"] for c in order)
+            vmax = max(c["vi"] for c in order)
+            # MCU grid covers the image at (8*hmax, 8*vmax) granularity;
+            # each component's plane holds (vi, hi) blocks per MCU
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            planes = [
+                np.zeros((mcus_y * c["vi"] * 8, mcus_x * c["hi"] * 8))
+                for c in order
+            ]
             preds = [0] * len(order)
-            for by in range(ph // 8):
-                for bx in range(pw // 8):
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
                     for ci, comp in enumerate(order):
-                        size = _decode_huff(r, comp["dc"])
-                        preds[ci] += _receive_extend(r, size)
-                        zz = np.zeros(64)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(r, comp["ac"])
-                            run, size = rs >> 4, rs & 0xF
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = _receive_extend(r, size)
-                            k += 1
-                        coefs = np.zeros(64)
-                        coefs[ZIGZAG] = zz * qtables[comp["tq"]][ZIGZAG]
-                        block = _D.T @ coefs.reshape(8, 8) @ _D + 128.0
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                        for bv in range(comp["vi"]):
+                            for bh in range(comp["hi"]):
+                                size = _decode_huff(r, comp["dc"])
+                                preds[ci] += _receive_extend(r, size)
+                                zz = np.zeros(64)
+                                zz[0] = preds[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _decode_huff(r, comp["ac"])
+                                    run, size = rs >> 4, rs & 0xF
+                                    if rs == 0x00:  # EOB
+                                        break
+                                    if rs == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += run
+                                    if k > 63:
+                                        raise ValueError("AC index out of range")
+                                    zz[k] = _receive_extend(r, size)
+                                    k += 1
+                                coefs = np.zeros(64)
+                                coefs[ZIGZAG] = zz * qtables[comp["tq"]][ZIGZAG]
+                                block = _D.T @ coefs.reshape(8, 8) @ _D + 128.0
+                                y0 = (my * comp["vi"] + bv) * 8
+                                x0 = (mx * comp["hi"] + bh) * 8
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            # upsample subsampled planes to full geometry by replication
+            full = []
+            for c, p in zip(order, planes):
+                if c["vi"] < vmax or c["hi"] < hmax:
+                    p = np.repeat(
+                        np.repeat(p, vmax // c["vi"], axis=0),
+                        hmax // c["hi"],
+                        axis=1,
+                    )
+                full.append(p[:h, :w])
             meta = {"width": w, "height": h, "n_components": len(order)}
             if len(order) == 1:
-                img = np.clip(planes[0][:h, :w], 0, 255).astype(np.uint8)
+                img = np.clip(full[0], 0, 255).astype(np.uint8)
             else:
-                img = _ycbcr_to_rgb(
-                    planes[0][:h, :w], planes[1][:h, :w], planes[2][:h, :w]
-                )
+                img = _ycbcr_to_rgb(full[0], full[1], full[2])
             return img, meta
         pos += seglen
     raise ValueError("no SOS scan found in JPEG stream")

@@ -385,6 +385,16 @@ def test_jpeg_codec_roundtrip_properties(spark):
     hdec, _ = decode_jpeg(make_jpeg_payload(hard, quality=95))
     assert psnr(hard, hdec) > 20
 
+    # 4:2:0 subsampling: the photographic default — strictly smaller,
+    # chroma softened but PSNR still high; exercises the decoder's
+    # general MCU-interleave path (2x2 luma + downsampled chroma)
+    e420 = make_jpeg_payload(smooth, quality=90, subsampling="420")
+    assert len(e420) < len(enc)
+    d420, m420 = decode_jpeg(e420)
+    assert d420.shape == smooth.shape and m420["n_components"] == 3
+    assert psnr(smooth, d420) > 40
+    assert make_jpeg_payload(smooth, 90, "420") == e420  # deterministic
+
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
     # progressive SOF2 marker stream must refuse, not mis-decode
