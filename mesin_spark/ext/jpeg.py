@@ -13,7 +13,10 @@ decodes any spec-compliant baseline JPEG within its documented envelope:
 - ANY sampling-factor layout on decode (4:4:4, the photographic-default
   4:2:0, 4:2:2, ...): general MCU interleave + replication upsampling;
   the encoder emits 4:4:4 or 4:2:0 (``subsampling=`` parameter);
-- no restart intervals (DRI) — raises if one is declared.
+- restart intervals (DRI + RSTn) on both sides: the decoder byte-aligns
+  and resets DC predictors at each boundary, the encoder emits them via
+  ``restart_interval=`` (the error-resilience feature most native
+  encoders have on by default).
 
 JPEG is lossy: round-trips are verified by PSNR, not byte equality
 (tests/test_llm_ops.py). Everything is deterministic — fixed tables,
@@ -193,6 +196,14 @@ class _BitWriter:
             self._n -= 8
             self._acc &= (1 << self._n) - 1
 
+    def align_marker(self, marker_byte: int) -> None:
+        """Pad to the byte edge and append a bare 0xFF<marker> (RSTn) —
+        marker bytes are NOT entropy data, so no stuffing applies."""
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, marker_byte])
+
     def flush(self) -> bytes:
         if self._n:
             pad = 8 - self._n
@@ -247,7 +258,10 @@ def _encode_block(
 
 
 def make_jpeg_payload(
-    pixels: np.ndarray, quality: int = 85, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     baseline sequential JPEG (standard tables, deterministic).
@@ -294,8 +308,16 @@ def make_jpeg_payload(
 
     writer = _BitWriter()
     preds = [0] * len(planes)
+    mcu_count = 0
     for my in range(ph // (8 * vmax)):
         for mx in range(pw // (8 * hmax)):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # RST0..RST7 cycle; DC predictors reset at each boundary
+                writer.align_marker(
+                    0xD0 + (mcu_count // restart_interval - 1) % 8
+                )
+                preds = [0] * len(planes)
+            mcu_count += 1
             for ci, plane in enumerate(planes):
                 hi, vi = samps[ci]
                 for bv in range(vi):
@@ -328,6 +350,8 @@ def make_jpeg_payload(
     for tc_th, (bits, vals) in specs:
         seg = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -343,6 +367,21 @@ class _BitReader:
         self.pos = pos
         self._acc = 0
         self._n = 0
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart-interval boundary: discard
+        pad bits to the byte edge, then the 2-byte 0xFFD0-0xFFD7."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError(
+                f"expected restart marker at byte {self.pos} of scan"
+            )
 
     def _fill(self) -> None:
         b = self.data[self.pos]
@@ -402,7 +441,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict] = {}
     comps: list[dict] = []
-    h = w = 0
+    h = w = dri = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -448,9 +487,8 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
             )
-        elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI: restart every N MCUs
+            dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — scan follows
             ns = seg[0]
             order = []
@@ -472,8 +510,15 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 for c in order
             ]
             preds = [0] * len(order)
+            mcu_count = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    if dri and mcu_count and mcu_count % dri == 0:
+                        # restart boundary: byte-align past the RSTn
+                        # marker and reset every DC predictor (T.81 E.2.4)
+                        r.restart()
+                        preds = [0] * len(order)
+                    mcu_count += 1
                     for ci, comp in enumerate(order):
                         for bv in range(comp["vi"]):
                             for bh in range(comp["hi"]):

@@ -395,6 +395,16 @@ def test_jpeg_codec_roundtrip_properties(spark):
     assert psnr(smooth, d420) > 40
     assert make_jpeg_payload(smooth, 90, "420") == e420  # deterministic
 
+    # restart intervals: framing only — decoded pixels must be
+    # bit-identical to the no-DRI encode at any interval/subsampling
+    for sub in ("444", "420"):
+        base, _ = decode_jpeg(make_jpeg_payload(smooth, 90, sub))
+        for ri in (1, 3, 7):
+            d_ri, _ = decode_jpeg(
+                make_jpeg_payload(smooth, 90, sub, restart_interval=ri)
+            )
+            assert np.array_equal(d_ri, base)
+
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
     # progressive SOF2 marker stream must refuse, not mis-decode
