@@ -12,8 +12,11 @@ Writer emits: RIFF('AVI ') → LIST hdrl (avih + one LIST strl with
 strh 'vids'/'MJPG' + strf BITMAPINFOHEADER) → LIST movi ('00dc' chunks,
 word-aligned) → idx1. Reader walks the chunk tree and decodes every
 '00dc'/'00db' frame with the baseline JPEG decoder; it accepts any
-MJPEG-in-AVI within that decoder's envelope (baseline, 4:4:4 or
-grayscale) and raises cleanly otherwise.
+MJPEG-in-AVI within that decoder's envelope (baseline sequential, any
+sampling layout, grayscale or color — grayscale frames broadcast to
+(h, w, 3) to keep decode_video's contract) and raises cleanly
+otherwise. Codec identity is validated on strf's biCompression (the
+authoritative field), not strh's advisory fccHandler.
 """
 
 from __future__ import annotations
@@ -100,6 +103,7 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
         raise ValueError("not a RIFF/AVI payload")
     meta = {"width": 0, "height": 0, "fps": 0.0, "n_frames": 0}
     frames: list[np.ndarray] = []
+    state = {"stream_type": b""}
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -116,15 +120,29 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
                     "<II", buf, body_at + 32
                 )
             elif fourcc == b"strh":
-                if buf[body_at : body_at + 4] == b"vids" and buf[
-                    body_at + 4 : body_at + 8
-                ] not in (b"MJPG", b"mjpg"):
+                # remember the stream type; codec validation happens on
+                # strf's biCompression (the strh fccHandler is advisory —
+                # real MJPEG files carry null/'dmb1'/other handlers)
+                state["stream_type"] = buf[body_at : body_at + 4]
+            elif fourcc == b"strf" and state["stream_type"] == b"vids":
+                # BITMAPINFOHEADER.biCompression at offset 16 is the
+                # authoritative video codec id
+                compression = buf[body_at + 16 : body_at + 20]
+                if compression not in (
+                    b"MJPG", b"mjpg", b"dmb1", b"\x00\x00\x00\x00"
+                ):
                     raise NotImplementedError(
-                        f"AVI video codec {buf[body_at + 4 : body_at + 8]!r} — "
-                        "only MJPG is supported"
+                        f"AVI video codec {compression!r} — only MJPG is "
+                        "supported"
                     )
             elif fourcc in (b"00dc", b"00db"):
-                frames.append(decode_jpeg(buf[body_at : body_at + size])[0])
+                px = decode_jpeg(buf[body_at : body_at + size])[0]
+                if px.ndim == 2:
+                    # decode_video's contract is (h, w, 3) uint8 frames —
+                    # broadcast grayscale MJPEG, else make_ppm_payload
+                    # downstream emits a corrupt P6 body
+                    px = np.repeat(px[..., None], 3, axis=-1)
+                frames.append(px)
             pos = body_at + size + (size & 1)
 
     walk(payload, 12, len(payload))

@@ -308,6 +308,10 @@ def make_jpeg_payload(
 
     writer = _BitWriter()
     preds = [0] * len(planes)
+    # hoist the per-component flat quant divisor out of the hot loop
+    # (qts entries are already flat 64-vectors; rebuilding a reshaped
+    # copy per 8x8 block is pure allocation churn at video frame rates)
+    divisors = [np.asarray(qt, dtype=np.float64).reshape(64) for qt in qts]
     mcu_count = 0
     for my in range(ph // (8 * vmax)):
         for mx in range(pw // (8 * hmax)):
@@ -326,9 +330,7 @@ def make_jpeg_payload(
                         x0 = (mx * hi + bh) * 8
                         block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
                         coefs = _D @ block @ _D.T
-                        qzd = np.round(
-                            coefs.flatten() / qts[ci].reshape(8, 8).flatten()
-                        )
+                        qzd = np.round(coefs.reshape(64) / divisors[ci])
                         preds[ci] = _encode_block(
                             writer, qzd.astype(np.int64), preds[ci], *comp_codes[ci]
                         )
@@ -432,9 +434,10 @@ def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
     """Decode a baseline sequential JPEG — 8-bit, 1 or 3 components, ANY
     sampling-factor layout (4:4:4, 4:2:0, 4:2:2, ...; subsampled planes
-    are decoded per-MCU and upsampled by replication), no restart
-    markers. Quantization and Huffman tables are read from the file.
-    Returns ((h, w[, 3]) uint8 array, {width, height, n_components})."""
+    are decoded per-MCU and upsampled by replication), restart intervals
+    honored (byte-align + DC-predictor reset at each RSTn). Quantization
+    and Huffman tables are read from the file. Returns
+    ((h, w[, 3]) uint8 array, {width, height, n_components})."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -477,6 +480,14 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
+            if nc not in (1, 3):
+                # 4-component Adobe CMYK/YCCK etc.: feeding the first 3
+                # planes through the YCbCr transform would return garbage
+                # RGB — the envelope contract is raise, never wrong pixels
+                raise NotImplementedError(
+                    f"{nc}-component JPEG — only grayscale (1) and "
+                    "YCbCr (3) are supported"
+                )
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append(

@@ -4,11 +4,12 @@ mapInPandas.
 
 Four real pure-Python codecs are implemented — WAV (RIFF PCM audio),
 PPM (P6 binary images), baseline JPEG (ext/jpeg.py: full T.81 encoder +
-decoder, grayscale/4:4:4, tables read from the file), and AVI/MJPEG
+decoder — grayscale and color, any sampling layout incl. 4:2:0 on
+decode, restart intervals, tables read from the file), and AVI/MJPEG
 video (ext/avi.py: RIFF container, one baseline JPEG per frame) — so
 the decode path runs end-to-end on genuine media bytes without
 PIL/ffmpeg. Formats that still need a native codec (mp4/h264
-inter-frame video, progressive/subsampled jpeg) stay clearly-marked
+inter-frame video, progressive jpeg) stay clearly-marked
 NotImplementedError stubs.
 
 At 100 TB the shape matters more than the codec: media blobs stay in

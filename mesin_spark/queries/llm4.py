@@ -211,7 +211,10 @@ def q_image_jpeg(spark, sf_dir):
     recall are asserted in tests/test_llm4_ops.py."""
     from mesin_spark.ext import multimodal as MM
 
-    d = T(spark, sf_dir, "documents").select("doc_id").limit(300)
+    # doc_id filter, not a bare limit: each union branch executes its
+    # own GlobalLimit over the scan, and an unordered LIMIT can pick
+    # DIFFERENT ids per branch — planted pairs would lose partners
+    d = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 300)
     dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     jpg = MM.transcode_to_jpeg(MM.synth_image(dup), quality=90)
     hashed = MM.image_ahash(jpg.select("doc_id", "payload"))

@@ -208,6 +208,14 @@ def test_avi_mjpeg_container_roundtrip():
     assert len(M.decode_video(avi)) == 5
     with pytest.raises(ValueError):
         decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # RIFF but not AVI
+    # grayscale MJPEG frames broadcast to (h, w, 3) — decode_video's
+    # contract; a 2D frame would corrupt make_ppm_payload downstream
+    gavi = make_avi_payload(
+        [np.full((16, 16), 100 + t, np.uint8) for t in range(3)]
+    )
+    gdec, _ = decode_avi(gavi)
+    assert all(f.shape == (16, 16, 3) for f in gdec)
+    M.decode_ppm(M.make_ppm_payload(gdec[0]))  # round-trips cleanly
 
 
 def test_video_mjpeg_transcode_spark_path(spark, docs):
