@@ -400,6 +400,46 @@ HLL_WBITS = 24
 HLL_ALPHA = 0.709
 
 
+def hll_portable_registers(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """The register stage of :func:`hll_portable`, exposed on its own:
+    (group..., _b bucket, _reg max-rank) — the mergeable partial a
+    rollup re-aggregates (elementwise max) and the unit the merge
+    property test checks against the SHIPPED arithmetic (a private test
+    copy would silently drift).
+
+    Key handling mirrors kmv_sketch: string keys route through the
+    portable polynomial fingerprint (a bare long cast would null every
+    row — or raise under ANSI — and the sketch would silently estimate
+    ~1 distinct), and integer keys are reduced mod P BEFORE the
+    multiply: ``key * A`` overflows int64 at key ≈ 3.5e9 — squarely
+    inside a 100 TB corpus's id range (ANSI throws, non-ANSI wraps
+    negative and corrupts every register). ``((k mod P)·A + C) mod P``
+    is mathematically identical for k < P, so outputs are unchanged
+    where the old form was correct."""
+    from pyspark.sql.types import StringType
+
+    if isinstance(df.schema[key_col].dataType, StringType):
+        key = token_fingerprint(F.col(key_col))
+    else:
+        key = F.col(key_col).cast("long")
+    hv = (F.pmod(key, F.lit(HLL_P)) * F.lit(HLL_A) + F.lit(HLL_C)) % F.lit(
+        HLL_P
+    )
+    bucket = F.pmod(hv, F.lit(HLL_M))
+    # hv < P ≈ 1e9 is exact in double, so floor-division is safe
+    w = F.floor(hv / F.lit(HLL_M)).cast("long")
+    rank = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("_b"), rank.alias("_r"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_r").alias("_reg"))
+    )
+
+
 def hll_portable(
     df: DataFrame, key_col: str, group_cols: list[str]
 ) -> DataFrame:
@@ -430,20 +470,7 @@ def hll_portable(
     boundary risk at exact powers of two). Scale shape: one hash
     shuffle to (group, bucket) partials, one group re-aggregation over
     ≤64 rows per group — COUNT(DISTINCT) made composable at 100 TB."""
-    hv = (F.col(key_col).cast("long") * F.lit(HLL_A) + F.lit(HLL_C)) % F.lit(
-        HLL_P
-    )
-    bucket = F.pmod(hv, F.lit(HLL_M))
-    # hv < P ≈ 1e9 is exact in double, so floor-division is safe
-    w = F.floor(hv / F.lit(HLL_M)).cast("long")
-    rank = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
-        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
-    )
-    regs = (
-        df.select(*group_cols, bucket.alias("_b"), rank.alias("_r"))
-        .groupBy(*group_cols, "_b")
-        .agg(F.max("_r").alias("_reg"))
-    )
+    regs = hll_portable_registers(df, key_col, group_cols)
     wscale = 1 << (HLL_WBITS + 1)
     n_hit = F.count(F.lit(1))
     s_scaled = (

@@ -190,8 +190,11 @@ _HLL_EST = (
     "q_hll_portable",
     oracle=f"""
     WITH h AS (
+        -- key reduced mod P BEFORE the multiply, mirroring the Spark
+        -- side: a bare key*A overflows int64 at key ~ 3.5e9
         SELECT date_trunc('week', ts) AS wk,
-               (user_id * 2654435761 + 104729) % 1000000007 AS hv
+               ((user_id % 1000000007) * 2654435761 + 104729)
+                   % 1000000007 AS hv
         FROM events
     ), br AS (
         SELECT wk, hv % 64 AS b,

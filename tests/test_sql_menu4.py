@@ -80,21 +80,35 @@ def test_hll_portable_accuracy_and_merge(spark):
 
 
 def _portable_regs(df, group_cols=("wk",)):
-    """Raw (group, bucket, max-rank) registers via the same arithmetic as
-    hll_portable — re-derived here so the merge test sees the registers
-    BEFORE the CSV fold."""
-    from mesin_spark.ext.sketches import HLL_A, HLL_C, HLL_M, HLL_P, HLL_WBITS
+    """Raw (group, bucket, max-rank) registers from the SHIPPED register
+    stage (sketches.hll_portable_registers) — the merge test must cover
+    the production arithmetic, not a private copy that can drift."""
+    from mesin_spark.ext.sketches import hll_portable_registers
 
-    hv = (F.col("user_id").cast("long") * F.lit(HLL_A) + F.lit(HLL_C)) % F.lit(HLL_P)
-    w = F.floor(hv / F.lit(HLL_M)).cast("long")
-    rank = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
-        F.lit(HLL_WBITS + 1) - F.length(F.bin(w))
+    return hll_portable_registers(df, "user_id", list(group_cols))
+
+
+def test_hll_portable_big_and_string_keys(spark):
+    """Overflow + type guards on the portable HLL: keys past the int64
+    multiply bound (~3.5e9, inside a 100 TB id range) must hash cleanly
+    (mod-P reduction before the multiply), and string keys must route
+    through the polynomial fingerprint instead of a nulling long cast."""
+    from mesin_spark.ext.sketches import hll_portable
+
+    big = spark.createDataFrame(
+        [(1, 4_000_000_000 + i * 987_654_321) for i in range(200)],
+        "g long, k long",
     )
-    return (
-        df.select(*group_cols, F.pmod(hv, F.lit(HLL_M)).alias("_b"), rank.alias("_r"))
-        .groupBy(*group_cols, "_b")
-        .agg(F.max("_r").alias("_reg"))
+    row = hll_portable(big, "k", ["g"]).collect()[0]
+    assert row["n_hit"] > 0 and row["users_est"] > 50  # sane, not corrupt
+    assert all(int(x) >= 0 for x in row["reg_csv"].split(","))
+
+    strs = spark.createDataFrame(
+        [(1, f"user-{i}") for i in range(300)], "g long, k string"
     )
+    srow = hll_portable(strs, "k", ["g"]).collect()[0]
+    assert srow["n_hit"] > 30  # spread across buckets, not one null bucket
+    assert 150 <= srow["users_est"] <= 600  # ~300 within sketch tolerance
 
 
 def test_hll_merge_matches_direct_sketch(spark):
