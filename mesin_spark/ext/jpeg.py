@@ -363,72 +363,76 @@ def make_jpeg_payload(
     return bytes(out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._n = 0
+def _destuff_scan(data: bytes, pos: int) -> tuple[bytes, list[int]]:
+    """Extract the entropy-coded segment starting at ``pos``: drop byte
+    stuffing (0xFF00 → 0xFF), record restart-marker positions as
+    DESTUFFED byte offsets (segment boundaries), stop at any other
+    marker (EOI / next header). One linear pass — the per-bit
+    stuffed-byte checks were the decoder's hot path."""
+    out = bytearray()
+    boundaries: list[int] = []
+    n = len(data)
+    while pos < n:
+        nxt = data.find(b"\xff", pos)
+        if nxt == -1:
+            out += data[pos:]
+            break
+        out += data[pos:nxt]
+        mk = data[nxt + 1] if nxt + 1 < n else 0xD9
+        if mk == 0x00:
+            out.append(0xFF)
+            pos = nxt + 2
+        elif 0xD0 <= mk <= 0xD7:
+            boundaries.append(len(out))
+            pos = nxt + 2
+        else:  # real marker: entropy data over
+            break
+    return bytes(out), boundaries
 
-    def restart(self) -> None:
-        """Consume an RSTn marker at a restart-interval boundary: discard
-        pad bits to the byte edge, then the 2-byte 0xFFD0-0xFFD7."""
-        self._acc = 0
-        self._n = 0
-        if (
-            self.data[self.pos] == 0xFF
-            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
-            self.pos += 2
-        else:
-            raise ValueError(
-                f"expected restart marker at byte {self.pos} of scan"
-            )
 
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed byte
-            else:
-                # a real marker inside the scan (EOI): per spec the
-                # entropy stream is over — keep feeding 1-padding
-                self.pos -= 1
-                b = 0xFF
-        self._acc = (self._acc << 8) | b
-        self._n += 8
+class _FastBits:
+    """MSB-first bit cursor over destuffed entropy bytes. Reads use plain
+    int arithmetic over an 8-byte window — no per-bit Python calls."""
 
-    def bit(self) -> int:
-        if self._n == 0:
-            self._fill()
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+    __slots__ = ("data", "bitpos", "_pad")
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+    def __init__(self, data: bytes) -> None:
+        # 1-padding past the end mirrors the spec's final-byte padding
+        self.data = data + b"\xff" * 8
+        self.bitpos = 0
+
+    def peek16(self) -> int:
+        byte0 = self.bitpos >> 3
+        window = int.from_bytes(self.data[byte0 : byte0 + 3], "big")
+        return (window >> (8 - (self.bitpos & 7))) & 0xFFFF
+
+    def take(self, n: int) -> int:
+        byte0 = self.bitpos >> 3
+        window = int.from_bytes(self.data[byte0 : byte0 + 5], "big")
+        v = (window >> (40 - (self.bitpos & 7) - n)) & ((1 << n) - 1)
+        self.bitpos += n
         return v
 
+    def align_to(self, byte_offset: int) -> None:
+        self.bitpos = byte_offset * 8
 
-def _receive_extend(r: _BitReader, size: int) -> int:
-    if size == 0:
-        return 0
-    v = r.bits(size)
+
+def _flat_table(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]]:
+    """{(length, code): symbol} → two 65536-entry lists (symbol, length)
+    indexed by the NEXT 16 bits of the stream — one list lookup per
+    Huffman decode instead of a bit-by-bit dict walk."""
+    syms = [-1] * 65536
+    lens = [0] * 65536
+    for (ln, code), sym in table.items():
+        base = code << (16 - ln)
+        for i in range(base, base + (1 << (16 - ln))):
+            syms[i] = sym
+            lens[i] = ln
+    return syms, lens
+
+
+def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
-def _decode_huff(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, ln = 0, 0
-    while ln <= 16:
-        code = (code << 1) | r.bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan data")
 
 
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
@@ -509,54 +513,103 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 comp["dc"] = htables[(tt >> 4)]
                 comp["ac"] = htables[0x10 | (tt & 0xF)]
                 order.append(comp)
-            r = _BitReader(payload, pos + seglen)
+            ent, rst_bounds = _destuff_scan(payload, pos + seglen)
+            r = _FastBits(ent)
+            flat_cache: dict[int, tuple[list[int], list[int]]] = {}
+            for comp in order:
+                for kind in ("dc", "ac"):
+                    t = comp[kind]
+                    if id(t) not in flat_cache:
+                        flat_cache[id(t)] = _flat_table(t)
+                    comp[kind + "_flat"] = flat_cache[id(t)]
             hmax = max(c["hi"] for c in order)
             vmax = max(c["vi"] for c in order)
             # MCU grid covers the image at (8*hmax, 8*vmax) granularity;
             # each component's plane holds (vi, hi) blocks per MCU
             mcus_x = -(-w // (8 * hmax))
             mcus_y = -(-h // (8 * vmax))
-            planes = [
-                np.zeros((mcus_y * c["vi"] * 8, mcus_x * c["hi"] * 8))
-                for c in order
-            ]
+            # entropy loop collects per-component zigzag vectors +
+            # placements; dequant + IDCT run BATCHED afterwards (one
+            # einsum per component instead of two matmuls per block)
+            blocks_zz: list[list[list[int]]] = [[] for _ in order]
+            blocks_at: list[list[tuple[int, int]]] = [[] for _ in order]
             preds = [0] * len(order)
             mcu_count = 0
+            rst_iter = iter(rst_bounds)
             for my in range(mcus_y):
                 for mx in range(mcus_x):
                     if dri and mcu_count and mcu_count % dri == 0:
                         # restart boundary: byte-align past the RSTn
                         # marker and reset every DC predictor (T.81 E.2.4)
-                        r.restart()
+                        try:
+                            r.align_to(next(rst_iter))
+                        except StopIteration:
+                            raise ValueError(
+                                "missing restart marker in scan data"
+                            ) from None
                         preds = [0] * len(order)
                     mcu_count += 1
                     for ci, comp in enumerate(order):
+                        dc_syms, dc_lens = comp["dc_flat"]
+                        ac_syms, ac_lens = comp["ac_flat"]
                         for bv in range(comp["vi"]):
                             for bh in range(comp["hi"]):
-                                size = _decode_huff(r, comp["dc"])
-                                preds[ci] += _receive_extend(r, size)
-                                zz = np.zeros(64)
+                                idx = r.peek16()
+                                size = dc_syms[idx]
+                                if size < 0:
+                                    raise ValueError(
+                                        "invalid Huffman code in scan data"
+                                    )
+                                r.bitpos += dc_lens[idx]
+                                if size:
+                                    preds[ci] += _extend(r.take(size), size)
+                                zz = [0] * 64
                                 zz[0] = preds[ci]
                                 k = 1
                                 while k < 64:
-                                    rs = _decode_huff(r, comp["ac"])
-                                    run, size = rs >> 4, rs & 0xF
+                                    idx = r.peek16()
+                                    rs = ac_syms[idx]
+                                    if rs < 0:
+                                        raise ValueError(
+                                            "invalid Huffman code in scan data"
+                                        )
+                                    r.bitpos += ac_lens[idx]
                                     if rs == 0x00:  # EOB
                                         break
                                     if rs == 0xF0:  # ZRL
                                         k += 16
                                         continue
-                                    k += run
+                                    k += rs >> 4
+                                    size = rs & 0xF
                                     if k > 63:
                                         raise ValueError("AC index out of range")
-                                    zz[k] = _receive_extend(r, size)
+                                    zz[k] = _extend(r.take(size), size)
                                     k += 1
-                                coefs = np.zeros(64)
-                                coefs[ZIGZAG] = zz * qtables[comp["tq"]][ZIGZAG]
-                                block = _D.T @ coefs.reshape(8, 8) @ _D + 128.0
-                                y0 = (my * comp["vi"] + bv) * 8
-                                x0 = (mx * comp["hi"] + bh) * 8
-                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                                blocks_zz[ci].append(zz)
+                                blocks_at[ci].append(
+                                    ((my * comp["vi"] + bv) * 8,
+                                     (mx * comp["hi"] + bh) * 8)
+                                )
+            planes = []
+            for ci, comp in enumerate(order):
+                n_blk = len(blocks_zz[ci])
+                nat = np.zeros((n_blk, 64))
+                nat[:, ZIGZAG] = (
+                    np.asarray(blocks_zz[ci], dtype=np.float64)
+                    * qtables[comp["tq"]][ZIGZAG][None, :]
+                )
+                blk = (
+                    np.einsum(
+                        "ij,njk,kl->nil", _D.T, nat.reshape(n_blk, 8, 8), _D
+                    )
+                    + 128.0
+                )
+                plane = np.zeros(
+                    (mcus_y * comp["vi"] * 8, mcus_x * comp["hi"] * 8)
+                )
+                for b, (y0, x0) in enumerate(blocks_at[ci]):
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = blk[b]
+                planes.append(plane)
             # upsample subsampled planes to full geometry by replication
             full = []
             for c, p in zip(order, planes):
