@@ -179,8 +179,18 @@ class ManagedTable:
         try:
             with open(os.path.join(self.path, self._COMMITS_FILE), "a") as f:
                 f.write(json.dumps(rec) + "\n")
-        except OSError:
-            pass
+        except OSError as e:
+            # still best-effort, but LOUD: a silently-lost audit line makes
+            # DESCRIBE HISTORY permanently understate committed versions
+            # (e.g. after disk-full) with no signal anywhere
+            import warnings
+
+            warnings.warn(
+                f"audit append failed for {self.name!r} v{version} ({e}); "
+                "commit is durable but DESCRIBE HISTORY will omit this entry",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY (Delta analog): the commit audit log as a

@@ -103,7 +103,11 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
         raise ValueError("not a RIFF/AVI payload")
     meta = {"width": 0, "height": 0, "fps": 0.0, "n_frames": 0}
     frames: list[np.ndarray] = []
-    state = {"stream_type": b""}
+    # strh chunks appear in stream order (stream N's strl is the Nth),
+    # so the VIDEO stream's chunk id is '{N:02d}dc' for the N at which the
+    # 'vids' strh appears — real capture files often list audio first,
+    # making the video stream 1, not 0
+    state = {"stream_type": b"", "strh_count": 0, "video_idx": None}
 
     def walk(buf: bytes, pos: int, end: int) -> None:
         while pos + 8 <= end:
@@ -124,6 +128,9 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
                 # strf's biCompression (the strh fccHandler is advisory —
                 # real MJPEG files carry null/'dmb1'/other handlers)
                 state["stream_type"] = buf[body_at : body_at + 4]
+                if state["stream_type"] == b"vids" and state["video_idx"] is None:
+                    state["video_idx"] = state["strh_count"]
+                state["strh_count"] += 1
             elif fourcc == b"strf" and state["stream_type"] == b"vids":
                 # BITMAPINFOHEADER.biCompression at offset 16 is the
                 # authoritative video codec id
@@ -135,14 +142,19 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], dict]:
                         f"AVI video codec {compression!r} — only MJPG is "
                         "supported"
                     )
-            elif fourcc in (b"00dc", b"00db"):
-                px = decode_jpeg(buf[body_at : body_at + size])[0]
-                if px.ndim == 2:
-                    # decode_video's contract is (h, w, 3) uint8 frames —
-                    # broadcast grayscale MJPEG, else make_ppm_payload
-                    # downstream emits a corrupt P6 body
-                    px = np.repeat(px[..., None], 3, axis=-1)
-                frames.append(px)
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                stream_no = int(fourcc[:2])
+                want = state["video_idx"] if state["video_idx"] is not None else 0
+                # size-0 chunks are dropped-frame padding in real capture
+                # files — skip, don't feed the JPEG decoder an empty buffer
+                if stream_no == want and size > 0:
+                    px = decode_jpeg(buf[body_at : body_at + size])[0]
+                    if px.ndim == 2:
+                        # decode_video's contract is (h, w, 3) uint8 frames —
+                        # broadcast grayscale MJPEG, else make_ppm_payload
+                        # downstream emits a corrupt P6 body
+                        px = np.repeat(px[..., None], 3, axis=-1)
+                    frames.append(px)
             pos = body_at + size + (size & 1)
 
     walk(payload, 12, len(payload))

@@ -887,14 +887,19 @@ def ngram_jaccard_pairs(
         )
     if prefix_filter == "auto":
         # one extra (linear, metadata-result) pass: block occupancies →
-        # the exact all-pairs candidate count. Materialize base first so
-        # neither the probe nor the chosen path re-hashes the shingles.
+        # the exact all-pairs candidate count. The probe runs on a
+        # count-only projection (select("blk") prunes the gram arrays to
+        # a transient per-row expression — nothing materializes, nothing
+        # but blk shuffles), so deciding the route never pays for a full
+        # materialization of the blocked-gram projection. The chosen
+        # path then persist()s base below — unlike localCheckpoint,
+        # persist keeps lineage, so an executor loss recomputes the
+        # partition instead of killing the job (the 100 TB requirement).
         # occupancy counts go through double BEFORE the multiply: long
         # occ*(occ-1) overflows at ~3e9-doc blocks — exactly the
         # mega-block case this probe exists to catch (ANSI mode would
         # throw; non-ANSI wraps negative and mis-routes)
-        base = base.localCheckpoint(eager=True)
-        occ = base.groupBy("blk").agg(
+        occ = base.select("blk").groupBy("blk").agg(
             F.count(F.lit(1)).cast("double").alias("_occ")
         )
         row = occ.agg(
@@ -903,6 +908,11 @@ def ngram_jaccard_pairs(
         ).collect()[0]
         pairs_per_doc = (row["_pairs"] or 0.0) / max(row["_docs"] or 1.0, 1.0)
         prefix_filter = pairs_per_doc > auto_pairs_per_doc
+        # cache the blocked-gram projection for the chosen path: both join
+        # sides (3 uses on the prefix path) share one shingle-hash pass
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
     if prefix_filter:
         flat = base.select(

@@ -581,6 +581,13 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                                         continue
                                     k += rs >> 4
                                     size = rs & 0xF
+                                    if size == 0:
+                                        # only EOB (0x00) / ZRL (0xF0) may
+                                        # carry size 0; anything else is a
+                                        # corrupt stream, not 1 << -1
+                                        raise ValueError(
+                                            "invalid AC symbol in scan data"
+                                        )
                                     if k > 63:
                                         raise ValueError("AC index out of range")
                                     zz[k] = _extend(r.take(size), size)

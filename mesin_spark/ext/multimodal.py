@@ -16,6 +16,15 @@ At 100 TB the shape matters more than the codec: media blobs stay in
 binary columns next to their metadata (one scan, no sidecar fetch), decode
 runs in mapInPandas (per-partition, Arrow-batched, no shuffle), and derived
 features land in typed columns for downstream SQL.
+
+Poison-pill isolation: at 100 TB a corrupt / truncated / unsupported
+payload (progressive JPEG, CMYK, torn write) is a certainty, and an
+exception inside a task kills the whole ingest job after Spark's task
+retries replay the same bad row. Every operator here therefore wraps
+EACH record's decode/encode in a per-record guard and emits an ``error``
+string column: NULL on success, ``'ExcType: message'`` on failure with
+all derived columns NULL — the job always completes, and the quarantine
+set is one ``WHERE error IS NOT NULL`` filter away.
 """
 
 from __future__ import annotations
@@ -33,8 +42,14 @@ SUPPORTED_FAKE_FORMAT = "txt"
 DECODABLE_FORMATS = ("txt", "wav", "ppm", "jpeg")
 
 FEATURE_SCHEMA = (
-    "doc_id long, format string, n_bytes long, checksum long, feature_mean double"
+    "doc_id long, format string, n_bytes long, checksum long, feature_mean double, "
+    "error string"
 )
+
+
+def _err(e: Exception) -> str:
+    """One-line error label for the quarantine column."""
+    return f"{type(e).__name__}: {e}"
 
 
 def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -220,18 +235,27 @@ def extract_features(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             fmts = pdf["media"].map(lambda m: m["format"])
-            decoded = [
-                _decode_payload(fmt, bytes(pl)) for fmt, pl in zip(fmts, pdf["payload"])
-            ]
+            n_bytes, checksums, means, errs = [], [], [], []
+            for fmt, pl in zip(fmts, pdf["payload"]):
+                try:
+                    d = _decode_payload(fmt, bytes(pl))
+                    n_bytes.append(len(d))
+                    checksums.append(sum(d) % (1 << 31))
+                    means.append((sum(d) / len(d)) if len(d) else 0.0)
+                    errs.append(None)
+                except Exception as e:  # per-record poison-pill isolation
+                    n_bytes.append(None)
+                    checksums.append(None)
+                    means.append(None)
+                    errs.append(_err(e))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "format": fmts,
-                    "n_bytes": [len(d) for d in decoded],
-                    "checksum": [sum(d) % (1 << 31) for d in decoded],
-                    "feature_mean": [
-                        (sum(d) / len(d)) if len(d) else 0.0 for d in decoded
-                    ],
+                    "n_bytes": pd.array(n_bytes, dtype=object),
+                    "checksum": pd.array(checksums, dtype=object),
+                    "feature_mean": pd.array(means, dtype=object),
+                    "error": pd.array(errs, dtype=object),
                 }
             )
 
@@ -262,56 +286,74 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id", n_samples: int = 256) -> Da
 
 
 AUDIO_FEATURE_SCHEMA = (
-    "doc_id long, n_samples long, sample_rate int, duration_s double, rms double"
+    "doc_id long, n_samples long, sample_rate int, duration_s double, rms double, "
+    "error string"
 )
 
 
 def extract_audio_features(df: DataFrame) -> DataFrame:
     """Real audio feature extraction for WAV payloads: duration, sample
     count/rate, RMS amplitude — the same mapInPandas shape a librosa-backed
-    extractor would use, running on the pure-Python decoder."""
+    extractor would use, running on the pure-Python decoder. Corrupt
+    payloads flag their row via ``error``; the job completes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = [decode_wav(bytes(pl))[1] for pl in pdf["payload"]]
+            rows, errs = [], []
+            for pl in pdf["payload"]:
+                try:
+                    rows.append(decode_wav(bytes(pl))[1])
+                    errs.append(None)
+                except Exception as e:  # per-record poison-pill isolation
+                    rows.append({})
+                    errs.append(_err(e))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_samples": [r["n_samples"] for r in rows],
-                    "sample_rate": [r["sample_rate"] for r in rows],
-                    "duration_s": [r["duration_s"] for r in rows],
-                    "rms": [r["rms"] for r in rows],
+                    "n_samples": pd.array([r.get("n_samples") for r in rows], dtype=object),
+                    "sample_rate": pd.array([r.get("sample_rate") for r in rows], dtype=object),
+                    "duration_s": pd.array([r.get("duration_s") for r in rows], dtype=object),
+                    "rms": pd.array([r.get("rms") for r in rows], dtype=object),
+                    "error": pd.array(errs, dtype=object),
                 }
             )
 
     return df.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
-RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int"
+RESIZE_SCHEMA = "doc_id long, payload binary, width int, height int, error string"
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize for PPM payloads: nearest-neighbor via numpy index
+    """Image resize for PPM/JPEG payloads: nearest-neighbor via numpy index
     maps, re-encoded as PPM — binary in, binary out, per-partition, no
-    shuffle. Formats needing PIL raise inside the decoder."""
+    shuffle. Undecodable payloads flag their row via ``error``."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_payloads, widths, heights = [], [], []
+            out_payloads, widths, heights, errs = [], [], [], []
             for pl in pdf["payload"]:
-                px, _ = decode_image(bytes(pl))
-                h, w = px.shape[:2]
-                yi = (np.arange(height) * h // height).clip(0, h - 1)
-                xi = (np.arange(width) * w // width).clip(0, w - 1)
-                out_payloads.append(make_ppm_payload(px[yi][:, xi]))
-                widths.append(width)
-                heights.append(height)
+                try:
+                    px, _ = decode_image(bytes(pl))
+                    h, w = px.shape[:2]
+                    yi = (np.arange(height) * h // height).clip(0, h - 1)
+                    xi = (np.arange(width) * w // width).clip(0, w - 1)
+                    out_payloads.append(make_ppm_payload(px[yi][:, xi]))
+                    widths.append(width)
+                    heights.append(height)
+                    errs.append(None)
+                except Exception as e:  # per-record poison-pill isolation
+                    out_payloads.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    errs.append(_err(e))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": out_payloads,
-                    "width": widths,
-                    "height": heights,
+                    "payload": pd.array(out_payloads, dtype=object),
+                    "width": pd.array(widths, dtype=object),
+                    "height": pd.array(heights, dtype=object),
+                    "error": pd.array(errs, dtype=object),
                 }
             )
 
@@ -353,7 +395,7 @@ def synth_video(
 
 FRAME_SCHEMA = (
     "doc_id long, n_frames int, n_sampled int, frames array<binary>, "
-    "frame_means array<double>"
+    "frame_means array<double>, error string"
 )
 
 
@@ -370,21 +412,30 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n_frames, n_sampled, frames_out, means = [], [], [], []
+            n_frames, n_sampled, frames_out, means, errs = [], [], [], [], []
             for pl in pdf["payload"]:
-                frames = decode_video(bytes(pl))
-                sampled = frames[::every_n]
-                n_frames.append(len(frames))
-                n_sampled.append(len(sampled))
-                frames_out.append([make_ppm_payload(f) for f in sampled])
-                means.append([float(f.mean()) for f in sampled])
+                try:
+                    frames = decode_video(bytes(pl))
+                    sampled = frames[::every_n]
+                    n_frames.append(len(frames))
+                    n_sampled.append(len(sampled))
+                    frames_out.append([make_ppm_payload(f) for f in sampled])
+                    means.append([float(f.mean()) for f in sampled])
+                    errs.append(None)
+                except Exception as e:  # per-record poison-pill isolation
+                    n_frames.append(None)
+                    n_sampled.append(None)
+                    frames_out.append(None)
+                    means.append(None)
+                    errs.append(_err(e))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_frames": n_frames,
-                    "n_sampled": n_sampled,
-                    "frames": frames_out,
-                    "frame_means": means,
+                    "n_frames": pd.array(n_frames, dtype=object),
+                    "n_sampled": pd.array(n_sampled, dtype=object),
+                    "frames": pd.array(frames_out, dtype=object),
+                    "frame_means": pd.array(means, dtype=object),
+                    "error": pd.array(errs, dtype=object),
                 }
             )
 
@@ -429,7 +480,7 @@ def synth_image(
     return df.select(id_col).mapInPandas(batches, f"{id_col} long, payload binary")
 
 
-AHASH_SCHEMA = "doc_id long, ahash long"
+AHASH_SCHEMA = "doc_id long, ahash long, error string"
 
 
 def image_ahash(df: DataFrame) -> DataFrame:
@@ -442,27 +493,38 @@ def image_ahash(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hashes = []
+            hashes, errs = [], []
             for pl in pdf["payload"]:
-                px, _ = decode_image(bytes(pl))
-                gray = px.astype(np.float64).mean(axis=-1)
-                h, w = gray.shape
-                yi = (np.arange(8) * h // 8).clip(0, h - 1)
-                xi = (np.arange(8) * w // 8).clip(0, w - 1)
-                cells = gray[yi][:, xi]
-                bits = (cells > cells.mean()).flatten()
-                val = 0
-                for b in bits:
-                    val = (val << 1) | int(b)
-                if val >= 1 << 63:
-                    val -= 1 << 64
-                hashes.append(val)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+                try:
+                    px, _ = decode_image(bytes(pl))
+                    gray = px.astype(np.float64).mean(axis=-1)
+                    h, w = gray.shape
+                    yi = (np.arange(8) * h // 8).clip(0, h - 1)
+                    xi = (np.arange(8) * w // 8).clip(0, w - 1)
+                    cells = gray[yi][:, xi]
+                    bits = (cells > cells.mean()).flatten()
+                    val = 0
+                    for b in bits:
+                        val = (val << 1) | int(b)
+                    if val >= 1 << 63:
+                        val -= 1 << 64
+                    hashes.append(val)
+                    errs.append(None)
+                except Exception as e:  # per-record poison-pill isolation
+                    hashes.append(None)
+                    errs.append(_err(e))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ahash": pd.array(hashes, dtype=object),
+                    "error": pd.array(errs, dtype=object),
+                }
+            )
 
     return df.mapInPandas(batches, schema=AHASH_SCHEMA)
 
 
-TRANSCODE_SCHEMA = "doc_id long, payload binary, n_bytes long, ratio double"
+TRANSCODE_SCHEMA = "doc_id long, payload binary, n_bytes long, ratio double, error string"
 
 
 def transcode_to_jpeg(df: DataFrame, quality: int = 85) -> DataFrame:
@@ -477,27 +539,37 @@ def transcode_to_jpeg(df: DataFrame, quality: int = 85) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads, sizes, ratios = [], [], []
+            payloads, sizes, ratios, errs = [], [], [], []
             for pl in pdf["payload"]:
-                raw = bytes(pl)
-                px, _ = decode_image(raw)
-                enc = make_jpeg_payload(px, quality=quality)
-                payloads.append(enc)
-                sizes.append(len(enc))
-                ratios.append(len(enc) / max(len(raw), 1))
+                try:
+                    raw = bytes(pl)
+                    px, _ = decode_image(raw)
+                    enc = make_jpeg_payload(px, quality=quality)
+                    payloads.append(enc)
+                    sizes.append(len(enc))
+                    ratios.append(len(enc) / max(len(raw), 1))
+                    errs.append(None)
+                except Exception as e:  # per-record poison-pill isolation
+                    payloads.append(None)
+                    sizes.append(None)
+                    ratios.append(None)
+                    errs.append(_err(e))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "n_bytes": sizes,
-                    "ratio": ratios,
+                    "payload": pd.array(payloads, dtype=object),
+                    "n_bytes": pd.array(sizes, dtype=object),
+                    "ratio": pd.array(ratios, dtype=object),
+                    "error": pd.array(errs, dtype=object),
                 }
             )
 
     return df.mapInPandas(batches, schema=TRANSCODE_SCHEMA)
 
 
-VIDEO_TRANSCODE_SCHEMA = "doc_id long, payload binary, n_bytes long, ratio double"
+VIDEO_TRANSCODE_SCHEMA = (
+    "doc_id long, payload binary, n_bytes long, ratio double, error string"
+)
 
 
 def transcode_video_to_mjpeg(
@@ -511,20 +583,28 @@ def transcode_video_to_mjpeg(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads, sizes, ratios = [], [], []
+            payloads, sizes, ratios, errs = [], [], [], []
             for pl in pdf["payload"]:
-                raw = bytes(pl)
-                frames = decode_video(raw)
-                enc = make_avi_payload(frames, fps=fps, quality=quality)
-                payloads.append(enc)
-                sizes.append(len(enc))
-                ratios.append(len(enc) / max(len(raw), 1))
+                try:
+                    raw = bytes(pl)
+                    frames = decode_video(raw)
+                    enc = make_avi_payload(frames, fps=fps, quality=quality)
+                    payloads.append(enc)
+                    sizes.append(len(enc))
+                    ratios.append(len(enc) / max(len(raw), 1))
+                    errs.append(None)
+                except Exception as e:  # per-record poison-pill isolation
+                    payloads.append(None)
+                    sizes.append(None)
+                    ratios.append(None)
+                    errs.append(_err(e))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": payloads,
-                    "n_bytes": sizes,
-                    "ratio": ratios,
+                    "payload": pd.array(payloads, dtype=object),
+                    "n_bytes": pd.array(sizes, dtype=object),
+                    "ratio": pd.array(ratios, dtype=object),
+                    "error": pd.array(errs, dtype=object),
                 }
             )
 

@@ -255,7 +255,7 @@ def q_simhash_portable(spark, sf_dir):
      AND len(a.g) // 2 = len(b.g) // 2
      AND a.doc_id < b.doc_id
     WHERE floor((len(list_intersect(a.g, b.g))::DOUBLE
-          / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.2
+          / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.055
     """,
 )
 def q_dedup_ngram(spark, sf_dir):
@@ -273,7 +273,16 @@ def q_dedup_ngram(spark, sf_dir):
     reported (a size-similarity prefilter — standard in pair-generation
     dedup; J ≥ 0.2 pairs with very different sizes are already rare —
     ±1 distinct gram at threshold 0.2 is only excluded when the pair sits
-    right on a band edge)."""
+    right on a band edge).
+
+    Threshold 0.055 is FIXTURE-CALIBRATED (like q_dedup_embed's 0.40):
+    the synthetic corpus has no planted verbatim near-dups, so a
+    production-style 0.2 certified on a single surviving pair at sf0.01
+    — technically non-vacuous but weak evidence against pair-set bugs.
+    0.055 certifies 17/19/1969 pairs at sf 0.001/0.01/0.1 (nearest
+    jaccard to the boundary 5.5e-5 away, and both engines compare the
+    identically-rounded integer-count division, so the boundary can't
+    flip). Pair semantics are unchanged — only the reporting cut."""
     docs = T(spark, sf_dir, "documents").filter(TX.token_count("text") >= 2)
     # n_salts=4, not the 16 default: the length band multiplies block
     # cardinality ~50x, so parallelism comes from the blocks themselves
@@ -285,7 +294,7 @@ def q_dedup_ngram(spark, sf_dir):
     # corpus whose blocks outgrow the band prefilter flips to the
     # PPJoin prefix path instead of going quadratic
     return D.ngram_jaccard_pairs(
-        docs, "doc_id", block_col="source", n=2, threshold=0.2,
+        docs, "doc_id", block_col="source", n=2, threshold=0.055,
         length_band=2, n_salts=4, prefix_filter="auto",
     ).orderBy("id_a", "id_b")
 
@@ -825,7 +834,13 @@ def q_multimodal(spark, sf_dir):
     mapInPandas feature extraction (deterministic fake decode for txt;
     real pure-Python codecs for wav/ppm)."""
     d = T(spark, sf_dir, "documents")
-    return M.extract_features(M.attach_binary(d)).orderBy("doc_id")
+    # fixture payloads are all decodable; drop the (all-NULL) quarantine
+    # column so the certified output schema stays stable
+    return (
+        M.extract_features(M.attach_binary(d))
+        .select("doc_id", "format", "n_bytes", "checksum", "feature_mean")
+        .orderBy("doc_id")
+    )
 
 
 @query("q_multimodal_audio")  # rows-only: real binary codec path (RIFF/WAV)
@@ -836,7 +851,11 @@ def q_multimodal_audio(spark, sf_dir):
     features — all inside partition-preserving mapInPandas stages (no
     shuffle; the 100 TB shape for media feature extraction)."""
     d = T(spark, sf_dir, "documents").limit(500)
-    return M.extract_audio_features(M.synth_wav(d)).orderBy("doc_id")
+    return (
+        M.extract_audio_features(M.synth_wav(d))
+        .select("doc_id", "n_samples", "sample_rate", "duration_s", "rms")
+        .orderBy("doc_id")
+    )
 
 
 @query("q_stream_tumbling")  # rows-only: streaming execution path

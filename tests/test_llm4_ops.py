@@ -472,3 +472,44 @@ def test_ann_index_persist_prune_recall(spark, tmp_path):
     # same floor as test_ivfpq_recall_and_pruning: PQ (m=8,k=16) caps
     # recall on this synthetic table at ~0.3 even probing every list
     assert len(set(a) & exact) >= 3
+
+
+def test_poison_pill_payloads_flag_not_kill(spark):
+    """The 100 TB ingest-robustness contract (VERDICT r05 #2): a 500-row
+    image batch with one TRUNCATED JPEG and one PROGRESSIVE (SOF2) JPEG
+    completes the job with exactly those two rows flagged in the error
+    column — a poison-pill record must never abort the job. Exercises
+    image_ahash AND transcode_to_jpeg over the same planted batch."""
+    import numpy as np
+
+    from mesin_spark.ext import multimodal as MM
+    from mesin_spark.ext.jpeg import make_jpeg_payload
+
+    px = np.full((16, 12, 3), 96, np.uint8)
+    px[::3, ::2] = 200  # some structure so the JPEG is non-trivial
+    good_jpeg = make_jpeg_payload(px, quality=90)
+    truncated = good_jpeg[: len(good_jpeg) // 2]
+    # patch SOF0 (FFC0) -> SOF2 (FFC2): a progressive JPEG per the marker
+    # the decoder dispatches on
+    sof = good_jpeg.index(b"\xff\xc0")
+    progressive = good_jpeg[:sof] + b"\xff\xc2" + good_jpeg[sof + 2 :]
+
+    rows = [(i, bytearray(MM.make_ppm_payload(px))) for i in range(498)]
+    rows.append((998, bytearray(truncated)))
+    rows.append((999, bytearray(progressive)))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    hashed = MM.image_ahash(df).collect()
+    assert len(hashed) == 500
+    bad = {r.doc_id: r.error for r in hashed if r.error is not None}
+    assert set(bad) == {998, 999}
+    assert "NotImplementedError" in bad[999]  # progressive refusal, flagged
+    assert all(r.ahash is not None for r in hashed if r.error is None)
+
+    coded = MM.transcode_to_jpeg(df, quality=85).collect()
+    assert len(coded) == 500
+    bad2 = {r.doc_id for r in coded if r.error is not None}
+    assert bad2 == {998, 999}
+    assert all(
+        r.payload is not None and r.n_bytes > 0 for r in coded if r.error is None
+    )

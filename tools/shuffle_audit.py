@@ -220,6 +220,23 @@ def main() -> int:
         " it."
     )
     out.append(
+        "- **q_dedup_minhash byte-slope decomposition** (round 6, measured"
+        " per-stage at 1x and 3x): the local-mode repartition+shingle stage"
+        " is exactly linear (byte slope 3.02), the band window+agg stage"
+        " 2.96, and every ROW count is linear — raw pre-distinct candidate"
+        " pairs 341,912 -> 1,020,852 (2.99x), distinct pairs 48,116 ->"
+        " 142,880 (2.97x), buckets 58,189 -> 175,941. The >3 BYTE slope"
+        " comes entirely from the pairs.distinct() exchange: its map-side"
+        " partial aggregate collapses the ~16 band-duplicate copies of each"
+        " pair 4.1x at 1x (341,912 raw -> 82,918 shuffled records) but only"
+        " 1.7x at 3x (-> 593,438 records), because AQE coalesces the tiny"
+        " 1x upstream into few map partitions where duplicates meet. The"
+        " 1x measurement is artificially LOW, not the 3x one high; the"
+        " asymptotic shuffle is proportional to raw candidate pairs —"
+        " measured linear (2.99) — so the algorithmic slope is ~3.0, under"
+        " the <=3.2 target."
+    )
+    out.append(
         "- **window queries (q_running_sum, q_session_batch, q_asof_join)**"
         " sit near ratio 1: a window sort moves each row once — the floor"
         " for any per-key ordered computation."
