@@ -1,14 +1,19 @@
-"""Pure-Python baseline JPEG codec (ITU-T T.81) — stdlib + numpy only.
+"""Pure-Python JPEG codec (ITU-T T.81) — stdlib + numpy only.
 
 Closes the multimodal tier's jpeg stub with a REAL codec: the encoder
 writes baseline sequential DCT JPEGs (8-bit, grayscale or 4:4:4 YCbCr,
 standard Annex-K quantization/Huffman tables, libjpeg-style quality
-scaling), and the decoder parses the marker stream and reads the
-quantization AND Huffman tables FROM THE FILE (DQT/DHT segments), so it
-decodes any spec-compliant baseline JPEG within its documented envelope:
+scaling) and — via :func:`make_progressive_jpeg_payload` — progressive
+(SOF2) JPEGs with per-scan frequency-optimal Huffman tables (T.81 K.2).
+The decoder parses the marker stream and reads the quantization AND
+Huffman tables FROM THE FILE (DQT/DHT segments), so it decodes any
+spec-compliant baseline OR progressive JPEG within its documented
+envelope:
 
-- baseline sequential (SOF0) only — progressive (SOF2) raises
-  NotImplementedError;
+- baseline sequential (SOF0) and progressive (SOF2, Annex G: spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, EOB-run batching); other SOF classes (lossless, arithmetic,
+  hierarchical, 12-bit) raise NotImplementedError;
 - 8-bit precision, 1 (grayscale) or 3 (YCbCr) components;
 - ANY sampling-factor layout on decode (4:4:4, the photographic-default
   4:2:0, 4:2:2, ...): general MCU interleave + replication upsampling;
@@ -363,12 +368,367 @@ def make_jpeg_payload(
     return bytes(out)
 
 
-def _destuff_scan(data: bytes, pos: int) -> tuple[bytes, list[int]]:
+def _optimal_huffman(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Frequency-optimal Huffman table per T.81 Annex K.2 — the standard
+    two-stage construction (pairwise merge with code-size tracking, then
+    BITS adjustment to the 16-bit ceiling, reserving one all-ones code
+    via the phantom symbol 256). Returns (bits[1..16], vals) ready for a
+    DHT segment. Progressive scans need this because the Annex-K fixed
+    AC tables carry no EOBn symbols (run>0, size 0)."""
+    freq = [0] * 257
+    for s, f in freqs.items():
+        freq[s] = f
+    freq[256] = 1  # reserved: keeps the all-ones code unassigned
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = v2 = -1
+        for i in range(257):  # least freq, ties → largest value (K.2)
+            if freq[i] > 0 and (v1 < 0 or freq[i] <= freq[v1]):
+                v1 = i
+        for i in range(257):
+            if i != v1 and freq[i] > 0 and (v2 < 0 or freq[i] <= freq[v2]):
+                v2 = i
+        if v2 < 0:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32  # ADJUST_BITS: fold code lengths > 16 down (K.2 figure K.3)
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved phantom code (always the longest)
+    vals = []
+    for size in range(1, 33):
+        for sym in range(256):
+            if codesize[sym] == size:
+                vals.append(sym)
+    return bits[1:17], vals
+
+
+#: libjpeg-style "simple progression" scan scripts: DC first (point
+#: transform 1) → coarse AC bands → AC refinements → DC refinement
+_PROGRESSIVE_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+    ((0,), 0, 0, 1, 0),
+]
+_PROGRESSIVE_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def make_progressive_jpeg_payload(
+    pixels: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """Encode as a PROGRESSIVE JPEG (SOF2, T.81 Annex G): the same
+    quantized coefficients as :func:`make_jpeg_payload` split across
+    spectral-selection + successive-approximation scans, so a partial
+    read renders a coarse image. Because the coefficients are identical,
+    ``decode_jpeg`` of this payload is BIT-IDENTICAL to decoding the
+    baseline encoding of the same input (asserted in tests). Huffman
+    tables are frequency-optimal per scan (T.81 K.2) — required, since
+    the fixed Annex-K tables lack the EOBn run symbols progressive AC
+    coding uses. ``scans`` overrides the default script with
+    (component-tuple, Ss, Se, Ah, Al) entries."""
+    px = np.asarray(pixels)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    sub420 = subsampling == "420" and not gray
+    qt_l, qt_c = _quality_tables(quality)
+    if gray:
+        raw_planes = [px.astype(np.float64)]
+        qts = [qt_l]
+        samps = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(px.astype(np.float64))
+        raw_planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [qt_l, qt_c, qt_c]
+        samps = [(2, 2), (1, 1), (1, 1)] if sub420 else [(1, 1)] * 3
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    ph = -(-h // (8 * vmax)) * 8 * vmax
+    pw = -(-w // (8 * hmax)) * 8 * hmax
+    mcus_y, mcus_x = ph // (8 * vmax), pw // (8 * hmax)
+    # quantized zigzag coefficient grids — per-block matmul exactly like
+    # the baseline encoder (NOT einsum-batched: ~2e-13 ulp drift there can
+    # flip np.round at quantization boundaries and break the bit-identity
+    # contract with make_jpeg_payload)
+    grids = []
+    for ci, p in enumerate(raw_planes):
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        hi, vi = samps[ci]
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        div = np.asarray(qts[ci], dtype=np.float64).reshape(64)
+        g = np.zeros((nby, nbx, 64), np.int32)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coefs = _D @ block @ _D.T
+                g[by, bx] = np.round(coefs.reshape(64) / div)[ZIGZAG].astype(
+                    np.int32
+                )
+        grids.append(g)
+
+    if scans is None:
+        scans = _PROGRESSIVE_SCRIPT_GRAY if gray else _PROGRESSIVE_SCRIPT_COLOR
+    if gray:
+        scans = [s for s in scans if s[0] == (0,)]
+
+    def run_scan(scomps, ss, se, ah, al, emit, bits, rst):
+        """Drive one scan's coefficient walk through (emit, bits, rst)
+        sinks — called twice per scan: symbol-stats pass, then the real
+        entropy pass with the stats-built tables."""
+        dri = restart_interval
+
+        def true_dims(ci):
+            # non-interleaved scans cover the component's TRUE block grid
+            # (T.81 A.2.2), which is smaller than the MCU-padded grid when
+            # sampling factors and image size don't align (e.g. 4:2:0 luma
+            # with an odd block-row count) — the decoder walks the same
+            hi, vi = samps[ci]
+            ch = -(-(h * vi) // vmax)  # ceil(h*vi/vmax)
+            cw = -(-(w * hi) // hmax)
+            return -(-ch // 8), -(-cw // 8)
+
+        if ss == 0:  # DC scan
+            if len(scomps) == 1:
+                ci = scomps[0]
+                nby, nbx = true_dims(ci)
+                mcus = [[(0, by, bx)] for by in range(nby) for bx in range(nbx)]
+            else:
+                mcus = []
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        mcu = []
+                        for oi, ci in enumerate(scomps):
+                            hi, vi = samps[ci]
+                            for bv in range(vi):
+                                for bhh in range(hi):
+                                    mcu.append(
+                                        (oi, my * vi + bv, mx * hi + bhh)
+                                    )
+                        mcus.append(mcu)
+            preds = [0] * len(scomps)
+            for count, mcu in enumerate(mcus):
+                if dri and count and count % dri == 0:
+                    rst(count)
+                    preds = [0] * len(scomps)
+                for oi, by, bx in mcu:
+                    ci = scomps[oi]
+                    dc = int(grids[ci][by, bx, 0])
+                    if ah == 0:
+                        v = dc >> al  # arithmetic shift, like the decoder's <<
+                        size, b = _magnitude(v - preds[oi])
+                        preds[oi] = v
+                        emit(("dc", 0 if ci == 0 else 1), size)
+                        if size:
+                            bits(b, size)
+                    else:  # refinement: one raw correction bit per block
+                        bits((dc >> al) & 1, 1)
+            return
+        # AC scan: single component, EOB-run batched (G.1.2.2 / G.1.2.3)
+        ci = scomps[0]
+        tslot = ("ac", 0)
+        grid = grids[ci]
+        nby, nbx = true_dims(ci)
+        eobrun = 0
+        bbuf: list[int] = []  # correction bits pending behind an EOB run
+
+        def flush_eob():
+            nonlocal eobrun, bbuf
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                emit(tslot, nbits << 4)
+                if nbits:
+                    bits(eobrun, nbits)
+                eobrun = 0
+            for bit in bbuf:
+                bits(bit, 1)
+            bbuf = []
+
+        count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if dri and count and count % dri == 0:
+                    flush_eob()
+                    rst(count)
+                count += 1
+                zz = grid[by, bx]
+                if ah == 0:  # first scan for this band
+                    run = 0
+                    for k in range(ss, se + 1):
+                        t = int(zz[k])
+                        sign = t < 0
+                        t = (-t if sign else t) >> al
+                        if t == 0:
+                            run += 1
+                            continue
+                        flush_eob()
+                        while run > 15:
+                            emit(tslot, 0xF0)
+                            run -= 16
+                        size, b = _magnitude(-t if sign else t)
+                        emit(tslot, (run << 4) | size)
+                        bits(b, size)
+                        run = 0
+                    if run > 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                else:  # refinement scan
+                    absv = [
+                        (abs(int(zz[k]))) >> al for k in range(ss, se + 1)
+                    ]
+                    eobpos = ss - 1
+                    for k in range(ss, se + 1):
+                        if absv[k - ss] == 1:
+                            eobpos = k
+                    run = 0
+                    pend: list[int] = []  # this block's correction bits
+                    for k in range(ss, se + 1):
+                        t = absv[k - ss]
+                        if t == 0:
+                            run += 1
+                            continue
+                        while run > 15 and k <= eobpos:
+                            flush_eob()
+                            emit(tslot, 0xF0)
+                            run -= 16
+                            for bit in pend:
+                                bits(bit, 1)
+                            pend = []
+                        if t > 1:  # history-nonzero: correction bit
+                            pend.append(t & 1)
+                            continue
+                        flush_eob()
+                        emit(tslot, (run << 4) | 1)
+                        bits(0 if int(zz[k]) < 0 else 1, 1)
+                        for bit in pend:
+                            bits(bit, 1)
+                        pend = []
+                        run = 0
+                    if run > 0 or pend:
+                        eobrun += 1
+                        bbuf.extend(pend)
+                        if eobrun == 0x7FFF or len(bbuf) > 900:
+                            flush_eob()
+        flush_eob()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tq, qt in enumerate(qts[: 1 if gray else 2]):
+        zz = qt.reshape(64)[ZIGZAG].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + sof  # SOF2: progressive DCT
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    for scomps, ss, se, ah, al in scans:
+        freqs: dict[tuple, dict[int, int]] = {}
+
+        def count_sym(slot, sym):
+            freqs.setdefault(slot, {})
+            freqs[slot][sym] = freqs[slot].get(sym, 0) + 1
+
+        run_scan(
+            scomps, ss, se, ah, al,
+            emit=count_sym, bits=lambda v, n: None, rst=lambda c: None,
+        )
+        tables = {}
+        for slot, f in sorted(freqs.items()):
+            tbits, tvals = _optimal_huffman(f)
+            tables[slot] = _canonical_codes(tbits, tvals)
+            tc = 0x00 if slot[0] == "dc" else 0x10
+            seg = bytes([tc | slot[1]]) + bytes(tbits) + bytes(tvals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+        sos = struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+        for ci in scomps:
+            if ss == 0:
+                tt = ((0 if ci == 0 else 1) << 4) | 0
+            else:
+                tt = 0x00  # AC table slot 0, redefined per scan
+            sos += bytes([ci + 1, tt])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + sos
+        writer = _BitWriter()
+
+        def emit_real(slot, sym):
+            code, ln = tables[slot][sym]
+            writer.write(code, ln)
+
+        def rst_real(count):
+            writer.align_marker(
+                0xD0 + (count // restart_interval - 1) % 8
+            )
+
+        run_scan(
+            scomps, ss, se, ah, al,
+            emit=emit_real, bits=writer.write, rst=rst_real,
+        )
+        out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _destuff_scan(data: bytes, pos: int) -> tuple[bytes, list[int], int]:
     """Extract the entropy-coded segment starting at ``pos``: drop byte
     stuffing (0xFF00 → 0xFF), record restart-marker positions as
     DESTUFFED byte offsets (segment boundaries), stop at any other
     marker (EOI / next header). One linear pass — the per-bit
-    stuffed-byte checks were the decoder's hot path."""
+    stuffed-byte checks were the decoder's hot path. Returns
+    (entropy bytes, restart boundaries, file offset of the terminating
+    marker) — the offset is what lets a progressive decoder resume the
+    marker walk after each of its many scans."""
     out = bytearray()
     boundaries: list[int] = []
     n = len(data)
@@ -376,6 +736,7 @@ def _destuff_scan(data: bytes, pos: int) -> tuple[bytes, list[int]]:
         nxt = data.find(b"\xff", pos)
         if nxt == -1:
             out += data[pos:]
+            pos = n
             break
         out += data[pos:nxt]
         mk = data[nxt + 1] if nxt + 1 < n else 0xD9
@@ -386,8 +747,9 @@ def _destuff_scan(data: bytes, pos: int) -> tuple[bytes, list[int]]:
             boundaries.append(len(out))
             pos = nxt + 2
         else:  # real marker: entropy data over
+            pos = nxt
             break
-    return bytes(out), boundaries
+    return bytes(out), boundaries, pos
 
 
 class _FastBits:
@@ -435,6 +797,210 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _comp_block_dims(
+    comp: dict, w: int, h: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """A component's TRUE block-grid dims (T.81 A.1.1): the non-interleaved
+    scan unit count, which is smaller than the MCU-padded grid."""
+    cw = -(-(w * comp["hi"]) // hmax)
+    ch = -(-(h * comp["vi"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    scan_start: int,
+    seg: bytes,
+    comps: list[dict],
+    htables: dict[int, dict],
+    dri: int,
+    grids: list[np.ndarray],
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 Annex G) into the per-component
+    zigzag coefficient grids; returns the file offset of the marker that
+    terminates the scan's entropy data. Handles all four scan kinds —
+    DC first/refine (interleaved or single-component) and AC first/refine
+    (single-component, EOB-run batched) — plus restart intervals (byte
+    align, DC-predictor + EOB-run reset)."""
+    ns = seg[0]
+    order: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    for i in range(ns):
+        cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+        ci = next(
+            (j for j, c in enumerate(comps) if c["id"] == cid), None
+        )
+        if ci is None:
+            raise ValueError(f"scan references undefined component id {cid}")
+        order.append((ci, tt >> 4, tt & 0xF))
+    ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = a >> 4, a & 0xF
+    ent, rst_bounds, end_pos = _destuff_scan(payload, scan_start)
+    r = _FastBits(ent)
+    rst_iter = iter(rst_bounds)
+
+    flat: dict[int, tuple[list[int], list[int]]] = {}
+
+    def huff(tc_th: int) -> int:
+        t = flat.get(tc_th)
+        if t is None:
+            if tc_th not in htables:
+                raise ValueError(
+                    f"scan references undefined Huffman table 0x{tc_th:02X}"
+                )
+            t = flat[tc_th] = _flat_table(htables[tc_th])
+        syms, lens = t
+        idx = r.peek16()
+        s = syms[idx]
+        if s < 0:
+            raise ValueError("invalid Huffman code in scan data")
+        r.bitpos += lens[idx]
+        return s
+
+    def align_restart() -> None:
+        try:
+            r.align_to(next(rst_iter))
+        except StopIteration:
+            raise ValueError("missing restart marker in scan data") from None
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+        # unit walk: MCU-interleaved when several components, the single
+        # component's own block grid otherwise
+        mcus: list[list[tuple[int, int, int]]] = []
+        if ns == 1:
+            ci = order[0][0]
+            bh, bw = _comp_block_dims(comps[ci], w, h, hmax, vmax)
+            mcus = [[(0, by, bx)] for by in range(bh) for bx in range(bw)]
+        else:
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    mcu = []
+                    for oi, (ci, _, _) in enumerate(order):
+                        c = comps[ci]
+                        for bv in range(c["vi"]):
+                            for bhh in range(c["hi"]):
+                                mcu.append(
+                                    (oi, my * c["vi"] + bv, mx * c["hi"] + bhh)
+                                )
+                    mcus.append(mcu)
+        preds = [0] * len(order)
+        for count, mcu in enumerate(mcus):
+            if dri and count and count % dri == 0:
+                align_restart()
+                preds = [0] * len(order)
+            for oi, by, bx in mcu:
+                ci, dc_id, _ = order[oi]
+                blk = grids[ci][by, bx]
+                if ah == 0:
+                    s = huff(dc_id)
+                    diff = _extend(r.take(s), s) if s else 0
+                    preds[oi] += diff
+                    blk[0] = preds[oi] << al
+                else:  # refinement: one correction bit per block, no tables
+                    if r.take(1):
+                        blk[0] = int(blk[0]) | (1 << al)
+        return end_pos
+
+    # AC scan: single component only (T.81 G.1.1.1.1)
+    if ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    ci, _, ac_id = order[0]
+    ac_key = 0x10 | ac_id
+    bh, bw = _comp_block_dims(comps[ci], w, h, hmax, vmax)
+    grid = grids[ci]
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and count and count % dri == 0:
+                align_restart()
+                eobrun = 0
+            count += 1
+            blk = grid[by, bx]
+            if ah == 0:  # first AC scan for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = huff(ac_key)
+                    rr, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if rr != 15:  # EOBn: run of 2^rr (+bits) blocks
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.take(rr)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += rr
+                    if k > se:
+                        raise ValueError(
+                            "AC index out of range in progressive scan"
+                        )
+                    blk[k] = _extend(r.take(s), s) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3): correction bits interleave
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = huff(ac_key)
+                        rr, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s == 0:
+                            if rr != 15:
+                                eobrun = 1 << rr
+                                if rr:
+                                    eobrun += r.take(rr)
+                                break
+                            # rr == 15: ZRL — skip 16 zero-history coefs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid refinement symbol in "
+                                    "progressive scan"
+                                )
+                            val = p1 if r.take(1) else m1
+                        while k <= se:
+                            coef = int(blk[k])
+                            if coef != 0:
+                                # history-nonzero: consume a correction bit
+                                if r.take(1) and (coef & p1) == 0:
+                                    blk[k] = coef + (p1 if coef >= 0 else m1)
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise ValueError(
+                                    "AC index out of range in progressive "
+                                    "scan"
+                                )
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # inside an EOB run: only correction bits for
+                    # history-nonzero coefficients remain in this block
+                    while k <= se:
+                        coef = int(blk[k])
+                        if coef != 0:
+                            if r.take(1) and (coef & p1) == 0:
+                                blk[k] = coef + (p1 if coef >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return end_pos
+
+
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
     """Decode a baseline sequential JPEG — 8-bit, 1 or 3 components, ANY
     sampling-factor layout (4:4:4, 4:2:0, 4:2:2, ...; subsampled planes
@@ -449,6 +1015,8 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
     htables: dict[int, dict] = {}
     comps: list[dict] = []
     h = w = dri = 0
+    progressive = False
+    grids: list[np.ndarray] | None = None  # per-comp zigzag coef planes (SOF2)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -480,7 +1048,8 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 vals = list(seg[i + 17 : i + 17 + nval])
                 htables[tc_th] = _decode_table(bits, vals)
                 i += 17 + nval
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -497,7 +1066,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 comps.append(
                     {"id": cid, "tq": tq, "hi": samp >> 4, "vi": samp & 0xF}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X})"
@@ -505,6 +1074,23 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
         elif marker == 0xDD:  # DRI: restart every N MCUs
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS — scan follows
+            if progressive:
+                if grids is None:
+                    hmax = max(c["hi"] for c in comps)
+                    vmax = max(c["vi"] for c in comps)
+                    mcus_x = -(-w // (8 * hmax))
+                    mcus_y = -(-h // (8 * vmax))
+                    grids = [
+                        np.zeros(
+                            (mcus_y * c["vi"], mcus_x * c["hi"], 64), np.int32
+                        )
+                        for c in comps
+                    ]
+                pos = _decode_progressive_scan(
+                    payload, pos + seglen, seg, comps, htables, dri, grids,
+                    hmax, vmax, w, h,
+                )
+                continue
             ns = seg[0]
             order = []
             for ci in range(ns):
@@ -513,7 +1099,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 comp["dc"] = htables[(tt >> 4)]
                 comp["ac"] = htables[0x10 | (tt & 0xF)]
                 order.append(comp)
-            ent, rst_bounds = _destuff_scan(payload, pos + seglen)
+            ent, rst_bounds, _scan_end = _destuff_scan(payload, pos + seglen)
             r = _FastBits(ent)
             flat_cache: dict[int, tuple[list[int], list[int]]] = {}
             for comp in order:
@@ -634,4 +1220,39 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 img = _ycbcr_to_rgb(full[0], full[1], full[2])
             return img, meta
         pos += seglen
+    if progressive and grids is not None:
+        # all scans accumulated into the coefficient grids — dequantize,
+        # IDCT, upsample, color-convert exactly like the baseline path
+        # (blocks are dense row-major, so placement is a pure reshape)
+        hmax = max(c["hi"] for c in comps)
+        vmax = max(c["vi"] for c in comps)
+        full = []
+        for ci, comp in enumerate(comps):
+            g = grids[ci]
+            nby, nbx = g.shape[:2]
+            nat = np.zeros((nby * nbx, 64))
+            nat[:, ZIGZAG] = (
+                g.reshape(-1, 64).astype(np.float64)
+                * qtables[comp["tq"]][ZIGZAG][None, :]
+            )
+            blk = (
+                np.einsum("ij,njk,kl->nil", _D.T, nat.reshape(-1, 8, 8), _D)
+                + 128.0
+            )
+            plane = (
+                blk.reshape(nby, nbx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8)
+            )
+            if comp["vi"] < vmax or comp["hi"] < hmax:
+                plane = np.repeat(
+                    np.repeat(plane, vmax // comp["vi"], axis=0),
+                    hmax // comp["hi"],
+                    axis=1,
+                )
+            full.append(plane[:h, :w])
+        meta = {"width": w, "height": h, "n_components": len(comps)}
+        if len(comps) == 1:
+            return np.clip(full[0], 0, 255).astype(np.uint8), meta
+        return _ycbcr_to_rgb(full[0], full[1], full[2]), meta
     raise ValueError("no SOS scan found in JPEG stream")

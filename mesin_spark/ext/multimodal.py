@@ -3,14 +3,16 @@ typed metadata, processed by Arrow-batched pandas functions via
 mapInPandas.
 
 Four real pure-Python codecs are implemented — WAV (RIFF PCM audio),
-PPM (P6 binary images), baseline JPEG (ext/jpeg.py: full T.81 encoder +
-decoder — grayscale and color, any sampling layout incl. 4:2:0 on
-decode, restart intervals, tables read from the file), and AVI/MJPEG
-video (ext/avi.py: RIFF container, one baseline JPEG per frame) — so
-the decode path runs end-to-end on genuine media bytes without
-PIL/ffmpeg. Formats that still need a native codec (mp4/h264
-inter-frame video, progressive jpeg) stay clearly-marked
-NotImplementedError stubs.
+PPM (P6 binary images), JPEG (ext/jpeg.py: full T.81 encoder + decoder
+— baseline AND progressive/SOF2, grayscale and color, any sampling
+layout incl. 4:2:0 on decode, restart intervals, tables read from the
+file), and MJPEG video in BOTH mainstream container families —
+AVI/RIFF (ext/avi.py) and MP4/ISO-BMFF (ext/mp4.py), one JPEG per
+frame/sample — so the decode path runs end-to-end on genuine media
+bytes without PIL/ffmpeg. The one class that still needs a native
+codec (h264/h265 inter-frame video) stays a clearly-marked
+NotImplementedError stub: an mp4 whose sample entry names it is
+refused with that error (and flagged per-record), never mis-decoded.
 
 At 100 TB the shape matters more than the codec: media blobs stay in
 binary columns next to their metadata (one scan, no sidecar fetch), decode
@@ -190,14 +192,21 @@ def make_video_payload(frames: list["np.ndarray"]) -> bytes:
 
 def decode_video(payload: bytes) -> list["np.ndarray"]:
     """Format-sniffing video decoder: MPPM (concatenated P6 frames,
-    walked by their self-describing headers) or AVI/MJPEG (RIFF chunk
-    tree, each frame a baseline JPEG — ext/avi.py). Returns the list of
-    (h, w, 3) uint8 frames either way, so frame_sample and every other
-    video operator is container-agnostic."""
+    walked by their self-describing headers), AVI/MJPEG (RIFF chunk
+    tree — ext/avi.py), or MP4/MJPEG (ISO BMFF sample tables —
+    ext/mp4.py); each frame is a JPEG in the container cases. Returns
+    the list of (h, w, 3) uint8 frames in every case, so frame_sample
+    and every other video operator is container-agnostic. h264/h265
+    sample entries raise NotImplementedError from the mp4 reader (codec
+    stub; the container itself parses)."""
     if payload[:4] == b"RIFF":
         from mesin_spark.ext.avi import decode_avi
 
         return decode_avi(payload)[0]
+    if payload[4:8] == b"ftyp":
+        from mesin_spark.ext.mp4 import decode_mp4
+
+        return decode_mp4(payload)[0]
     frames, pos = [], 0
     while pos < len(payload):
         px, _, pos = _parse_ppm_at(payload, pos)
@@ -527,15 +536,22 @@ def image_ahash(df: DataFrame) -> DataFrame:
 TRANSCODE_SCHEMA = "doc_id long, payload binary, n_bytes long, ratio double, error string"
 
 
-def transcode_to_jpeg(df: DataFrame, quality: int = 85) -> DataFrame:
-    """Re-encode image payloads (PPM or JPEG) as baseline JPEG — the
+def transcode_to_jpeg(
+    df: DataFrame, quality: int = 85, progressive: bool = False
+) -> DataFrame:
+    """Re-encode image payloads (PPM or JPEG) as JPEG — the
     storage-compaction ingest step a 100 TB image corpus runs before
     anything else (raw RGB is ~10-50x the bytes of its JPEG). Pure
     per-partition mapInPandas: decode (format-sniffing), encode with the
     deterministic pure-Python T.81 codec, report the compression ratio.
-    Lossy by design; the perceptual-hash dedup downstream is exactly the
-    operator built to survive this re-encoding."""
-    from mesin_spark.ext.jpeg import make_jpeg_payload
+    ``progressive=True`` writes SOF2 files (spectral-selection scans,
+    per-scan optimal Huffman tables) — same quantized coefficients, so
+    decoded pixels are bit-identical to the baseline encoding. Lossy by
+    design; the perceptual-hash dedup downstream is exactly the operator
+    built to survive this re-encoding."""
+    from mesin_spark.ext.jpeg import make_jpeg_payload, make_progressive_jpeg_payload
+
+    encode = make_progressive_jpeg_payload if progressive else make_jpeg_payload
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -544,7 +560,7 @@ def transcode_to_jpeg(df: DataFrame, quality: int = 85) -> DataFrame:
                 try:
                     raw = bytes(pl)
                     px, _ = decode_image(raw)
-                    enc = make_jpeg_payload(px, quality=quality)
+                    enc = encode(px, quality=quality)
                     payloads.append(enc)
                     sizes.append(len(enc))
                     ratios.append(len(enc) / max(len(raw), 1))
@@ -573,13 +589,21 @@ VIDEO_TRANSCODE_SCHEMA = (
 
 
 def transcode_video_to_mjpeg(
-    df: DataFrame, fps: int = 10, quality: int = 85
+    df: DataFrame, fps: int = 10, quality: int = 85, container: str = "avi"
 ) -> DataFrame:
-    """Re-encode video payloads (MPPM or AVI/MJPEG) as AVI/MJPEG — the
-    video sibling of transcode_to_jpeg: raw concatenated frames compress
-    to per-frame JPEGs inside a standard RIFF container real tools can
-    read. Per-partition mapInPandas; reports the compression ratio."""
-    from mesin_spark.ext.avi import make_avi_payload
+    """Re-encode video payloads (MPPM, AVI/MJPEG, or MP4/MJPEG) as MJPEG
+    in a standard container — the video sibling of transcode_to_jpeg:
+    raw concatenated frames compress to per-frame JPEGs real tools can
+    read. ``container`` picks the family: 'avi' (RIFF, ext/avi.py) or
+    'mp4' (ISO BMFF, ext/mp4.py) — identical decoded pixels either way
+    (same JPEG codec; asserted in tests). Per-partition mapInPandas;
+    reports the compression ratio."""
+    if container == "avi":
+        from mesin_spark.ext.avi import make_avi_payload as make_payload
+    elif container == "mp4":
+        from mesin_spark.ext.mp4 import make_mp4_payload as make_payload
+    else:
+        raise ValueError(f"container must be 'avi' or 'mp4', got {container!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -588,7 +612,7 @@ def transcode_video_to_mjpeg(
                 try:
                     raw = bytes(pl)
                     frames = decode_video(raw)
-                    enc = make_avi_payload(frames, fps=fps, quality=quality)
+                    enc = make_payload(frames, fps=fps, quality=quality)
                     payloads.append(enc)
                     sizes.append(len(enc))
                     ratios.append(len(enc) / max(len(raw), 1))

@@ -427,6 +427,33 @@ def q_video_mjpeg(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query("q_video_mp4")  # rows-only: lossy binary container path (no SQL analogue)
+def q_video_mp4(spark, sf_dir):
+    """Video pipeline through the ISO BMFF container family: synthesize
+    12-frame MPPM videos, transcode each to MP4/MJPEG (ext/mp4.py —
+    ftyp/mdat/moov with standard stsd/stts/stsc/stsz/stco sample
+    tables, one JPEG per sample), then frame-sample the MP4 payloads
+    through the same container-agnostic decode path q_video_mjpeg uses
+    for AVI. Same JPEG codec underneath, so for identical input the AVI
+    and MP4 routes decode IDENTICAL pixels (asserted in
+    tests/test_llm2_ops.py); the h264/h265 codecs remain refused-with-
+    NotImplementedError stubs that the per-record error column converts
+    to flags, not dead jobs. All stages per-partition mapInPandas — no
+    shuffle."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mp4 = M.transcode_video_to_mjpeg(
+        M.synth_video(d), fps=10, quality=90, container="mp4"
+    )
+    sampled = M.frame_sample(mp4.select("doc_id", "payload"), every_n=3)
+    return sampled.select(
+        "doc_id",
+        "n_frames",
+        "n_sampled",
+        F.round(F.element_at("frame_means", 1), 2).alias("first_frame_mean"),
+        F.round(F.element_at("frame_means", -1), 2).alias("last_frame_mean"),
+    ).orderBy("doc_id")
+
+
 @query(
     "q_dbscan",
     oracle="""

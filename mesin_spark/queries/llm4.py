@@ -229,6 +229,51 @@ def q_image_jpeg(spark, sf_dir):
     )
 
 
+@query("q_image_progressive")  # rows-only: lossy binary codec path (no SQL analogue)
+def q_image_progressive(spark, sf_dir):
+    """Progressive-JPEG parity end-to-end: every synthesized image is
+    transcoded TWICE — once as baseline (SOF0), once as progressive
+    (SOF2: spectral-selection + successive-approximation scans with
+    per-scan K.2-optimal Huffman tables, ext/jpeg.py
+    make_progressive_jpeg_payload) — and both variants are decoded and
+    perceptually hashed. Both encoders quantize the same coefficients,
+    so the decoded pixels and therefore the hashes must match exactly;
+    ``hash_match`` is the self-checking column (bit-identity asserted
+    in tests/test_llm4_ops.py). Progressive is the JPEG class real web
+    corpora contain most after baseline — this query certifies the
+    engine ingests it natively rather than quarantining it. All stages
+    per-partition mapInPandas; the only shuffle is the parity join on
+    doc_id."""
+    from mesin_spark.ext import multimodal as MM
+
+    d = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    imgs = MM.synth_image(d)
+    base = MM.transcode_to_jpeg(imgs, quality=90)
+    prog = MM.transcode_to_jpeg(imgs, quality=90, progressive=True)
+    hb = MM.image_ahash(base.select("doc_id", "payload")).select(
+        "doc_id", F.col("ahash").alias("ahash_base")
+    )
+    hp = MM.image_ahash(prog.select("doc_id", "payload")).select(
+        "doc_id", F.col("ahash").alias("ahash_prog")
+    )
+    sz = base.select("doc_id", F.col("n_bytes").alias("bytes_base")).join(
+        prog.select("doc_id", F.col("n_bytes").alias("bytes_prog")), "doc_id"
+    )
+    return (
+        hb.join(hp, "doc_id")
+        .join(sz, "doc_id")
+        .select(
+            "doc_id",
+            "ahash_base",
+            "ahash_prog",
+            (F.col("ahash_base") == F.col("ahash_prog")).alias("hash_match"),
+            "bytes_base",
+            "bytes_prog",
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("q_bpe_encode")  # rows-only: the iterative trainer has no SQL mirror
 def q_bpe_encode(spark, sf_dir):
     """Apply the trained tokenizer: learn 12 BPE merges from the corpus,

@@ -381,3 +381,79 @@ def test_dbscan_planted_geometry(spark):
         5: (1, "border"),
         6: (6, "core"), 7: (6, "core"), 8: (6, "core"), 9: (6, "core"),
     }  # id 10 is noise -> absent
+
+
+def test_mp4_mjpeg_container_roundtrip():
+    """MP4/MJPEG codec (ISO BMFF, ext/mp4.py): deterministic bytes, exact
+    frame count + header metadata via the standard sample tables, pixel
+    IDENTITY with the AVI route (same JPEG codec), grayscale broadcast,
+    h264 refusal, and the decode_video ftyp dispatch."""
+    import pytest
+
+    from mesin_spark.ext.avi import make_avi_payload, decode_avi
+    from mesin_spark.ext.mp4 import decode_mp4, make_mp4_payload
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = [
+        np.stack(
+            [(yy * 3 + t * 10) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for t in range(5)
+    ]
+    mp4 = make_mp4_payload(frames, fps=10, quality=90)
+    assert mp4[4:8] == b"ftyp"
+    assert make_mp4_payload(frames, fps=10, quality=90) == mp4
+    dec, meta = decode_mp4(mp4)
+    assert (meta["width"], meta["height"], meta["fps"], meta["n_frames"]) == (
+        32, 24, 10.0, 5,
+    )
+    # same JPEG codec underneath: MP4 and AVI routes decode IDENTICAL pixels
+    adec, _ = decode_avi(make_avi_payload(frames, fps=10, quality=90))
+    assert all(np.array_equal(a, b) for a, b in zip(adec, dec))
+    # decode_video dispatches on the ftyp box
+    assert len(M.decode_video(mp4)) == 5
+    # grayscale samples broadcast to (h, w, 3) per decode_video's contract
+    gmp4 = make_mp4_payload(
+        [np.full((16, 16), 100 + t, np.uint8)[..., None].repeat(3, -1) for t in range(3)]
+    )
+    gdec, _ = decode_mp4(gmp4)
+    assert all(f.shape == (16, 16, 3) for f in gdec)
+    # h264 sample entry: container parses, codec refuses loudly
+    # (patch the LAST 'jpeg' occurrence — the stsd entry lives in the
+    # trailing moov; an earlier hit could be entropy bytes in mdat)
+    i = mp4.rindex(b"jpeg")
+    with pytest.raises(NotImplementedError, match="native"):
+        decode_mp4(mp4[:i] + b"avc1" + mp4[i + 4 :])
+    with pytest.raises(ValueError):
+        decode_mp4(b"\x00\x00\x00\x08free")
+
+
+def test_video_mp4_transcode_spark_path(spark, docs):
+    """Transcode MPPM → MP4/MJPEG in Spark: frame counts exact through
+    the lossy re-encode, pixel parity with the AVI container route, and
+    a truncated MP4 payload flags per-record instead of killing the job."""
+    d = docs.limit(10)
+    avi = M.transcode_video_to_mjpeg(
+        M.synth_video(d, width=32, height=24), quality=90, container="avi"
+    )
+    mp4 = M.transcode_video_to_mjpeg(
+        M.synth_video(d, width=32, height=24), quality=90, container="mp4"
+    )
+    assert mp4.agg({"ratio": "max"}).collect()[0][0] < 1.0
+    a = {r.doc_id: r for r in M.frame_sample(avi.select("doc_id", "payload"), every_n=3).collect()}
+    b = {r.doc_id: r for r in M.frame_sample(mp4.select("doc_id", "payload"), every_n=3).collect()}
+    assert set(a) == set(b)
+    for i in a:
+        assert a[i].n_frames == b[i].n_frames == 12
+        assert a[i].frame_means == b[i].frame_means  # identical pixels
+    # poison pill: truncate one mp4 payload — flagged row, job completes
+    one = mp4.select("doc_id", "payload").limit(1).collect()[0]
+    import pyspark.sql.functions as F
+
+    bad = spark.createDataFrame(
+        [(one.doc_id, bytearray(bytes(one.payload)[: len(one.payload) // 2]))],
+        "doc_id long, payload binary",
+    )
+    rows = M.frame_sample(bad, every_n=3).collect()
+    assert rows[0].error is not None and rows[0].n_frames is None

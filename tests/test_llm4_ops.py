@@ -407,10 +407,16 @@ def test_jpeg_codec_roundtrip_properties(spark):
 
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    # progressive SOF2 marker stream must refuse, not mis-decode
-    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    # a BASELINE scan mislabeled as SOF2 is malformed (its SOS declares
+    # Se=63 on what progressive rules read as a DC scan) — must refuse,
+    # not mis-decode; real progressive streams are covered by
+    # test_progressive_jpeg_bit_identical_to_baseline
+    mislabeled = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(mislabeled)
+    # genuinely unsupported SOF class (lossless, SOF3) still refuses
     with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+        decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc3", 1))
 
 
 def test_q_image_jpeg_dedup_survives_recompression(spark):
@@ -476,10 +482,12 @@ def test_ann_index_persist_prune_recall(spark, tmp_path):
 
 def test_poison_pill_payloads_flag_not_kill(spark):
     """The 100 TB ingest-robustness contract (VERDICT r05 #2): a 500-row
-    image batch with one TRUNCATED JPEG and one PROGRESSIVE (SOF2) JPEG
-    completes the job with exactly those two rows flagged in the error
-    column — a poison-pill record must never abort the job. Exercises
-    image_ahash AND transcode_to_jpeg over the same planted batch."""
+    image batch with one TRUNCATED baseline JPEG and one UNSUPPORTED
+    SOF-class (lossless, SOF3) JPEG completes the job with exactly those
+    two rows flagged in the error column — a poison-pill record must
+    never abort the job. (Progressive SOF2 is no longer a poison pill:
+    it decodes for real — test_progressive_jpeg_bit_identical_to_baseline.)
+    Exercises image_ahash AND transcode_to_jpeg over the same batch."""
     import numpy as np
 
     from mesin_spark.ext import multimodal as MM
@@ -489,21 +497,21 @@ def test_poison_pill_payloads_flag_not_kill(spark):
     px[::3, ::2] = 200  # some structure so the JPEG is non-trivial
     good_jpeg = make_jpeg_payload(px, quality=90)
     truncated = good_jpeg[: len(good_jpeg) // 2]
-    # patch SOF0 (FFC0) -> SOF2 (FFC2): a progressive JPEG per the marker
-    # the decoder dispatches on
+    # patch SOF0 (FFC0) -> SOF3 (FFC3): a lossless JPEG per the marker
+    # the decoder dispatches on — outside the codec envelope
     sof = good_jpeg.index(b"\xff\xc0")
-    progressive = good_jpeg[:sof] + b"\xff\xc2" + good_jpeg[sof + 2 :]
+    lossless = good_jpeg[:sof] + b"\xff\xc3" + good_jpeg[sof + 2 :]
 
     rows = [(i, bytearray(MM.make_ppm_payload(px))) for i in range(498)]
     rows.append((998, bytearray(truncated)))
-    rows.append((999, bytearray(progressive)))
+    rows.append((999, bytearray(lossless)))
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
 
     hashed = MM.image_ahash(df).collect()
     assert len(hashed) == 500
     bad = {r.doc_id: r.error for r in hashed if r.error is not None}
     assert set(bad) == {998, 999}
-    assert "NotImplementedError" in bad[999]  # progressive refusal, flagged
+    assert "NotImplementedError" in bad[999]  # unsupported class, flagged
     assert all(r.ahash is not None for r in hashed if r.error is None)
 
     coded = MM.transcode_to_jpeg(df, quality=85).collect()
@@ -513,3 +521,75 @@ def test_poison_pill_payloads_flag_not_kill(spark):
     assert all(
         r.payload is not None and r.n_bytes > 0 for r in coded if r.error is None
     )
+
+
+def test_progressive_jpeg_bit_identical_to_baseline(spark):
+    """Progressive (SOF2) encode/decode: the progressive encoder splits
+    the SAME quantized coefficients as the baseline encoder across
+    spectral-selection + successive-approximation scans, so decoding the
+    progressive file must be BIT-IDENTICAL to decoding the baseline file
+    — across grayscale/color, 4:4:4/4:2:0 (incl. the odd-luma-row case
+    where non-interleaved scan dims differ from the MCU-padded grid),
+    restart intervals, and EOB-run-heavy smooth content."""
+    import numpy as np
+
+    from mesin_spark.ext.jpeg import (
+        decode_jpeg,
+        make_jpeg_payload,
+        make_progressive_jpeg_payload,
+    )
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:64, 0:64]
+    cases = [
+        (rng.integers(0, 256, (40, 56), dtype=np.uint8), "444", 0),
+        (rng.integers(0, 256, (41, 53, 3), dtype=np.uint8), "444", 0),
+        (rng.integers(0, 256, (24, 40, 3), dtype=np.uint8), "420", 0),
+        (rng.integers(0, 256, (64, 48, 3), dtype=np.uint8), "420", 2),
+        (np.full((16, 16), 128, np.uint8), "444", 0),        # all-EOB
+        (((yy + xx) * 2 % 256).astype(np.uint8), "444", 0),  # long EOBn runs
+    ]
+    for px, sub, dri in cases:
+        base = make_jpeg_payload(px, quality=85, subsampling=sub)
+        prog = make_progressive_jpeg_payload(
+            px, quality=85, subsampling=sub, restart_interval=dri
+        )
+        assert prog[:4] != base[:4] or b"\xff\xc2" in prog  # really SOF2
+        a, _ = decode_jpeg(base)
+        b, meta = decode_jpeg(prog)
+        assert np.array_equal(a, b), (px.shape, sub, dri)
+        assert (meta["width"], meta["height"]) == (px.shape[1], px.shape[0])
+
+
+def test_progressive_jpeg_flows_through_image_operators(spark):
+    """A progressive JPEG payload is a first-class citizen of the image
+    operators: decode_image sniffs it, ahash groups it with its baseline
+    twin, and transcode_to_jpeg re-encodes it without a flag."""
+    import numpy as np
+
+    from mesin_spark.ext import multimodal as MM
+    from mesin_spark.ext.jpeg import make_jpeg_payload, make_progressive_jpeg_payload
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    base = make_jpeg_payload(px, quality=90)
+    prog = make_progressive_jpeg_payload(px, quality=90)
+    a, _ = MM.decode_image(base)
+    b, _ = MM.decode_image(prog)
+    assert np.array_equal(a, b)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(prog))], "doc_id long, payload binary"
+    )
+    hashed = {r.doc_id: r for r in MM.image_ahash(df).collect()}
+    assert hashed[1].error is None and hashed[2].error is None
+    assert hashed[1].ahash == hashed[2].ahash  # identical pixels -> same hash
+    coded = MM.transcode_to_jpeg(df, quality=85).collect()
+    assert all(r.error is None and r.n_bytes > 0 for r in coded)
+
+    # a TRUNCATED progressive file is still a per-record flag, not a crash
+    df2 = spark.createDataFrame(
+        [(3, bytearray(prog[: len(prog) // 2]))], "doc_id long, payload binary"
+    )
+    rows = MM.image_ahash(df2).collect()
+    assert rows[0].error is not None and rows[0].ahash is None

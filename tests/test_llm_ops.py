@@ -393,6 +393,16 @@ def test_wav_roundtrip_and_features(spark):
     row = M.extract_audio_features(df).collect()[0]
     assert row.n_samples == len(samples) and row.sample_rate == sr
     assert abs(row.rms - expect_rms) < 1e-6
+    assert row.error is None
+
+    # a non-RIFF payload in the same batch flags its row, never the job
+    df2 = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not audio at all"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in M.extract_audio_features(df2).collect()}
+    assert rows[1].error is None and rows[1].sample_rate == sr
+    assert rows[2].error is not None and rows[2].n_samples is None
 
     # through the generic feature extractor with format='wav'
     mm = df.select(
