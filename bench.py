@@ -127,6 +127,12 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": RUNS,
         "agg": "min",
+        # r06 drift attribution (measured): PLAN-UNTOUCHED queries
+        # (q_funnel, q_bm25, q_decontaminate) drift up to 2.3x between
+        # same-code runs on this host while SHUFFLE.md byte metrics are
+        # unchanged — wall-clock deltas across rounds are host drift, not
+        # plan regressions; bytes are the scale signal.
+        "note": "host wall-clock drifts up to 2.3x run-to-run on untouched plans; see SHUFFLE.md byte slopes",
     }
 
     # Second scale point: the same headline at 3× the data (disjoint

@@ -457,3 +457,54 @@ def test_video_mp4_transcode_spark_path(spark, docs):
     )
     rows = M.frame_sample(bad, every_n=3).collect()
     assert rows[0].error is not None and rows[0].n_frames is None
+
+
+def test_avi_audio_first_stream_and_dropped_frames():
+    """ADVICE r05: (1) a spec-valid AVI whose audio stream is listed
+    first carries video as stream 1 ('01dc' chunks) — the reader derives
+    the video stream index from strh order instead of assuming 0;
+    (2) zero-length frame chunks (dropped-frame padding real capture
+    files contain) are skipped, not fed to the JPEG decoder."""
+    import struct
+
+    from mesin_spark.ext.avi import decode_avi, make_avi_payload
+
+    frames = [np.full((8, 8, 3), 50 + i, np.uint8) for i in range(3)]
+    avi = make_avi_payload(frames, fps=5, quality=90)
+    want = decode_avi(avi)[0]
+
+    def _chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def _list(fourcc, body):
+        return _chunk(b"LIST", fourcc + body)
+
+    # inject an 'auds' strl BEFORE the vids strl and renumber the video
+    # chunks 00dc -> 01dc: video is now stream 1
+    auds_strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"auds", b"\x00\x00\x00\x00",
+        0, 0, 0, 0, 1, 8000, 0, 100, 0, 0xFFFFFFFF, 0, 0, 0, 0, 0,
+    )
+    auds_strf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    auds_strl = _list(b"strl", _chunk(b"strh", auds_strh) + _chunk(b"strf", auds_strf))
+    vs = avi.index(b"strl")
+    list_start = avi.rindex(b"LIST", 0, vs)
+    patched = avi[:list_start] + auds_strl + avi[list_start:]
+    h0 = patched.index(b"LIST")
+    (hsz,) = struct.unpack("<I", patched[h0 + 4 : h0 + 8])
+    patched = patched[: h0 + 4] + struct.pack("<I", hsz + len(auds_strl)) + patched[h0 + 8 :]
+    (rsz,) = struct.unpack("<I", patched[4:8])
+    patched = patched[:4] + struct.pack("<I", rsz + len(auds_strl)) + patched[8:]
+    patched = patched.replace(b"00dc", b"01dc")
+    dec, _ = decode_avi(patched)
+    assert len(dec) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(dec, want))
+
+    # zero-length dropped-frame chunk: skipped, frame count unchanged
+    z = avi.index(b"movi") + 4
+    with_zero = avi[:z] + _chunk(b"00dc", b"") + avi[z:]
+    (rsz,) = struct.unpack("<I", with_zero[4:8])
+    with_zero = with_zero[:4] + struct.pack("<I", rsz + 8) + with_zero[8:]
+    dec2, _ = decode_avi(with_zero)
+    assert len(dec2) == 3
