@@ -33,6 +33,10 @@ from mesin_spark.functions import stable_round as R
 _MERSENNE = (1 << 61) - 1
 _HASH_SPACE = 1 << 31
 
+#: the previous auto-routed call's persisted gram projection — evicted by
+#: the next call (single-slot lifecycle; see ngram_jaccard_pairs)
+_AUTO_PERSISTED = None
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: keep the minimum id per content key, count copies.
@@ -909,10 +913,23 @@ def ngram_jaccard_pairs(
         pairs_per_doc = (row["_pairs"] or 0.0) / max(row["_docs"] or 1.0, 1.0)
         prefix_filter = pairs_per_doc > auto_pairs_per_doc
         # cache the blocked-gram projection for the chosen path: both join
-        # sides (3 uses on the prefix path) share one shingle-hash pass
+        # sides (3 uses on the prefix path) share one shingle-hash pass.
+        # Single-slot lifecycle: the result frame is lazy, so there is no
+        # point at which THIS call can unpersist its own cache — instead
+        # each auto call evicts the PREVIOUS call's (by then consumed)
+        # cache, so repeated invocations pin at most one stale copy
+        # instead of accumulating for the application lifetime.
         from pyspark import StorageLevel
 
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        global _AUTO_PERSISTED
+        prev = _AUTO_PERSISTED
+        _AUTO_PERSISTED = base
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:  # session may be gone — nothing to release
+                pass
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
     if prefix_filter:
         flat = base.select(

@@ -528,13 +528,12 @@ def make_progressive_jpeg_payload(
 
         def true_dims(ci):
             # non-interleaved scans cover the component's TRUE block grid
-            # (T.81 A.2.2), which is smaller than the MCU-padded grid when
-            # sampling factors and image size don't align (e.g. 4:2:0 luma
-            # with an odd block-row count) — the decoder walks the same
+            # (T.81 A.2.2), smaller than the MCU-padded grid when sampling
+            # factors and image size don't align (e.g. 4:2:0 luma with an
+            # odd block-row count) — the ONE formula the decoder walks
+            # (_comp_block_dims), reused so encode/decode can't diverge
             hi, vi = samps[ci]
-            ch = -(-(h * vi) // vmax)  # ceil(h*vi/vmax)
-            cw = -(-(w * hi) // hmax)
-            return -(-ch // 8), -(-cw // 8)
+            return _comp_block_dims({"hi": hi, "vi": vi}, w, h, hmax, vmax)
 
         if ss == 0:  # DC scan
             if len(scomps) == 1:
@@ -795,6 +794,43 @@ def _flat_table(table: dict[tuple[int, int], int]) -> tuple[list[int], list[int]
 
 def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _idct_zz_blocks(zz: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(n, 64) zigzag quantized coefficients + flat quant table →
+    (n, 8, 8) spatial blocks with the +128 level shift — the ONE
+    dequant+IDCT both decode paths (baseline, progressive) share, so a
+    numerical change can never diverge them."""
+    n_blk = zz.shape[0]
+    nat = np.zeros((n_blk, 64))
+    nat[:, ZIGZAG] = zz.astype(np.float64) * qt[ZIGZAG][None, :]
+    return (
+        np.einsum("ij,njk,kl->nil", _D.T, nat.reshape(n_blk, 8, 8), _D) + 128.0
+    )
+
+
+def _finish_image(
+    planes: list[np.ndarray],
+    comps: list[dict],
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+) -> tuple[np.ndarray, dict]:
+    """Per-component planes → (image, meta): replication-upsample
+    subsampled components, crop the MCU padding to (h, w), and clip
+    grayscale / convert YCbCr — shared by both decode paths."""
+    full = []
+    for c, p in zip(comps, planes):
+        if c["vi"] < vmax or c["hi"] < hmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["vi"], axis=0), hmax // c["hi"], axis=1
+            )
+        full.append(p[:h, :w])
+    meta = {"width": w, "height": h, "n_components": len(full)}
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8), meta
+    return _ycbcr_to_rgb(full[0], full[1], full[2]), meta
 
 
 def _comp_block_dims(
@@ -1185,17 +1221,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                                 )
             planes = []
             for ci, comp in enumerate(order):
-                n_blk = len(blocks_zz[ci])
-                nat = np.zeros((n_blk, 64))
-                nat[:, ZIGZAG] = (
-                    np.asarray(blocks_zz[ci], dtype=np.float64)
-                    * qtables[comp["tq"]][ZIGZAG][None, :]
-                )
-                blk = (
-                    np.einsum(
-                        "ij,njk,kl->nil", _D.T, nat.reshape(n_blk, 8, 8), _D
-                    )
-                    + 128.0
+                blk = _idct_zz_blocks(
+                    np.asarray(blocks_zz[ci], dtype=np.float64),
+                    qtables[comp["tq"]],
                 )
                 plane = np.zeros(
                     (mcus_y * comp["vi"] * 8, mcus_x * comp["hi"] * 8)
@@ -1203,56 +1231,23 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 for b, (y0, x0) in enumerate(blocks_at[ci]):
                     plane[y0 : y0 + 8, x0 : x0 + 8] = blk[b]
                 planes.append(plane)
-            # upsample subsampled planes to full geometry by replication
-            full = []
-            for c, p in zip(order, planes):
-                if c["vi"] < vmax or c["hi"] < hmax:
-                    p = np.repeat(
-                        np.repeat(p, vmax // c["vi"], axis=0),
-                        hmax // c["hi"],
-                        axis=1,
-                    )
-                full.append(p[:h, :w])
-            meta = {"width": w, "height": h, "n_components": len(order)}
-            if len(order) == 1:
-                img = np.clip(full[0], 0, 255).astype(np.uint8)
-            else:
-                img = _ycbcr_to_rgb(full[0], full[1], full[2])
-            return img, meta
+            return _finish_image(planes, order, h, w, hmax, vmax)
         pos += seglen
     if progressive and grids is not None:
-        # all scans accumulated into the coefficient grids — dequantize,
-        # IDCT, upsample, color-convert exactly like the baseline path
-        # (blocks are dense row-major, so placement is a pure reshape)
+        # all scans accumulated into the coefficient grids — the shared
+        # dequant/IDCT/upsample/color tail; blocks are dense row-major,
+        # so placement is a pure reshape instead of baseline's scatter
         hmax = max(c["hi"] for c in comps)
         vmax = max(c["vi"] for c in comps)
-        full = []
+        planes = []
         for ci, comp in enumerate(comps):
             g = grids[ci]
             nby, nbx = g.shape[:2]
-            nat = np.zeros((nby * nbx, 64))
-            nat[:, ZIGZAG] = (
-                g.reshape(-1, 64).astype(np.float64)
-                * qtables[comp["tq"]][ZIGZAG][None, :]
-            )
-            blk = (
-                np.einsum("ij,njk,kl->nil", _D.T, nat.reshape(-1, 8, 8), _D)
-                + 128.0
-            )
-            plane = (
+            blk = _idct_zz_blocks(g.reshape(-1, 64), qtables[comp["tq"]])
+            planes.append(
                 blk.reshape(nby, nbx, 8, 8)
                 .transpose(0, 2, 1, 3)
                 .reshape(nby * 8, nbx * 8)
             )
-            if comp["vi"] < vmax or comp["hi"] < hmax:
-                plane = np.repeat(
-                    np.repeat(plane, vmax // comp["vi"], axis=0),
-                    hmax // comp["hi"],
-                    axis=1,
-                )
-            full.append(plane[:h, :w])
-        meta = {"width": w, "height": h, "n_components": len(comps)}
-        if len(comps) == 1:
-            return np.clip(full[0], 0, 255).astype(np.uint8), meta
-        return _ycbcr_to_rgb(full[0], full[1], full[2]), meta
+        return _finish_image(planes, comps, h, w, hmax, vmax)
     raise ValueError("no SOS scan found in JPEG stream")

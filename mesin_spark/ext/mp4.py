@@ -229,6 +229,16 @@ def decode_mp4(payload: bytes) -> tuple[list[np.ndarray], dict]:
         for i in range(n_ent)
     ]
 
+    # fps = timescale / sample delta (stts): our writer uses delta 1, but
+    # externally-authored files commonly carry timescale 600 / delta 60
+    # for 10 fps — reporting bare timescale would be wrong there
+    delta = 1
+    if b"stts" in boxes:
+        t0, _ = boxes[b"stts"]
+        (n_tt,) = struct.unpack(">I", payload[t0 + 4 : t0 + 8])
+        if n_tt:
+            delta = struct.unpack(">I", payload[t0 + 12 : t0 + 16])[0] or 1
+
     # general sample→chunk walk: entry i applies to chunks
     # [first_chunk_i, first_chunk_{i+1}); samples lie consecutively from
     # each chunk's stco offset
@@ -254,7 +264,7 @@ def decode_mp4(payload: bytes) -> tuple[list[np.ndarray], dict]:
     meta = {
         "width": frames[0].shape[1],
         "height": frames[0].shape[0],
-        "fps": float(timescale),  # one tick per sample by construction
+        "fps": timescale / delta,
         "n_frames": len(frames),
     }
     return frames, meta

@@ -203,7 +203,9 @@ def decode_video(payload: bytes) -> list["np.ndarray"]:
         from mesin_spark.ext.avi import decode_avi
 
         return decode_avi(payload)[0]
-    if payload[4:8] == b"ftyp":
+    if payload[4:8] in (b"ftyp", b"moov"):
+        # moov-first ISO BMFF files exist (ftyp is recommended, not
+        # required) — decode_mp4 accepts both, so dispatch both
         from mesin_spark.ext.mp4 import decode_mp4
 
         return decode_mp4(payload)[0]
@@ -243,16 +245,22 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            fmts = pdf["media"].map(lambda m: m["format"])
-            n_bytes, checksums, means, errs = [], [], [], []
-            for fmt, pl in zip(fmts, pdf["payload"]):
+            fmts, n_bytes, checksums, means, errs = [], [], [], [], []
+            for m, pl in zip(pdf["media"], pdf["payload"]):
                 try:
+                    # the metadata read happens INSIDE the guard: a NULL
+                    # media struct is as much a poison pill as a corrupt
+                    # payload and must flag its row, not kill the task
+                    fmt = m["format"]
+                    fmts.append(fmt)
                     d = _decode_payload(fmt, bytes(pl))
                     n_bytes.append(len(d))
                     checksums.append(sum(d) % (1 << 31))
                     means.append((sum(d) / len(d)) if len(d) else 0.0)
                     errs.append(None)
                 except Exception as e:  # per-record poison-pill isolation
+                    if len(fmts) < len(errs) + 1:
+                        fmts.append(None)
                     n_bytes.append(None)
                     checksums.append(None)
                     means.append(None)
@@ -260,7 +268,7 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "format": fmts,
+                    "format": pd.array(fmts, dtype=object),
                     "n_bytes": pd.array(n_bytes, dtype=object),
                     "checksum": pd.array(checksums, dtype=object),
                     "feature_mean": pd.array(means, dtype=object),

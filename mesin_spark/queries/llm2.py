@@ -454,6 +454,51 @@ def q_video_mp4(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query("q_media_probe")  # rows-only: container-header metadata (no SQL analogue)
+def q_media_probe(spark, sf_dir):
+    """ffprobe-style media PROBE over a mixed-media corpus: route each
+    document to one of six payload families (WAV audio, PPM image,
+    baseline JPEG, progressive JPEG, AVI/MJPEG video, MP4/MJPEG video),
+    then extract container/codec metadata from HEADERS ONLY
+    (ext/probe.py: JPEG marker walk to SOF, RIFF/ISO-BMFF box walks,
+    sample-table reads — no entropy decode, no frame decode). This is
+    the 100 TB ingest triage step: probing costs I/O + microseconds per
+    record, so a corpus routes/filters/budgets by kind, resolution,
+    duration, and codec BEFORE paying for any decode. Per-record errors
+    flag rows (pytest covers the poison path); all stages per-partition
+    mapInPandas."""
+    from mesin_spark.ext.probe import probe_media_features
+
+    d = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 120)
+    fam = F.col("doc_id") % 6
+    wav = M.synth_wav(d.filter(fam == 0))
+    ppm = M.synth_image(d.filter(fam == 1))
+    jpg = M.transcode_to_jpeg(M.synth_image(d.filter(fam == 2)), quality=90).select(
+        "doc_id", "payload"
+    )
+    prog = M.transcode_to_jpeg(
+        M.synth_image(d.filter(fam == 3)), quality=90, progressive=True
+    ).select("doc_id", "payload")
+    avi = M.transcode_video_to_mjpeg(
+        M.synth_video(d.filter(fam == 4)), fps=10, quality=90
+    ).select("doc_id", "payload")
+    mp4 = M.transcode_video_to_mjpeg(
+        M.synth_video(d.filter(fam == 5)), fps=10, quality=90, container="mp4"
+    ).select("doc_id", "payload")
+    mixed = wav.unionByName(ppm).unionByName(jpg).unionByName(prog).unionByName(
+        avi
+    ).unionByName(mp4)
+    return (
+        probe_media_features(mixed)
+        .select(
+            "doc_id", "kind", "codec", "width", "height", "n_channels",
+            "n_frames", F.round("fps", 3).alias("fps"), "sample_rate",
+            F.round("duration_s", 6).alias("duration_s"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q_dbscan",
     oracle="""

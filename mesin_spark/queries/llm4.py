@@ -248,8 +248,13 @@ def q_image_progressive(spark, sf_dir):
 
     d = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
     imgs = MM.synth_image(d)
-    base = MM.transcode_to_jpeg(imgs, quality=90)
-    prog = MM.transcode_to_jpeg(imgs, quality=90, progressive=True)
+    # each transcode frame feeds TWO actions (its hash branch and the
+    # byte-size join); materialize once so the pure-Python JPEG encode —
+    # the dominant cost — runs once per image per variant, not twice
+    base = MM.transcode_to_jpeg(imgs, quality=90).localCheckpoint(eager=True)
+    prog = MM.transcode_to_jpeg(imgs, quality=90, progressive=True).localCheckpoint(
+        eager=True
+    )
     hb = MM.image_ahash(base.select("doc_id", "payload")).select(
         "doc_id", F.col("ahash").alias("ahash_base")
     )

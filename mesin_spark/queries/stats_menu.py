@@ -1034,7 +1034,11 @@ def q_pagerank(spark, sf_dir):
     # whose convergence round is unknown (tested in test_llm5_ops).
     # checkpoint_every=3 re-measured min-of-3 with 6 fixed rounds:
     # ck2 4.9s / ck3 3.5s / ck6 4.8s — two checkpoints (iters 3, 6)
-    # balance plan-growth cost against materialization jobs.
+    # balance plan-growth cost against materialization jobs. The pinned
+    # count stays valid at the bench's 3x scale point because the scaled
+    # copy is DISJOINT key-shifted shards of this same graph — per-shard
+    # spectra (and hence convergence rounds) are identical. A graph with
+    # unknown mixing should call pagerank(tol=...) instead.
     ranks = pagerank(_purchase_edges(spark, sf_dir), max_iter=6, checkpoint_every=3)
     return (
         ranks.select("node", R(F.col("rank"), 9).alias("rank"))

@@ -508,3 +508,60 @@ def test_avi_audio_first_stream_and_dropped_frames():
     with_zero = with_zero[:4] + struct.pack("<I", rsz + 8) + with_zero[8:]
     dec2, _ = decode_avi(with_zero)
     assert len(dec2) == 3
+
+
+def test_media_probe_headers_only(spark, docs):
+    """ext/probe.py: container metadata WITHOUT decoding — exact header
+    values for all six payload families, plus per-record poison-pill
+    flagging for unrecognized bytes."""
+    from mesin_spark.ext.jpeg import make_jpeg_payload, make_progressive_jpeg_payload
+    from mesin_spark.ext.mp4 import make_mp4_payload
+    from mesin_spark.ext.probe import probe_media, probe_media_features
+
+    px = np.full((24, 32, 3), 99, np.uint8)
+    assert probe_media(make_jpeg_payload(px, 85)) == {
+        "kind": "image", "codec": "jpeg-baseline", "width": 32, "height": 24,
+        "n_channels": 3,
+    }
+    assert probe_media(make_progressive_jpeg_payload(px, 85))["codec"] == (
+        "jpeg-progressive"
+    )
+    m = probe_media(make_mp4_payload([px] * 5, fps=10))
+    assert (m["n_frames"], m["fps"], m["codec"]) == (5, 10.0, "jpeg")
+    w = probe_media(M.make_wav_payload([100] * 8000, 8000))
+    assert (w["sample_rate"], w["duration_s"]) == (8000, 1.0)
+
+    # Spark path over a mixed batch with one poison payload
+    rows = {
+        r.doc_id: r
+        for r in probe_media_features(
+            spark.createDataFrame(
+                [
+                    (1, bytearray(make_jpeg_payload(px, 85))),
+                    (2, bytearray(M.make_ppm_payload(px))),
+                    (3, bytearray(b"certainly not media")),
+                ],
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert rows[1].codec == "jpeg-baseline" and rows[1].error is None
+    assert rows[2].codec == "ppm" and rows[2].width == 32
+    assert rows[3].error is not None and rows[3].kind is None
+
+    # registry query: each family probes to its own codec label
+    import __spark_entry__ as E
+
+    out = E.queries()["q_media_probe"](spark, SF_DIR).collect()
+    assert len(out) == 120
+    by_codec = {}
+    for r in out:
+        by_codec.setdefault(r.codec, 0)
+        by_codec[r.codec] += 1
+        assert r.doc_id % 6 == {
+            "pcm": 0, "ppm": 1, "jpeg-baseline": 2, "jpeg-progressive": 3,
+            "MJPG": 4, "jpeg": 5,
+        }[r.codec]
+    assert set(by_codec) == {
+        "pcm", "ppm", "jpeg-baseline", "jpeg-progressive", "MJPG", "jpeg"
+    }
