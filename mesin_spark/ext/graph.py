@@ -502,3 +502,53 @@ def pagerank_portable(
         if (it + 1) % 2 == 0 or it == rounds - 1:
             r = r.localCheckpoint(eager=True)
     return r.select("node", F.col("rank").alias("rank_fp"))
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", n_rounds: int = 4
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own label; each round every node adopts the most
+    frequent label among its neighbors, ties broken to the SMALLEST
+    label — fully deterministic, so a fixed round count is exactly
+    cross-engine checkable (the k-core / portable-pagerank proof
+    strategy; q_label_prop's oracle unrolls the same rounds).
+
+    Per round: one node-keyed join (labels onto the symmetrized edge
+    list), one (node, label) count aggregate, and one window pick of the
+    modal label — two keyed shuffles, both on the node id, so a 100 TB
+    edge list partitions cleanly; each round is eagerly checkpointed
+    (flat lineage, the dedup_clusters lesson). Synchronous updates can
+    oscillate on bipartite structure — irrelevant to correctness here
+    because both engines compute the identical fixed rounds.
+    Returns (node, label)."""
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(n_rounds):
+        freq = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # every node appears as dst in the symmetrized list, so the modal
+        # pick covers all nodes — no keep-own-label left join needed
+        labels = (
+            freq.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("n").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("label"))

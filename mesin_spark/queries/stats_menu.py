@@ -1249,6 +1249,88 @@ def q_kcore(spark, sf_dir):
     )
 
 
+def _label_prop_oracle(rounds: int) -> str:
+    """Unrolled synchronous label-propagation rounds as MATERIALIZED CTEs
+    (DuckDB otherwise inlines each round's CTE into every reference —
+    the k-core 3^rounds lesson): per round the modal neighbor label with
+    ties to the smallest, mirroring ext/graph.label_propagation exactly."""
+    parts = [
+        """e AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+            FROM (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48) a
+            JOIN (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        )
+        UNION
+        SELECT dst, src FROM (
+            SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+            FROM (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48) a
+            JOIN (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 48) b
+              ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        )
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM e)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""l{t} AS MATERIALIZED (
+        SELECT node, lbl FROM (
+            SELECT e.dst AS node, l.lbl, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY e.dst ORDER BY count(*) DESC, l.lbl
+                   ) AS rn
+            FROM e JOIN l{t - 1} l ON l.node = e.src
+            GROUP BY e.dst, l.lbl
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS label
+    FROM l{rounds}
+    """
+    )
+
+
+@query("q_label_prop", oracle=_label_prop_oracle(rounds=4))
+def q_label_prop(spark, sf_dir):
+    """Label-propagation community detection over the supplier co-supply
+    graph (ext/graph.label_propagation): 4 synchronous rounds, modal
+    neighbor label with ties to the smallest — deterministic by
+    construction, so the oracle unrolls the IDENTICAL rounds into
+    MATERIALIZED DuckDB CTEs and the full (node, label) assignment
+    compares exactly. Completes the community tier next to connected
+    components (q_dedup_clusters), k-core, and triangles; per round two
+    node-keyed shuffles, checkpointed flat."""
+    from mesin_spark.ext.graph import label_propagation
+
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    out = label_propagation(co, n_rounds=4)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    ).orderBy("node")
+
+
 def _walks_oracle(n_steps: int) -> str:
     """Unrolled deterministic-walk oracle: one MATERIALIZED CTE per step
     (DuckDB inlines CTEs otherwise — the k-core lesson), each picking
