@@ -229,6 +229,74 @@ def q_image_jpeg(spark, sf_dir):
     )
 
 
+@query("q_cdc_dedup")  # rows-only: rolling-hash chunking has no SQL mirror
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup over binary payloads (ext/cdc.py —
+    buzhash boundaries, FNV-1a chunk hashes): every document's bytes get
+    a PLANTED twin with a unique prefix spliced in front, i.e. the same
+    content at shifted offsets — the case where fixed-width chunking
+    shares ZERO blocks (every boundary moves) but CDC keeps ~95% of
+    chunks intact because boundaries derive from content, not position
+    (both measured in tests/test_cdc.py). Output:
+    per original document its chunk count and the fraction of its chunks
+    the shifted twin still shares — the storage-dedup index view. The
+    chunker is per-payload numpy in mapInPandas (no shuffle); the dedup
+    joins key on the 64-bit chunk hash."""
+    from pyspark.sql import Window
+
+    from mesin_spark.ext.cdc import chunk_payloads
+
+    # long NON-PERIODIC payloads: each doc's bytes = the concatenation of
+    # its own and the next 7 documents' texts (a repeat() of one text
+    # would make every chunk hash-identical and the test vacuous)
+    w8 = Window.orderBy("doc_id").rowsBetween(0, 7)
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("_blob", F.concat_ws(" ", F.collect_list("text").over(w8)))
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", F.encode(F.col("_blob"), "UTF-8").alias("payload"))
+    )
+    twins = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.encode(
+                F.concat(F.lit("PFX-"), F.col("doc_id").cast("string")), "UTF-8"
+            ),
+            F.col("payload"),
+        ).alias("payload"),
+    )
+    chunks = chunk_payloads(
+        d.unionByName(twins), avg_size=256, min_size=64, max_size=1024
+    ).filter(F.col("error").isNull())
+    orig = chunks.filter(F.col("doc_id") < 1_000_000).select(
+        "doc_id", "chunk_idx", "chunk_hash"
+    )
+    twin = chunks.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.col("chunk_hash").alias("t_hash"),
+    ).distinct()
+    shared = orig.join(
+        twin,
+        (orig["doc_id"] == twin["doc_id"]) & (orig["chunk_hash"] == twin["t_hash"]),
+        "left_semi",
+    )
+    n_all = orig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    n_sh = shared.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared"))
+    return (
+        n_all.join(n_sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            R(
+                F.coalesce("n_shared", F.lit(0)) / F.col("n_chunks"), 6
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("q_image_progressive")  # rows-only: lossy binary codec path (no SQL analogue)
 def q_image_progressive(spark, sf_dir):
     """Progressive-JPEG parity end-to-end: every synthesized image is
