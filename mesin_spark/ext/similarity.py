@@ -737,3 +737,91 @@ def dbscan(
         .withColumn("role", F.lit("border"))
     )
     return cores_all.unionByName(border)
+
+
+def sq8_bounds(emb: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-dimension corpus [lo, hi] bounds as ONE distributive aggregate
+    (2·dim min/max expressions → a single 1-row frame with two array
+    columns). Partial aggregation runs map-side, so at 100 TB this is a
+    single scan + a 1-row reduce — the training pass of a FAISS-style
+    SQ8 ScalarQuantizer (public design: faiss ScalarQuantizer,
+    QT_8bit)."""
+    lows = [F.min(F.col(vec_col)[d].cast("double")).alias(f"_lo{d}") for d in range(dim)]
+    highs = [F.max(F.col(vec_col)[d].cast("double")).alias(f"_hi{d}") for d in range(dim)]
+    return emb.agg(*lows, *highs).select(
+        F.array(*[F.col(f"_lo{d}") for d in range(dim)]).alias("lo"),
+        F.array(*[F.col(f"_hi{d}") for d in range(dim)]).alias("hi"),
+    )
+
+
+def sq8_code_col(vec_col: Column, lo: Column, hi: Column) -> Column:
+    """uint8 code per dimension: floor((x−lo)·255/(hi−lo) + 0.5), 0 on a
+    degenerate (hi==lo) dimension. Exact integer output from
+    deterministic IEEE double arithmetic — the same expression an
+    independent engine reproduces bit-for-bit (floor(+0.5) spells out
+    the rounding rule instead of relying on an engine's CAST/round
+    half-even behavior). Corpus bounds cover every stored vector, so
+    codes land in [0, 255] without clamping."""
+    return F.transform(
+        vec_col,
+        lambda x, i: F.when(
+            F.element_at(hi, i + 1) > F.element_at(lo, i + 1),
+            F.floor(
+                (x.cast("double") - F.element_at(lo, i + 1))
+                * F.lit(255.0)
+                / (F.element_at(hi, i + 1) - F.element_at(lo, i + 1))
+                + F.lit(0.5)
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k nearest neighbors by symmetric decoded-L2² over int8
+    scalar-quantized codes (FAISS SQ8, QT_8bit): train = per-dimension
+    [lo, hi] bounds (one distributive aggregate), encode = map-side
+    uint8 codes (4× smaller than float32 — at 100 TB the persisted code
+    column is the scan-size win), search = one codegen'd scan computing
+    Σ((Δcode·span/255)²) against the query's codes via zip_with/
+    aggregate (JVM-side, no UDF) into TakeOrderedAndProject. Unlike the
+    k-means-trained PQ tier (rows-only), every step here is exact
+    integer/double arithmetic from stored data, so an independent
+    engine reproduces the distances bit-for-bit — SQ8 is the
+    quantization tier's cross-engine proof. Returns (id, dist), dist
+    rounded at 6."""
+    bounds = sq8_bounds(emb, vec_col, dim)
+    coded = (
+        emb.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col),
+            sq8_code_col(F.col(vec_col), F.col("lo"), F.col("hi")).alias("code"),
+            "lo",
+            "hi",
+        )
+    )
+    q = coded.filter(F.col(id_col) == query_id).select(F.col("code").alias("qcode"))
+    span = F.zip_with(
+        F.col("hi"), F.col("lo"), lambda h, l: (h - l) / F.lit(255.0)
+    )
+    diff = F.zip_with(
+        F.col("code"), F.col("qcode"), lambda a, b: (a - b).cast("double")
+    )
+    dist = F.aggregate(
+        F.zip_with(diff, span, lambda d, s: d * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return (
+        coded.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), R(dist, 6).alias("dist"))
+        .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc_nulls_last())
+        .limit(k)
+    )

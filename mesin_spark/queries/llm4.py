@@ -396,3 +396,47 @@ def q_ann_index(spark, sf_dir):
     idx = AI.load_index(spark, path)
     qvec = query_vector(emb, 0)
     return idx.topk(qvec, topk=10, n_probe=4)
+
+
+@query(
+    "q_ann_sq8",
+    oracle=f"""
+    WITH dims AS (
+        SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+               max(CAST(embedding[i] AS DOUBLE)) AS hi
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY i
+    ), b AS (
+        SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM dims
+    ), coded AS (
+        SELECT vec_id,
+               list_transform(range(1, 65), i ->
+                   CASE WHEN b.hi[i] > b.lo[i]
+                        THEN floor((CAST(e.embedding[i] AS DOUBLE) - b.lo[i])
+                                   * 255.0 / (b.hi[i] - b.lo[i]) + 0.5)
+                        ELSE 0 END) AS code
+        FROM embeddings e CROSS JOIN b
+    ), q AS (SELECT code AS qcode FROM coded WHERE vec_id = 0)
+    SELECT c.vec_id,
+           {sr("list_sum(list_transform("
+               "list_transform(range(1, 65), i -> (c.code[i] - q.qcode[i]) * (b.hi[i] - b.lo[i]) / 255.0),"
+               " x -> x * x))", 6)} AS dist
+    FROM coded c CROSS JOIN b CROSS JOIN q
+    WHERE c.vec_id <> 0
+    ORDER BY dist ASC NULLS LAST, c.vec_id ASC NULLS LAST
+    LIMIT 10
+    """,
+)
+def q_ann_sq8(spark, sf_dir):
+    """Int8 scalar-quantized ANN (FAISS SQ8 / QT_8bit, symmetric
+    decoded-L2²): per-dimension [lo,hi] train pass = one distributive
+    aggregate; encode = map-side uint8 codes (4× smaller than float32 —
+    the 100 TB scan-size win when the code column is persisted); search
+    = one codegen'd scan + TakeOrderedAndProject. Every step is exact
+    integer/double arithmetic from stored rows (floor(+0.5) spells the
+    rounding rule), so unlike the seeded-k-means PQ tier this holds a
+    full cross-engine oracle — the quantization tier's exact proof.
+    Ref parity n/a (charter extension; reference has no vector surface)."""
+    from mesin_spark.ext.similarity import sq8_topk
+
+    return sq8_topk(T(spark, sf_dir, "embeddings"), query_id=0, k=10)

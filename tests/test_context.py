@@ -552,7 +552,11 @@ def test_rotation_orders_failed_first(tmp_path):
     import mesin_spark.queries as Q
 
     Q.load_all()
-    names = list(Q.QUERIES)
+    # the rows-only-record-but-HAS-an-oracle case (the head-group arm
+    # under test) needs names that actually carry an oracle — the
+    # registry head can start with oracle-less names after a real
+    # rotation, so pick from ORACLE, not from raw registry order
+    names = [n for n in Q.QUERIES if n in Q.ORACLE]
     green, red = names[0], names[1]
     rowsonly = names[2]
     fake = {

@@ -593,3 +593,89 @@ def test_progressive_jpeg_flows_through_image_operators(spark):
     )
     rows = MM.image_ahash(df2).collect()
     assert rows[0].error is not None and rows[0].ahash is None
+
+
+def test_sq8_codes_range_and_reconstruction_bound(spark):
+    """SQ8 codes land in [0,255]; decoded values sit within half a
+    quantization step (span/510) of the original on every dimension."""
+    from mesin_spark.ext.similarity import sq8_bounds, sq8_code_col
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bounds = sq8_bounds(emb)
+    coded = emb.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        "embedding",
+        sq8_code_col(F.col("embedding"), F.col("lo"), F.col("hi")).alias("code"),
+        "lo",
+        "hi",
+    )
+    bad_range = coded.filter(
+        F.exists(F.col("code"), lambda c: (c < 0) | (c > 255))
+    ).count()
+    assert bad_range == 0
+    # max over all rows/dims of |decoded - original| - span/510 <= ~0
+    err = coded.select(
+        F.aggregate(
+            F.transform(
+                F.col("code"),
+                lambda c, i: F.abs(
+                    (
+                        F.element_at(F.col("lo"), i + 1)
+                        + c
+                        * (
+                            F.element_at(F.col("hi"), i + 1)
+                            - F.element_at(F.col("lo"), i + 1)
+                        )
+                        / F.lit(255.0)
+                    )
+                    - F.col("embedding")[i].cast("double")
+                )
+                - (
+                    F.element_at(F.col("hi"), i + 1)
+                    - F.element_at(F.col("lo"), i + 1)
+                )
+                / F.lit(510.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert err <= 1e-9
+
+
+def test_sq8_topk_close_to_exact_l2(spark):
+    """SQ8 distances order like true L2: the top-10 under quantized
+    distance recalls >=8 of the true L2 top-10 on the fixture corpus,
+    and repeated runs are identical (deterministic arithmetic)."""
+    from mesin_spark.ext.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = sq8_topk(emb, query_id=0, k=10)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert len(ids) == 10
+    # exact L2 top-10 via the same zip_with arithmetic on raw floats
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "qe",
+                    lambda a, b: a.cast("double") - b.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ).alias("d"),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    exact_ids = {r["vec_id"] for r in exact.collect()}
+    assert len(set(ids) & exact_ids) >= 8
+    again = [r["vec_id"] for r in sq8_topk(emb, query_id=0, k=10).collect()]
+    assert again == ids
