@@ -107,9 +107,18 @@ def pagerank(
       keeps recovery bounded.
     Note: under AQE a localCheckpoint does NOT preserve hash
     partitioning (LogicalRDD surfaces UnknownPartitioning — verified on
-    the executed plan), so pre-repartitioning the loop inputs buys
-    nothing and only adds shuffles; both per-round exchanges key on the
-    node id, so a 100 TB edge list partitions cleanly."""
+    the executed plan), so the static e_norm/nodes frames re-shuffle
+    each round (4 exchanges/round vs the algorithmic minimum 2). The
+    obvious fix — repartition the static frames once on their join keys
+    and persist() (which DOES keep outputPartitioning) — was measured
+    and REJECTED at bench scale: a fixed-width repartition is exempt
+    from AQE coalescing, so every round ran 32-partition stages of tiny
+    tasks instead of AQE's ~3 coalesced ones, and scheduling overhead
+    doubled the wall time (5.4s → 10.9s min at sf0.1). The trade
+    inverts when partitions carry real data (a cluster-sized edge
+    list): there, pre-partition the edge list once, Pregel-style, and
+    size the width to the data — the plan shape supports it, local mode
+    just must not pay it."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))

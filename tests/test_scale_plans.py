@@ -488,3 +488,20 @@ def test_dpp_join_prunes_partitions(spark):
     plan = physical(q_dpp_join(spark, SF_DIR))
     assert "dynamicpruning" in plan
     assert "PartitionFilters: [isnotnull(ship_year" in plan
+
+
+def test_sq8_search_has_no_keyed_shuffle(spark):
+    """SQ8 ANN search is one codegen'd scan: the only exchanges are the
+    1-row bounds aggregate (SinglePartition) and broadcasts — a keyed
+    hash exchange would mean the corpus shuffles per query, the wrong
+    100 TB shape. The top-k must fuse to TakeOrderedAndProject."""
+    from mesin_spark.ext.similarity import sq8_topk
+
+    df = sq8_topk(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), query_id=0, k=10
+    )
+    df.collect()
+    plan = physical(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
