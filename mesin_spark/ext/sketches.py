@@ -500,3 +500,61 @@ def hll_portable(
         *group_cols, "n_hit", "s_scaled", "reg_csv",
         stable_round(est, 6).alias("users_est"),
     )
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    m: int = 256,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Mergeable quantile sketch per group: keep the m rows with the
+    SMALLEST portable hash of a unique row key (a deterministic uniform
+    sample — the bottom-m hash set of a union is the merge of per-shard
+    bottom-m sets, the same property KMV uses), then read quantiles off
+    the sorted sample by EXPLICIT index arithmetic
+    (vals[floor(q·(n−1))+1], lower nearest-rank) instead of an
+    engine-native percentile whose interpolation rules differ across
+    engines. Every step — Knuth hash, row selection, sort, index — is
+    exact integer/double arithmetic, so the ESTIMATES are
+    bit-reproducible cross-engine (the q_kmv_distinct property, for
+    quantiles: DataSketches KLL blobs can't give an independent oracle
+    this). Sampling error is the usual ~1/√m on quantile position.
+
+    Shape: one per-group rank window over (hash, key) + a bounded
+    collect (≤m values per group). Like kmv_sketch, the declarative
+    two-phase form pays a full sort-shuffle where a native k-state UDAF
+    would bound memory map-side — the exact-oracle trade, same note.
+    Groups with ≤m rows report their EXACT quantiles (the sample is the
+    population)."""
+    from pyspark.sql import Window
+
+    from mesin_spark.functions import mul_mod32, stable_round
+
+    h = mul_mod32(F.col(key_col), 2654435761).alias("_h")
+    w = Window.partitionBy("_grp").orderBy("_h", "_key")
+    sample = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            F.col(value_col).cast("double").alias("_v"),
+            F.col(key_col).alias("_key"),
+            h,
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= m)
+    )
+    agg = sample.groupBy("_grp").agg(
+        F.sort_array(F.collect_list("_v")).alias("_vals"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    cols = [F.col("_grp").alias(group_col), "n_kept"]
+    for q in qs:
+        idx = (F.floor(F.lit(float(q)) * (F.col("n_kept") - 1)) + 1).cast("int")
+        cols.append(
+            stable_round(F.element_at(F.col("_vals"), idx), 4).alias(
+                f"q{int(round(q * 100))}"
+            )
+        )
+    return agg.select(*cols)

@@ -492,6 +492,52 @@ def q_kmv_distinct(spark, sf_dir):
 
 
 @query(
+    "q_quantile_sketch",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT event_type AS grp, value,
+               CAST((CAST(event_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT grp, value,
+               row_number() OVER (PARTITION BY grp ORDER BY h, event_id) AS rn
+        FROM hashed
+    ),
+    sample AS (
+        SELECT grp, list(CAST(value AS DOUBLE) ORDER BY CAST(value AS DOUBLE)) AS vals,
+               count(*) AS n_kept
+        FROM ranked WHERE rn <= 256 GROUP BY grp
+    )
+    SELECT grp AS event_type, n_kept,
+           {sr("vals[CAST(floor(0.25 * (n_kept - 1)) AS BIGINT) + 1]", 4)} AS q25,
+           {sr("vals[CAST(floor(0.5 * (n_kept - 1)) AS BIGINT) + 1]", 4)} AS q50,
+           {sr("vals[CAST(floor(0.75 * (n_kept - 1)) AS BIGINT) + 1]", 4)} AS q75,
+           {sr("vals[CAST(floor(0.9 * (n_kept - 1)) AS BIGINT) + 1]", 4)} AS q90
+    FROM sample
+    ORDER BY event_type
+    """,
+)
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch per event type (bottom-256 portable-hash
+    row sample + explicit nearest-rank indexing) — the quantile member
+    of the portable sketch family next to q_kmv_distinct: the ESTIMATES
+    are bit-reproducible cross-engine (Knuth hash picks the sample,
+    index arithmetic picks the elements — no engine percentile
+    interpolation), so the approximation itself is oracle-checked, the
+    property KLL/t-digest blobs can't offer an independent engine.
+    Merge = union + re-truncate to the bottom-m hashes, KMV-style
+    (property-tested). Sampling error ~1/√m on quantile position."""
+    from mesin_spark.ext.sketches import hash_sample_quantiles
+
+    ev = load_events(spark, sf_dir)
+    return hash_sample_quantiles(
+        ev, "event_type", "value", "event_id", m=256
+    ).orderBy("event_type")
+
+
+@query(
     "q_dedup_containment",
     oracle=f"""
     WITH toks AS (

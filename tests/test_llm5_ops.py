@@ -421,3 +421,86 @@ def test_pagerank_portable_tracks_float_pagerank(spark):
     # bit-determinism across reruns
     fp2 = {r["node"]: r["rank_fp"] for r in pagerank_portable(df, rounds=10).collect()}
     assert fp == fp2
+
+
+def test_hash_sample_quantiles_merge_and_accuracy(spark):
+    """The quantile sketch's sample is mergeable exactly like KMV: the
+    bottom-m hash rows of A ∪ B equal the merge (union + re-truncate)
+    of the per-shard bottom-m rows, so sketch(A ∪ B) == sketch built
+    from merged shard samples. Also: the m=256 median estimate lands
+    inside the exact 40th–60th percentile band (position error ~1/√m),
+    and a group smaller than m reports its exact quantiles."""
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext.sketches import hash_sample_quantiles
+    from mesin_spark.functions import mul_mod32
+    from mesin_spark.queries import load_events
+
+    M = 256
+    ev = load_events(spark, SF_DIR)
+    whole = {
+        r["event_type"]: r
+        for r in hash_sample_quantiles(
+            ev, "event_type", "value", "event_id", m=M
+        ).collect()
+    }
+    # shard by event_id parity, take each shard's bottom-M (hash, id)
+    # rows, merge driver-side, re-truncate, and recompute the quantiles
+    hashed = ev.select(
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+        "event_id",
+        mul_mod32(F.col("event_id"), 2654435761).alias("h"),
+    )
+    shards = {}
+    for par in (0, 1):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("event_type").orderBy("h", "event_id")
+        rows = (
+            hashed.filter(F.col("event_id") % 2 == par)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= M)
+            .collect()
+        )
+        for r in rows:
+            shards.setdefault(r["event_type"], []).append(
+                (r["h"], r["event_id"], r["v"])
+            )
+    import math
+
+    for et, row in whole.items():
+        sample = sorted(shards[et])[:M]
+        vals = sorted(v for _, _, v in sample)
+        n = len(vals)
+        assert n == row["n_kept"]
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.9, "q90")):
+            est = vals[int(math.floor(q * (n - 1)))]
+            assert abs(est - row[col]) < 1e-4, f"{et} {col}"
+    # accuracy: median estimate within the exact 40-60 percentile band
+    for et, row in whole.items():
+        exact = sorted(
+            r["v"] for r in hashed.filter(F.col("event_type") == et).collect()
+        )
+        lo = exact[int(0.40 * (len(exact) - 1))]
+        hi = exact[int(0.60 * (len(exact) - 1))]
+        assert lo <= row["q50"] <= hi, f"{et}: {row['q50']} not in [{lo},{hi}]"
+    # small group: fewer rows than m -> exact quantiles of the group
+    tiny = ev.filter(F.col("event_id") < 40)
+    got = {
+        r["event_type"]: r
+        for r in hash_sample_quantiles(
+            tiny, "event_type", "value", "event_id", m=M
+        ).collect()
+    }
+    for et, row in got.items():
+        exact = sorted(
+            r["v"]
+            for r in hashed.filter(
+                (F.col("event_type") == et) & (F.col("event_id") < 40)
+            ).collect()
+        )
+        n = len(exact)
+        assert row["n_kept"] == n
+        want = exact[int(math.floor(0.5 * (n - 1)))]
+        assert abs(row["q50"] - want) < 1e-4
