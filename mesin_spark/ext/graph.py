@@ -518,6 +518,84 @@ def pagerank_portable(
     return r.select("node", F.col("rank").alias("rank_fp"))
 
 
+def ppr_portable(
+    edges: DataFrame,
+    seed_mod: int = 50,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PERSONALIZED PageRank in the same integer fixed-point arithmetic
+    as pagerank_portable: the teleport mass (and the dangling mass)
+    restarts at a SEED set instead of all nodes, so rank concentrates
+    in the seeds' neighborhood — the graph-curation primitive for
+    "select documents/entities close to these trusted sources"
+    (public design: Jeh & Widom 2003; dangling-to-seeds convention).
+
+    Seeds are the nodes with ``node % seed_mod == 0`` — a deterministic
+    predicate an independent engine reproduces exactly, like the
+    hash-seeded walks. rank'(v) = [v∈S]·(15·SCALE)//(100·s)
+    + (85·(c(v) + [v∈S]·(dg//s)))//100 with c(v) = Σ_in rank//od, all
+    truncating integer ops on non-negatives, so the full per-node rank
+    vector is bit-reproducible cross-engine. Plan shape identical to
+    pagerank_portable: one groupBy(dst) shuffle + one rank join per
+    round, dangling mass as a broadcast 1-row aggregate, eager
+    checkpoints every 2 rounds — node-keyed shuffles, partitions
+    cleanly at 100 TB. Returns (node, rank_fp)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(outdeg.select(F.col("src").alias("node"), "od"), "node", "left")
+        .withColumn("is_seed", F.col("node") % seed_mod == 0)
+        .localCheckpoint(eager=True)
+    )
+    s = nodes.filter("is_seed").count()
+    if s == 0:
+        raise ValueError(
+            f"ppr_portable: no seed nodes (node % {seed_mod} == 0) in the "
+            "graph — personalized teleport has nowhere to restart"
+        )
+    base = (15 * PR_SCALE) // (100 * s)
+    r = nodes.withColumn(
+        "rank",
+        F.when(F.col("is_seed"), F.lit(PR_SCALE // s)).otherwise(F.lit(0)),
+    )
+    for it in range(rounds):
+        contrib = (
+            r.filter(F.col("od").isNotNull())
+            .join(e, r["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.expr("rank div od")).alias("c"))
+        )
+        dang = r.filter(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).alias("_dg")
+        )
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "od",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"(85 * (coalesce(c, 0)"
+                        f" + (case when is_seed then _dg div {s} else 0 end)))"
+                        " div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % 2 == 0 or it == rounds - 1:
+            r = r.localCheckpoint(eager=True)
+    return r.select("node", F.col("rank").alias("rank_fp"))
+
+
 def label_propagation(
     edges: DataFrame, src: str = "src", dst: str = "dst", n_rounds: int = 4
 ) -> DataFrame:

@@ -1461,6 +1461,78 @@ def _pagerank_portable_oracle(rounds: int) -> str:
     )
 
 
+def _ppr_portable_oracle(rounds: int, seed_mod: int) -> str:
+    """Unrolled fixed-point PERSONALIZED power iteration (MATERIALIZED
+    CTE per round): the q_pagerank_portable oracle with the teleport
+    and dangling mass restricted to the seed set (node % seed_mod == 0),
+    mirroring ext/graph.ppr_portable literally — all integer add /
+    multiply / truncating `//` on non-negatives."""
+    head = f"""e AS MATERIALIZED ({_EDGE_SQL.strip().split('(', 1)[1].rsplit(')', 1)[0]}),
+    outd AS MATERIALIZED (SELECT src AS node, count(*) AS od FROM e GROUP BY src),
+    nodes AS MATERIALIZED (
+        SELECT n.node, outd.od, (n.node % {seed_mod} = 0) AS is_seed
+        FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+        LEFT JOIN outd ON outd.node = n.node
+    ),
+    ss AS MATERIALIZED (SELECT count(*) AS s FROM nodes WHERE is_seed),
+    r0 AS MATERIALIZED (
+        SELECT node, od, is_seed,
+               CASE WHEN is_seed THEN 1000000000000 // (SELECT s FROM ss)
+                    ELSE 0 END AS rank
+        FROM nodes
+    )"""
+    parts = [head]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+        SELECT e.dst AS node, sum(r.rank // r.od) AS c
+        FROM r{t - 1} r JOIN e ON e.src = r.node
+        WHERE r.od IS NOT NULL GROUP BY e.dst
+    ),
+    d{t} AS MATERIALIZED (
+        SELECT coalesce(sum(rank), 0) AS dg FROM r{t - 1} WHERE od IS NULL
+    ),
+    r{t} AS MATERIALIZED (
+        SELECT n.node, n.od, n.is_seed,
+               CASE WHEN n.is_seed
+                    THEN (15 * 1000000000000) // (100 * (SELECT s FROM ss))
+                    ELSE 0 END
+               + (85 * (coalesce(c.c, 0)
+                        + CASE WHEN n.is_seed
+                               THEN (SELECT dg FROM d{t}) // (SELECT s FROM ss)
+                               ELSE 0 END)) // 100
+               AS rank
+        FROM nodes n LEFT JOIN c{t} c ON c.node = n.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank AS BIGINT) AS rank_fp
+    FROM r{rounds}
+    """
+    )
+
+
+@query("q_ppr_portable", oracle=_ppr_portable_oracle(6, 50))
+def q_ppr_portable(spark, sf_dir):
+    """PERSONALIZED PageRank over the purchase graph in integer
+    fixed-point arithmetic (ext/graph.ppr_portable, 6 rounds, seeds =
+    node % 50 == 0): teleport and dangling mass restart at the seed set
+    only, so rank concentrates in the seeds' neighborhood — the
+    graph-curation primitive ("entities close to these trusted
+    sources", Jeh & Widom 2003). Same bit-reproducible strategy and
+    shuffle shape as q_pagerank_portable; the oracle unrolls the
+    identical seeded arithmetic into MATERIALIZED DuckDB rounds."""
+    from mesin_spark.ext.graph import ppr_portable
+
+    return ppr_portable(_purchase_edges(spark, sf_dir), seed_mod=50, rounds=6).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rank_fp").cast("bigint").alias("rank_fp"),
+    )
+
+
 @query("q_pagerank_portable", oracle=_pagerank_portable_oracle(6))
 def q_pagerank_portable(spark, sf_dir):
     """PageRank over the purchase graph in integer FIXED-POINT

@@ -504,3 +504,32 @@ def test_hash_sample_quantiles_merge_and_accuracy(spark):
         assert row["n_kept"] == n
         want = exact[int(math.floor(0.5 * (n - 1)))]
         assert abs(row["q50"] - want) < 1e-4
+
+
+def test_ppr_portable_reduces_to_pagerank_and_concentrates_on_seeds(spark):
+    """Two defining properties of personalized PageRank, both exact:
+    (1) with EVERY node a seed (seed_mod=1) the personalized teleport is
+    the uniform one, so ppr_portable must equal pagerank_portable
+    BIT-FOR-BIT; (2) with a single seed, rank concentrates on the seed's
+    neighborhood — the seed outranks every node not reachable from it,
+    and unreachable non-seed nodes hold rank 0 after enough rounds.
+    Plus mass conservation (up to truncation) and rerun determinism."""
+    from mesin_spark.ext.graph import PR_SCALE, pagerank_portable, ppr_portable
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (6, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    # (1) all-seeds degenerate case == uniform portable pagerank
+    allseed = {r["node"]: r["rank_fp"] for r in ppr_portable(df, seed_mod=1, rounds=8).collect()}
+    uniform = {r["node"]: r["rank_fp"] for r in pagerank_portable(df, rounds=8).collect()}
+    assert allseed == uniform
+    # (2) seed only node 7 (7 % 7 == 0): 7 is a dangling sink whose mass
+    # restarts at itself; the 1-2-3 cycle and 4/6 are unreachable from 7
+    # and not seeds, so after the first round their rank decays to 0
+    seeded = {r["node"]: r["rank_fp"] for r in ppr_portable(df, seed_mod=7, rounds=8).collect()}
+    assert seeded[7] > 0
+    assert all(seeded[n] == 0 for n in (1, 2, 3, 4, 6))
+    # mass conservation within truncation loss
+    assert 0.999999 < sum(seeded.values()) / PR_SCALE <= 1.000001
+    # determinism
+    again = {r["node"]: r["rank_fp"] for r in ppr_portable(df, seed_mod=7, rounds=8).collect()}
+    assert seeded == again
