@@ -518,6 +518,99 @@ def pagerank_portable(
     return r.select("node", F.col("rank").alias("rank_fp"))
 
 
+HITS_SCALE = 10**6  # fixed-point unit for portable HITS (see overflow note)
+
+
+def hits_portable(
+    edges: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) in integer fixed-point
+    arithmetic — the portable-proof strategy applied to the second
+    classic iterative ranking: authority(v) = Σ_{u→v} hub(u), hub(u) =
+    Σ_{u→v} authority(v), each vector L1-normalized to HITS_SCALE per
+    half-round via truncating integer division, so the full hub AND
+    authority vectors are bit-reproducible cross-engine. On a bipartite
+    graph (the customer→supplier purchase edges) HITS is the natural
+    ranking: hubs = buyers, authorities = suppliers.
+
+    Overflow bound: after normalization Σ scores = ~HITS_SCALE (1e6),
+    so a raw half-round sum ≤ HITS_SCALE·max_degree and the
+    normalization multiply raw·HITS_SCALE needs
+    max_degree < 2^63 / HITS_SCALE² ≈ 9.2e6 — runtime-guarded with
+    assert_true on the norm (a graph with hotter hubs than that needs a
+    wider unit split, the mul_mod32 lesson).
+
+    Per round: two keyed shuffles (groupBy dst, then groupBy src) and
+    two broadcast 1-row norms — node-keyed, partitions cleanly at
+    100 TB; eager checkpoint per round keeps the plan flat. Returns
+    (node, hub_fp, auth_fp) with absent sides as 0."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits_portable: empty edge list")
+    lim = (2**63 - 1) // HITS_SCALE
+    h = nodes.withColumn("h", F.lit(HITS_SCALE // n))
+    a = None
+    for it in range(rounds):
+        a_raw = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("raw"))
+        )
+        na = a_raw.agg(
+            F.assert_true(
+                F.sum("raw") <= F.lit(lim), F.lit("hits_portable: norm overflow")
+            ).alias("_chk"),
+            F.sum("raw").alias("nm"),
+        )
+        a = (
+            a_raw.crossJoin(F.broadcast(na))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(raw * {HITS_SCALE}) div nm").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("raw"))
+        )
+        nh = h_raw.agg(
+            F.assert_true(
+                F.sum("raw") <= F.lit(lim), F.lit("hits_portable: norm overflow")
+            ).alias("_chk"),
+            F.sum("raw").alias("nm"),
+        )
+        h = (
+            h_raw.crossJoin(F.broadcast(nh))
+            .select(
+                F.col("src").alias("node"),
+                F.expr(f"(raw * {HITS_SCALE}) div nm").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).alias("hub_fp"),
+            F.coalesce("a", F.lit(0)).alias("auth_fp"),
+        )
+    )
+
+
 def ppr_portable(
     edges: DataFrame,
     seed_mod: int = 50,

@@ -1461,6 +1461,68 @@ def _pagerank_portable_oracle(rounds: int) -> str:
     )
 
 
+def _hits_portable_oracle(rounds: int) -> str:
+    """Unrolled fixed-point HITS (MATERIALIZED CTE per half-round),
+    mirroring ext/graph.hits_portable literally: integer sums and
+    truncating `//` normalization to HITS_SCALE=1e6 units."""
+    head = f"""e AS MATERIALIZED ({_EDGE_SQL.strip().split('(', 1)[1].rsplit(')', 1)[0]}),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    h0 AS MATERIALIZED (
+        SELECT node, 1000000 // (SELECT n FROM nn) AS h FROM nodes
+    )"""
+    parts = [head]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""ar{t} AS MATERIALIZED (
+        SELECT e.dst AS node, sum(h.h) AS raw
+        FROM h{t - 1} h JOIN e ON e.src = h.node GROUP BY e.dst
+    ),
+    a{t} AS MATERIALIZED (
+        SELECT node, (raw * 1000000) // (SELECT sum(raw) FROM ar{t}) AS a
+        FROM ar{t}
+    ),
+    hr{t} AS MATERIALIZED (
+        SELECT e.src AS node, sum(a.a) AS raw
+        FROM a{t} a JOIN e ON e.dst = a.node GROUP BY e.src
+    ),
+    h{t} AS MATERIALIZED (
+        SELECT node, (raw * 1000000) // (SELECT sum(raw) FROM hr{t}) AS h
+        FROM hr{t}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hub_fp,
+           CAST(coalesce(a.a, 0) AS BIGINT) AS auth_fp
+    FROM nodes n
+    LEFT JOIN h{rounds} h ON h.node = n.node
+    LEFT JOIN a{rounds} a ON a.node = n.node
+    """
+    )
+
+
+@query("q_hits_portable", oracle=_hits_portable_oracle(6))
+def q_hits_portable(spark, sf_dir):
+    """HITS hubs & authorities over the purchase graph in integer
+    fixed-point arithmetic (ext/graph.hits_portable, 6 rounds) — the
+    natural ranking for a BIPARTITE graph: hubs = buying customers,
+    authorities = supplying suppliers. Same bit-reproducible strategy
+    as q_pagerank_portable (truncating-div L1 normalization per
+    half-round); the oracle unrolls the identical arithmetic into
+    MATERIALIZED DuckDB half-rounds. Two node-keyed shuffles per round."""
+    from mesin_spark.ext.graph import hits_portable
+
+    return hits_portable(_purchase_edges(spark, sf_dir), rounds=6).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("hub_fp").cast("bigint").alias("hub_fp"),
+        F.col("auth_fp").cast("bigint").alias("auth_fp"),
+    )
+
+
 def _ppr_portable_oracle(rounds: int, seed_mod: int) -> str:
     """Unrolled fixed-point PERSONALIZED power iteration (MATERIALIZED
     CTE per round): the q_pagerank_portable oracle with the teleport

@@ -533,3 +533,48 @@ def test_ppr_portable_reduces_to_pagerank_and_concentrates_on_seeds(spark):
     # determinism
     again = {r["node"]: r["rank_fp"] for r in ppr_portable(df, seed_mod=7, rounds=8).collect()}
     assert seeded == again
+
+
+def test_hits_portable_star_and_float_agreement(spark):
+    """HITS fixed-point sanity: on a star (3 buyers -> 1 supplier) the
+    single authority absorbs the whole authority scale and the three
+    hubs split the hub scale equally; on a general graph the
+    fixed-point vectors track a pure-Python float HITS (same L1
+    normalization) within the 1e-6 unit; pure sources/sinks score 0 on
+    the missing side; reruns are bit-identical."""
+    from mesin_spark.ext.graph import HITS_SCALE, hits_portable
+
+    star = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r for r in hits_portable(star, rounds=3).collect()}
+    assert got[9]["auth_fp"] == HITS_SCALE and got[9]["hub_fp"] == 0
+    hubs = [got[n]["hub_fp"] for n in (1, 2, 3)]
+    assert len(set(hubs)) == 1 and abs(sum(hubs) - HITS_SCALE) <= 3
+    assert all(got[n]["auth_fp"] == 0 for n in (1, 2, 3))
+
+    edges = [(1, 5), (1, 6), (2, 5), (3, 6), (3, 7), (4, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fp = {r["node"]: r for r in hits_portable(df, rounds=8).collect()}
+    # pure-Python float HITS with identical L1 normalization
+    nodes = sorted({u for e in edges for u in e})
+    h = {u: 1.0 / len(nodes) for u in nodes}
+    a = {}
+    for _ in range(8):
+        a_raw = {}
+        for u, v in edges:
+            a_raw[v] = a_raw.get(v, 0.0) + h.get(u, 0.0)
+        na = sum(a_raw.values())
+        a = {v: x / na for v, x in a_raw.items()}
+        h_raw = {}
+        for u, v in edges:
+            h_raw[u] = h_raw.get(u, 0.0) + a.get(v, 0.0)
+        nh = sum(h_raw.values())
+        h = {u: x / nh for u, x in h_raw.items()}
+    for u in nodes:
+        assert abs(fp[u]["hub_fp"] / HITS_SCALE - h.get(u, 0.0)) < 1e-4
+        assert abs(fp[u]["auth_fp"] / HITS_SCALE - a.get(u, 0.0)) < 1e-4
+    again = {r["node"]: r for r in hits_portable(df, rounds=8).collect()}
+    assert {k: (v["hub_fp"], v["auth_fp"]) for k, v in fp.items()} == {
+        k: (v["hub_fp"], v["auth_fp"]) for k, v in again.items()
+    }
