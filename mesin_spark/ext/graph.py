@@ -545,8 +545,13 @@ def hits_portable(
 
     Per round: two keyed shuffles (groupBy dst, then groupBy src) and
     two broadcast 1-row norms — node-keyed, partitions cleanly at
-    100 TB; eager checkpoint per round keeps the plan flat. Returns
-    (node, hub_fp, auth_fp) with absent sides as 0."""
+    100 TB. Each HALF-round is eagerly checkpointed, and that cadence
+    is structural, not tunable: the normalization crossJoin references
+    the raw half-round frame TWICE (once for values, once for the
+    norm), so an un-truncated chain doubles the logical plan per
+    half-round — the same 2^rounds analysis blowup the pagerank
+    carry_prev note documents. Measured two-scale slope 1.48 at 3×
+    data. Returns (node, hub_fp, auth_fp) with absent sides as 0."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
     nodes = (
