@@ -825,3 +825,79 @@ def sq8_topk(
         .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc_nulls_last())
         .limit(k)
     )
+
+
+def semantic_dedup_portable(
+    emb: DataFrame,
+    n_list: int = 16,
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with every nondeterministic step replaced by the
+    portable exact-arithmetic equivalent — the cross-engine proof for
+    the semantic-dedup class (engine-native semantic_dedup stays
+    rows-only: its k-means codebook is seeded-random):
+
+    1. codebook = the stored embeddings of ids 0..n_list-1 (the
+       ivf_portable seed-centroid trick — derivable by any engine from
+       the same rows);
+    2. assignment = argmax of the 6-dp-rounded cosine, ties to the
+       smallest centroid id (map-side after the bounded codebook
+       collect);
+    3. pairs = exact cosine WITHIN clusters only, kept when the
+       6-dp-rounded sim ≥ threshold (rounding both engines' summation
+       orders to the same value before the comparison, so the pair SET
+       is identical cross-engine);
+    4. connected components (dedup_clusters), keep each component's
+       minimum id — same over-deletion-safe policy as semantic_dedup.
+
+    The quadratic pair space is bounded by the largest cluster (~n/k on
+    mixing data); at 100 TB raise n_list so n/k stays bench-sized —
+    the same FAISS-guidance knob as the k-means variant. The assigned
+    frame is checkpointed once so the 16-cosine assignment computes
+    once, not once per self-join side. Returns kept (id, sem_cluster)."""
+    seed_rows = (
+        emb.filter(F.col(id_col) < n_list).select(id_col, vec_col).collect()
+    )
+    seeds = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in seed_rows}
+    if len(seeds) < n_list:
+        raise ValueError(
+            f"semantic_dedup_portable: need ids 0..{n_list - 1} as seed "
+            f"centroids, found {sorted(seeds)}"
+        )
+    cells = F.array(
+        *[
+            F.struct(
+                R(cosine(F.col(vec_col), lit_vector(seeds[j])), 6).alias("sim"),
+                F.lit(-j).alias("negj"),
+            )
+            for j in range(n_list)
+        ]
+    )
+    assigned = emb.select(
+        id_col, vec_col, (-F.array_max(cells)["negj"]).alias("sem_cluster")
+    ).localCheckpoint(eager=True)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sem_cluster") == F.col("b.sem_cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            R(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    from mesin_spark.ext.dedup import dedup_clusters
+
+    comp = dedup_clusters(pairs.select("id_a", "id_b"))
+    losers = comp.filter(F.col("node") != F.col("canonical_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return assigned.select(id_col, "sem_cluster").join(losers, id_col, "left_anti")

@@ -237,6 +237,69 @@ def q_dedup_incremental(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "q_semdedup_portable",
+    oracle=f"""
+    WITH RECURSIVE seeds AS (
+        SELECT vec_id AS j, embedding AS c FROM embeddings WHERE vec_id < 16
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, s.j,
+               {sr("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(s.c AS DOUBLE[]))", 6)} AS sim
+        FROM embeddings e CROSS JOIN seeds s
+    ), assigned AS (
+        SELECT vec_id, embedding, j AS cl
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY sim DESC, j ASC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cl = b.cl AND a.vec_id < b.vec_id
+        WHERE {sr("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)} >= 0.40
+    ), und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), nds AS (
+        SELECT DISTINCT src AS node FROM und
+    ), reach(node, lbl) AS (
+        SELECT node, node FROM nds
+        UNION
+        SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+    ), comp AS (
+        SELECT node, min(lbl) AS canon FROM reach GROUP BY node
+    ), losers AS (
+        SELECT node FROM comp WHERE node <> canon
+    )
+    SELECT a.vec_id, CAST(a.cl AS BIGINT) AS sem_cluster
+    FROM assigned a
+    WHERE a.vec_id NOT IN (SELECT node FROM losers)
+    ORDER BY a.vec_id
+    """,
+)
+def q_semdedup_portable(spark, sf_dir):
+    """SemDeDup with deterministic seed centroids and rounded-cosine
+    pair decisions (ext/similarity.semantic_dedup_portable, 16 lists,
+    threshold 0.40 — calibrated like q_dedup_embed to this fixture's
+    cosine range) — the cross-engine proof for the semantic-dedup class:
+    the engine-native q_semdedup stays rows-only because its k-means
+    codebook is seeded-random, but seed-centroid assignment + 6-dp
+    rounding before every comparison makes the kept set exactly
+    reproducible (the oracle mirrors assignment, the in-cluster pair
+    set, AND the min-id connected components via a recursive CTE).
+    Same scale shape: bounded codebook collect, map-side assignment,
+    pair space bounded by the largest cluster (~n/k)."""
+    from mesin_spark.ext.similarity import semantic_dedup_portable
+
+    emb = T(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup_portable(emb, n_list=16, threshold=0.40)
+        .select("vec_id", F.col("sem_cluster").cast("bigint").alias("sem_cluster"))
+        .orderBy("vec_id")
+    )
+
+
 @query("q_semdedup")  # rows-only: seeded k-means clusters have no SQL mirror
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: learn 16

@@ -578,3 +578,42 @@ def test_hits_portable_star_and_float_agreement(spark):
     assert {k: (v["hub_fp"], v["auth_fp"]) for k, v in fp.items()} == {
         k: (v["hub_fp"], v["auth_fp"]) for k, v in again.items()
     }
+
+
+def test_semdedup_portable_crafted_components_and_determinism(spark):
+    """Crafted corpus: ids 0..15 are orthogonal-ish seeds; 100/101/102
+    are three near-identical copies of seed 3's direction (one
+    component — exactly two drop, min id 100 survives); 200 is a lone
+    vector near seed 5 (no pair, survives). Checks the kept set, the
+    component-minimum policy, cluster assignments, and rerun equality."""
+    import numpy as np
+
+    from mesin_spark.ext.similarity import semantic_dedup_portable
+
+    dim = 8
+    rows = []
+    for j in range(16):
+        v = np.zeros(dim)
+        v[j % dim] = 1.0
+        if j >= dim:  # second axis keeps all seed pairs at cos <= 1/sqrt(2)
+            v[(j + 1) % dim] = 1.0
+        rows.append((j, [float(x) for x in v]))
+    # near seed 3 (argmax assignment) but below the 0.95 pair threshold
+    # against it (cos = 1/sqrt(1+0.35²) ≈ 0.944), so the component is the
+    # three copies alone and the seed survives separately
+    base = np.zeros(dim); base[3] = 1.0; base[0] = 0.35
+    for i, eps in ((100, 0.0), (101, 1e-3), (102, 2e-3)):
+        v = base.copy(); v[2] = eps
+        rows.append((i, [float(x) for x in v]))
+    lone = np.zeros(dim); lone[5] = 1.0; lone[1] = 0.4
+    rows.append((200, [float(x) for x in lone]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {r["vec_id"]: r["sem_cluster"] for r in
+            semantic_dedup_portable(emb, n_list=16, threshold=0.95).collect()}
+    assert 100 in kept and 101 not in kept and 102 not in kept
+    assert 200 in kept
+    assert all(j in kept for j in range(16))  # seeds are mutually distant
+    assert kept[100] == 3 and kept[200] == 5  # assignment sanity
+    again = {r["vec_id"]: r["sem_cluster"] for r in
+             semantic_dedup_portable(emb, n_list=16, threshold=0.95).collect()}
+    assert kept == again
