@@ -901,3 +901,96 @@ def semantic_dedup_portable(
         F.col("node").alias(id_col)
     )
     return assigned.select(id_col, "sem_cluster").join(losers, id_col, "left_anti")
+
+
+def pq_portable_topk(
+    emb: DataFrame,
+    query_id: int = 0,
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with DETERMINISTIC codebooks — the
+    portable proof for the PQ class (engine-native pq/ivfpq stay
+    rows-only: their codebooks come from seeded k-means): per subspace
+    s the codewords are the s-th subvectors of the stored ids
+    0..n_codes-1 (the ivf_portable seed trick applied per subspace).
+    Encode = per-subspace argmin of the 6-dp-rounded L2² (ties to the
+    smallest codeword id); search = ADC — the query's per-subspace
+    lookup tables are m·n_codes rounded literals, and each corpus
+    distance is a FIXED-ORDER sum of m table entries (both engines add
+    s=0,1,...,m-1 left to right, so no aggregation-order ambiguity
+    survives the final rounding). Every step exact arithmetic from
+    stored rows → full cross-engine oracle.
+
+    Scale shape identical to the k-means PQ: bounded codebook collect,
+    map-side encode (codes are m small ints — the 16-byte-per-vector
+    compression that makes a 100 TB corpus scannable), one codegen'd
+    scan of literal-table sums into TakeOrderedAndProject."""
+    import math
+
+    sub = dim // m
+    seed_rows = (
+        emb.filter(F.col(id_col) < n_codes).select(id_col, vec_col).collect()
+    )
+    seeds = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in seed_rows}
+    if len(seeds) < n_codes:
+        raise ValueError(
+            f"pq_portable_topk: need ids 0..{n_codes - 1} as codewords, "
+            f"found {sorted(seeds)}"
+        )
+    qrow = emb.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise ValueError(f"pq_portable_topk: no row with {id_col}={query_id}")
+    qvec = [float(x) for x in qrow[0]]
+
+    def rounded_l2(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):  # left-to-right fold, same as the column expr
+            d = x - y
+            acc += d * d
+        return math.floor(acc * 1e6 + 0.5) / 1e6
+
+    def cw(s: int, j: int) -> list:
+        return seeds[j][s * sub : (s + 1) * sub]
+
+    # query-side ADC lookup tables: m × n_codes rounded literals
+    lut = [
+        [rounded_l2(qvec[s * sub : (s + 1) * sub], cw(s, j)) for j in range(n_codes)]
+        for s in range(m)
+    ]
+
+    def sub_l2(s: int, j: int):
+        cwj = cw(s, j)
+        arr = F.zip_with(
+            F.slice(F.col(vec_col), s * sub + 1, sub),
+            F.array(*[F.lit(float(x)) for x in cwj]),
+            lambda x, y: x.cast("double") - y,
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda acc, d: acc + d * d)
+
+    code_cols = []
+    for s in range(m):
+        cells = F.array(
+            *[
+                F.struct(R(sub_l2(s, j), 6).alias("d"), F.lit(j).alias("j"))
+                for j in range(n_codes)
+            ]
+        )
+        # min struct = (min rounded dist, then min codeword id)
+        code_cols.append(F.array_min(cells)["j"].alias(f"c{s}"))
+    coded = emb.select(F.col(id_col), *code_cols)
+    dist = F.lit(0.0)
+    for s in range(m):
+        dist = dist + F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
+        )
+    return (
+        coded.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), R(dist, 6).alias("dist"))
+        .orderBy(F.col("dist").asc_nulls_last(), F.col(id_col).asc_nulls_last())
+        .limit(k)
+    )

@@ -440,3 +440,58 @@ def q_ann_sq8(spark, sf_dir):
     from mesin_spark.ext.similarity import sq8_topk
 
     return sq8_topk(T(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@query(
+    "q_pq_portable",
+    oracle=f"""
+    WITH cwv AS (
+        SELECT vec_id AS j, embedding AS c FROM embeddings WHERE vec_id < 16
+    ), sp AS (SELECT unnest([0, 1, 2, 3]) AS s),
+    dists AS (
+        SELECT e.vec_id, sp.s, w.j,
+               {sr("list_sum(list_transform(list_transform(range(1, 17), i -> CAST(e.embedding[sp.s*16 + i] AS DOUBLE) - CAST(w.c[sp.s*16 + i] AS DOUBLE)), x -> x * x))", 6)} AS d
+        FROM embeddings e CROSS JOIN sp CROSS JOIN cwv w
+    ),
+    codes AS (
+        SELECT vec_id,
+               max(CASE WHEN s = 0 THEN j END) AS c0,
+               max(CASE WHEN s = 1 THEN j END) AS c1,
+               max(CASE WHEN s = 2 THEN j END) AS c2,
+               max(CASE WHEN s = 3 THEN j END) AS c3
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                           ORDER BY d ASC, j ASC) AS rn
+              FROM dists)
+        WHERE rn = 1
+        GROUP BY vec_id
+    ),
+    lut AS (
+        SELECT sp.s, w.j,
+               {sr("list_sum(list_transform(list_transform(range(1, 17), i -> CAST(q.qe[sp.s*16 + i] AS DOUBLE) - CAST(w.c[sp.s*16 + i] AS DOUBLE)), x -> x * x))", 6)} AS d
+        FROM cwv w CROSS JOIN sp
+        CROSS JOIN (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+    )
+    SELECT c.vec_id,
+           {sr("(SELECT d FROM lut WHERE s = 0 AND j = c.c0)"
+               " + (SELECT d FROM lut WHERE s = 1 AND j = c.c1)"
+               " + (SELECT d FROM lut WHERE s = 2 AND j = c.c2)"
+               " + (SELECT d FROM lut WHERE s = 3 AND j = c.c3)", 6)} AS dist
+    FROM codes c
+    WHERE c.vec_id <> 0
+    ORDER BY dist ASC NULLS LAST, c.vec_id ASC NULLS LAST
+    LIMIT 10
+    """,
+)
+def q_pq_portable(spark, sf_dir):
+    """Product-quantization ANN with DETERMINISTIC seed-row codebooks
+    (ext/similarity.pq_portable_topk: 4 subspaces x 16 codewords = the
+    subvectors of stored ids 0..15) — the portable proof for the PQ
+    class whose k-means variants (q_pq_ann, q_ivfpq_ann) are rows-only
+    by construction. Encode = per-subspace argmin of 6-dp-rounded L2²
+    (ties to the smallest codeword id); ADC distances are FIXED-ORDER
+    sums of rounded lookup-table literals, so the full top-10 compares
+    exactly cross-engine. Same scale shape as the k-means PQ: bounded
+    codebook collect, map-side 16-byte codes, one literal-table scan."""
+    from mesin_spark.ext.similarity import pq_portable_topk
+
+    return pq_portable_topk(T(spark, sf_dir, "embeddings"), query_id=0, k=10)

@@ -679,3 +679,40 @@ def test_sq8_topk_close_to_exact_l2(spark):
     assert len(set(ids) & exact_ids) >= 8
     again = [r["vec_id"] for r in sq8_topk(emb, query_id=0, k=10).collect()]
     assert again == ids
+
+
+def test_pq_portable_matches_pure_python_reference(spark):
+    """pq_portable_topk is deterministic enough to re-derive outside
+    Spark: a pure-Python implementation of the same seed-row codebooks,
+    rounded-argmin encode, and fixed-order ADC must produce the
+    identical top-10 (ids AND distances) — the same cross-engine claim
+    the DuckDB oracle certifies, checked a third way. Also: reruns are
+    bit-identical."""
+    import math
+
+    from mesin_spark.ext.similarity import pq_portable_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = [(r["vec_id"], r["dist"]) for r in pq_portable_topk(emb, query_id=0, k=10).collect()]
+    rows = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in emb.collect()}
+    m, sub, n_codes = 4, 16, 16
+    rl2 = lambda a, b: math.floor(
+        sum((x - y) * (x - y) for x, y in zip(a, b)) * 1e6 + 0.5
+    ) / 1e6
+    cw = {(s, j): rows[j][s * sub:(s + 1) * sub] for s in range(m) for j in range(n_codes)}
+    q = rows[0]
+    lut = {(s, j): rl2(q[s * sub:(s + 1) * sub], cw[(s, j)]) for s in range(m) for j in range(n_codes)}
+    scored = []
+    for vid, v in rows.items():
+        if vid == 0:
+            continue
+        dist = 0.0
+        for s in range(m):
+            code = min(range(n_codes), key=lambda j: (rl2(v[s * sub:(s + 1) * sub], cw[(s, j)]), j))
+            dist += lut[(s, code)]
+        scored.append((math.floor(dist * 1e6 + 0.5) / 1e6, vid))
+    scored.sort()
+    want = [(vid, d) for d, vid in scored[:10]]
+    assert got == want, (got, want)
+    again = [(r["vec_id"], r["dist"]) for r in pq_portable_topk(emb, query_id=0, k=10).collect()]
+    assert again == got
