@@ -92,17 +92,19 @@ def cdc_chunks(
     the chunk bytes (deterministic, signed-long-safe for Spark)."""
     out = []
     start = 0
-    with np.errstate(over="ignore"):  # FNV is modular 2^64 by design
-        for end in chunk_boundaries(payload, avg_size, min_size, max_size):
-            h = np.uint64(0xCBF29CE484222325)
-            chunk = np.frombuffer(
-                payload[start:end], dtype=np.uint8
-            ).astype(np.uint64)
-            prime = np.uint64(0x100000001B3)
-            for byte in chunk:  # chunks are small (<= max_size) by construction
-                h = (h ^ byte) * prime
-            out.append((start, end - start, int(h.astype(np.int64))))
-            start = end
+    mask = (1 << 64) - 1
+    prime = 0x100000001B3
+    for end in chunk_boundaries(payload, avg_size, min_size, max_size):
+        # plain-int FNV-1a with an explicit 2^64 mask: numpy uint64
+        # SCALARS pay ~10x per-op overhead, and this inner loop touches
+        # every payload byte — the vectorized rolling hash above would
+        # otherwise be dominated by the chunk-hash pass. Same values
+        # bit-for-bit (FNV is modular arithmetic either way).
+        h = 0xCBF29CE484222325
+        for byte in payload[start:end]:
+            h = ((h ^ byte) * prime) & mask
+        out.append((start, end - start, h - (1 << 64) if h >= 1 << 63 else h))
+        start = end
     return out
 
 

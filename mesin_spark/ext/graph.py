@@ -563,6 +563,16 @@ def hits_portable(
     n = nodes.count()
     if n == 0:
         raise ValueError("hits_portable: empty edge list")
+    if n > HITS_SCALE:
+        # HITS_SCALE // n would floor every initial hub score to 0 and
+        # poison round 1 (NULL authorities behind a misleading overflow
+        # assert). The 1e6-unit scale caps the node count the same way
+        # it caps max degree — fail loudly with the actual remedy.
+        raise ValueError(
+            f"hits_portable: {n} nodes exceeds HITS_SCALE={HITS_SCALE} — "
+            "initial scores would floor to 0; raise HITS_SCALE (and "
+            "re-derive the max-degree overflow bound in the docstring)"
+        )
     lim = (2**63 - 1) // HITS_SCALE
     h = nodes.withColumn("h", F.lit(HITS_SCALE // n))
     a = None

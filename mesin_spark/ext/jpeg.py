@@ -1052,6 +1052,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
     comps: list[dict] = []
     h = w = dri = 0
     progressive = False
+    saw_eoi = False
     grids: list[np.ndarray] | None = None  # per-comp zigzag coef planes (SOF2)
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -1059,6 +1060,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
@@ -1234,6 +1236,17 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
             return _finish_image(planes, order, h, w, hmax, vmax)
         pos += seglen
     if progressive and grids is not None:
+        if not saw_eoi:
+            # a progressive stream that ends between scans (torn write /
+            # truncated download) would otherwise "finish" from the scans
+            # that did arrive and return silently wrong pixels — the one
+            # outcome the envelope contract forbids (raise, never wrong
+            # pixels; the operators' per-record guard turns this into a
+            # flagged row). T.81 requires EOI, so its absence IS the
+            # truncation signal.
+            raise ValueError(
+                "truncated progressive JPEG: stream ended before EOI"
+            )
         # all scans accumulated into the coefficient grids — the shared
         # dequant/IDCT/upsample/color tail; blocks are dense row-major,
         # so placement is a pure reshape instead of baseline's scatter

@@ -153,39 +153,56 @@ def _find_box(buf: bytes, pos: int, end: int, path: list[bytes]) -> tuple[int, i
     return pos, end
 
 
-def decode_mp4(payload: bytes) -> tuple[list[np.ndarray], dict]:
-    """Decode an MP4/MJPEG payload to (frames, meta) via the standard
-    sample tables. Grayscale JPEG samples broadcast to (h, w, 3) to keep
-    decode_video's contract; h264/h265 sample entries raise
-    NotImplementedError (codec stub, container fully parsed)."""
+def video_track_tables(payload: bytes) -> tuple[dict, int]:
+    """Locate the FIRST video track and return ({stbl box fourcc:
+    (body_start, end)}, mdhd timescale) — the discovery walk (moov →
+    trak → mdia → hdlr 'vide' → mdhd/minf/stbl, with the
+    version-dependent mdhd timescale offset) shared by decode_mp4 and
+    probe_mp4 so the two can never silently diverge. Raises ValueError
+    when the payload is not ISO BMFF or has no video track."""
     if payload[4:8] != b"ftyp" and payload[4:8] != b"moov":
         raise ValueError("not an ISO BMFF (MP4) payload")
-    n = len(payload)
-    # find the first video track's stbl: moov → trak(s) → mdia → minf → stbl
-    moov0, moov1 = _find_box(payload, 0, n, [b"moov"])
-    stbl_span = None
-    timescale = 0
+    moov0, moov1 = _find_box(payload, 0, len(payload), [b"moov"])
     for fourcc, b0, b1 in _walk_boxes(payload, moov0, moov1):
         if fourcc != b"trak":
             continue
         try:
             mdia0, mdia1 = _find_box(payload, b0, b1, [b"mdia"])
-            h0, h1 = _find_box(payload, mdia0, mdia1, [b"hdlr"])
+            h0, _ = _find_box(payload, mdia0, mdia1, [b"hdlr"])
             if payload[h0 + 8 : h0 + 12] != b"vide":
                 continue
             m0, _ = _find_box(payload, mdia0, mdia1, [b"mdhd"])
             version = payload[m0]
             timescale = struct.unpack(
-                ">I", payload[m0 + (20 if version else 12) : m0 + (24 if version else 16)]
+                ">I",
+                payload[m0 + (20 if version else 12) : m0 + (24 if version else 16)],
             )[0]
-            stbl_span = _find_box(payload, mdia0, mdia1, [b"minf", b"stbl"])
-            break
+            s0, s1 = _find_box(payload, mdia0, mdia1, [b"minf", b"stbl"])
+            boxes = {f: (x0, x1) for f, x0, x1 in _walk_boxes(payload, s0, s1)}
+            return boxes, timescale
         except ValueError:
             continue
-    if stbl_span is None:
-        raise ValueError("no video track found in MP4 payload")
-    s0, s1 = stbl_span
-    boxes = {fourcc: (b0, b1) for fourcc, b0, b1 in _walk_boxes(payload, s0, s1)}
+    raise ValueError("no video track found in MP4 payload")
+
+
+def sample_delta(payload: bytes, boxes: dict) -> int:
+    """First stts sample delta (default 1) — fps = timescale / delta;
+    externally-authored files commonly carry timescale 600 / delta 60."""
+    delta = 1
+    if b"stts" in boxes:
+        t0, _ = boxes[b"stts"]
+        (n_tt,) = struct.unpack(">I", payload[t0 + 4 : t0 + 8])
+        if n_tt:
+            delta = struct.unpack(">I", payload[t0 + 12 : t0 + 16])[0] or 1
+    return delta
+
+
+def decode_mp4(payload: bytes) -> tuple[list[np.ndarray], dict]:
+    """Decode an MP4/MJPEG payload to (frames, meta) via the standard
+    sample tables. Grayscale JPEG samples broadcast to (h, w, 3) to keep
+    decode_video's contract; h264/h265 sample entries raise
+    NotImplementedError (codec stub, container fully parsed)."""
+    boxes, timescale = video_track_tables(payload)
 
     # codec check on the sample description (the authoritative field)
     d0, _ = boxes[b"stsd"]
@@ -229,15 +246,7 @@ def decode_mp4(payload: bytes) -> tuple[list[np.ndarray], dict]:
         for i in range(n_ent)
     ]
 
-    # fps = timescale / sample delta (stts): our writer uses delta 1, but
-    # externally-authored files commonly carry timescale 600 / delta 60
-    # for 10 fps — reporting bare timescale would be wrong there
-    delta = 1
-    if b"stts" in boxes:
-        t0, _ = boxes[b"stts"]
-        (n_tt,) = struct.unpack(">I", payload[t0 + 4 : t0 + 8])
-        if n_tt:
-            delta = struct.unpack(">I", payload[t0 + 12 : t0 + 16])[0] or 1
+    delta = sample_delta(payload, boxes)
 
     # general sample→chunk walk: entry i applies to chunks
     # [first_chunk_i, first_chunk_{i+1}); samples lie consecutively from

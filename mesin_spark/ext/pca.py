@@ -36,7 +36,12 @@ def covariance_stats(
     partition reduces to ONE (n, Σx, vec(ΣxxT)) partial row via numpy;
     the driver sums the per-partition partials (bounded collect)."""
     if dim is None:
-        dim = len(emb.select(vec_col).head()[0])
+        first = emb.select(vec_col).head()
+        if first is None:
+            # fall through to the deliberate n<2 message instead of dying
+            # on None[0] while inferring the dimension of an empty frame
+            raise ValueError("need >= 2 vectors for a covariance, got 0")
+        dim = len(first[0])
 
     def partials(it):
         import pandas as pd
@@ -84,7 +89,11 @@ def pca_model(
     mean, cov, n = covariance_stats(emb, vec_col)
     w, u = np.linalg.eigh(cov)  # ascending
     order = np.argsort(w)[::-1][:k]
-    eigvals = w[order]
+    # eigh noise can return trailing eigenvalues slightly NEGATIVE on
+    # rank-deficient data (|lambda| scales with ||cov||, easily past any
+    # fixed eps) — clip at 0 so the whitening 1/sqrt(lambda + eps) stays
+    # finite instead of producing an all-NaN component
+    eigvals = np.maximum(w[order], 0.0)
     comps = u[:, order].T.copy()  # (k, d)
     for r in range(comps.shape[0]):
         pivot = int(np.argmax(np.abs(comps[r])))

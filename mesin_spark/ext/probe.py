@@ -166,49 +166,31 @@ def probe_avi(payload: bytes) -> dict:
 
 def probe_mp4(payload: bytes) -> dict:
     """moov box walk — geometry, fps, sample count, codec fourcc; the
-    mdat samples are never read."""
+    mdat samples are never read. Track discovery and the stts delta are
+    mp4.video_track_tables / mp4.sample_delta — the SAME code the real
+    decoder runs, so prober and reader cannot silently diverge on hdlr/
+    mdhd/stbl interpretation."""
     from mesin_spark.ext import mp4 as M4
 
-    n = len(payload)
-    moov0, moov1 = M4._find_box(payload, 0, n, [b"moov"])
-    for fourcc, b0, b1 in M4._walk_boxes(payload, moov0, moov1):
-        if fourcc != b"trak":
-            continue
-        try:
-            mdia0, mdia1 = M4._find_box(payload, b0, b1, [b"mdia"])
-            h0, _ = M4._find_box(payload, mdia0, mdia1, [b"hdlr"])
-            if payload[h0 + 8 : h0 + 12] != b"vide":
-                continue
-            m0, _ = M4._find_box(payload, mdia0, mdia1, [b"mdhd"])
-            version = payload[m0]
-            timescale = struct.unpack(
-                ">I",
-                payload[m0 + (20 if version else 12) : m0 + (24 if version else 16)],
-            )[0]
-            s0, s1 = M4._find_box(payload, mdia0, mdia1, [b"minf", b"stbl"])
-            boxes = {f: (x0, x1) for f, x0, x1 in M4._walk_boxes(payload, s0, s1)}
-            d0, d1 = boxes[b"stsd"]
-            fmt = next(iter(M4._walk_boxes(payload, d0 + 8, d1)))[0]
-            e0 = next(iter(M4._walk_boxes(payload, d0 + 8, d1)))[1]
-            w, h = struct.unpack(">HH", payload[e0 + 24 : e0 + 28])
-            z0, _ = boxes[b"stsz"]
-            count = struct.unpack(">I", payload[z0 + 8 : z0 + 12])[0]
-            delta = 1
-            if b"stts" in boxes:
-                t0, _ = boxes[b"stts"]
-                if struct.unpack(">I", payload[t0 + 4 : t0 + 8])[0]:
-                    delta = struct.unpack(">I", payload[t0 + 12 : t0 + 16])[0] or 1
-            return {
-                "kind": "video",
-                "codec": fmt.decode(errors="replace").strip(),
-                "width": w,
-                "height": h,
-                "fps": timescale / delta,
-                "n_frames": count,
-            }
-        except (ValueError, KeyError, StopIteration):
-            continue
-    raise ValueError("no video track found in MP4 payload")
+    boxes, timescale = M4.video_track_tables(payload)
+    try:
+        d0, d1 = boxes[b"stsd"]
+        fmt, e0, _e1 = next(iter(M4._walk_boxes(payload, d0 + 8, d1)))
+        w, h = struct.unpack(">HH", payload[e0 + 24 : e0 + 28])
+        z0, _ = boxes[b"stsz"]
+        count = struct.unpack(">I", payload[z0 + 8 : z0 + 12])[0]
+    except (KeyError, StopIteration) as e:
+        raise ValueError(
+            "MP4 video track is missing its sample tables (stsd/stsz)"
+        ) from e
+    return {
+        "kind": "video",
+        "codec": fmt.decode(errors="replace").strip(),
+        "width": w,
+        "height": h,
+        "fps": timescale / M4.sample_delta(payload, boxes),
+        "n_frames": count,
+    }
 
 
 def probe_media(payload: bytes) -> dict:

@@ -796,6 +796,11 @@ def sq8_topk(
     engine reproduces the distances bit-for-bit — SQ8 is the
     quantization tier's cross-engine proof. Returns (id, dist), dist
     rounded at 6."""
+    if emb.filter(F.col(id_col) == query_id).head() is None:
+        # without this probe a missing query id silently yields an empty
+        # top-k (the crossJoin against an empty 1-row frame) — raise like
+        # the sibling pq_portable_topk/portable_lsh_topk entry points
+        raise ValueError(f"sq8_topk: no row with {id_col}={query_id}")
     bounds = sq8_bounds(emb, vec_col, dim)
     coded = (
         emb.crossJoin(F.broadcast(bounds))
@@ -932,6 +937,12 @@ def pq_portable_topk(
     scan of literal-table sums into TakeOrderedAndProject."""
     import math
 
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_portable_topk: m={m} must divide dim={dim} — a remainder "
+            f"would silently drop the last {dim % m} dimensions from every "
+            "distance"
+        )
     sub = dim // m
     seed_rows = (
         emb.filter(F.col(id_col) < n_codes).select(id_col, vec_col).collect()

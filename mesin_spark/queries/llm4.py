@@ -253,6 +253,12 @@ def q_cdc_dedup(spark, sf_dir):
     d = (
         T(spark, sf_dir, "documents")
         .select("doc_id", "text")
+        # pre-filter BEFORE the global-sort window: the kept rows are
+        # doc_id < 150 and each needs only the 7 FOLLOWING texts, so
+        # doc_id < 157 bounds the unavoidable single-partition window
+        # stage to 157 rows instead of the whole (3x-scalable) corpus —
+        # byte-identical output, pushdown-friendly scan
+        .filter(F.col("doc_id") < 150 + 7)
         .withColumn("_blob", F.concat_ws(" ", F.collect_list("text").over(w8)))
         .filter(F.col("doc_id") < 150)
         .select("doc_id", F.encode(F.col("_blob"), "UTF-8").alias("payload"))

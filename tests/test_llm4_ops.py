@@ -716,3 +716,24 @@ def test_pq_portable_matches_pure_python_reference(spark):
     assert got == want, (got, want)
     again = [(r["vec_id"], r["dist"]) for r in pq_portable_topk(emb, query_id=0, k=10).collect()]
     assert again == got
+
+
+def test_progressive_jpeg_truncated_between_scans_raises(spark):
+    """Envelope contract: a progressive stream torn between scans must
+    RAISE (never return the partially-accumulated image as if complete);
+    EOI absence is the truncation signal. Baseline truncation already
+    raises from the entropy decoder."""
+    import numpy as np
+    import pytest
+
+    from mesin_spark.ext.jpeg import decode_jpeg, make_progressive_jpeg_payload
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (24, 32, 3)).astype("uint8")
+    prog = make_progressive_jpeg_payload(px, quality=85)
+    sos = [i for i in range(2, len(prog) - 1)
+           if prog[i] == 0xFF and prog[i + 1] == 0xDA]
+    assert len(sos) >= 2
+    with pytest.raises(ValueError, match="truncated progressive"):
+        decode_jpeg(prog[: sos[1]])
+    decode_jpeg(prog)  # the untruncated stream still decodes

@@ -617,3 +617,32 @@ def test_semdedup_portable_crafted_components_and_determinism(spark):
     again = {r["vec_id"]: r["sem_cluster"] for r in
              semantic_dedup_portable(emb, n_list=16, threshold=0.95).collect()}
     assert kept == again
+
+
+def test_review_guards_raise_instead_of_silent_wrong(spark, monkeypatch):
+    """Round-6 review regressions: (1) hits_portable refuses a graph
+    whose node count floors the initial fixed-point score to 0; (2)
+    pq_portable_topk refuses m that does not divide dim (silent
+    dimension drop); (3) sq8_topk raises on a missing query id instead
+    of returning an empty top-k; (4) covariance_stats reports the
+    deliberate n<2 message on an empty frame instead of a TypeError."""
+    import pytest
+
+    from mesin_spark.ext import graph as G
+    from mesin_spark.ext.pca import covariance_stats
+    from mesin_spark.ext.similarity import pq_portable_topk, sq8_topk
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    monkeypatch.setattr(G, "HITS_SCALE", 2)
+    with pytest.raises(ValueError, match="exceeds HITS_SCALE"):
+        G.hits_portable(edges, rounds=1)
+    monkeypatch.undo()
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(32)
+    with pytest.raises(ValueError, match="must divide dim"):
+        pq_portable_topk(emb, m=5)
+    with pytest.raises(ValueError, match="no row with vec_id"):
+        sq8_topk(emb, query_id=10**9)
+    empty = emb.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="need >= 2 vectors"):
+        covariance_stats(empty)
