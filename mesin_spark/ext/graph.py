@@ -539,9 +539,11 @@ def hits_portable(
     Overflow bound: after normalization Σ scores = ~HITS_SCALE (1e6),
     so a raw half-round sum ≤ HITS_SCALE·max_degree and the
     normalization multiply raw·HITS_SCALE needs
-    max_degree < 2^63 / HITS_SCALE² ≈ 9.2e6 — runtime-guarded with
-    assert_true on the norm (a graph with hotter hubs than that needs a
-    wider unit split, the mul_mod32 lesson).
+    max_degree < 2^63 / HITS_SCALE² ≈ 9.2e6 — runtime-guarded by
+    folding the check INTO the consumed norm column (a CASE that
+    raise_error()s on overflow); a detached assert_true column would be
+    removed by ColumnPruning and never evaluate (a graph with hotter
+    hubs than that needs a wider unit split, the mul_mod32 lesson).
 
     Per round: two keyed shuffles (groupBy dst, then groupBy src) and
     two broadcast 1-row norms — node-keyed, partitions cleanly at
@@ -552,6 +554,10 @@ def hits_portable(
     half-round — the same 2^rounds analysis blowup the pagerank
     carry_prev note documents. Measured two-scale slope 1.48 at 3×
     data. Returns (node, hub_fp, auth_fp) with absent sides as 0."""
+    if rounds < 1:
+        # rounds=0 would leave the authority frame unbuilt and crash at
+        # the final join with an opaque TypeError — refuse up front.
+        raise ValueError("hits_portable: rounds must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
     nodes = (
@@ -582,11 +588,16 @@ def hits_portable(
             .groupBy("dst")
             .agg(F.sum("h").alias("raw"))
         )
+        # The overflow guard is folded INTO the consumed `nm` column: a
+        # standalone assert_true("_chk") column is never referenced
+        # downstream, so ColumnPruning deletes it and the guard never
+        # runs (verified empirically on Spark 4.1.2).
         na = a_raw.agg(
-            F.assert_true(
-                F.sum("raw") <= F.lit(lim), F.lit("hits_portable: norm overflow")
-            ).alias("_chk"),
-            F.sum("raw").alias("nm"),
+            F.when(F.sum("raw") <= F.lit(lim), F.sum("raw"))
+            .otherwise(
+                F.raise_error(F.lit("hits_portable: authority norm overflow"))
+            )
+            .alias("nm"),
         )
         a = (
             a_raw.crossJoin(F.broadcast(na))
@@ -602,10 +613,9 @@ def hits_portable(
             .agg(F.sum("a").alias("raw"))
         )
         nh = h_raw.agg(
-            F.assert_true(
-                F.sum("raw") <= F.lit(lim), F.lit("hits_portable: norm overflow")
-            ).alias("_chk"),
-            F.sum("raw").alias("nm"),
+            F.when(F.sum("raw") <= F.lit(lim), F.sum("raw"))
+            .otherwise(F.raise_error(F.lit("hits_portable: hub norm overflow")))
+            .alias("nm"),
         )
         h = (
             h_raw.crossJoin(F.broadcast(nh))

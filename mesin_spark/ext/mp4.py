@@ -158,8 +158,10 @@ def video_track_tables(payload: bytes) -> tuple[dict, int]:
     (body_start, end)}, mdhd timescale) — the discovery walk (moov →
     trak → mdia → hdlr 'vide' → mdhd/minf/stbl, with the
     version-dependent mdhd timescale offset) shared by decode_mp4 and
-    probe_mp4 so the two can never silently diverge. Raises ValueError
-    when the payload is not ISO BMFF or has no video track."""
+    probe_mp4 so the two can never silently diverge. A 'vide' track
+    missing stsd/stsz is skipped in favor of a later well-formed video
+    track. Raises ValueError when the payload is not ISO BMFF or has no
+    usable video track."""
     if payload[4:8] != b"ftyp" and payload[4:8] != b"moov":
         raise ValueError("not an ISO BMFF (MP4) payload")
     moov0, moov1 = _find_box(payload, 0, len(payload), [b"moov"])
@@ -179,6 +181,12 @@ def video_track_tables(payload: bytes) -> tuple[dict, int]:
             )[0]
             s0, s1 = _find_box(payload, mdia0, mdia1, [b"minf", b"stbl"])
             boxes = {f: (x0, x1) for f, x0, x1 in _walk_boxes(payload, s0, s1)}
+            if b"stsd" not in boxes or b"stsz" not in boxes:
+                # A 'vide' track without its sample tables is unusable by
+                # BOTH the prober and the decoder — keep walking so a
+                # later well-formed video track wins (the pre-r6
+                # probe_mp4 tolerance, now shared with decode_mp4).
+                continue
             return boxes, timescale
         except ValueError:
             continue

@@ -812,14 +812,16 @@ def sq8_topk(
         )
     )
     q = coded.filter(F.col(id_col) == query_id).select(F.col("code").alias("qcode"))
-    span = F.zip_with(
-        F.col("hi"), F.col("lo"), lambda h, l: (h - l) / F.lit(255.0)
-    )
+    span = F.zip_with(F.col("hi"), F.col("lo"), lambda h, l: h - l)
     diff = F.zip_with(
         F.col("code"), F.col("qcode"), lambda a, b: (a - b).cast("double")
     )
+    # Association must match the DuckDB oracle exactly: the term is
+    # (d * span) / 255.0, NOT d * (span / 255.0) — IEEE doubles are not
+    # associative, and a ULP difference can flip the 6-dp rounding the
+    # bit-for-bit cross-engine claim depends on.
     dist = F.aggregate(
-        F.zip_with(diff, span, lambda d, s: d * s),
+        F.zip_with(diff, span, lambda d, s: (d * s) / F.lit(255.0)),
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )

@@ -429,6 +429,37 @@ def test_mp4_mjpeg_container_roundtrip():
         decode_mp4(b"\x00\x00\x00\x08free")
 
 
+def test_mp4_broken_first_video_track_falls_through():
+    """Round-7 review regression (ADVICE probe.py:496): a 'vide' track
+    missing its sample tables (stsd/stsz) must be SKIPPED in favor of a
+    later well-formed video track — in the prober AND the decoder,
+    which share video_track_tables. Built by splicing a sample-table-
+    less fake trak at the head of a real file's moov (moov trails mdat
+    in make_mp4_payload's layout, so stco offsets stay valid)."""
+    import struct
+
+    from mesin_spark.ext.mp4 import _box, _find_box, decode_mp4, make_mp4_payload
+    from mesin_spark.ext.probe import probe_media
+
+    frames = [np.full((16, 16, 3), 40 * t, np.uint8) for t in range(3)]
+    mp4 = make_mp4_payload(frames, fps=10, quality=90)
+    # fake video trak: hdlr 'vide' + mdhd(timescale=999) + empty stbl
+    hdlr = _box(
+        b"hdlr",
+        struct.pack(">I", 0) * 2 + b"vide" + b"\x00" * 12 + b"X\x00",
+    )
+    mdhd = _box(b"mdhd", struct.pack(">IIIII", 0, 0, 0, 999, 0))
+    minf = _box(b"minf", _box(b"stbl", b""))
+    bad_trak = _box(b"trak", _box(b"mdia", mdhd + hdlr + minf))
+    m0, m1 = _find_box(mp4, 0, len(mp4), [b"moov"])
+    spliced = mp4[: m0 - 8] + _box(b"moov", bad_trak + mp4[m0:m1]) + mp4[m1:]
+    meta = probe_media(spliced)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (16, 16, 3)
+    assert meta["fps"] == 10.0  # the GOOD track's timescale, not 999
+    dec, _ = decode_mp4(spliced)
+    assert len(dec) == 3
+
+
 def test_video_mp4_transcode_spark_path(spark, docs):
     """Transcode MPPM → MP4/MJPEG in Spark: frame counts exact through
     the lossy re-encode, pixel parity with the AVI container route, and

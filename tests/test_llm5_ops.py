@@ -646,3 +646,27 @@ def test_review_guards_raise_instead_of_silent_wrong(spark, monkeypatch):
     empty = emb.filter("vec_id < 0")
     with pytest.raises(ValueError, match="need >= 2 vectors"):
         covariance_stats(empty)
+
+
+def test_hits_overflow_guard_is_live_and_rounds_validated(spark, monkeypatch):
+    """Round-7 review regressions (ADVICE graph.py:586/578): (1) the
+    norm-overflow guard must actually EVALUATE — the old standalone
+    assert_true('_chk') column was deleted by ColumnPruning and never
+    ran; the fix folds the CASE/raise_error into the consumed `nm`
+    column. Proven empirically by shrinking the overflow limit via a
+    huge HITS_SCALE (lim = (2^63-1) div HITS_SCALE = 9 at 1e18) so a
+    3-node graph's first half-round norm trips it. (2) rounds=0 raises
+    a clear ValueError instead of a TypeError at the final join."""
+    import pytest
+
+    from mesin_spark.ext import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    with pytest.raises(ValueError, match="rounds must be >= 1"):
+        G.hits_portable(edges, rounds=0)
+
+    monkeypatch.setattr(G, "HITS_SCALE", 10**18)
+    with pytest.raises(Exception, match="norm overflow"):
+        G.hits_portable(edges, rounds=1).collect()
