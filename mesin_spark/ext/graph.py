@@ -24,6 +24,7 @@ def pagerank_round(
     damping: float,
     n: int,
     carry_prev: bool = False,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """ONE power-iteration round — the exact frame pagerank() builds per
     loop step, exposed so plan tests assert on the real implementation
@@ -39,12 +40,32 @@ def pagerank_round(
     that is immediately checkpointed: referencing ``ranks`` on both
     sides doubles the logical plan per round, so chaining carry_prev
     rounds un-truncated grows the plan 2^rounds (measured as a
-    multi-minute analysis hang at checkpoint_every=10)."""
-    contribs = (
-        ranks.join(e_norm, ranks["node"] == e_norm["src"])
-        .groupBy("dst")
-        .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
-    )
+    multi-minute analysis hang at checkpoint_every=10).
+
+    ``broadcast_ranks=True`` is the small-vertex-set route (the
+    broadcast-join analogue for iterative graph algorithms): the rank
+    vector — one (node, rank) row per vertex, NOT the edge list —
+    broadcasts into the e_norm scan, and the contribution aggregate's
+    map-side partial combine means the round's ONLY exchange moves
+    ≤ |V| partially-summed rows; the update join then broadcasts the
+    equally-small contribs frame back against nodes. Per round: one
+    tiny shuffle instead of the shuffle path's four exchanges (the
+    static frames re-shuffle every round because localCheckpoint
+    surfaces UnknownPartitioning under AQE — see pagerank()). The edge
+    list itself never moves in either path."""
+    if broadcast_ranks:
+        rk = ranks.select("node", "rank")
+        contribs = (
+            e_norm.join(F.broadcast(rk), e_norm["src"] == rk["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
+        )
+    else:
+        contribs = (
+            ranks.join(e_norm, ranks["node"] == e_norm["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("in_sum"))
+        )
     dangling = ranks.filter("is_dang").agg(
         F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
     )
@@ -52,14 +73,15 @@ def pagerank_round(
         F.lit((1.0 - damping) / n)
         + F.lit(damping) * (F.col("_dm") / n + F.coalesce("in_sum", F.lit(0.0)))
     ).alias("rank")
+    cb = F.broadcast(contribs) if broadcast_ranks else contribs
     if carry_prev:
         return (
-            ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
+            ranks.join(cb, ranks["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select("node", "is_dang", F.col("rank").alias("_prev"), new_rank)
         )
     return (
-        nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+        nodes.join(cb, nodes["node"] == contribs["dst"], "left")
         .crossJoin(F.broadcast(dangling))
         .select("node", "is_dang", new_rank)
     )
@@ -73,6 +95,8 @@ def pagerank(
     max_iter: int = 10,
     checkpoint_every: int = 2,
     tol: float | None = None,
+    broadcast_ranks: bool | None = None,
+    broadcast_max_nodes: int = 8_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges collapse).
 
@@ -118,24 +142,52 @@ def pagerank(
     inverts when partitions carry real data (a cluster-sized edge
     list): there, pre-partition the edge list once, Pregel-style, and
     size the width to the data — the plan shape supports it, local mode
-    just must not pay it."""
+    just must not pay it.
+
+    ``broadcast_ranks`` (None = auto by node count): the rank vector is
+    one row per VERTEX — orders of magnitude smaller than the edge list
+    it multiplies against — so when |V| ≤ broadcast_max_nodes it
+    broadcasts into the edge scan exactly like a small dimension into a
+    fact join, collapsing the round to ONE ≤|V|-row exchange (see
+    pagerank_round). The 8M default is ~128 MB of (int64 node, double
+    rank) pairs at 16 B/row — the scale where Spark's own broadcast
+    guidance tops out; a web-scale graph with billions of vertices
+    auto-falls back to the shuffle path, whose per-round cost is the
+    two keyed exchanges that ARE Pregel. |V| is already counted for the
+    teleport term, so the auto-route adds zero work.
+
+    Setup has two shapes keyed off the same knob. Small-graph (auto /
+    True): 1/outdeg folds into the edge list via a count window over
+    the just-deduplicated edges — two exchanges, ONE scan of the raw
+    edge build, no edges⋈outdeg self-join, and the node frame derives
+    from the checkpointed e_norm without re-reading the raw build
+    (two materializations instead of three; measured −0.7s of
+    q_pagerank's sf0.1 wall). Big-graph (explicit False): the window
+    would buffer each src's full edge group in one task — a power-law
+    hub with 10^8 out-edges is a straggler/spill risk — so that path
+    keeps the skew-safe groupBy(src) outdeg (map-side partial combine)
+    joined back to the edges, the classic Pregel prep."""
+    from pyspark.sql import Window
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_norm = (
-        e.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(
-            outdeg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")),
-            "node",
-            "left",
+    if broadcast_ranks is False:
+        e = e.localCheckpoint(eager=True)
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        e_norm = (
+            e.join(outdeg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+            .localCheckpoint(eager=True)
         )
+    else:
+        e_norm = e.withColumn(
+            "w", F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src"))
+        ).localCheckpoint(eager=True)
+    srcs = e_norm.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        e_norm.select(F.col("src").alias("node"))
+        .union(e_norm.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(srcs.withColumn("_has_out", F.lit(True)), "node", "left")
         .select("node", F.col("_has_out").isNull().alias("is_dang"))
         .localCheckpoint(eager=True)
     )
@@ -151,13 +203,23 @@ def pagerank(
     # materialization saves one full job per run (measured ~0.3s of the
     # registry query's wall time)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= broadcast_max_nodes
     for it in range(max_iter):
         at_ckpt = (it + 1) % max(1, checkpoint_every) == 0 or it == max_iter - 1
         check_tol = at_ckpt and tol is not None and it < max_iter - 1
         # carry_prev only on a round that is checkpointed RIGHT AFTER —
         # see pagerank_round: an un-truncated carry_prev chain doubles
         # the logical plan per round
-        ranks = pagerank_round(nodes, e_norm, ranks, damping, n, carry_prev=check_tol)
+        ranks = pagerank_round(
+            nodes,
+            e_norm,
+            ranks,
+            damping,
+            n,
+            carry_prev=check_tol,
+            broadcast_ranks=broadcast_ranks,
+        )
         if at_ckpt:
             ranks = ranks.localCheckpoint(eager=True)
             if check_tol:

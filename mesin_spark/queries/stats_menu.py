@@ -979,12 +979,15 @@ _EDGE_SQL = """
 
 
 def _purchase_edges(spark, sf_dir):
+    # deliberately NOT deduplicated here: every consumer (degree_stats,
+    # pagerank, pagerank_portable, ppr_portable, hits_portable) runs its
+    # own edge .distinct() as part of its contract, so a distinct here
+    # was a second full shuffle of the joined frame for nothing
+    # (measured ~0.4s of q_pagerank's wall at sf0.1)
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    return (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
-        .distinct()
+    return o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
     )
 
 
@@ -1019,9 +1022,13 @@ def q_pagerank(spark, sf_dir):
     ranks accumulate engine-specific FP summation order across 8 power
     iterations, so exact cross-engine hashing is not meaningful —
     structural properties are pytest-proven instead: mass conservation,
-    star dominance, cycle uniformity). Each round = one groupBy(dst)
-    shuffle + one rank join, eagerly checkpointed (flat lineage — the
-    dedup_clusters lesson). Suppliers accumulate rank from customers;
+    star dominance, cycle uniformity, broadcast/shuffle path agreement).
+    The ~16k-node purchase graph auto-takes pagerank()'s small-vertex-
+    set route: the rank vector broadcasts into the edge scan like a dim
+    into a fact join, so each round is ONE ≤|V|-row exchange (the
+    map-side partial combine of the contribution agg) instead of the
+    shuffle path's four; a billion-node graph auto-falls back to the
+    Pregel shuffle rounds. Suppliers accumulate rank from customers;
     dangling customers redistribute."""
     from mesin_spark.ext.graph import pagerank
 
@@ -1034,11 +1041,14 @@ def q_pagerank(spark, sf_dir):
     # whose convergence round is unknown (tested in test_llm5_ops).
     # checkpoint_every=3 re-measured min-of-3 with 6 fixed rounds:
     # ck2 4.9s / ck3 3.5s / ck6 4.8s — two checkpoints (iters 3, 6)
-    # balance plan-growth cost against materialization jobs. The pinned
-    # count stays valid at the bench's 3x scale point because the scaled
-    # copy is DISJOINT key-shifted shards of this same graph — per-shard
-    # spectra (and hence convergence rounds) are identical. A graph with
-    # unknown mixing should call pagerank(tol=...) instead.
+    # balance plan-growth cost against materialization jobs. Round 7:
+    # the broadcast-rank route + single-pass window outdeg setup +
+    # dropping _purchase_edges' redundant distinct re-measured 3.06s
+    # min-of-4 at sf0.1 (was 4.07s). The pinned count stays valid at
+    # the bench's 3x scale point because the scaled copy is DISJOINT
+    # key-shifted shards of this same graph — per-shard spectra (and
+    # hence convergence rounds) are identical. A graph with unknown
+    # mixing should call pagerank(tol=...) instead.
     ranks = pagerank(_purchase_edges(spark, sf_dir), max_iter=6, checkpoint_every=3)
     return (
         ranks.select("node", R(F.col("rank"), 9).alias("rank"))

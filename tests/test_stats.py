@@ -952,6 +952,28 @@ def test_pagerank_cycle_uniform(spark):
     assert all(abs(x - 1.0 / n) < 1e-9 for x in ranks), ranks
 
 
+def test_pagerank_broadcast_and_shuffle_paths_agree(spark):
+    """The small-vertex-set broadcast route and the big-graph shuffle
+    route are the SAME power iteration — only the physical join/setup
+    strategy differs (broadcast rank vector + window outdeg vs keyed
+    exchanges + groupBy outdeg), so per-node ranks must agree to FP
+    noise on a graph with hubs, dangling nodes, and a cycle."""
+    from mesin_spark.ext.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 9)]
+        + [(0, 100), (100, 101), (101, 0), (5, 200)],  # 200 dangles
+        "src long, dst long",
+    )
+    bc = {r["node"]: r["rank"]
+          for r in pagerank(edges, max_iter=6, broadcast_ranks=True).collect()}
+    sh = {r["node"]: r["rank"]
+          for r in pagerank(edges, max_iter=6, broadcast_ranks=False).collect()}
+    assert bc.keys() == sh.keys()
+    assert all(abs(bc[k] - sh[k]) < 1e-12 for k in bc), (bc, sh)
+    assert abs(sum(bc.values()) - 1.0) < 1e-9
+
+
 def test_degree_stats(spark):
     from mesin_spark.ext.graph import degree_stats
 
