@@ -281,8 +281,8 @@ def q_dedup_incremental(spark, sf_dir):
 def q_semdedup_portable(spark, sf_dir):
     """SemDeDup with deterministic seed centroids and rounded-cosine
     pair decisions (ext/similarity.semantic_dedup_portable, 16 lists,
-    threshold 0.40 — calibrated like q_dedup_embed to this fixture's
-    cosine range) — the cross-engine proof for the semantic-dedup class:
+    threshold 0.40 — FIXTURE-CALIBRATED like q_dedup_embed to this
+    fixture's cosine range) — the cross-engine proof for the class:
     the engine-native q_semdedup stays rows-only because its k-means
     codebook is seeded-random, but seed-centroid assignment + 6-dp
     rounding before every comparison makes the kept set exactly

@@ -1591,7 +1591,10 @@ def _ppr_portable_oracle(rounds: int, seed_mod: int) -> str:
 def q_ppr_portable(spark, sf_dir):
     """PERSONALIZED PageRank over the purchase graph in integer
     fixed-point arithmetic (ext/graph.ppr_portable, 6 rounds, seeds =
-    node % 50 == 0): teleport and dangling mass restart at the seed set
+    node % 50 == 0 — a FIXTURE-CALIBRATED seed predicate chosen to hit
+    both shared-integer key domains, custkey AND suppkey; realistic
+    hand-picked seed semantics are pytest-proven on a crafted graph):
+    teleport and dangling mass restart at the seed set
     only, so rank concentrates in the seeds' neighborhood — the
     graph-curation primitive ("entities close to these trusted
     sources", Jeh & Widom 2003). Same bit-reproducible strategy and
