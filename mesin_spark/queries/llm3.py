@@ -97,6 +97,112 @@ def q_embed_pca(spark, sf_dir):
     return pca_project(emb, model, round_to=4).orderBy("vec_id")
 
 
+def _pca_portable_oracle(
+    rounds: int = 8,
+    dim: int = 64,
+    q_scale: int = 10**4,
+    g_div: int = 10**6,
+    v_scale: int = 10**6,
+) -> str:
+    """Unrolled-round DuckDB mirror of ext/pca.pca_portable_pc1 — the
+    same MATERIALIZED-CTE strategy as the ppr/pagerank portable oracles:
+    quantize, integer Gram, ``rounds`` power-iteration steps in
+    truncating integer division (DuckDB `//` == Spark `div`), sign
+    canonicalization, literal projection. DuckDB's BIGINT sums widen to
+    HUGEINT, so every aggregate is cast back down (round-2 caveat);
+    overflow guards live on the Spark/driver side (same numbers)."""
+    d1 = dim + 1
+    parts = [
+        f"""xq AS MATERIALIZED (
+        SELECT vec_id, i,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * {q_scale}.0 + 0.5) AS BIGINT) AS x
+        FROM embeddings, range(1, {d1}) t(i)
+    )""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)",
+        "sx AS MATERIALIZED (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM xq GROUP BY i)",
+        """sxy AS MATERIALIZED (
+        SELECT a.i AS j, b.i AS i, CAST(sum(a.x * b.x) AS BIGINT) AS p
+        FROM xq a JOIN xq b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    )""",
+        f"""g AS MATERIALIZED (
+        SELECT sxy.j, sxy.i,
+               CAST((nn.n * sxy.p - sj.s * si.s) // {g_div} AS BIGINT) AS gv
+        FROM sxy
+        CROSS JOIN nn
+        JOIN sx sj ON sj.i = sxy.j
+        JOIN sx si ON si.i = sxy.i
+    )""",
+        f"v0 AS (SELECT i, CAST({v_scale} AS BIGINT) AS v FROM range(1, {d1}) t(i))",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+        SELECT g.j AS i, CAST(sum(g.gv * v{r - 1}.v) AS BIGINT) AS w
+        FROM g JOIN v{r - 1} ON v{r - 1}.i = g.i
+        GROUP BY g.j
+    )"""
+        )
+        parts.append(
+            f"m{r} AS (SELECT CAST(max(abs(w)) // {v_scale} AS BIGINT) AS d FROM w{r})"
+        )
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT i, CAST(w // d AS BIGINT) AS v "
+            f"FROM w{r} CROSS JOIN m{r})"
+        )
+    parts.append(
+        f"""sgn AS (
+        SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+        FROM v{rounds} ORDER BY abs(v) DESC, i ASC LIMIT 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT xq.vec_id,
+           CAST(sum((nn.n * xq.x - sx.s) * (v{rounds}.v * sgn.s)) AS BIGINT) AS pc1_fp
+    FROM xq
+    JOIN sx ON sx.i = xq.i
+    JOIN v{rounds} ON v{rounds}.i = xq.i
+    CROSS JOIN nn
+    CROSS JOIN sgn
+    GROUP BY xq.vec_id
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("q_pca_portable", oracle=_pca_portable_oracle(16))
+def q_pca_portable(spark, sf_dir):
+    """Dominant principal-component score per embedding in exact integer
+    fixed-point arithmetic (ext/pca.pca_portable_pc1, 16 power-iteration
+    rounds) — the portable proof for the PCA class, closing the last
+    rows-only-by-arithmetic family: q_embed_pca's float eigh/projection
+    can never hash identically cross-engine, but quantize → integer
+    Gram → truncating-division power iteration → sign-canonicalize →
+    integer projection is reproducible bit-for-bit from the same stored
+    rows (the oracle unrolls the identical rounds into MATERIALIZED
+    CTEs). Cross-engine equality needs NO convergence assumption — both
+    engines run the same fixed rounds — and the pytest pins what the
+    direction means: exact PC1 tie (cosine ≥ 0.999) on a crafted corpus
+    with a real spectral gap, and Rayleigh quotient ≥ 0.9·λ1 on this
+    fixture, whose top eigenvalues are near-degenerate (λ2/λ1 = 0.93;
+    measured variance capture at 16 rounds: 0.949/0.979/0.957 at
+    sf 0.001/0.01/0.1 — any direction in that top eigenspace is
+    equivalent for variance purposes, and singling out PC1 among
+    near-equal eigenvalues is not a property worth hundreds of rounds).
+    Scale shape: one bounded Arrow-batched Gram collect (one partial
+    row per partition, integer sums are order-independent by
+    construction), d×d iteration on the driver, literal-int codegen
+    projection — no UDF, no shuffle on the way out. Ref parity n/a
+    (charter extension; reference has no vector surface)."""
+    from mesin_spark.ext.pca import pca_portable_pc1
+
+    emb = T(spark, sf_dir, "embeddings")
+    return pca_portable_pc1(emb, rounds=16).orderBy("vec_id")
+
+
 @query(
     "q_random_projection",
     oracle=f"""
