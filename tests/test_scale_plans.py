@@ -478,6 +478,22 @@ def test_pagerank_round_plan_shape(spark):
     assert len(re.findall(r"(SortMergeJoin|ShuffledHashJoin)", plan)) <= 2
     assert len(re.findall(r"Exchange (hash|Single|range)", plan)) <= 5
 
+    # the SMALL-VERTEX-SET round (broadcast_ranks=True, what q_pagerank's
+    # ~16k-node graph auto-takes): the rank vector broadcasts into the
+    # edge scan and contribs broadcast back — the round's only data
+    # exchange is the contribution aggregate's partial->final hash
+    # exchange, so: zero sort-merge/shuffled-hash joins, and at most the
+    # agg exchange + the 1-row dangling SinglePartition
+    bcast_round = pagerank_round(
+        nodes, e_norm, ranks, damping=0.85, n=n, broadcast_ranks=True
+    )
+    bplan = physical(bcast_round)
+    assert "CartesianProduct" not in bplan
+    assert not re.findall(r"(SortMergeJoin|ShuffledHashJoin)", bplan)
+    assert bplan.count("BroadcastHashJoin") >= 2  # ranks in, contribs out
+    assert len(re.findall(r"Exchange hash", bplan)) <= 1
+    assert len(re.findall(r"Exchange (hash|Single|range)", bplan)) <= 2
+
 
 def test_dpp_join_prunes_partitions(spark):
     """q_dpp_join's fact scan must carry a runtime dynamicpruning
