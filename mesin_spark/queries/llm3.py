@@ -173,6 +173,93 @@ def _pca_portable_oracle(
     )
 
 
+def _kmeans_portable_oracle(
+    k: int = 8, rounds: int = 3, dim: int = 64, q_scale: int = 10**4
+) -> str:
+    """Unrolled-round DuckDB mirror of ext/kmeans.kmeans_portable_assign:
+    quantize, seed centroids = ids 0..k-1, per round an n×k integer-L2
+    argmin (row_number ordered (dist, centroid id) — the smallest-id tie
+    rule array_position gives Spark) and a truncating-division centroid
+    mean (DuckDB `//` == Spark `div`; emptied clusters keep their
+    previous centroid via the LEFT JOIN coalesce)."""
+    d1 = dim + 1
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {d1}), i -> "
+        "(x.v[i] - c.v[i]) * (x.v[i] - c.v[i]))) AS BIGINT)"
+    ).format(d1=d1)
+    parts = [
+        f"""xq AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(range(1, {d1}), i ->
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * {q_scale}.0 + 0.5) AS BIGINT)) AS v
+        FROM embeddings
+    )""",
+        f"c0 AS MATERIALIZED (SELECT vec_id AS c, v FROM xq WHERE vec_id < {k})",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+        SELECT vec_id, c AS cl FROM (
+            SELECT x.vec_id, c.c,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {dist} ASC, c.c ASC) AS rn
+            FROM xq x CROSS JOIN c{r - 1} c
+        ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""g{r} AS (
+        SELECT a.cl, list(cv ORDER BY i) AS v FROM (
+            SELECT a.cl AS cl, t.i AS i,
+                   CAST(CAST(sum(x.v[t.i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT) AS cv
+            FROM a{r} a JOIN xq x USING (vec_id), range(1, {d1}) t(i)
+            GROUP BY a.cl, t.i
+        ) a GROUP BY a.cl
+    )"""
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT p.c, coalesce(g.v, p.v) AS v "
+            f"FROM c{r - 1} p LEFT JOIN g{r} g ON g.cl = p.c)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, CAST(cl AS BIGINT) AS cluster, d AS dist_fp FROM (
+        SELECT x.vec_id, c.c AS cl, {dist} AS d,
+               row_number() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {dist} ASC, c.c ASC) AS rn
+        FROM xq x CROSS JOIN c{rounds} c
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """
+    )
+
+
+@query("q_kmeans_portable", oracle=_kmeans_portable_oracle(8, 3))
+def q_kmeans_portable(spark, sf_dir):
+    """Distributed Lloyd's k-means in exact integer arithmetic
+    (ext/kmeans.kmeans_portable_assign, k=8, 3 rounds) — the portable
+    proof for the CLUSTERING-TRAINING class, the one family the twin
+    program hadn't reached: IVF/PQ/SemDeDup portable variants pin their
+    CODEBOOKS to stored seed rows precisely because float k-means can't
+    cross-check, and the engine-native trainers stay rows-only. Here the
+    training itself is exact: quantized vectors, seed centroids = ids
+    0..k-1, integer-L2 argmin assignment (smallest-id ties), truncating-
+    division centroid means, emptied clusters keep their centroid — the
+    oracle unrolls the identical rounds into MATERIALIZED CTEs and the
+    full (assignment, distance) table compares bit-for-bit. Scale shape:
+    the corpus never moves — per round one map-side literal-array
+    assignment pass (k·d int literals in codegen, no UDF) + one
+    k-row-output aggregate (map-side partial combine) + a bounded k×d
+    driver collect, the IVF-codebook pattern. Crafted-blob recovery and
+    numpy-mirror equality are pytest-pinned (tests/test_kmeans.py)."""
+    from mesin_spark.ext.kmeans import kmeans_portable_assign
+
+    emb = T(spark, sf_dir, "embeddings")
+    return kmeans_portable_assign(emb, k=8, rounds=3).orderBy("vec_id")
+
+
 @query("q_pca_portable", oracle=_pca_portable_oracle(16))
 def q_pca_portable(spark, sf_dir):
     """Dominant principal-component score per embedding in exact integer
