@@ -1,0 +1,81 @@
+"""Third scale datapoint: shuffle-byte slopes at 10x data for the
+shuffle-heavy headline queries. Two points (1x, 3x) bound a slope; the
+10x point discriminates linear from quadratic beyond argument — a
+quadratic candidate space shows slope ~100 here, a linear plan ~10.
+
+Usage: python tools/slope10x.py [sf_dir]   (writes artifacts/r07/slope10x.json)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.make_scale import ensure_scaled  # noqa: E402
+from tools.shuffle_audit import audit, fmt  # noqa: E402
+
+#: the queries whose shuffle exceeds ~1 MiB at 1x — the only ones where
+#: a slope is measurable above metric noise
+HEAVY = [
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_minhash_portable",
+    "q_span_removal",
+    "q_tfidf",
+    "q_session_batch",
+    "q_asof_join",
+    "q_running_sum",
+    "q_tpch_q21",
+    "q_tpch_q18",
+    "q_pagerank",
+    "q_pipeline_e2e",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from mesin_spark.session import get_session
+    import __spark_entry__ as entrymod
+
+    spark = get_session("mesin_spark-slope10x")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = entrymod.queries()
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    scaled_dir = ensure_scaled(sf_dir, 10)
+    base = audit(spark, store, registry, HEAVY, sf_dir)
+    big = audit(spark, store, registry, HEAVY, scaled_dir)
+
+    rows = {}
+    for name in HEAVY:
+        b, s = base[name]["shuffle"], big[name]["shuffle"]
+        slope = (s / b) if b else 0.0
+        rows[name] = {
+            "shuffle_1x": b,
+            "shuffle_10x": s,
+            "slope_10x": round(slope, 2),
+        }
+        print(f"{name:22s} {fmt(b):>12s} -> {fmt(s):>12s}  slope {slope:.2f}")
+    total_b = sum(r["shuffle_1x"] for r in rows.values())
+    total_s = sum(r["shuffle_10x"] for r in rows.values())
+    out = {
+        "sf_dir": sf_dir,
+        "factor": 10,
+        "queries": rows,
+        "total_slope_10x": round(total_s / total_b, 2) if total_b else 0.0,
+        "worst_slope_10x": max(r["slope_10x"] for r in rows.values()),
+    }
+    print(
+        f"total {fmt(total_b)} -> {fmt(total_s)} slope "
+        f"{out['total_slope_10x']:.2f} (linear = 10.0), worst "
+        f"{out['worst_slope_10x']:.2f}"
+    )
+    with open("/root/repo/artifacts/r07/slope10x.json", "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
