@@ -280,6 +280,67 @@ def domain_mixture(
     )
 
 
+def domain_mixture_temperature(
+    docs: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-smoothed domain sampling (the multilingual/GLaM
+    mixing rule): sampling share ∝ token_share^T, T<1 up-weighting rare
+    domains without the uniform target's full flattening. Returns
+    (domain, n_docs, n_tokens, token_share, sample_fp, mix_weight) where
+    sample_fp is the smoothed sampling share in parts-per-1e6 and
+    mix_weight = sampled_share / token_share feeds apply_mixture.
+
+    Portability discipline: at the DEFAULT T=0.5 every step is
+    bit-reproducible cross-engine with no summation-order hazard —
+    share = n_tokens/total is one correctly-rounded division of exact
+    int64 doubles, sqrt is IEEE-754 correctly rounded (the reason 0.5
+    is the pinned registry temperature — pow(x, T) for general T is
+    libm-dependent and can differ by ULPs between engines), the smoothed
+    weight is then FIXED-POINTED (floor(·1e6 + 0.5)) so the
+    normalization sum runs in exact integers, and the final shares use
+    truncating integer division (Spark `div` == DuckDB `//`). General T
+    is supported via pow with the documented cross-engine caveat.
+    Exact for corpora up to 2^53 tokens (the int64→double exactness
+    bound); the shuffles are one partial-agg groupBy + windows over the
+    #domains-row result — nothing grows with the corpus but the scan."""
+    stats = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    smoothed = (
+        F.sqrt(F.col("_share"))
+        if temperature == 0.5
+        else F.pow(F.col("_share"), F.lit(float(temperature)))
+    )
+    staged = (
+        stats.withColumn("_tot", F.sum("n_tokens").over(w))
+        .withColumn(
+            "_share", F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+        )
+        .withColumn(
+            "_wfp",
+            F.floor(smoothed * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        )
+        .withColumn("_wsum", F.sum("_wfp").over(w))
+        .withColumn("sample_fp", F.expr("(_wfp * 1000000) div _wsum"))
+    )
+    return staged.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        R(F.col("_share"), round_to).alias("token_share"),
+        F.col("sample_fp").cast("bigint").alias("sample_fp"),
+        R(
+            (F.col("sample_fp") / F.lit(1_000_000.0)) / F.col("_share"), round_to
+        ).alias("mix_weight"),
+    )
+
+
 def apply_mixture(
     docs: DataFrame,
     weights: DataFrame,

@@ -196,6 +196,43 @@ def q_domain_mix(spark, sf_dir):
 
 
 @query(
+    "q_domain_temperature",
+    oracle=f"""
+    WITH s AS (
+        SELECT source AS domain, count(*) AS n_docs,
+               CAST(sum(len({_TK})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS tot FROM s),
+    w AS (
+        SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE / tot) * 1000000.0 + 0.5) AS BIGINT) AS wfp
+        FROM t
+    ),
+    n AS (SELECT *, CAST(sum(wfp) OVER () AS BIGINT) AS wsum FROM w)
+    SELECT domain, n_docs, n_tokens,
+           floor((n_tokens::DOUBLE / tot) * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+           CAST((wfp * 1000000) // wsum AS BIGINT) AS sample_fp,
+           floor(((CAST((wfp * 1000000) // wsum AS DOUBLE) / 1000000.0)
+                  / (n_tokens::DOUBLE / tot)) * 1000000.0 + 0.5) / 1000000.0 AS mix_weight
+    FROM n ORDER BY domain
+    """,
+)
+def q_domain_temperature(spark, sf_dir):
+    """Temperature-smoothed domain mixture (sampling share ∝
+    token_share^0.5 — the multilingual/GLaM up-weighting of rare
+    domains; ext/pipeline.domain_mixture_temperature). T=0.5 is the
+    pinned registry temperature because it makes the whole computation
+    bit-portable: one correctly-rounded division for the share, an
+    IEEE-exact sqrt (pow for general T is libm-dependent), fixed-point
+    smoothing weights so the normalization sum is exact integers, and
+    truncating integer division for the smoothed share — the oracle
+    mirrors every step. One partial-agg groupBy + #domains-row
+    windows; scales as a scan."""
+    d = T(spark, sf_dir, "documents")
+    return P.domain_mixture_temperature(d, domain_col="source").orderBy("domain")
+
+
+@query(
     "q_apply_mixture",
     oracle=f"""
     WITH s AS (

@@ -129,6 +129,31 @@ def test_domain_mixture_algebra(spark, docs):
     assert all(r.mix_weight == 0.0 for r in others)
 
 
+def test_domain_temperature_upweights_rare(spark):
+    """T=0.5 smoothing: a rare domain's sampling share rises above its
+    token share (mix_weight > 1), a dominant domain's falls (< 1), the
+    smoothed shares stay a distribution, T→1 degenerates toward the raw
+    shares, and the pinned-T path is deterministic across runs."""
+    rows = [(i, "tok " * 99 + "tok", "big") for i in range(90)]
+    rows += [(1000 + i, "tok " * 99 + "tok", "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.domain: r for r in P.domain_mixture_temperature(df).collect()}
+    assert out["big"].token_share == pytest.approx(0.9, abs=1e-6)
+    assert out["small"].mix_weight > 1.0 > out["big"].mix_weight
+    total_fp = sum(r.sample_fp for r in out.values())
+    assert abs(total_fp - 1_000_000) <= len(out)  # trunc-div remainder only
+    # smoothed shares sit between raw share and uniform
+    assert 0.1 < out["small"].sample_fp / 1e6 < 0.5
+    # general-T pow path: T→1 reproduces the raw shares (within rounding)
+    near1 = {r.domain: r for r in
+             P.domain_mixture_temperature(df, temperature=0.999).collect()}
+    assert near1["small"].sample_fp / 1e6 == pytest.approx(0.1, abs=5e-3)
+    again = {r.domain: r for r in P.domain_mixture_temperature(df).collect()}
+    assert {d: (r.sample_fp, r.mix_weight) for d, r in out.items()} == {
+        d: (r.sample_fp, r.mix_weight) for d, r in again.items()
+    }
+
+
 # -- radius search ----------------------------------------------------------
 def test_radius_contains_topk_above_radius(spark, emb):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
