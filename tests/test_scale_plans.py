@@ -495,6 +495,30 @@ def test_pagerank_round_plan_shape(spark):
     assert len(re.findall(r"Exchange (hash|Single|range)", bplan)) <= 2
 
 
+def test_portable_vector_outputs_are_mapside_scans(spark):
+    """The round-7 portable twins must keep their output stage shuffle-
+    free: after the bounded driver-side fit (Gram collect / centroid
+    collects), the corpus-sized projection/assignment is a literal-
+    constant codegen expression over ONE scan — no Exchange, no join,
+    no Python UDF anywhere in the plan. At 100 TB this is the difference
+    between a second pass over the data and a reshuffle of it."""
+    from mesin_spark.ext.kmeans import kmeans_portable_assign
+    from mesin_spark.ext.pca import pca_portable_pc1
+    from mesin_spark.queries import T
+
+    emb = T(spark, SF_DIR, "embeddings")
+    for df in (
+        pca_portable_pc1(emb, rounds=4),
+        kmeans_portable_assign(emb, k=4, rounds=1),
+    ):
+        plan = physical(df)
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow",
+                       "MapInPandas"):
+            assert marker not in plan, marker
+
+
 def test_dpp_join_prunes_partitions(spark):
     """q_dpp_join's fact scan must carry a runtime dynamicpruning
     subquery in its PartitionFilters — the dimension filter reaches the
