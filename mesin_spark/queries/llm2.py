@@ -227,7 +227,8 @@ def q_domain_temperature(spark, sf_dir):
     smoothing weights so the normalization sum is exact integers, and
     truncating integer division for the smoothed share — the oracle
     mirrors every step. One partial-agg groupBy + #domains-row
-    windows; scales as a scan."""
+    windows; scales as a scan. Ref parity n/a (charter extension;
+    reference has no text-pipeline surface)."""
     d = T(spark, sf_dir, "documents")
     return P.domain_mixture_temperature(d, domain_col="source").orderBy("domain")
 

@@ -253,7 +253,9 @@ def q_kmeans_portable(spark, sf_dir):
     assignment pass (k·d int literals in codegen, no UDF) + one
     k-row-output aggregate (map-side partial combine) + a bounded k×d
     driver collect, the IVF-codebook pattern. Crafted-blob recovery and
-    numpy-mirror equality are pytest-pinned (tests/test_kmeans.py)."""
+    numpy-mirror equality are pytest-pinned (tests/test_kmeans.py).
+    Ref parity n/a (charter extension; reference has no vector
+    surface)."""
     from mesin_spark.ext.kmeans import kmeans_portable_assign
 
     emb = T(spark, sf_dir, "embeddings")
