@@ -262,6 +262,7 @@ def main() -> int:
         " docstring records; the plan shape supports it where partitions"
         " carry real data."
         " Wall-clock at the same 10x point (artifacts/r07/bench_x10.json, SCALE2 pass disabled, min-of-2 per query): headline total 72.4s vs 27.5s at 1x — 2.63x wall for 10x rows on the same local[32], the sublinear growth a fixed-core scale-up should show."
+        " Spill at 10x: 0 bytes across every audited query (slope10x.json total_spill_10x = 0) — no partition outgrows its task memory even at 10x the bench scale."
     )
     out.append("")
     out.append("## Known-by-design outliers")

@@ -56,8 +56,12 @@ def main() -> int:
             "shuffle_1x": b,
             "shuffle_10x": s,
             "slope_10x": round(slope, 2),
+            "spill_10x": big[name]["spill"],
         }
-        print(f"{name:22s} {fmt(b):>12s} -> {fmt(s):>12s}  slope {slope:.2f}")
+        print(
+            f"{name:22s} {fmt(b):>12s} -> {fmt(s):>12s}  slope {slope:.2f}"
+            f"  spill@10x {fmt(big[name]['spill'])}"
+        )
     total_b = sum(r["shuffle_1x"] for r in rows.values())
     total_s = sum(r["shuffle_10x"] for r in rows.values())
     out = {
@@ -66,6 +70,7 @@ def main() -> int:
         "queries": rows,
         "total_slope_10x": round(total_s / total_b, 2) if total_b else 0.0,
         "worst_slope_10x": max(r["slope_10x"] for r in rows.values()),
+        "total_spill_10x": sum(r["spill_10x"] for r in rows.values()),
     }
     print(
         f"total {fmt(total_b)} -> {fmt(total_s)} slope "
