@@ -3,7 +3,9 @@ shuffle-heavy headline queries. Two points (1x, 3x) bound a slope; the
 10x point discriminates linear from quadratic beyond argument — a
 quadratic candidate space shows slope ~100 here, a linear plan ~10.
 
-Usage: python tools/slope10x.py [sf_dir]   (writes artifacts/r07/slope10x.json)
+Usage: python tools/slope10x.py [sf_dir] [out_json]
+(out_json defaults to artifacts/r07/slope10x.json — pass the current
+round's artifact dir when regenerating in a later round)
 """
 
 from __future__ import annotations
@@ -77,7 +79,12 @@ def main() -> int:
         f"{out['total_slope_10x']:.2f} (linear = 10.0), worst "
         f"{out['worst_slope_10x']:.2f}"
     )
-    with open("/root/repo/artifacts/r07/slope10x.json", "w") as f:
+    out_path = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "/root/repo/artifacts/r07/slope10x.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     return 0
 
