@@ -72,6 +72,20 @@ def _assign_expr(centroids: list[list[int]]):
     return (F.array_position(arr, F.array_min(arr)) - 1).cast("bigint")
 
 
+def _quantized_frame(
+    emb: DataFrame, id_col: str, vec_col: str, q_scale: int
+) -> DataFrame:
+    """(id, _xq) eagerly checkpointed ONCE so the per-round assignment
+    scans (and the final output pass) read the quantized integers from
+    memory instead of re-deriving them from parquet every round. At
+    cluster scale substitute persist(DISK_ONLY)/a staging write — the
+    arithmetic is unchanged either way (quantization is deterministic),
+    this is purely a recompute-avoidance knob."""
+    return emb.select(
+        F.col(id_col), _quant_col(vec_col, q_scale).alias("_xq")
+    ).localCheckpoint(eager=True)
+
+
 def kmeans_portable_train(
     emb: DataFrame,
     k: int = 8,
@@ -80,17 +94,18 @@ def kmeans_portable_train(
     vec_col: str = "embedding",
     dim: int = 64,
     q_scale: int = 10**4,
+    _xqf: DataFrame | None = None,
 ) -> list[list[int]]:
     """Run ``rounds`` integer Lloyd steps and return the final k×d
     centroid table (quantized-unit integers). Bounded collects only:
     the k seed rows, then one k-row aggregate per round."""
     if k < 1 or rounds < 0:
         raise ValueError("kmeans_portable: need k >= 1 and rounds >= 0")
-    seeds = (
-        emb.filter(F.col(id_col) < k)
-        .select(F.col(id_col).alias("_c"), _quant_col(vec_col, q_scale).alias("_xq"))
-        .collect()
-    )
+    if _xqf is None:
+        _xqf = _quantized_frame(emb, id_col, vec_col, q_scale)
+    seeds = _xqf.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("_c"), "_xq"
+    ).collect()
     if len(seeds) != k:
         raise ValueError(
             f"kmeans_portable: need ids 0..{k - 1} as seed centroids, "
@@ -102,7 +117,7 @@ def kmeans_portable_train(
         cents[int(r["_c"])] = [int(v) for v in r["_xq"]]
     if any(c is None or len(c) != dim for c in cents):
         raise ValueError("kmeans_portable: seed rows must carry dim-length vectors")
-    xq = emb.select(_quant_col(vec_col, q_scale).alias("_xq"))
+    xq = _xqf.select("_xq")
     for _ in range(rounds):
         sums = (
             xq.withColumn("_cl", _assign_expr(cents))
@@ -138,8 +153,11 @@ def kmeans_portable_assign(
     cluster is the final argmin assignment, dist_fp its integer squared
     L2 in quantized units. Bit-reproducible cross-engine; see module
     docstring for the arithmetic contract."""
-    cents = kmeans_portable_train(emb, k, rounds, id_col, vec_col, dim, q_scale)
-    out = emb.select(F.col(id_col), _quant_col(vec_col, q_scale).alias("_xq"))
+    xqf = _quantized_frame(emb, id_col, vec_col, q_scale)
+    cents = kmeans_portable_train(
+        emb, k, rounds, id_col, vec_col, dim, q_scale, _xqf=xqf
+    )
+    out = xqf
     dists = [
         F.aggregate(
             F.zip_with(
