@@ -535,9 +535,15 @@ def pagerank_portable(
     Truncation leaks mass (~1e-12/node/round — far below any ranking
     decision); damping 0.85 becomes *85 div 100.
 
-    Same plan shape as pagerank(): per round one groupBy(dst) shuffle +
-    one rank join, dangling mass as a broadcast 1-row aggregate, eager
-    checkpoints. Returns (node, rank_fp) with rank_fp ≈ rank * 1e12."""
+    Same plan strategy as pagerank()'s small-vertex-set route: the
+    ≤|V|-row rank vector broadcasts into the static edge scan (integer
+    sums are order-independent, so the join strategy cannot perturb the
+    fixed-point values), leaving one partial-combined groupBy(dst)
+    exchange per round, dangling mass as a broadcast 1-row aggregate,
+    eager checkpoints. A graph whose rank vector outgrows broadcast
+    range belongs on pagerank()'s shuffle path — this portable tier's
+    job is cross-engine proof at certification scale.
+    Returns (node, rank_fp) with rank_fp ≈ rank * 1e12."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.localCheckpoint(eager=True)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
@@ -554,9 +560,9 @@ def pagerank_portable(
     base = (15 * PR_SCALE) // (100 * n)
     r = nodes.withColumn("rank", F.lit(PR_SCALE // n))
     for it in range(rounds):
+        rr = r.filter(F.col("od").isNotNull())
         contrib = (
-            r.filter(F.col("od").isNotNull())
-            .join(e, r["node"] == e["src"])
+            e.join(F.broadcast(rr), rr["node"] == e["src"])
             .groupBy("dst")
             .agg(F.sum(F.expr("rank div od")).alias("c"))
         )
@@ -607,9 +613,13 @@ def hits_portable(
     removed by ColumnPruning and never evaluate (a graph with hotter
     hubs than that needs a wider unit split, the mul_mod32 lesson).
 
-    Per round: two keyed shuffles (groupBy dst, then groupBy src) and
-    two broadcast 1-row norms — node-keyed, partitions cleanly at
-    100 TB. Each HALF-round is eagerly checkpointed, and that cadence
+    Per round: the score vector (≤ n ≤ HITS_SCALE = 1e6 rows by the
+    guard below, so ALWAYS broadcast-sized — no auto knob needed,
+    unlike pagerank's unbounded |V|) broadcasts into the static edge
+    scan, leaving one partial-combined aggregate exchange per
+    half-round plus two broadcast 1-row norms; integer sums are
+    order-independent, so the join strategy cannot perturb the
+    fixed-point values. Each HALF-round is eagerly checkpointed, and that cadence
     is structural, not tunable: the normalization crossJoin references
     the raw half-round frame TWICE (once for values, once for the
     norm), so an un-truncated chain doubles the logical plan per
@@ -646,7 +656,7 @@ def hits_portable(
     a = None
     for it in range(rounds):
         a_raw = (
-            e.join(h, e["src"] == h["node"])
+            e.join(F.broadcast(h), e["src"] == h["node"])
             .groupBy("dst")
             .agg(F.sum("h").alias("raw"))
         )
@@ -670,7 +680,7 @@ def hits_portable(
             .localCheckpoint(eager=True)
         )
         h_raw = (
-            e.join(a, e["dst"] == a["node"])
+            e.join(F.broadcast(a), e["dst"] == a["node"])
             .groupBy("src")
             .agg(F.sum("a").alias("raw"))
         )
@@ -718,8 +728,9 @@ def ppr_portable(
     + (85·(c(v) + [v∈S]·(dg//s)))//100 with c(v) = Σ_in rank//od, all
     truncating integer ops on non-negatives, so the full per-node rank
     vector is bit-reproducible cross-engine. Plan shape identical to
-    pagerank_portable: one groupBy(dst) shuffle + one rank join per
-    round, dangling mass as a broadcast 1-row aggregate, eager
+    pagerank_portable: broadcast rank vector into the edge scan, one
+    partial-combined groupBy(dst) exchange per round, dangling mass as
+    a broadcast 1-row aggregate, eager
     checkpoints every 2 rounds — node-keyed shuffles, partitions
     cleanly at 100 TB. Returns (node, rank_fp)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -745,9 +756,9 @@ def ppr_portable(
         F.when(F.col("is_seed"), F.lit(PR_SCALE // s)).otherwise(F.lit(0)),
     )
     for it in range(rounds):
+        rr = r.filter(F.col("od").isNotNull())
         contrib = (
-            r.filter(F.col("od").isNotNull())
-            .join(e, r["node"] == e["src"])
+            e.join(F.broadcast(rr), rr["node"] == e["src"])
             .groupBy("dst")
             .agg(F.sum(F.expr("rank div od")).alias("c"))
         )
