@@ -156,13 +156,17 @@ def pagerank(
     two keyed exchanges that ARE Pregel. |V| is already counted for the
     teleport term, so the auto-route adds zero work.
 
-    Setup has two shapes keyed off the same knob. Small-graph (auto /
-    True): 1/outdeg folds into the edge list via a count window over
+    Setup has two shapes keyed off the same knob, and the auto route is
+    resolved BEFORE setup (one map-side approx_count_distinct pre-pass
+    over the raw edges when ``broadcast_ranks=None``), so an auto-big
+    graph gets the skew-safe setup too — not only explicit False.
+    Small-graph (auto-small / True): 1/outdeg folds into the edge list
+    via a count window over
     the just-deduplicated edges — two exchanges, ONE scan of the raw
     edge build, no edges⋈outdeg self-join, and the node frame derives
     from the checkpointed e_norm without re-reading the raw build
     (two materializations instead of three; measured −0.7s of
-    q_pagerank's sf0.1 wall). Big-graph (explicit False): the window
+    q_pagerank's sf0.1 wall). Big-graph (auto-big / explicit False): the window
     would buffer each src's full edge group in one task — a power-law
     hub with 10^8 out-edges is a straggler/spill risk — so that path
     keeps the skew-safe groupBy(src) outdeg (map-side partial combine)
@@ -170,6 +174,21 @@ def pagerank(
     from pyspark.sql import Window
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if broadcast_ranks is None:
+        # Resolve the auto route BEFORE the setup branch: the two setup
+        # shapes differ too (window outdeg buffers a hub's whole edge
+        # group — a straggler/spill risk on exactly the graphs that must
+        # not broadcast), so an auto-big graph needs the skew-safe
+        # groupBy setup as well, not just shuffle rounds. One map-side
+        # HLL aggregate over the raw edges; |distinct src| + |distinct
+        # dst| is an upper bound on |V|, i.e. conservative in the safe
+        # direction (never broadcasts a too-big rank vector).
+        est_nodes = edges.agg(
+            (
+                F.approx_count_distinct(src) + F.approx_count_distinct(dst)
+            ).alias("n")
+        ).head()["n"]
+        broadcast_ranks = est_nodes <= broadcast_max_nodes
     if broadcast_ranks is False:
         e = e.localCheckpoint(eager=True)
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -203,8 +222,6 @@ def pagerank(
     # materialization saves one full job per run (measured ~0.3s of the
     # registry query's wall time)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    if broadcast_ranks is None:
-        broadcast_ranks = n <= broadcast_max_nodes
     for it in range(max_iter):
         at_ckpt = (it + 1) % max(1, checkpoint_every) == 0 or it == max_iter - 1
         check_tol = at_ckpt and tol is not None and it < max_iter - 1
@@ -519,6 +536,13 @@ def random_walks(
 
 PR_SCALE = 10**12  # fixed-point unit for the portable pagerank
 
+# The portable pagerank/ppr loops broadcast the full |V|-row rank vector
+# every round (integer sums are order-independent, so the join strategy
+# cannot perturb the fixed-point values). Same ceiling as pagerank()'s
+# broadcast_max_nodes: ~128 MB of (int64, int64) pairs — past it, fail
+# with a clear remedy instead of an opaque broadcast OOM.
+PR_BROADCAST_MAX = 8_000_000
+
 
 def pagerank_portable(
     edges: DataFrame,
@@ -557,6 +581,13 @@ def pagerank_portable(
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank_portable: empty edge list")
+    if n > PR_BROADCAST_MAX:
+        raise ValueError(
+            f"pagerank_portable: {n} nodes — the rank vector exceeds "
+            f"broadcast range (PR_BROADCAST_MAX={PR_BROADCAST_MAX}); use "
+            "pagerank()'s shuffle path (broadcast_ranks=False) for graphs "
+            "this size"
+        )
     base = (15 * PR_SCALE) // (100 * n)
     r = nodes.withColumn("rank", F.lit(PR_SCALE // n))
     for it in range(rounds):
@@ -744,11 +775,21 @@ def ppr_portable(
         .withColumn("is_seed", F.col("node") % seed_mod == 0)
         .localCheckpoint(eager=True)
     )
-    s = nodes.filter("is_seed").count()
+    counts = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_seed").cast("long")).alias("s"),
+    ).head()
+    n, s = counts["n"], counts["s"] or 0
     if s == 0:
         raise ValueError(
             f"ppr_portable: no seed nodes (node % {seed_mod} == 0) in the "
             "graph — personalized teleport has nowhere to restart"
+        )
+    if n > PR_BROADCAST_MAX:
+        raise ValueError(
+            f"ppr_portable: {n} nodes — the rank vector exceeds broadcast "
+            f"range (PR_BROADCAST_MAX={PR_BROADCAST_MAX}); use pagerank()'s "
+            "shuffle path for graphs this size"
         )
     base = (15 * PR_SCALE) // (100 * s)
     r = nodes.withColumn(

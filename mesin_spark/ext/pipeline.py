@@ -319,15 +319,28 @@ def domain_mixture_temperature(
     )
     staged = (
         stats.withColumn("_tot", F.sum("n_tokens").over(w))
+        # zero-token guards (mirroring domain_mixture's otherwise(0.0)
+        # branch): an all-empty corpus makes _tot=0 (0/0 = NaN share),
+        # and a single empty domain makes _share=0 — both must surface
+        # as 0-weight rows, not NaN/NULL
         .withColumn(
-            "_share", F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+            "_share",
+            F.when(
+                F.col("_tot") > 0,
+                F.col("n_tokens").cast("double") / F.col("_tot").cast("double"),
+            ).otherwise(F.lit(0.0)),
         )
         .withColumn(
             "_wfp",
             F.floor(smoothed * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
         )
         .withColumn("_wsum", F.sum("_wfp").over(w))
-        .withColumn("sample_fp", F.expr("(_wfp * 1000000) div _wsum"))
+        .withColumn(
+            "sample_fp",
+            F.when(
+                F.col("_wsum") > 0, F.expr("(_wfp * 1000000) div _wsum")
+            ).otherwise(F.lit(0)),
+        )
     )
     return staged.select(
         "domain",
@@ -336,7 +349,11 @@ def domain_mixture_temperature(
         R(F.col("_share"), round_to).alias("token_share"),
         F.col("sample_fp").cast("bigint").alias("sample_fp"),
         R(
-            (F.col("sample_fp") / F.lit(1_000_000.0)) / F.col("_share"), round_to
+            F.when(
+                F.col("_share") > 0,
+                (F.col("sample_fp") / F.lit(1_000_000.0)) / F.col("_share"),
+            ).otherwise(F.lit(0.0)),
+            round_to,
         ).alias("mix_weight"),
     )
 

@@ -183,14 +183,22 @@ def q_image_dedup(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select("doc_id")
     dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     hashed = MM.image_ahash(MM.synth_image(dup))
+    # `ids` is emitted as a comma-joined string, not array<bigint>: the
+    # driver's pandas canonicalizer lexsorts every output column and
+    # cannot hash a raw list (same rule as q_fn_array, sql_menu2.py)
     return (
         hashed.groupBy("ahash")
         .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.sort_array(F.collect_list("doc_id")).alias("_ids"),
             F.count(F.lit(1)).alias("n_copies"),
         )
         .filter(F.col("n_copies") >= 2)
-        .orderBy(F.element_at("ids", 1))
+        .orderBy(F.element_at("_ids", 1))
+        .select(
+            "ahash",
+            F.array_join(F.col("_ids").cast("array<string>"), ",").alias("ids"),
+            "n_copies",
+        )
     )
 
 
@@ -218,14 +226,20 @@ def q_image_jpeg(spark, sf_dir):
     dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     jpg = MM.transcode_to_jpeg(MM.synth_image(dup), quality=90)
     hashed = MM.image_ahash(jpg.select("doc_id", "payload"))
+    # comma-joined string `ids` for the driver canonicalizer (no raw arrays)
     return (
         hashed.groupBy("ahash")
         .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.sort_array(F.collect_list("doc_id")).alias("_ids"),
             F.count(F.lit(1)).alias("n_copies"),
         )
         .filter(F.col("n_copies") >= 2)
-        .orderBy(F.element_at("ids", 1))
+        .orderBy(F.element_at("_ids", 1))
+        .select(
+            "ahash",
+            F.array_join(F.col("_ids").cast("array<string>"), ",").alias("ids"),
+            "n_copies",
+        )
     )
 
 
@@ -371,12 +385,15 @@ def q_bpe_encode(spark, sf_dir):
     merges = train_bpe(spread, n_merges=12, min_count=2)
     words = word_counts(spread)
     enc = encode_words(words, merges)
+    # `pieces` is space-joined to a string: the driver canonicalizer
+    # cannot hash array cells (see q_fn_array, sql_menu2.py); BPE pieces
+    # never contain spaces (they're substrings of whitespace-split words)
     return (
         enc.join(words, "word")
         .select(
             "word",
             F.col("wcount").alias("n"),
-            F.col("pieces"),
+            F.array_join("pieces", " ").alias("pieces"),
             F.size("pieces").alias("n_pieces"),
         )
         .orderBy(F.desc("n"), "word")

@@ -154,6 +154,32 @@ def test_domain_temperature_upweights_rare(spark):
     }
 
 
+def test_domain_temperature_zero_token_domains(spark):
+    """Zero-token domains must surface as 0-weight rows, not NaN/NULL
+    (ADVICE r07: _share=0 made mix_weight = sample_fp/0 = NaN; an
+    all-empty corpus additionally made _tot=0 and _wsum=0)."""
+    import math
+
+    rows = [(0, "tok tok tok", "live"), (1, "", "empty"), (2, "", "empty")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.domain: r for r in P.domain_mixture_temperature(df).collect()}
+    assert out["empty"].n_tokens == 0
+    assert out["empty"].token_share == 0.0
+    assert out["empty"].sample_fp == 0
+    assert out["empty"].mix_weight == 0.0  # not NaN
+    assert out["live"].sample_fp == 1_000_000  # whole smoothed mass
+    for r in out.values():
+        assert r.mix_weight is not None and not math.isnan(r.mix_weight)
+    # degenerate all-empty corpus: every stage guarded, all-zero output
+    allz = spark.createDataFrame(
+        [(0, "", "a"), (1, "", "b")], "doc_id long, text string, source string"
+    )
+    zout = P.domain_mixture_temperature(allz).collect()
+    assert len(zout) == 2
+    for r in zout:
+        assert (r.token_share, r.sample_fp, r.mix_weight) == (0.0, 0, 0.0)
+
+
 # -- radius search ----------------------------------------------------------
 def test_radius_contains_topk_above_radius(spark, emb):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]

@@ -339,7 +339,7 @@ def test_q_image_dedup_recalls_all_planted_pairs(spark):
     groups = q_image_dedup(spark, SF_DIR).collect()
     paired = set()
     for g in groups:
-        ids = set(g["ids"])
+        ids = {int(x) for x in g["ids"].split(",")}  # driver-safe CSV string
         for i in ids:
             if i < 1_000_000 and i + 1_000_000 in ids:
                 paired.add(i)
@@ -439,7 +439,7 @@ def test_q_image_jpeg_dedup_survives_recompression(spark):
     groups = q_image_jpeg(spark, SF_DIR).collect()
     paired = set()
     for g in groups:
-        s = set(g["ids"])
+        s = {int(x) for x in g["ids"].split(",")}  # driver-safe CSV string
         for i in s:
             if i < 1_000_000 and i + 1_000_000 in s:
                 paired.add(i)

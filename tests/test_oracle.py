@@ -18,9 +18,27 @@ def _registry():
 QUERIES, ORACLES = _registry()
 
 
+def _assert_scalar_schema(name, df):
+    """Governance: NO registry query may emit a container-typed column.
+    The driver's pandas canonicalizer lexsorts every output column —
+    rows-only included — and a list/dict/ndarray cell raises
+    ``unhashable type`` there (the r07 q_image_dedup / q_image_jpeg /
+    q_bpe_encode reds). Stringify with array_join / to_json instead."""
+    from pyspark.sql import types as ST
+
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ST.ArrayType, ST.MapType, ST.StructType))
+    ]
+    assert not bad, f"{name}: container-typed output column(s) {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_match(name, spark, duck):
-    spdf = QUERIES[name](spark, SF_DIR).toPandas()
+    sdf = QUERIES[name](spark, SF_DIR)
+    _assert_scalar_schema(name, sdf)
+    spdf = sdf.toPandas()
     dpdf = duck.execute(ORACLES[name]).df()
     problems = compare(spdf, dpdf)
     assert not problems, f"{name}: {problems}"
@@ -29,6 +47,7 @@ def test_oracle_match(name, spark, duck):
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_runs(name, spark):
     df = QUERIES[name](spark, SF_DIR)
+    _assert_scalar_schema(name, df)
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0

@@ -4,16 +4,18 @@ shuffle-heavy headline queries. Two points (1x, 3x) bound a slope; the
 quadratic candidate space shows slope ~100 here, a linear plan ~10.
 
 Usage: python tools/slope10x.py [sf_dir] [out_json]
-(out_json defaults to artifacts/r07/slope10x.json — pass the current
-round's artifact dir when regenerating in a later round)
+(out_json defaults to <repo>/artifacts/slope10x.json next to this file —
+pass the current round's artifact dir to file it per-round)
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 from tools.make_scale import ensure_scaled  # noqa: E402
 from tools.shuffle_audit import audit, fmt  # noqa: E402
@@ -82,7 +84,7 @@ def main() -> int:
     out_path = (
         sys.argv[2]
         if len(sys.argv) > 2
-        else "/root/repo/artifacts/r07/slope10x.json"
+        else os.path.join(REPO_ROOT, "artifacts", "slope10x.json")
     )
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)

@@ -97,6 +97,22 @@ def driver_canon_problems(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> li
     return out
 
 
+def driver_lexsort_error(pdf: pd.DataFrame) -> str | None:
+    """The driver canonicalizes EVERY query's output — rows-only included
+    — by lexsorting the raw pandas columns. A container-typed cell (list /
+    dict / ndarray) raises ``unhashable type`` there and records a driver
+    ERROR even though the values are right (the r07 q_image_dedup /
+    q_image_jpeg / q_bpe_encode reds). Replay that sort on a single frame;
+    return the error string or None."""
+    try:
+        pdf[sorted(pdf.columns)].sort_values(
+            by=sorted(pdf.columns), na_position="first"
+        )
+    except TypeError as e:
+        return f"driver-canon lexsort would ERROR: {e}"
+    return None
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -148,6 +164,16 @@ def main() -> int:
             sdf = qs[name](spark, sf_dir)
             spdf = sdf.toPandas()
             if name not in oracles:
+                # rows-only frames STILL pass through the driver's
+                # canonicalizer — replay its lexsort unconditionally so a
+                # container-typed output column fails HERE, not in the
+                # driver's record (the r07 blind spot: this branch used to
+                # `continue` before any canon check ran)
+                lex_err = driver_lexsort_error(spdf)
+                if lex_err:
+                    failed.append(name)
+                    print(f"  FAIL {name} (rows-only): {lex_err}")
+                    continue
                 rows_only.append((name, len(spdf)))
                 if len(spdf) == 0:
                     # a rows-only query returning nothing exercises
