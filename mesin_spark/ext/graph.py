@@ -97,8 +97,16 @@ def pagerank(
     tol: float | None = None,
     broadcast_ranks: bool | None = None,
     broadcast_max_nodes: int = 8_000_000,
+    final_checkpoint: bool = True,
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges collapse).
+
+    ``final_checkpoint=False`` skips the last round's materialization: a
+    caller that consumes the result exactly once (one collect / one sink
+    write) would otherwise pay a whole Spark job to materialize ranks the
+    very next job re-reads. The returned frame then carries the (at most
+    checkpoint_every) rounds since the previous checkpoint as lazy plan.
+    Keep the default when the result is reused.
 
     ``tol`` bounds the SINGLE-ROUND max rank delta, evaluated at
     checkpoint rounds (the round output carries the previous rank, so
@@ -173,7 +181,7 @@ def pagerank(
     joined back to the edges, the classic Pregel prep."""
     from pyspark.sql import Window
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if broadcast_ranks is None:
         # Resolve the auto route BEFORE the setup branch: the two setup
         # shapes differ too (window outdeg buffers a hub's whole edge
@@ -190,7 +198,7 @@ def pagerank(
         ).head()["n"]
         broadcast_ranks = est_nodes <= broadcast_max_nodes
     if broadcast_ranks is False:
-        e = e.localCheckpoint(eager=True)
+        e = e.distinct().localCheckpoint(eager=True)
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         e_norm = (
             e.join(outdeg, "src")
@@ -198,9 +206,21 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     else:
-        e_norm = e.withColumn(
-            "w", F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src"))
-        ).localCheckpoint(eager=True)
+        # one exchange instead of two: hash(src) satisfies BOTH the
+        # (src,dst) dedup agg's clustering (subset rule) and the outdeg
+        # window's, so distinct and window reuse the same repartition.
+        # repartition(col) with no fixed width stays AQE-coalescible
+        # (only repartition(N, col) is exempt — the rejected pattern).
+        # Hub-group buffering is this route's documented, accepted risk:
+        # the broadcast route is only taken when |V| is dim-table-sized.
+        e_norm = (
+            e.repartition(F.col("src"))
+            .distinct()
+            .withColumn(
+                "w", F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src"))
+            )
+            .localCheckpoint(eager=True)
+        )
     srcs = e_norm.select(F.col("src").alias("node")).distinct()
     nodes = (
         e_norm.select(F.col("src").alias("node"))
@@ -238,7 +258,8 @@ def pagerank(
             broadcast_ranks=broadcast_ranks,
         )
         if at_ckpt:
-            ranks = ranks.localCheckpoint(eager=True)
+            if it < max_iter - 1 or final_checkpoint:
+                ranks = ranks.localCheckpoint(eager=True)
             if check_tol:
                 # convergence exit, evaluated only at checkpoint rounds:
                 # the round output carries the previous rank as _prev,

@@ -1023,13 +1023,15 @@ def q_pagerank(spark, sf_dir):
     iterations, so exact cross-engine hashing is not meaningful —
     structural properties are pytest-proven instead: mass conservation,
     star dominance, cycle uniformity, broadcast/shuffle path agreement).
-    The ~16k-node purchase graph auto-takes pagerank()'s small-vertex-
-    set route: the rank vector broadcasts into the edge scan like a dim
-    into a fact join, so each round is ONE ≤|V|-row exchange (the
-    map-side partial combine of the contribution agg) instead of the
-    shuffle path's four; a billion-node graph auto-falls back to the
-    Pregel shuffle rounds. Suppliers accumulate rank from customers;
-    dangling customers redistribute."""
+    The ~16k-node purchase graph takes pagerank()'s small-vertex-set
+    route (pinned explicitly — see the broadcast_ranks note below): the
+    rank vector broadcasts into the edge scan like a dim into a fact
+    join, so each round is ONE ≤|V|-row exchange (the map-side partial
+    combine of the contribution agg) instead of the shuffle path's
+    four; a billion-node graph on the auto route falls back to the
+    Pregel shuffle rounds AND the skew-safe groupBy-outdeg setup (the
+    auto decision resolves before setup). Suppliers accumulate rank
+    from customers; dangling customers redistribute."""
     from mesin_spark.ext.graph import pagerank
 
     # 6 iterations is the MEASURED convergence round on this fixture
@@ -1049,7 +1051,22 @@ def q_pagerank(spark, sf_dir):
     # key-shifted shards of this same graph — per-shard spectra (and
     # hence convergence rounds) are identical. A graph with unknown
     # mixing should call pagerank(tol=...) instead.
-    ranks = pagerank(_purchase_edges(spark, sf_dir), max_iter=6, checkpoint_every=3)
+    # broadcast_ranks pinned True (not auto): the auto route now resolves
+    # BEFORE setup via an approx_count_distinct pre-pass over the raw
+    # edges — correct for unknown graphs, but here it would re-run the
+    # orders⋈lineitem edge build once more per call to learn what this
+    # query already knows (|V| ≈ 16k ≪ 8M broadcast ceiling)
+    # final_checkpoint=False: this query consumes ranks exactly once
+    # (top-20 into the sink), so materializing round 6 would cost a
+    # whole job the very next job re-reads — the last 3 rounds ride as
+    # lazy plan on the round-3 checkpoint instead
+    ranks = pagerank(
+        _purchase_edges(spark, sf_dir),
+        max_iter=6,
+        checkpoint_every=3,
+        broadcast_ranks=True,
+        final_checkpoint=False,
+    )
     return (
         ranks.select("node", R(F.col("rank"), 9).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
