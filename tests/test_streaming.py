@@ -300,6 +300,54 @@ def test_kafka_source_contract(spark):
     assert parsed.collect()[0].asDict() == {"user_id": 7, "event_type": "view"}
 
 
+def test_kafka_smoke_or_explicit_jar_skip(spark):
+    """Jar-gated kafka smoke (SURVEY §2.10): when the spark-sql-kafka
+    connector is on the classpath, build the full readStream → value
+    parse → watermarked tumbling agg plan through open_source and assert
+    the analyzed schema (a broker is still needed to .start(), so the
+    smoke stops at analysis — the maximal executable surface without
+    infrastructure). Without the jar, skip EXPLICITLY naming the missing
+    artifact — this sandbox has no network to fetch it (verified:
+    repo1.maven.org unresolvable), so the kafka arm's executed coverage
+    is the config-contract + source-resolution test above."""
+    import pytest
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        pytest.skip(
+            "kafka connector jar absent: org.apache.spark:"
+            "spark-sql-kafka-0-10_2.13:4.1.2 is not on the classpath and "
+            "this sandbox has no network to fetch it — run under "
+            "spark-submit --packages org.apache.spark:"
+            "spark-sql-kafka-0-10_2.13:4.1.2 to execute this smoke "
+            "(README 'Streaming' section; SURVEY §2.10)"
+        )
+    raw = STR.open_source(
+        spark, "kafka", bootstrap_servers="localhost:9092", subscribe="events"
+    )
+    assert raw.isStreaming
+    assert raw.schema.simpleString() == spark.createDataFrame(
+        [], STR.KAFKA_SOURCE_SCHEMA
+    ).schema.simpleString()
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "user_id long, event_type string, ts timestamp",
+        ).alias("v")
+    ).select("v.*")
+    agg = (
+        parsed.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .count()
+    )
+    # analysis succeeds end-to-end: watermark + windowed agg over the
+    # kafka source schema — the exact q_stream_tumbling shape
+    assert {"window", "event_type", "count"} <= set(agg.schema.names)
+
+
 def test_stream_latency_harness(spark):
     """The rate/latency harness must observe MULTIPLE micro-batches (6
     files / 2 per trigger -> >= 3 data batches), conserve input rows
