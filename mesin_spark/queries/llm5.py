@@ -240,12 +240,17 @@ def q_dedup_incremental(spark, sf_dir):
 @query(
     "q_semdedup_portable",
     oracle=f"""
-    WITH RECURSIVE seeds AS (
-        SELECT vec_id AS j, embedding AS c FROM embeddings WHERE vec_id < 16
+    WITH RECURSIVE planted AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), seeds AS (
+        SELECT vec_id AS j, embedding AS c FROM planted WHERE vec_id < 16
     ), scored AS (
         SELECT e.vec_id, e.embedding, s.j,
                {sr("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(s.c AS DOUBLE[]))", 6)} AS sim
-        FROM embeddings e CROSS JOIN seeds s
+        FROM planted e CROSS JOIN seeds s
     ), assigned AS (
         SELECT vec_id, embedding, j AS cl
         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -256,7 +261,7 @@ def q_dedup_incremental(spark, sf_dir):
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM assigned a JOIN assigned b
           ON a.cl = b.cl AND a.vec_id < b.vec_id
-        WHERE {sr("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)} >= 0.40
+        WHERE {sr("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))", 6)} >= 0.95
     ), und AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
@@ -279,22 +284,31 @@ def q_dedup_incremental(spark, sf_dir):
     """,
 )
 def q_semdedup_portable(spark, sf_dir):
-    """SemDeDup with deterministic seed centroids and rounded-cosine
-    pair decisions (ext/similarity.semantic_dedup_portable, 16 lists,
-    threshold 0.40 — FIXTURE-CALIBRATED like q_dedup_embed to this
-    fixture's cosine range) — the cross-engine proof for the class:
-    the engine-native q_semdedup stays rows-only because its k-means
-    codebook is seeded-random, but seed-centroid assignment + 6-dp
-    rounding before every comparison makes the kept set exactly
-    reproducible (the oracle mirrors assignment, the in-cluster pair
-    set, AND the min-id connected components via a recursive CTE).
-    Same scale shape: bounded codebook collect, map-side assignment,
-    pair space bounded by the largest cluster (~n/k)."""
+    """SemDeDup at the PRODUCTION threshold (0.95) with deterministic
+    seed centroids and rounded-cosine pair decisions
+    (ext/similarity.semantic_dedup_portable, 16 lists) — the
+    cross-engine proof for the class: the engine-native q_semdedup
+    stays rows-only because its k-means codebook is seeded-random, but
+    seed-centroid assignment + 6-dp rounding before every comparison
+    makes the kept set exactly reproducible (the oracle mirrors
+    assignment, the in-cluster pair set, AND the min-id connected
+    components via a recursive CTE). The synthetic embeddings top out
+    near cosine 0.5, so near-dups are PLANTED (the q_image_dedup
+    pattern): every 10th vector gets an identical clone at
+    vec_id+100000 that must lose to its original through the full
+    assign → in-cluster pair → component-min pipeline, making the
+    0.95 decision non-vacuous on this fixture. Same scale shape:
+    bounded codebook collect, map-side assignment, pair space bounded
+    by the largest cluster (~n/k)."""
     from mesin_spark.ext.similarity import semantic_dedup_portable
 
     emb = T(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    planted = emb.select("vec_id", "embedding").unionByName(clones)
     return (
-        semantic_dedup_portable(emb, n_list=16, threshold=0.40)
+        semantic_dedup_portable(planted, n_list=16, threshold=0.95)
         .select("vec_id", F.col("sem_cluster").cast("bigint").alias("sem_cluster"))
         .orderBy("vec_id")
     )

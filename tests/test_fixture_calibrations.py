@@ -1,7 +1,7 @@
 """Governance gate for fixture-calibrated thresholds (round-6 verdict,
 "What's wrong" #3): parameters tuned to the synthetic corpus's measured
-distribution (q_dedup_embed 0.40, q_semdedup_portable 0.40, q_dedup_ngram
-0.055, q_ppr_portable seed_mod=50) are legitimate — the synthetic tables
+distribution (q_dedup_embed 0.40, q_dedup_ngram 0.055, q_ppr_portable
+seed_mod=50) are legitimate — the synthetic tables
 plant no near-duplicates, so production-range settings certify vacuous
 0-row oracle matches — but each one MUST keep a crafted-corpus pytest
 proving the production-range semantics, or the caveat list grows into a
@@ -41,12 +41,12 @@ PRODUCTION_TWINS = {
         "test_stats.py",
         "test_auto_ngram_route_is_blocked",
     ),
-    # production 0.95 threshold on a crafted 3-cluster corpus with
-    # planted near-duplicates and a distant singleton
-    "q_semdedup_portable": (
-        "test_llm5_ops.py",
-        "test_semdedup_portable_crafted_components_and_determinism",
-    ),
+    # q_semdedup_portable graduated OFF this list in round 8: the
+    # registry query now plants identical clones (vec_id+100000) and
+    # runs the PRODUCTION 0.95 threshold directly — its crafted-corpus
+    # test (test_semdedup_portable_crafted_components_and_determinism)
+    # remains as the component-policy proof, but no calibration caveat
+    # is left to govern.
     # hand-picked seed set on a crafted graph: all-seeds degenerates to
     # uniform pagerank, single-seed rank concentrates on the seed side
     "q_ppr_portable": (

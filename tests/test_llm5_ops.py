@@ -619,6 +619,24 @@ def test_semdedup_portable_crafted_components_and_determinism(spark):
     assert kept == again
 
 
+def test_q_semdedup_portable_drops_every_planted_clone(spark):
+    """The registry query runs the PRODUCTION 0.95 threshold against
+    planted identical clones (vec_id+100000 for every 10th vector):
+    every clone must lose to its original (kept set == the originals,
+    each with a cluster assignment), proving the production decision
+    fires on the driver fixture — the round-8 graduation of this query
+    off the fixture-threshold caveat list."""
+    import __spark_entry__ as E
+
+    from tests.conftest import SF_DIR
+
+    kept = {r["vec_id"] for r in
+            E.queries()["q_semdedup_portable"](spark, SF_DIR).collect()}
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(kept) == n  # all originals kept
+    assert not {k for k in kept if k >= 100_000}  # every clone dropped
+
+
 def test_review_guards_raise_instead_of_silent_wrong(spark, monkeypatch):
     """Round-6 review regressions: (1) hits_portable refuses a graph
     whose node count floors the initial fixed-point score to 0; (2)
