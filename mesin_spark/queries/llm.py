@@ -302,31 +302,41 @@ def q_dedup_ngram(spark, sf_dir):
 @query(
     "q_dedup_embed",
     oracle="""
+    WITH planted AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id, embedding, label
+        FROM embeddings WHERE vec_id % 10 = 0
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 AS sim
-    FROM embeddings a JOIN embeddings b
+    FROM planted a JOIN planted b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 >= 0.40
+                                       CAST(b.embedding AS DOUBLE[]))) * 1000000.0 + 0.5) / 1000000.0 >= 0.99
     """,
 )
 def q_dedup_embed(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs inside label blocks — exact
-    within-block pair scan (at 100 TB the block key becomes an LSH
-    signature; same code path).
+    """Embedding-cosine near-duplicate pairs inside label blocks at the
+    PRODUCTION threshold (0.99) — exact within-block pair scan (at
+    100 TB the block key becomes an LSH signature; same code path).
 
-    Threshold 0.40 is FIXTURE-CALIBRATED, not a production setting: the
-    synthetic embeddings have no planted clones (max within-label cosine
-    is 0.45/0.47/0.51 at sf 0.001/0.01/0.1), so the production-style 0.99
-    certified a vacuous Spark-0 == DuckDB-0 match. 0.40 yields 5/5/86
-    pairs at those SFs with ≥1.2e-4 margin to the rounding boundary, so
-    the oracle compares real similarity values at every scale
-    (tests/test_oracle.py guards non-emptiness). Production near-dup
-    thresholds live with the caller; the operator's own clone-recall
-    property is pytest-checked with planted pairs in test_llm_ops.py."""
+    The synthetic embeddings have no natural near-dups (max within-label
+    cosine 0.45/0.47/0.51 at sf 0.001/0.01/0.1), so near-dups are
+    PLANTED (the q_image_dedup pattern, mirrored in the oracle SQL):
+    every 10th vector gets an identical clone at vec_id+100000 in the
+    same label block, and exactly those (original, clone, 1.0) pairs
+    must survive the 0.99 cut — the production decision fires on the
+    driver fixture, with sim = 1.0 far from any rounding boundary.
+    Clone recall through the operator is additionally pytest-checked in
+    test_llm_ops.py."""
     emb = T(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.40).orderBy("id_a", "id_b")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.select("vec_id", "embedding", "label").unionByName(clones)
+    return S.embedding_neardup_pairs(planted, threshold=0.99).orderBy("id_a", "id_b")
 
 
 @query(

@@ -1,7 +1,7 @@
 """Governance gate for fixture-calibrated thresholds (round-6 verdict,
 "What's wrong" #3): parameters tuned to the synthetic corpus's measured
-distribution (q_dedup_embed 0.40, q_dedup_ngram 0.055, q_ppr_portable
-seed_mod=50) are legitimate — the synthetic tables
+distribution (q_dedup_ngram 0.055, q_ppr_portable seed_mod=50) are
+legitimate — the synthetic tables
 plant no near-duplicates, so production-range settings certify vacuous
 0-row oracle matches — but each one MUST keep a crafted-corpus pytest
 proving the production-range semantics, or the caveat list grows into a
@@ -30,11 +30,11 @@ TESTS_DIR = Path(__file__).resolve().parent
 # calibrated registry query -> (test module, crafted-corpus test proving
 # the PRODUCTION-range setting of the same operator)
 PRODUCTION_TWINS = {
-    # production 0.99 cosine on planted clones + cross-block isolation
-    "q_dedup_embed": (
-        "test_llm_ops.py",
-        "test_embedding_neardup_finds_planted_clones",
-    ),
+    # q_dedup_embed graduated OFF this list in round 8 together with
+    # q_semdedup_portable: the registry query now plants identical
+    # clones and runs the production 0.99 threshold directly (its
+    # planted-clone operator test, test_llm_ops.py::
+    # test_embedding_neardup_finds_planted_clones, remains).
     # production 0.9 Jaccard on a planted verbatim duplicate through the
     # auto-routed ngram plan (plus banding still intact)
     "q_dedup_ngram": (
