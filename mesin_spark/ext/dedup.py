@@ -932,13 +932,23 @@ def ngram_jaccard_pairs(
                 pass
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
     if prefix_filter:
+        # every frame on this path (exploded grams, per-block gram
+        # frequencies, prefix postings) is corpus-sized — none may
+        # broadcast. They all descend from the lazily-persisted `base`,
+        # whose InMemoryRelation reports its (way under-estimated,
+        # computed-array) child stats until first materialization, so the
+        # static planner happily routes them into BroadcastExchanges
+        # (observed as a driver OOM the first time the auto-router chose
+        # this path at the 100x scale point). shuffle_hash on one side
+        # forces a keyed exchange; per-partition hash builds stay bounded
+        # by the shuffle width at any corpus size.
         flat = base.select(
             "blk", "_id", F.size("_g").alias("_sz"), F.explode("_g").alias("_tok")
         )
         freq = flat.groupBy("blk", "_tok").agg(F.count(F.lit(1)).alias("_f"))
         w = Window.partitionBy("blk", "_id").orderBy("_f", "_tok")
         prefix = (
-            flat.join(freq, ["blk", "_tok"])
+            flat.join(freq.hint("shuffle_hash"), ["blk", "_tok"])
             .withColumn("_rn", F.row_number().over(w))
             .filter(
                 F.col("_rn")
@@ -951,14 +961,27 @@ def ngram_jaccard_pairs(
         # / form cross-block pairs the all-pairs path can never produce
         cands = (
             prefix.withColumnRenamed("_id", "id_a")
-            .join(prefix.withColumnRenamed("_id", "id_b"), ["blk", "_tok"])
+            .join(
+                prefix.withColumnRenamed("_id", "id_b").hint("shuffle_hash"),
+                ["blk", "_tok"],
+            )
             .filter(F.col("id_a") < F.col("id_b"))
             .select("blk", "id_a", "id_b")
             .distinct()
         )
+        # the gram-array sides must NEVER broadcast: _g is a computed
+        # column, so the optimizer's static size estimate sees only the
+        # pruned scan width and can route a corpus-sized array table
+        # (measured ~1 GB at 100x — a driver OOM at any heap) into a
+        # BroadcastExchange; shuffle_hash pins a keyed exchange whose
+        # per-partition build stays bounded by the shuffle width at any
+        # corpus size (first observed executing the prefix path at the
+        # 100x scale point — the all-pairs route never joins this table)
         ga = base.select("blk", F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
         gb = base.select("blk", F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
-        pairs = cands.join(ga, ["blk", "id_a"]).join(gb, ["blk", "id_b"])
+        pairs = cands.join(ga.hint("shuffle_hash"), ["blk", "id_a"]).join(
+            gb.hint("shuffle_hash"), ["blk", "id_b"]
+        )
     else:
         from mesin_spark.ext.similarity import salted_all_pairs
 

@@ -3,8 +3,10 @@
 benchmarks: ``factor`` disjoint shards of every table, keys shifted per
 shard so join cardinalities grow LINEARLY (replicating keys verbatim
 would square join outputs and corrupt the slope measurement), and
-document text vowel-rotated per shard so content-dedup queries don't
-discover an artificial forest of cross-shard duplicates.
+document text letter-rotated per shard (two composed 10-letter
+rotations = 100 distinct transforms, supporting factors up to 100) so
+content-dedup queries don't discover an artificial forest of
+cross-shard duplicates.
 
 Usage (also importable: ``ensure_scaled(sf_dir, factor)``):
 
@@ -36,11 +38,25 @@ _KEYS = {
 _OFFSET = 100_000_000
 
 _ROT_SRC = "etaoinsrhl"
+#: second rotation alphabet (disjoint from _ROT_SRC) engaged at shard
+#: index >= 10: a single 10-letter rotation has only 10 distinct
+#: transforms, so at factor > 10 shards i and i+10 would carry IDENTICAL
+#: text — an artificial forest of cross-shard near-dup pairs that grows
+#: with factor² and corrupts exactly the dedup slopes this tool exists
+#: to measure. Composing two independent rotations gives 100 distinct
+#: transforms (shards 0-9 keep their historical single-rotation text, so
+#: cached x3/x10 copies stay byte-identical).
+_ROT_SRC2 = "dcumfpgwyb"
 
 
 def _rot(i: int) -> str:
     k = i % len(_ROT_SRC)
     return _ROT_SRC[k:] + _ROT_SRC[:k]
+
+
+def _rot2(i: int) -> str:
+    k = (i // len(_ROT_SRC)) % len(_ROT_SRC2)
+    return _ROT_SRC2[k:] + _ROT_SRC2[:k]
 
 
 def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
@@ -52,6 +68,12 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
         os.environ.get("SPARK_GRAFT_SCALE_CACHE", "/tmp"),
         f"mesin_scale_{base}_x{factor}",
     )
+    if factor > len(_ROT_SRC) * len(_ROT_SRC2):
+        raise ValueError(
+            f"ensure_scaled: factor {factor} exceeds the {len(_ROT_SRC) * len(_ROT_SRC2)} "
+            "distinct text transforms — shards would repeat document text and "
+            "fake cross-shard near-dup pairs"
+        )
     if os.path.isdir(out_dir) and os.path.exists(os.path.join(out_dir, "_OK")):
         return out_dir
     from pyspark.sql import functions as F
@@ -75,6 +97,10 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
                 s = s.withColumn(k, F.col(k) + F.lit(i * _OFFSET))
             if table == "documents" and i > 0:
                 s = s.withColumn("text", F.translate("text", _ROT_SRC, _rot(i)))
+                if i >= len(_ROT_SRC):
+                    s = s.withColumn(
+                        "text", F.translate("text", _ROT_SRC2, _rot2(i))
+                    )
             shards.append(s)
         out = shards[0]
         for s in shards[1:]:

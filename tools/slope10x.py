@@ -3,9 +3,11 @@ shuffle-heavy headline queries. Two points (1x, 3x) bound a slope; the
 10x point discriminates linear from quadratic beyond argument — a
 quadratic candidate space shows slope ~100 here, a linear plan ~10.
 
-Usage: python tools/slope10x.py [sf_dir] [out_json]
+Usage: python tools/slope10x.py [sf_dir] [out_json] [factor]
 (out_json defaults to <repo>/artifacts/slope10x.json next to this file —
-pass the current round's artifact dir to file it per-round)
+pass the current round's artifact dir to file it per-round; factor
+defaults to 10 and generalizes the tool to any scale multiple, e.g. 100
+for the three-orders-of-magnitude check)
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ HEAVY = [
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     from mesin_spark.session import get_session
     import __spark_entry__ as entrymod
 
@@ -48,7 +51,7 @@ def main() -> int:
     registry = entrymod.queries()
     store = spark._jsparkSession.sharedState().statusStore()
 
-    scaled_dir = ensure_scaled(sf_dir, 10)
+    scaled_dir = ensure_scaled(sf_dir, factor)
     base = audit(spark, store, registry, HEAVY, sf_dir)
     big = audit(spark, store, registry, HEAVY, scaled_dir)
 
@@ -58,28 +61,28 @@ def main() -> int:
         slope = (s / b) if b else 0.0
         rows[name] = {
             "shuffle_1x": b,
-            "shuffle_10x": s,
-            "slope_10x": round(slope, 2),
-            "spill_10x": big[name]["spill"],
+            "shuffle_Nx": s,
+            "slope_Nx": round(slope, 2),
+            "spill_Nx": big[name]["spill"],
         }
         print(
             f"{name:22s} {fmt(b):>12s} -> {fmt(s):>12s}  slope {slope:.2f}"
-            f"  spill@10x {fmt(big[name]['spill'])}"
+            f"  spill@{factor}x {fmt(big[name]['spill'])}"
         )
     total_b = sum(r["shuffle_1x"] for r in rows.values())
-    total_s = sum(r["shuffle_10x"] for r in rows.values())
+    total_s = sum(r["shuffle_Nx"] for r in rows.values())
     out = {
         "sf_dir": sf_dir,
-        "factor": 10,
+        "factor": factor,
         "queries": rows,
-        "total_slope_10x": round(total_s / total_b, 2) if total_b else 0.0,
-        "worst_slope_10x": max(r["slope_10x"] for r in rows.values()),
-        "total_spill_10x": sum(r["spill_10x"] for r in rows.values()),
+        "total_slope_Nx": round(total_s / total_b, 2) if total_b else 0.0,
+        "worst_slope_Nx": max(r["slope_Nx"] for r in rows.values()),
+        "total_spill_Nx": sum(r["spill_Nx"] for r in rows.values()),
     }
     print(
         f"total {fmt(total_b)} -> {fmt(total_s)} slope "
-        f"{out['total_slope_10x']:.2f} (linear = 10.0), worst "
-        f"{out['worst_slope_10x']:.2f}"
+        f"{out['total_slope_Nx']:.2f} (linear = {factor}.0), worst "
+        f"{out['worst_slope_Nx']:.2f}"
     )
     out_path = (
         sys.argv[2]
