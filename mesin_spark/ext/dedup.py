@@ -1046,6 +1046,8 @@ def ngram_containment_pairs(
     n: int = 2,
     threshold: float = 0.8,
     n_salts: int = 16,
+    prefix_filter: bool | str = False,
+    auto_pairs_per_doc: float = 64.0,
 ) -> DataFrame:
     """Exact word-n-gram CONTAINMENT over pairs within a blocking key:
     containment(a ⊆ b) = |grams(a) ∩ grams(b)| / |grams(a)| — the
@@ -1053,8 +1055,32 @@ def ngram_containment_pairs(
     document embedded verbatim in a much longer one (quote/boilerplate
     inclusion), where Jaccard collapses toward |a|/|b| and misses it.
     Emitted per DIRECTED pair (id_a is the contained candidate), both
-    directions considered. Same scale shape as the Jaccard form: grams
-    fold to sorted hashed longs before the salted blocked pair join."""
+    directions considered. Grams fold to sorted hashed longs before any
+    pairing.
+
+    Containment CANNOT reuse the Jaccard form's length band (a short
+    document contained in a much longer one is exactly the target, and
+    a band only pairs similar sizes), so its scale guard is the
+    asymmetric pigeonhole prefix: containment(a⊆b) ≥ t means b misses
+    at most ⌊(1−t)·|a|⌋ of a's grams, so b must contain at least one of
+    ANY ⌊(1−t)·|a|⌋+1 grams of a — candidates are (rarest-first prefix
+    of a) ⋈ (FULL gram postings, the container side needs them all),
+    no recall loss (pytest-asserted against the all-pairs path). At
+    t=0.8 the prefix is ~20% of each contained candidate's grams and
+    candidates scale with rare-gram collisions instead of block
+    occupancy².
+
+    - ``prefix_filter=False``: salted all-pairs within the block — the
+      right trade at bench scales (the prefix machinery's fixed cost
+      dominates small blocks).
+    - ``prefix_filter=True``: the pigeonhole prefix route.
+    - ``prefix_filter="auto"``: the same measured occupancy probe as
+      ngram_jaccard_pairs — one count-only aggregate routes to the
+      prefix path past ``auto_pairs_per_doc`` all-pairs candidates per
+      document. This is the 100 TB guard: the 100x scale sweep caught
+      the unguarded all-pairs form at 2.5e10 directed pairs (5-value
+      block key × 100k docs/block) — quadratic-unbounded, exactly the
+      class the auto-router exists to prevent."""
     from mesin_spark.ext.similarity import salted_all_pairs
 
     grams = F.array_sort(
@@ -1069,12 +1095,82 @@ def ngram_containment_pairs(
         F.col(id_col).alias("_id"),
         grams.alias("_g"),
     )
-    a = base.select(F.col("blk"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
-    b = base.select(F.col("blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
-    pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
-        (F.col("id_a") != F.col("id_b")) & (F.size("g_a") > 0)
-    )
+    if isinstance(prefix_filter, str) and prefix_filter != "auto":
+        raise ValueError(
+            f"prefix_filter must be True, False, or 'auto' — got "
+            f"{prefix_filter!r} (any other string would silently enable "
+            "the prefix path via truthiness)"
+        )
+    if prefix_filter == "auto":
+        # same measured routing as ngram_jaccard_pairs: block occupancies
+        # on a count-only projection → exact all-pairs candidate count;
+        # occupancy through double before the multiply (mega-block long
+        # overflow guard)
+        occ = base.select("blk").groupBy("blk").agg(
+            F.count(F.lit(1)).cast("double").alias("_occ")
+        )
+        row = occ.agg(
+            F.sum(F.col("_occ") * (F.col("_occ") - 1)).alias("_pairs"),
+            F.sum("_occ").alias("_docs"),
+        ).collect()[0]
+        # directed pairs: occ·(occ−1), not /2
+        pairs_per_doc = (row["_pairs"] or 0.0) / max(row["_docs"] or 1.0, 1.0)
+        prefix_filter = pairs_per_doc > auto_pairs_per_doc
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        global _AUTO_PERSISTED
+        prev = _AUTO_PERSISTED
+        _AUTO_PERSISTED = base
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:  # session may be gone — nothing to release
+                pass
     cont = F.size(F.array_intersect("g_a", "g_b")) / F.size("g_a")
+    if prefix_filter:
+        # same non-broadcast discipline as the Jaccard prefix path: every
+        # frame here is corpus-sized and descends from under-estimated
+        # computed-array stats — shuffle_hash pins keyed exchanges
+        flat = base.select(
+            "blk", "_id", F.size("_g").alias("_sz"), F.explode("_g").alias("_tok")
+        )
+        freq = flat.groupBy("blk", "_tok").agg(F.count(F.lit(1)).alias("_f"))
+        w = Window.partitionBy("blk", "_id").orderBy("_f", "_tok")
+        # contained-candidate prefix: ⌊(1−t)·|a|⌋+1 rarest grams
+        prefix_a = (
+            flat.join(freq.hint("shuffle_hash"), ["blk", "_tok"])
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(
+                F.col("_rn")
+                <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
+            )
+            .select("blk", "_tok", F.col("_id").alias("id_a"))
+        )
+        # the container side keeps FULL postings (it may miss any
+        # particular prefix gram of a — only a's side pigeonholes)
+        post_b = flat.select("blk", "_tok", F.col("_id").alias("id_b"))
+        cands = (
+            prefix_a.join(post_b.hint("shuffle_hash"), ["blk", "_tok"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("blk", "id_a", "id_b")
+            .distinct()
+        )
+        ga = base.select("blk", F.col("_id").alias("id_a"), F.col("_g").alias("g_a"))
+        gb = base.select("blk", F.col("_id").alias("id_b"), F.col("_g").alias("g_b"))
+        pairs = cands.join(ga.hint("shuffle_hash"), ["blk", "id_a"]).join(
+            gb.hint("shuffle_hash"), ["blk", "id_b"]
+        ).filter(F.size("g_a") > 0)
+    else:
+        a = base.select(
+            F.col("blk"), F.col("_id").alias("id_a"), F.col("_g").alias("g_a")
+        )
+        b = base.select(
+            F.col("blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b")
+        )
+        pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
+            (F.col("id_a") != F.col("id_b")) & (F.size("g_a") > 0)
+        )
     return (
         pairs.select("id_a", "id_b", R(cont, 6).alias("containment"))
         .filter(F.col("containment") >= threshold)

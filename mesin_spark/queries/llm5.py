@@ -643,14 +643,22 @@ def q_dedup_containment(spark, sf_dir):
     |grams(a) ∩ grams(b)| / |grams(a)| ≥ 0.8 flags document a as
     (near-)embedded in b — quote and boilerplate inclusion that Jaccard
     misses when |b| >> |a| (Jaccard ≈ |a|/|b| → below any threshold).
-    The asymmetric complement of q_dedup_ngram, same blocked+salted
-    pair-join shape (ext/dedup.ngram_containment_pairs)."""
+    The asymmetric complement of q_dedup_ngram
+    (ext/dedup.ngram_containment_pairs). prefix_filter="auto" routes by
+    measured block occupancy exactly like q_dedup_ngram: salted
+    all-pairs at bench scales, the asymmetric pigeonhole-prefix route
+    (a's ⌊0.2·|a|⌋+1 rarest grams ⋈ full container postings — a length
+    band can't guard containment, short-in-long is the target) once
+    occupancy² outgrows it; identical output either way
+    (equality-pytested). The 100x sweep caught the unguarded form at
+    2.5e10 directed pairs."""
     from mesin_spark.ext import dedup as D
     from mesin_spark.ext import text as TX
 
     docs = T(spark, sf_dir, "documents").filter(TX.token_count("text") >= 2)
     return D.ngram_containment_pairs(
-        docs, "doc_id", block_col="source", n=2, threshold=0.8
+        docs, "doc_id", block_col="source", n=2, threshold=0.8,
+        prefix_filter="auto",
     ).orderBy("id_a", "id_b")
 
 

@@ -688,3 +688,69 @@ def test_hits_overflow_guard_is_live_and_rounds_validated(spark, monkeypatch):
     monkeypatch.setattr(G, "HITS_SCALE", 10**18)
     with pytest.raises(Exception, match="norm overflow"):
         G.hits_portable(edges, rounds=1).collect()
+
+
+def test_containment_prefix_filter_exact_equivalence(spark):
+    """The asymmetric pigeonhole prefix (a's floor((1-t)|a|)+1 rarest
+    grams joined against FULL container postings) is candidate pruning,
+    never recall loss: both strategies must return the identical
+    DIRECTED pair set with identical containment values — including the
+    short-doc-embedded-in-long-doc case a length band would drop (the
+    reason containment can't reuse the Jaccard band guard)."""
+    from mesin_spark.ext.dedup import ngram_containment_pairs
+
+    rows = []
+    for i in range(30):
+        base = f"alpha beta gamma delta epsilon zeta eta theta doc{i % 5}"
+        rows.append((i, "A" if i % 2 else "B", base))
+        if i % 6 == 0:
+            # short doc embedded verbatim inside a much longer one
+            rows.append(
+                (2000 + i, "A" if i % 2 else "B",
+                 base + " " + " ".join(f"w{i}x{j}" for j in range(40)))
+            )
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    for t in (0.5, 0.8):
+        a = sorted(
+            tuple(r)
+            for r in ngram_containment_pairs(
+                df, "doc_id", block_col="src", threshold=t, prefix_filter=False
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ngram_containment_pairs(
+                df, "doc_id", block_col="src", threshold=t, prefix_filter=True
+            ).collect()
+        )
+        assert a == b and len(a) > 0, (t, len(a), len(b))
+        # the planted short-in-long directed pairs must be present
+        assert any(ia < 2000 <= ib for ia, ib, _ in a), a[:5]
+
+
+def test_containment_auto_routing_by_occupancy(spark):
+    """prefix_filter='auto' on the containment form: small blocks stay
+    all-pairs, one fat block flips to the prefix route (recognizable by
+    its row_number window), results identical either way — the routing
+    that keeps q_dedup_containment off the occupancy-squared cliff the
+    100x sweep measured (2.5e10 directed pairs on a 5-value block key)."""
+    from mesin_spark.ext.dedup import ngram_containment_pairs
+
+    fat = spark.createDataFrame(
+        [(i, "one", f"alpha beta gamma delta epsilon doc{i % 3} w{i}")
+         for i in range(40)],
+        "doc_id long, src string, text string",
+    )
+    routed = ngram_containment_pairs(
+        fat, "doc_id", block_col="src", threshold=0.5,
+        prefix_filter="auto", auto_pairs_per_doc=4.0,
+    )
+    assert "Window" in routed._jdf.queryExecution().optimizedPlan().toString()
+    got = sorted(tuple(r) for r in routed.collect())
+    want = sorted(
+        tuple(r)
+        for r in ngram_containment_pairs(
+            fat, "doc_id", block_col="src", threshold=0.5, prefix_filter=False
+        ).collect()
+    )
+    assert got == want and len(got) > 0
