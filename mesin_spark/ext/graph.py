@@ -700,8 +700,9 @@ def hits_portable(
         # it caps max degree — fail loudly with the actual remedy.
         raise ValueError(
             f"hits_portable: {n} nodes exceeds HITS_SCALE={HITS_SCALE} — "
-            "initial scores would floor to 0; raise HITS_SCALE (and "
-            "re-derive the max-degree overflow bound in the docstring)"
+            "initial scores would floor to 0; use hits() (engine-native "
+            "doubles, any |V|) for graphs this size, or raise HITS_SCALE "
+            "and re-derive the max-degree overflow bound in the docstring"
         )
     lim = (2**63 - 1) // HITS_SCALE
     h = nodes.withColumn("h", F.lit(HITS_SCALE // n))
@@ -756,6 +757,88 @@ def hits_portable(
             "node",
             F.coalesce("h", F.lit(0)).alias("hub_fp"),
             F.coalesce("a", F.lit(0)).alias("auth_fp"),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_scores: bool | None = None,
+    broadcast_max_nodes: int = 8_000_000,
+) -> DataFrame:
+    """HITS in engine-native doubles — the UNBOUNDED-graph sibling of
+    hits_portable, exactly as pagerank() pairs with pagerank_portable:
+    the portable form is the cross-engine arithmetic proof but its
+    1e6-unit fixed-point scale caps both node count and max degree
+    (found live: the 100x scale sweep's 1.5M-node purchase graph trips
+    its envelope guard), while this form runs any |V|. Float summation
+    order is engine- and partitioning-specific, so results certify
+    rows-only + structural pytests (agreement with hits_portable within
+    fixed-point quantization on in-envelope graphs, L1 norms, bipartite
+    star dominance) — the same division of labor as q_pagerank vs
+    q_pagerank_portable.
+
+    Per half-round: authority(v) = Σ_{u→v} hub(u), then L1-normalize
+    (scores sum to 1 — no overflow bound needed in doubles); hubs
+    mirror it. ``broadcast_scores`` None auto-routes like pagerank():
+    ≤ broadcast_max_nodes broadcasts the score vector into the static
+    edge scan (one partial-combined ≤|V|-row exchange + one 1-row norm
+    broadcast per half-round), larger graphs fall back to keyed-shuffle
+    Pregel half-rounds. Each half-round materializes eagerly — the
+    normalization references its raw aggregate twice (values + norm),
+    so an un-truncated chain doubles the logical plan per half-round
+    (the hits_portable cadence note; structural, not tunable). Returns
+    (node, hub, auth) with absent sides as 0.0."""
+    if rounds < 1:
+        raise ValueError("hits: rounds must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits: empty edge list")
+    if broadcast_scores is None:
+        broadcast_scores = n <= broadcast_max_nodes
+
+    def _bc(frame):
+        return F.broadcast(frame) if broadcast_scores else frame
+
+    def _half(score_frame, score_col, join_key, out_key, out_col):
+        raw = (
+            e.join(_bc(score_frame), e[join_key] == score_frame["node"])
+            .groupBy(out_key)
+            .agg(F.sum(score_col).alias("raw"))
+        )
+        nm = raw.agg(F.sum("raw").alias("nm"))
+        return (
+            raw.crossJoin(F.broadcast(nm))
+            .select(
+                F.col(out_key).alias("node"),
+                (F.col("raw") / F.col("nm")).alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    h = nodes.withColumn("h", F.lit(1.0 / n))
+    a = None
+    for _ in range(rounds):
+        a = _half(h, "h", "src", "dst", "a")
+        h = _half(a, "a", "dst", "src", "h")
+    return (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("a", F.lit(0.0)).alias("auth"),
         )
     )
 

@@ -1532,6 +1532,29 @@ def _hits_portable_oracle(rounds: int) -> str:
     )
 
 
+@query("q_hits")
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities in engine-native doubles over the
+    purchase graph (ext/graph.hits, 6 rounds) — the UNBOUNDED-graph
+    member of the HITS pair, exactly as q_pagerank pairs with
+    q_pagerank_portable: rows-only because per-node double scores carry
+    engine-specific summation order across 12 normalized half-rounds;
+    the portable twin (q_hits_portable) certifies the identical
+    iteration exactly, and pytests pin agreement between the two within
+    fixed-point quantization plus the structural properties (L1 norms
+    sum to 1, star-center authority dominance). Exists because the 100x
+    scale sweep's 1.5M-node graph trips hits_portable's 1e6-unit
+    envelope guard — this path auto-routes broadcast vs Pregel shuffle
+    half-rounds at the same 8M-node ceiling as pagerank()."""
+    from mesin_spark.ext.graph import hits
+
+    return hits(_purchase_edges(spark, sf_dir), rounds=6).select(
+        F.col("node").cast("bigint").alias("node"),
+        R(F.col("hub"), 9).alias("hub"),
+        R(F.col("auth"), 9).alias("auth"),
+    )
+
+
 @query("q_hits_portable", oracle=_hits_portable_oracle(6))
 def q_hits_portable(spark, sf_dir):
     """HITS hubs & authorities over the purchase graph in integer

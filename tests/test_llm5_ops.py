@@ -754,3 +754,46 @@ def test_containment_auto_routing_by_occupancy(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_hits_float_agreement_and_unbounded_envelope(spark):
+    """The engine-native hits() (doubles, any |V|) must track
+    hits_portable within fixed-point quantization on an in-envelope
+    graph, satisfy the structural invariants (L1 norms sum to 1,
+    star-center authority dominance, pure sources/sinks score 0.0 on the
+    missing side), agree between its broadcast and shuffle half-round
+    routes to 1e-12, and — the reason it exists — accept a graph past
+    hits_portable's HITS_SCALE node envelope (found live by the 100x
+    scale sweep's 1.5M-node graph)."""
+    from mesin_spark.ext.graph import HITS_SCALE, hits, hits_portable
+
+    star = spark.createDataFrame([(1, 9), (2, 9), (3, 9)], "src bigint, dst bigint")
+    got = {r["node"]: r for r in hits(star, rounds=3).collect()}
+    assert got[9]["auth"] == 1.0 and got[9]["hub"] == 0.0
+    assert all(abs(got[n]["hub"] - 1 / 3) < 1e-12 for n in (1, 2, 3))
+
+    edges = [(1, 5), (1, 6), (2, 5), (3, 6), (3, 7), (4, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fl = {r["node"]: r for r in hits(df, rounds=8).collect()}
+    assert abs(sum(v["hub"] for v in fl.values()) - 1.0) < 1e-9
+    assert abs(sum(v["auth"] for v in fl.values()) - 1.0) < 1e-9
+    fp = {r["node"]: r for r in hits_portable(df, rounds=8).collect()}
+    for u in fl:
+        assert abs(fl[u]["hub"] - fp[u]["hub_fp"] / HITS_SCALE) < 1e-4
+        assert abs(fl[u]["auth"] - fp[u]["auth_fp"] / HITS_SCALE) < 1e-4
+    # broadcast vs Pregel-shuffle half-rounds: same doubles to 1e-12
+    sh = {r["node"]: r for r in hits(df, rounds=8, broadcast_scores=False).collect()}
+    for u in fl:
+        assert abs(fl[u]["hub"] - sh[u]["hub"]) < 1e-12
+        assert abs(fl[u]["auth"] - sh[u]["auth"]) < 1e-12
+
+    # past the portable envelope: portable refuses loudly, float runs
+    from pyspark.sql import functions as F
+
+    big = spark.range(HITS_SCALE + 8).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(ValueError, match="use hits\\(\\)"):
+        hits_portable(big, rounds=1)
+    out = hits(big.limit(50), rounds=1)  # semantics on a small slice
+    assert out.count() == 51
