@@ -799,6 +799,31 @@ def bloom_member_flags(
 
 
 # -- n-gram Jaccard --------------------------------------------------------
+def _pigeonhole_prefix_len(sz_name: str, threshold: float):
+    """Pigeonhole prefix length ``sz − ceil(t′·sz) + 1`` in EXACT integer
+    arithmetic (SQL ``div`` on int64 — num·sz overflows only past ~9e12
+    grams/doc), where t′ = threshold − 1e-6 absorbs the 6-dp stable-round
+    of the final similarity filter (a pair whose TRUE value is t − 5e-7
+    rounds up to t and must still be captured).
+
+    Two boundary bugs this closes (found by review, not by fixtures —
+    both only fire when t·sz lands ON an integer): float
+    ``ceil(t·sz)`` overstates at exact multiples (``0.8·5`` is
+    4.0000000000000004 in doubles → ceil 5, not 4), and float
+    ``floor((1−t)·sz)`` understates the same way — either shrinks the
+    prefix below its proven size and silently drops pairs sitting
+    exactly at the threshold (e.g. containment 4/5 at t=0.8)."""
+    from fractions import Fraction
+
+    tf = Fraction(str(threshold)) - Fraction(1, 1_000_000)
+    if tf <= 0:
+        return F.col(sz_name)  # the whole gram set is the prefix
+    num, den = tf.numerator, tf.denominator
+    return F.expr(
+        f"{sz_name} - (({num} * {sz_name} + {den - 1}) div {den}) + 1"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -950,10 +975,7 @@ def ngram_jaccard_pairs(
         prefix = (
             flat.join(freq.hint("shuffle_hash"), ["blk", "_tok"])
             .withColumn("_rn", F.row_number().over(w))
-            .filter(
-                F.col("_rn")
-                <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-            )
+            .filter(F.col("_rn") <= _pigeonhole_prefix_len("_sz", threshold))
             .select("blk", "_tok", "_id")
         )
         # carry blk all the way through: ids need not be globally unique
@@ -1141,10 +1163,7 @@ def ngram_containment_pairs(
         prefix_a = (
             flat.join(freq.hint("shuffle_hash"), ["blk", "_tok"])
             .withColumn("_rn", F.row_number().over(w))
-            .filter(
-                F.col("_rn")
-                <= F.floor(F.lit(1.0 - threshold) * F.col("_sz")) + 1
-            )
+            .filter(F.col("_rn") <= _pigeonhole_prefix_len("_sz", threshold))
             .select("blk", "_tok", F.col("_id").alias("id_a"))
         )
         # the container side keeps FULL postings (it may miss any
@@ -1549,9 +1568,7 @@ def prefix_jaccard_pairs(
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("_id")))
     )
-    prefix = ranked.filter(
-        F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    )
+    prefix = ranked.filter(F.col("_rn") <= _pigeonhole_prefix_len("_sz", threshold))
     a = prefix.select("tok", F.col("_id").alias("id_a"))
     b = prefix.select("tok", F.col("_id").alias("id_b"))
     cands = (

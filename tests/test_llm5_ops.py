@@ -797,3 +797,52 @@ def test_hits_float_agreement_and_unbounded_envelope(spark):
         hits_portable(big, rounds=1)
     out = hits(big.limit(50), rounds=1)  # semantics on a small slice
     assert out.count() == 51
+
+
+def test_prefix_pigeonhole_exact_threshold_boundaries(spark):
+    """Pairs sitting EXACTLY at the threshold when t·|grams| lands on an
+    integer — the case float prefix arithmetic silently drops
+    (ceil(0.8·5) = 5 in doubles because 0.8·5 = 4.0000000000000004, so
+    the prefix shrinks below its pigeonhole-proven size). Both crafted
+    corpora rank the shared grams LAST (they are the frequent ones), so
+    an undersized prefix provably misses the pair rather than passing by
+    luck. The prefix route must equal the all-pairs route on both."""
+    from mesin_spark.ext.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    # containment exactly 4/5 at t=0.8: doc 1's grams = 1 unique (rarest,
+    # ranked first) + 4 shared; old float prefix = 1 → only the unique
+    # gram → candidate missed
+    docs_c = spark.createDataFrame(
+        [
+            (1, "s", "w1 w2 w3 w4 w5 w6"),
+            (2, "s", "w2 w3 w4 w5 w6 f1 f2 f3 f4 f5"),
+        ],
+        "doc_id long, src string, text string",
+    )
+    for pf in (False, True):
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(
+                docs_c, "doc_id", block_col="src", threshold=0.8, prefix_filter=pf
+            ).collect()
+        }
+        assert got.get((1, 2)) == 0.8, (pf, got)
+
+    # jaccard exactly 3/10 at t=0.3 (0.3·10 integer): doc 1 has 10 grams,
+    # 7 unique (rarest, ranked 1-7) + 3 shared (ranked 8-10); old float
+    # prefix = 7 → no shared gram in doc 1's prefix → candidate missed
+    docs_j = spark.createDataFrame(
+        [
+            (1, "s", "a1 a2 a3 a4 w5 w6 w7 w8 b1 b2 b3"),
+            (2, "s", "w5 w6 w7 w8"),
+        ],
+        "doc_id long, src string, text string",
+    )
+    for pf in (False, True):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs_j, "doc_id", block_col="src", threshold=0.3, prefix_filter=pf
+            ).collect()
+        }
+        assert got.get((1, 2)) == 0.3, (pf, got)
