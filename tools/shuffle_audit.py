@@ -41,6 +41,9 @@ _UNITS = {"B": 1, "KIB": 1024, "MIB": 1024**2, "GIB": 1024**3, "TIB": 1024**4}
 
 SCALE_FACTOR = 3
 
+#: regeneration keeps everything at/below this line in SHUFFLE.md
+MANUAL_MARKER = "<!-- MANUAL SECTIONS -->"
+
 
 def parse_bytes(text: str) -> float:
     """'1018.0 KiB' / '12.3 MiB' / '213.0 B' → bytes. Metric strings for
@@ -306,9 +309,21 @@ def main() -> int:
         " for dimension joins at 100 TB."
     )
     out.append("")
+    # preserve hand-written sections: everything at and below the marker
+    # survives regeneration (the round-8 scale sections live there)
+    tail = ""
+    try:
+        prev = open("/root/repo/SHUFFLE.md").read()
+        idx = prev.find(MANUAL_MARKER)
+        if idx != -1:
+            tail = prev[idx:]
+    except OSError:
+        pass
     with open("/root/repo/SHUFFLE.md", "w") as f:
         f.write("\n".join(out))
-    print("wrote SHUFFLE.md")
+        if tail:
+            f.write("\n" + tail)
+    print("wrote SHUFFLE.md" + (" (manual tail preserved)" if tail else ""))
     return 0
 
 
