@@ -537,8 +537,19 @@ def random_walks(
     out = [walk]
     cur = walk
     for t in range(1, n_steps + 1):
+        # node reduces mod P BEFORE the multiply — arithmetically
+        # identical ((n·A) mod P = ((n mod P)·A) mod P) but every
+        # intermediate stays < (P−1)·A ≈ 1.4e18 < 2^63: the naive
+        # product overflows ANSI int64 once ids pass 2^63/A ≈ 7e9,
+        # squarely inside a 100 TB corpus's id range (found live by the
+        # 100x scale sweep, whose shard-shifted ids reach 9.9e9 — the
+        # mul_mod32 lesson applied to the walk hash)
         pick = (
-            (F.col("node") * F.lit(WALK_A) + F.lit(t) * F.lit(WALK_B) + F.lit(WALK_C))
+            (
+                F.pmod(F.col("node"), F.lit(WALK_P)) * F.lit(WALK_A)
+                + F.lit(t) * F.lit(WALK_B)
+                + F.lit(WALK_C)
+            )
             % F.lit(WALK_P)
         ) % F.col("deg")
         nxt = (

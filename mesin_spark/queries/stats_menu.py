@@ -1389,8 +1389,8 @@ def _walks_oracle(n_steps: int) -> str:
         SELECT w.start, {t} AS step, a.nb AS node
         FROM w{t - 1} w JOIN adj a
           ON a.n = w.node
-         AND a.rk = ((w.node * {WALK_A} + {t} * {WALK_B} + {WALK_C})
-                     % {WALK_P}) % a.deg
+         AND a.rk = (((w.node % {WALK_P}) * {WALK_A} + {t} * {WALK_B}
+                      + {WALK_C}) % {WALK_P}) % a.deg
     )"""
         )
     union = " UNION ALL ".join(f"SELECT * FROM w{t}" for t in range(n_steps + 1))

@@ -846,3 +846,26 @@ def test_prefix_pigeonhole_exact_threshold_boundaries(spark):
             ).collect()
         }
         assert got.get((1, 2)) == 0.3, (pf, got)
+
+
+def test_random_walks_big_id_overflow_guard(spark):
+    """Node ids past 2^63/WALK_A ≈ 7e9 overflowed the naive step-hash
+    multiply under ANSI mode (found live by the 100x scale sweep, whose
+    shard-shifted ids reach 9.9e9). The mod-P pre-reduction must (a) run
+    clean on big ids and (b) leave small-id trajectories bit-identical
+    — ((n·A) mod P = ((n mod P)·A) mod P) is an identity, so the
+    big-id graph's walks must exactly equal the same graph's walks
+    under an id shift that is a multiple of WALK_P (a shift ≡ 0 mod P
+    preserves every step hash)."""
+    from mesin_spark.ext.graph import WALK_P, random_walks
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    small = spark.createDataFrame(edges, "src bigint, dst bigint")
+    w_small = sorted(map(tuple, random_walks(small, n_steps=3).collect()))
+
+    shift = WALK_P * 9  # ≈ 9e9: past the old overflow cliff, ≡ 0 mod P
+    big = spark.createDataFrame(
+        [(a + shift, b + shift) for a, b in edges], "src bigint, dst bigint"
+    )
+    w_big = sorted(map(tuple, random_walks(big, n_steps=3).collect()))
+    assert [(s - shift, t, n - shift) for s, t, n in w_big] == w_small
