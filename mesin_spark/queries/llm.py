@@ -1145,7 +1145,8 @@ def q_unicode_normalize(spark, sf_dir):
         GROUP BY 1, 2
     ),
     n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM toks),
-    dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM toks GROUP BY tok),
+    dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM toks GROUP BY tok
+            HAVING count(*) <= 1000),
     w AS (
         SELECT doc_id, t.tok, tf * ln((SELECT nd FROM n) / df) AS wt
         FROM toks t JOIN dfq USING (tok)
@@ -1168,15 +1169,22 @@ def q_tfidf_pairs(spark, sf_dir):
     """Pairwise TF-IDF cosine document similarity through an
     inverted-index join (ext/text.tfidf_pair_sims) — the SPARSE sibling
     of q_dedup_embed: documents meet only through shared terms, so the
-    pair space is Σ df² over the vocabulary, not n² over the corpus;
-    at 100 TB a max_df ceiling drops the near-zero-idf hub terms that
-    carry all the join cost and none of the signal. Corpus size rides a
-    broadcast 1-row frame; per-doc norms fold before the pair join;
-    sim rounds to 6 dp BEFORE thresholding on both engines."""
+    pair space is Σ df² over the vocabulary, not n² over the corpus.
+    That bound is only linear if df is CAPPED: max_df=1000 (mirrored as
+    HAVING in the oracle) makes the postings fan-out ≤ max_df·Σdf =
+    1000 × total postings — terms in >1000 documents are treated as
+    stopwords for pair generation, the standard sparse-similarity knob
+    (sklearn/Spark-ML max_df). Found live: without the cap the 100x
+    corpus's ~5000-df per-shard hub terms put ~1e11 rows through the
+    postings self-join (never finishes); with it the same corpus
+    completes. At the driver's certification scales every df ≤ N ≤ 500,
+    so the cap changes nothing there. Corpus size rides a broadcast
+    1-row frame; per-doc norms fold before the pair join; sim rounds
+    to 6 dp BEFORE thresholding on both engines."""
     from mesin_spark.ext.text import tfidf_pair_sims
 
     d = T(spark, sf_dir, "documents")
-    return tfidf_pair_sims(d, threshold=0.85).select(
+    return tfidf_pair_sims(d, threshold=0.85, max_df=1000).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         "sim",
