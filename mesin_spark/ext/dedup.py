@@ -801,26 +801,42 @@ def bloom_member_flags(
 # -- n-gram Jaccard --------------------------------------------------------
 def _pigeonhole_prefix_len(sz_name: str, threshold: float):
     """Pigeonhole prefix length ``sz − ceil(t′·sz) + 1`` in EXACT integer
-    arithmetic (SQL ``div`` on int64 — num·sz overflows only past ~9e12
-    grams/doc), where t′ = threshold − 1e-6 absorbs the 6-dp stable-round
-    of the final similarity filter (a pair whose TRUE value is t − 5e-7
-    rounds up to t and must still be captured).
+    arithmetic, where t′ = floor(threshold·1e6 − 1)/1e6 — the threshold
+    floor-quantized to the engine's 6-dp rounding grid minus one ulp of
+    that grid. The 1e-6 slack absorbs the 6-dp stable-round of the final
+    similarity filter (a pair whose TRUE value is t − 5e-7 rounds up to
+    t and must still be captured); the FLOOR quantization keeps t′ ≤
+    threshold − 1e-6 for ANY float threshold (including non-terminating
+    ones like 1/3), so the prefix can only widen, never shrink — no
+    recall loss, at worst a few extra candidates.
 
-    Two boundary bugs this closes (found by review, not by fixtures —
-    both only fire when t·sz lands ON an integer): float
+    Overflow discipline: ``F.size()`` yields IntegerType and int×int is
+    32-bit in Spark SQL, so the size operand is cast to bigint before
+    the multiply; with den fixed at ≤1e6 the product num·sz is bounded
+    by 1e6·2^31 ≈ 2.1e15 ≪ int64 for every representable array size
+    (the previous int32 form threw ARITHMETIC_OVERFLOW under ANSI at
+    ~2700 grams/doc for t=0.8 — exactly the long-document regime the
+    prefix route guards; with ANSI off it would have gone negative and
+    silently dropped every candidate).
+
+    Two boundary bugs the integer form closes (found by review, not by
+    fixtures — both only fire when t·sz lands ON an integer): float
     ``ceil(t·sz)`` overstates at exact multiples (``0.8·5`` is
     4.0000000000000004 in doubles → ceil 5, not 4), and float
     ``floor((1−t)·sz)`` understates the same way — either shrinks the
     prefix below its proven size and silently drops pairs sitting
     exactly at the threshold (e.g. containment 4/5 at t=0.8)."""
+    import math
     from fractions import Fraction
 
-    tf = Fraction(str(threshold)) - Fraction(1, 1_000_000)
-    if tf <= 0:
+    num = math.floor(Fraction(str(threshold)) * 1_000_000) - 1
+    if num <= 0:
         return F.col(sz_name)  # the whole gram set is the prefix
+    tf = Fraction(num, 1_000_000)  # den divides 1e6 after reduction
     num, den = tf.numerator, tf.denominator
     return F.expr(
-        f"{sz_name} - (({num} * {sz_name} + {den - 1}) div {den}) + 1"
+        f"{sz_name} - (({num} * cast({sz_name} as bigint) + {den - 1}) "
+        f"div {den}) + 1"
     )
 
 

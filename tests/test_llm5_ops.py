@@ -869,3 +869,54 @@ def test_random_walks_big_id_overflow_guard(spark):
     )
     w_big = sorted(map(tuple, random_walks(big, n_steps=3).collect()))
     assert [(s - shift, t, n - shift) for s, t, n in w_big] == w_small
+
+
+def test_pigeonhole_prefix_len_int64_and_odd_thresholds(spark):
+    """The prefix-length expression must survive long documents and
+    non-terminating thresholds (the round-8 review findings): F.size()
+    is IntegerType so the multiply must be forced to int64 (the int32
+    form threw ARITHMETIC_OVERFLOW under ANSI at ~2700 grams/doc for
+    t=0.8), and a threshold like 1/3 must be floor-quantized to the
+    6-dp grid BEFORE the fraction is built (the raw str(1/3) fraction
+    carries a 1e16 denominator that re-overflows int64 at ~2767 grams
+    even with bigint math)."""
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext.dedup import _pigeonhole_prefix_len
+
+    df = spark.createDataFrame([(3000,), (2_000_000_000,)], "sz int")
+    got = {
+        r["sz"]: r["p"]
+        for r in df.select(
+            "sz", _pigeonhole_prefix_len("sz", 0.8).alias("p")
+        ).collect()
+    }
+    # t' = 0.799999: ceil(.799999*3000) = 2400 -> 601; at 2e9 grams the
+    # product 799999*2e9 ~ 1.6e15 must flow through int64, not int32
+    assert got[3000] == 601
+    assert got[2_000_000_000] == 400_002_001
+
+    # 1/3 floor-quantizes to 333332/1e6 -> ceil(.333332*3000) = 1000
+    got3 = df.select(_pigeonhole_prefix_len("sz", 1 / 3).alias("p")).collect()
+    assert got3[0]["p"] == 3000 - 1000 + 1
+
+    # threshold at/below the grid floor -> whole gram set is the prefix
+    whole = df.select(_pigeonhole_prefix_len("sz", 1e-6).alias("p")).collect()
+    assert whole[0]["p"] == 3000
+
+
+def test_ngram_prefix_route_long_document_no_overflow(spark):
+    """End-to-end repro of the review finding: a >3000-distinct-gram
+    document through the PPJoin prefix route at t=0.8 — the identical
+    pair must come back at jaccard 1.0 with no arithmetic overflow."""
+    from mesin_spark.ext.dedup import ngram_jaccard_pairs
+
+    text = " ".join(f"w{i}" for i in range(3100))
+    df = spark.createDataFrame(
+        [(1, "A", text), (2, "A", text), (3, "A", "tiny doc here")],
+        "doc_id long, src string, text string",
+    )
+    got = ngram_jaccard_pairs(
+        df, "doc_id", block_col="src", threshold=0.8, prefix_filter=True
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]

@@ -59,6 +59,16 @@ def _rot2(i: int) -> str:
     return _ROT_SRC2[k:] + _ROT_SRC2[:k]
 
 
+#: text-transform scheme fingerprint, written into _OK so a cache built
+#: by an OLDER transform is detected and rebuilt instead of silently
+#: reused with the wrong text distribution
+_TRANSFORM_SCHEME = "rot2"
+
+
+def _ok_stamp(sf_dir: str, factor: int) -> str:
+    return f"{sf_dir} x{factor} {_TRANSFORM_SCHEME}"
+
+
 def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
     """Build (or reuse) the scaled copy; returns its path. The build is
     atomic (staging dir + rename) so a crashed run never leaves a
@@ -74,8 +84,22 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
             "distinct text transforms — shards would repeat document text and "
             "fake cross-shard near-dup pairs"
         )
-    if os.path.isdir(out_dir) and os.path.exists(os.path.join(out_dir, "_OK")):
-        return out_dir
+    ok_path = os.path.join(out_dir, "_OK")
+    if os.path.isdir(out_dir) and os.path.exists(ok_path):
+        with open(ok_path) as f:
+            stamp = f.read().strip()
+        if stamp == _ok_stamp(sf_dir, factor) or (
+            # legacy stamps (no transform fingerprint) predate the
+            # two-rotation text scheme but are byte-identical to it for
+            # shards 0-9 — only factor>10 caches could carry the old
+            # single-rotation repeated text and must rebuild
+            stamp == f"{sf_dir} x{factor}" and factor <= len(_ROT_SRC)
+        ):
+            return out_dir
+        # stale transform scheme: rebuild (a factor>10 cache built by the
+        # single-rotation code reproduces exactly the fake cross-shard
+        # near-dup forest the rot2 scheme removes)
+        shutil.rmtree(out_dir, ignore_errors=True)
     from pyspark.sql import functions as F
 
     from mesin_spark.session import get_session
@@ -107,7 +131,7 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
             out = out.unionByName(s)
         out.write.mode("overwrite").parquet(os.path.join(staging, f"{table}.parquet"))
     with open(os.path.join(staging, "_OK"), "w") as f:
-        f.write(f"{sf_dir} x{factor}")
+        f.write(_ok_stamp(sf_dir, factor))
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(staging, out_dir)
     return out_dir

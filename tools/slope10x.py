@@ -59,30 +59,34 @@ def main() -> int:
     for name in HEAVY:
         b, s = base[name]["shuffle"], big[name]["shuffle"]
         slope = (s / b) if b else 0.0
+        # factor-specific keys ("shuffle_10x" at factor 10) keep the
+        # artifact schema stable across rounds: a consumer comparing
+        # prior rounds' slope10x.json files sees the same names, and a
+        # 100x run is self-describing instead of an ambiguous "Nx"
         rows[name] = {
             "shuffle_1x": b,
-            "shuffle_Nx": s,
-            "slope_Nx": round(slope, 2),
-            "spill_Nx": big[name]["spill"],
+            f"shuffle_{factor}x": s,
+            f"slope_{factor}x": round(slope, 2),
+            f"spill_{factor}x": big[name]["spill"],
         }
         print(
             f"{name:22s} {fmt(b):>12s} -> {fmt(s):>12s}  slope {slope:.2f}"
             f"  spill@{factor}x {fmt(big[name]['spill'])}"
         )
     total_b = sum(r["shuffle_1x"] for r in rows.values())
-    total_s = sum(r["shuffle_Nx"] for r in rows.values())
+    total_s = sum(r[f"shuffle_{factor}x"] for r in rows.values())
     out = {
         "sf_dir": sf_dir,
         "factor": factor,
         "queries": rows,
-        "total_slope_Nx": round(total_s / total_b, 2) if total_b else 0.0,
-        "worst_slope_Nx": max(r["slope_Nx"] for r in rows.values()),
-        "total_spill_Nx": sum(r["spill_Nx"] for r in rows.values()),
+        f"total_slope_{factor}x": round(total_s / total_b, 2) if total_b else 0.0,
+        f"worst_slope_{factor}x": max(r[f"slope_{factor}x"] for r in rows.values()),
+        f"total_spill_{factor}x": sum(r[f"spill_{factor}x"] for r in rows.values()),
     }
     print(
         f"total {fmt(total_b)} -> {fmt(total_s)} slope "
-        f"{out['total_slope_Nx']:.2f} (linear = {factor}.0), worst "
-        f"{out['worst_slope_Nx']:.2f}"
+        f"{out[f'total_slope_{factor}x']:.2f} (linear = {factor}.0), worst "
+        f"{out[f'worst_slope_{factor}x']:.2f}"
     )
     out_path = (
         sys.argv[2]
