@@ -441,22 +441,22 @@ def q_weighted_sample(spark, sf_dir):
 def q_fuzzy_join(spark, sf_dir):
     """Fuzzy (edit-distance) self-join — entity resolution within a
     blocking key: part-name pairs within the same brand at Levenshtein
-    distance <= 2. The blocked-pairs shape is identical to
-    q_dedup_ngram (block bounds the quadratic space; at 100 TB the
-    block key is a cheap canopy — first token, soundex, or an LSH
-    signature — and the salted pair join from ext/skew spreads hot
-    blocks). levenshtein() is JVM-side codegen, no UDF."""
+    distance <= 2 (ext/dedup.levenshtein_pairs). segment_filter="auto"
+    is the measured-occupancy routing the ngram/containment tiers use:
+    small blocks keep the salted all-pairs join + codegen'd
+    levenshtein verify; blocks past 64 candidates/row flip to the
+    PassJoin segment pigeonhole (ed <= k ⇒ the two names share one of
+    k+1 exact segments within a ±k alignment window), whose candidate
+    generation is LINEAR in the corpus — the same rows either way
+    (exact pigeonhole, not an approximation; equality pytested), so a
+    25-value brand canopy no longer goes occupancy-quadratic at 100x.
+    All verify work is JVM-side codegen, no UDF."""
+    from mesin_spark.ext.dedup import levenshtein_pairs
+
     p = T(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
-    a = p.toDF("id_a", "name_a", "brand")
-    b = p.toDF("id_b", "name_b", "brand")
-    return (
-        a.join(b, "brand")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 2)
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
-        .orderBy("id_a", "id_b")
-    )
+    return levenshtein_pairs(
+        p, "p_partkey", "p_name", "p_brand", k=2, segment_filter="auto"
+    ).orderBy("id_a", "id_b")
 
 
 @query(

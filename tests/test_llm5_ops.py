@@ -920,3 +920,89 @@ def test_ngram_prefix_route_long_document_no_overflow(spark):
         df, "doc_id", block_col="src", threshold=0.8, prefix_filter=True
     ).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_levenshtein_segment_filter_exact_equivalence(spark):
+    """The PassJoin segment pigeonhole is candidate PRUNING, never
+    recall loss: both strategies must return the identical pair set
+    with identical distances — including planted near-dups (one char
+    substituted / inserted / deleted), verbatim duplicates, and the
+    short-string regime where only an EMPTY segment aligns edit-free
+    (|s| <= k; dropping empty segments would lose those pairs)."""
+    from mesin_spark.ext.dedup import levenshtein_pairs
+
+    rows = []
+    names = [
+        "almond antique blue royal",
+        "chocolate mint green pale",
+        "moccasin powder drab lawn",
+        "a", "ab", "xy", "", "zzz",
+    ]
+    for i, nm in enumerate(names):
+        blk = "B1" if i % 2 else "B2"
+        rows.append((i, blk, nm))
+        rows.append((100 + i, blk, nm))             # verbatim dup, dist 0
+        rows.append((200 + i, blk, nm + "q"))       # insertion, dist 1
+        if len(nm) > 3:
+            rows.append((300 + i, blk, nm[:-2]))    # 2-char deletion
+            rows.append((400 + i, blk, "x" + nm[1:]))  # substitution
+    df = spark.createDataFrame(rows, "id long, brand string, name string")
+    for k in (1, 2):
+        a = sorted(
+            tuple(r)
+            for r in levenshtein_pairs(
+                df, "id", "name", "brand", k=k, segment_filter=False
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in levenshtein_pairs(
+                df, "id", "name", "brand", k=k, segment_filter=True
+            ).collect()
+        )
+        assert a == b and len(a) > 0, (k, len(a), len(b))
+        # the planted families must be present
+        assert any(d == 0 for *_, d in a)
+        assert any(d == 1 for *_, d in a)
+    with pytest.raises(ValueError, match="segment_filter must be"):
+        levenshtein_pairs(df, "id", "name", "brand", segment_filter="yes")
+
+
+def test_levenshtein_auto_routing_by_occupancy(spark):
+    """segment_filter='auto' measures the all-pairs candidate space and
+    routes: small blocks keep the salted all-pairs plan, one fat block
+    flips to the segment-pigeonhole path (recognizable by its
+    least/greatest pair canonicalization), results identical either
+    way — the routing that keeps q_fuzzy_join off the occupancy² cliff
+    its 25-value brand canopy hit at the 100x scale point."""
+    from mesin_spark.ext.dedup import levenshtein_pairs
+
+    fat = spark.createDataFrame(
+        [(i, "one", f"alpha beta gamma doc{i % 9}") for i in range(40)],
+        "id long, brand string, name string",
+    )
+    routed = levenshtein_pairs(
+        fat, "id", "name", "brand", k=2,
+        segment_filter="auto", auto_pairs_per_doc=4.0,
+    )
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "least(" in plan, plan[:500]
+    got = sorted(tuple(r) for r in routed.collect())
+    want = sorted(
+        tuple(r)
+        for r in levenshtein_pairs(
+            fat, "id", "name", "brand", k=2, segment_filter=False
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    thin = spark.createDataFrame(
+        [(i, f"b{i % 20}", f"gamma delta doc{i}") for i in range(40)],
+        "id long, brand string, name string",
+    )
+    unrouted = levenshtein_pairs(
+        thin, "id", "name", "brand", k=2,
+        segment_filter="auto", auto_pairs_per_doc=4.0,
+    )
+    plan2 = unrouted._jdf.queryExecution().optimizedPlan().toString()
+    assert "least(" not in plan2, plan2[:500]

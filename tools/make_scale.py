@@ -15,6 +15,7 @@ Usage (also importable: ``ensure_scaled(sf_dir, factor)``):
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import sys
@@ -62,7 +63,20 @@ def _rot2(i: int) -> str:
 #: text-transform scheme fingerprint, written into _OK so a cache built
 #: by an OLDER transform is detected and rebuilt instead of silently
 #: reused with the wrong text distribution
-_TRANSFORM_SCHEME = "rot2"
+_TRANSFORM_SCHEME = "rot2p5"
+
+
+def _nth_perm(n: int, idx: int) -> list[int]:
+    """idx-th permutation of range(n) in the factorial number system —
+    n! distinct word orders from a shard index, deterministically."""
+    items = list(range(n))
+    out: list[int] = []
+    idx %= math.factorial(n)
+    for j in range(n, 0, -1):
+        f = math.factorial(j - 1)
+        out.append(items.pop(idx // f))
+        idx %= f
+    return out
 
 
 def _ok_stamp(sf_dir: str, factor: int) -> str:
@@ -88,13 +102,7 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
     if os.path.isdir(out_dir) and os.path.exists(ok_path):
         with open(ok_path) as f:
             stamp = f.read().strip()
-        if stamp == _ok_stamp(sf_dir, factor) or (
-            # legacy stamps (no transform fingerprint) predate the
-            # two-rotation text scheme but are byte-identical to it for
-            # shards 0-9 — only factor>10 caches could carry the old
-            # single-rotation repeated text and must rebuild
-            stamp == f"{sf_dir} x{factor}" and factor <= len(_ROT_SRC)
-        ):
+        if stamp == _ok_stamp(sf_dir, factor):
             return out_dir
         # stale transform scheme: rebuild (a factor>10 cache built by the
         # single-rotation code reproduces exactly the fake cross-shard
@@ -125,6 +133,30 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
                     s = s.withColumn(
                         "text", F.translate("text", _ROT_SRC2, _rot2(i))
                     )
+            if table == "part" and i > 0:
+                # permute the 5 p_name color words by shard (120 distinct
+                # orders — unique per shard up to factor 120): verbatim
+                # per-shard name copies would otherwise plant C(factor,2)
+                # edit-distance-0 pairs per part — an artificial
+                # near-dup forest that grows with factor² and corrupts
+                # exactly the fuzzy-join slopes this tool measures (the
+                # documents-rotation rationale). Word PERMUTATION, not
+                # letter rotation, so substring predicates on p_name
+                # (q9's LIKE '%green%') still match every shard and the
+                # TPC-H result drivers keep scaling by exactly `factor`.
+                perm = _nth_perm(5, i)
+                w = F.split(F.col("p_name"), " ")
+                permuted = F.concat_ws(
+                    " ", *[F.element_at(w, p + 1) for p in perm]
+                )
+                # non-5-word names (none in TPC-H data, but don't assume)
+                # fall back to a deterministic word reversal
+                s = s.withColumn(
+                    "p_name",
+                    F.when(F.size(w) == 5, permuted).otherwise(
+                        F.concat_ws(" ", F.reverse(w))
+                    ),
+                )
             shards.append(s)
         out = shards[0]
         for s in shards[1:]:
