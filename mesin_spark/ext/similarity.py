@@ -547,6 +547,34 @@ def salted_all_pairs(
     return a_s.join(b_s, on=[block_col, "_salt"]).drop("_salt")
 
 
+#: the previous auto-routed embedding call's persisted projection
+#: (single-slot lifecycle — the ngram_jaccard_pairs discipline)
+_EMB_AUTO_PERSISTED = None
+
+
+def portable_lsh_band_signature(
+    vec_col, band: int, rows: int, dim: int = 64
+) -> "Column":
+    """One LSH band's bucket id: planes [band·rows, (band+1)·rows) of the
+    portable ±1 hyperplane family (portable_plane_weight — exact integer
+    arithmetic, reproducible in any engine). Identical vectors produce
+    identical IEEE double folds and therefore identical signatures in
+    EVERY band — the recall floor the dedup auto-route relies on."""
+    sig = F.lit(0).cast("long")
+    for r in range(rows):
+        p = band * rows + r
+        weights = F.array(
+            *[F.lit(portable_plane_weight(p, d, dim)) for d in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, weights, lambda x, ww: x.cast("double") * ww),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << r)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -554,37 +582,144 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_salts: int = 16,
+    candidates: bool | str = False,
+    lsh_bands: int = 4,
+    lsh_rows: int | None = None,
+    auto_pairs_per_doc: float = 512.0,
+    lsh_target_occupancy: float = 128.0,
 ) -> DataFrame:
-    """Exact near-duplicate pairs (cosine ≥ threshold) within a blocking
-    key. Blocking bounds the quadratic pair space — at 100 TB use an LSH
-    signature as the block key (same code path, cheaper key). Returns
-    (id_a, id_b, sim), id_a < id_b.
+    """Near-duplicate pairs (cosine ≥ threshold) within a blocking key.
+    Returns (id_a, id_b, sim), id_a < id_b.
+
+    Candidate strategies (the ngram_jaccard_pairs routing discipline):
+
+    - ``candidates=False``: EXACT salted all-pairs within the block —
+      occupancy² candidates, the right trade while blocks stay bounded.
+    - ``candidates=True``: hyperplane-LSH sub-blocking — each vector
+      gets ``lsh_bands`` band signatures (``lsh_rows`` portable ±1
+      planes per band, portable_lsh_band_signature); two vectors are
+      candidates when they share ANY (block, band, signature) bucket,
+      then the exact cosine verify filters. This is the 100 TB block
+      key the docstring always promised, now wired: candidates scale
+      with bucket collisions instead of occupancy². HIGH-RECALL
+      APPROXIMATE, not exact — a pair at cosine t can land on opposite
+      sides of a plane with probability arccos(t)/π per plane (≈0.045
+      at t=0.99), so band recall is (1−θ/π)^rows and overall recall
+      1−(1−band)^bands (≥98% at rows=8, bands=4, t=0.99); IDENTICAL
+      vectors fold to identical signatures in every band and are NEVER
+      missed — planted-clone recall is exact (pytest-asserted).
+    - ``candidates="auto"``: one count-only occupancy probe routes to
+      LSH past ``auto_pairs_per_doc`` all-pairs candidates per row, and
+      sizes ``lsh_rows`` as ⌈log2(max_occ / lsh_target_occupancy)⌉
+      (clamped to [4, 16]) so expected bucket occupancy lands near the
+      target however big the fattest block grows. Below the cliff the
+      exact all-pairs plan runs unchanged.
 
     Per-row norms are computed once BEFORE the pair join, so the per-pair
     work is a single dot-product pass (the naive per-pair cosine costs
-    3 extra array passes × O(pairs))."""
+    3 extra array passes × O(pairs)). LSH-path join-backs carry
+    shuffle_hash pins: the vector frames are computed projections whose
+    static size estimates undercount — the broadcast-OOM class the 100x
+    sweep caught on the ngram prefix path."""
+    if isinstance(candidates, str) and candidates != "auto":
+        raise ValueError(
+            f"candidates must be True, False, or 'auto' — got {candidates!r}"
+        )
     # Spread the probe side: with a broadcast pair join the a-side's input
     # partitioning IS the parallelism, and a single small parquet file
     # arrives as one partition.
     spread = emb.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-
-    def side(src: DataFrame, suffix: str) -> DataFrame:
-        vd = _as_double(F.col(vec_col))
-        return src.select(
-            F.col(block_col).alias("blk"),
-            F.col(id_col).alias(f"id_{suffix}"),
-            vd.alias(f"vec_{suffix}"),
-            norm(vd).alias(f"nrm_{suffix}"),
-        )
-
-    pairs = salted_all_pairs(side(spread, "a"), side(emb, "b"), "id_a", n_salts).filter(
-        F.col("id_a") < F.col("id_b")
+    vd = _as_double(F.col(vec_col))
+    base = spread.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("_id"),
+        vd.alias("_vec"),
+        norm(vd).alias("_nrm"),
     )
+    if candidates == "auto":
+        occ = base.select("blk").groupBy("blk").agg(
+            F.count(F.lit(1)).cast("double").alias("_occ")
+        )
+        row = occ.agg(
+            F.sum(F.col("_occ") * (F.col("_occ") - 1) / 2).alias("_pairs"),
+            F.sum("_occ").alias("_docs"),
+            F.max("_occ").alias("_max"),
+        ).collect()[0]
+        pairs_per_doc = (row["_pairs"] or 0.0) / max(row["_docs"] or 1.0, 1.0)
+        candidates = pairs_per_doc > auto_pairs_per_doc
+        if candidates and lsh_rows is None:
+            import math
+
+            lsh_rows = min(
+                16,
+                max(4, math.ceil(math.log2(
+                    max((row["_max"] or 1.0) / lsh_target_occupancy, 2.0)
+                ))),
+            )
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        global _EMB_AUTO_PERSISTED
+        prev = _EMB_AUTO_PERSISTED
+        _EMB_AUTO_PERSISTED = base
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:  # session may be gone — nothing to release
+                pass
     sim = R(
         dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
+    if candidates:
+        rows_n = lsh_rows or 8
+        dim_row = base.select(F.size("_vec").alias("d")).head()
+        if dim_row is None:
+            return base.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, sim double"
+            )
+        dim = dim_row["d"]
+        sigs = F.array(
+            *[
+                portable_lsh_band_signature(F.col("_vec"), b, rows_n, dim)
+                for b in range(lsh_bands)
+            ]
+        )
+        banded = base.select(
+            "blk", "_id", F.posexplode(sigs).alias("_band", "_sig")
+        )
+        ca = banded.select("blk", "_band", "_sig", F.col("_id").alias("id_a"))
+        cb = banded.select("blk", "_band", "_sig", F.col("_id").alias("id_b"))
+        cands = (
+            ca.join(cb.hint("shuffle_hash"), ["blk", "_band", "_sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("blk", "id_a", "id_b")
+            .distinct()
+        )
+        va = base.select(
+            "blk", F.col("_id").alias("id_a"),
+            F.col("_vec").alias("vec_a"), F.col("_nrm").alias("nrm_a"),
+        )
+        vb = base.select(
+            "blk", F.col("_id").alias("id_b"),
+            F.col("_vec").alias("vec_b"), F.col("_nrm").alias("nrm_b"),
+        )
+        pairs = cands.join(va.hint("shuffle_hash"), ["blk", "id_a"]).join(
+            vb.hint("shuffle_hash"), ["blk", "id_b"]
+        )
+    else:
+        a = base.select(
+            "blk", F.col("_id").alias("id_a"),
+            F.col("_vec").alias("vec_a"), F.col("_nrm").alias("nrm_a"),
+        )
+        b = base.select(
+            "blk", F.col("_id").alias("id_b"),
+            F.col("_vec").alias("vec_b"), F.col("_nrm").alias("nrm_b"),
+        )
+        pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
+            F.col("id_a") < F.col("id_b")
+        )
     return (
         pairs.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)

@@ -319,8 +319,15 @@ def q_dedup_ngram(spark, sf_dir):
 )
 def q_dedup_embed(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs inside label blocks at the
-    PRODUCTION threshold (0.99) — exact within-block pair scan (at
-    100 TB the block key becomes an LSH signature; same code path).
+    PRODUCTION threshold (0.99). candidates="auto" is the measured-
+    occupancy routing of the ngram/containment/fuzzy tiers: below 512
+    all-pairs candidates per row (every bench scale point — the driver
+    fixture's exact-oracle path) the exact within-block pair scan runs;
+    past it the block key composes with hyperplane-LSH band signatures
+    (ext/similarity.portable_lsh_band_signature) and candidates scale
+    with bucket collisions instead of occupancy² — identical vectors
+    share every band signature, so planted-clone recall survives the
+    route (pytest-asserted with candidates forced on).
 
     The synthetic embeddings have no natural near-dups (max within-label
     cosine 0.45/0.47/0.51 at sf 0.001/0.01/0.1), so near-dups are
@@ -336,7 +343,9 @@ def q_dedup_embed(spark, sf_dir):
         (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
     )
     planted = emb.select("vec_id", "embedding", "label").unionByName(clones)
-    return S.embedding_neardup_pairs(planted, threshold=0.99).orderBy("id_a", "id_b")
+    return S.embedding_neardup_pairs(
+        planted, threshold=0.99, candidates="auto"
+    ).orderBy("id_a", "id_b")
 
 
 @query(

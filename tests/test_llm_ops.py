@@ -609,3 +609,62 @@ def test_tfidf_pair_sims_hand_computed(spark):
     assert abs(got[(1, 2)] - round(dot / (n1 * n2), 6)) < 2e-6
     # max_df ceiling: dropping terms with df > 1 leaves no shared terms
     assert tfidf_pair_sims(df, threshold=0.0, max_df=1).count() == 0
+
+
+def test_embedding_neardup_lsh_route_clone_recall(spark, emb):
+    """The LSH sub-blocking route (candidates=True) must surface EVERY
+    planted identical clone: identical vectors fold to identical band
+    signatures, so clone recall through the bucketed candidate join is
+    exact, not probabilistic — the recall floor q_dedup_embed's auto
+    route stands on. Cross-block identical vectors must still never
+    pair (LSH sub-blocks WITHIN the caller's block key, it does not
+    replace it)."""
+    base = emb.select("vec_id", "label", "embedding").orderBy("vec_id").limit(30)
+    clones = base.withColumn("vec_id", F.col("vec_id") + 100000)
+    cross = base.withColumn("vec_id", F.col("vec_id") + 200000).withColumn(
+        "label", F.col("label") + 1000000
+    )
+    df = base.union(clones).union(cross)
+    pairs = S.embedding_neardup_pairs(
+        df, threshold=0.99, candidates=True, lsh_bands=4, lsh_rows=4
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(r.vec_id, r.vec_id + 100000) for r in base.collect()}
+    assert expected <= found
+    assert all(r.sim >= 0.99 for r in pairs)
+    assert not any(b >= 200000 for _a, b in found)
+    with pytest.raises(ValueError, match="candidates must be"):
+        S.embedding_neardup_pairs(df, candidates="yes")
+
+
+def test_embedding_neardup_auto_routing_by_occupancy(spark, emb):
+    """candidates='auto' measures block occupancy and routes: a small
+    corpus keeps the exact all-pairs plan (salt-explode Generate, no
+    posexplode of band signatures), a fat block flips to the LSH
+    bucketed path — and on a corpus whose only ≥0.99 pairs are planted
+    identical clones, BOTH routes return the identical pair set (the
+    q_dedup_embed situation: max natural within-label cosine ~0.5)."""
+    base = emb.select("vec_id", "label", "embedding").orderBy("vec_id").limit(60)
+    fat = base.withColumn("label", F.lit(0))  # one block, occupancy 120
+    df = fat.union(
+        fat.withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    routed = S.embedding_neardup_pairs(
+        df, threshold=0.99, candidates="auto",
+        auto_pairs_per_doc=8.0, lsh_bands=4,
+    )
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "posexplode" in plan, plan[:500]
+    got = sorted((r.id_a, r.id_b, r.sim) for r in routed.collect())
+    want = sorted(
+        (r.id_a, r.id_b, r.sim)
+        for r in S.embedding_neardup_pairs(
+            df, threshold=0.99, candidates=False
+        ).collect()
+    )
+    assert got == want and len(got) == 60  # one clone pair per base row
+
+    thin = S.embedding_neardup_pairs(
+        df.limit(5), threshold=0.99, candidates="auto", auto_pairs_per_doc=8.0
+    )
+    assert "posexplode" not in thin._jdf.queryExecution().optimizedPlan().toString()

@@ -63,7 +63,7 @@ def _rot2(i: int) -> str:
 #: text-transform scheme fingerprint, written into _OK so a cache built
 #: by an OLDER transform is detected and rebuilt instead of silently
 #: reused with the wrong text distribution
-_TRANSFORM_SCHEME = "rot2p5"
+_TRANSFORM_SCHEME = "rot2p5e"
 
 
 def _nth_perm(n: int, idx: int) -> list[int]:
@@ -132,6 +132,38 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
                 if i >= len(_ROT_SRC):
                     s = s.withColumn(
                         "text", F.translate("text", _ROT_SRC2, _rot2(i))
+                    )
+            if table == "embeddings" and i > 0:
+                # ORTHOGONAL per-shard vector transform: circular shift
+                # by i (mod dim) composed, for shards >= 64, with a
+                # deterministic ±1 sign pattern. Verbatim per-shard
+                # vector copies would plant C(factor,2) cosine-1.0
+                # twins per vector — the embedding sibling of the
+                # documents/part near-dup forests, and one no bucketing
+                # can subdivide (identical vectors collide in every LSH
+                # bucket by design). Both component transforms are
+                # orthogonal, so every WITHIN-shard cosine (planted
+                # clones, natural pairs, cluster structure) is
+                # preserved exactly while cross-shard similarities
+                # scramble; norms are untouched.
+                s = s.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, ({i} % size(embedding)) + 1, "
+                        f"size(embedding) - ({i} % size(embedding))), "
+                        f"slice(embedding, 1, {i} % size(embedding)))"
+                    ),
+                )
+                if i >= 64:
+                    # CASE keeps the element type (no cast): flip
+                    # component d iff bit 16 of d·2654435761 is set
+                    s = s.withColumn(
+                        "embedding",
+                        F.expr(
+                            "transform(embedding, (x, d) -> CASE WHEN "
+                            "((d * 2654435761) div 65536) % 2 = 1 "
+                            "THEN -x ELSE x END)"
+                        ),
                     )
             if table == "part" and i > 0:
                 # permute the 5 p_name color words by shard (120 distinct
