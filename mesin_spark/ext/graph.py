@@ -860,6 +860,7 @@ def ppr_portable(
     rounds: int = 6,
     src: str = "src",
     dst: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PERSONALIZED PageRank in the same integer fixed-point arithmetic
     as pagerank_portable: the teleport mass (and the dangling mass)
@@ -868,7 +869,9 @@ def ppr_portable(
     "select documents/entities close to these trusted sources"
     (public design: Jeh & Widom 2003; dangling-to-seeds convention).
 
-    Seeds are the nodes with ``node % seed_mod == 0`` — a deterministic
+    Seeds come from ``seeds`` (a 1-column DataFrame of node ids — any
+    deterministic selection, e.g. the top-k total-degree hubs) when
+    given, else the nodes with ``node % seed_mod == 0`` — either way a
     predicate an independent engine reproduces exactly, like the
     hash-seeded walks. rank'(v) = [v∈S]·(15·SCALE)//(100·s)
     + (85·(c(v) + [v∈S]·(dg//s)))//100 with c(v) = Σ_in rank//od, all
@@ -887,9 +890,20 @@ def ppr_portable(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .join(outdeg.select(F.col("src").alias("node"), "od"), "node", "left")
-        .withColumn("is_seed", F.col("node") % seed_mod == 0)
-        .localCheckpoint(eager=True)
     )
+    if seeds is not None:
+        # a seed LIST (top-k hubs etc.) is k rows — broadcast the flag
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("_s", F.lit(True))
+        )
+        nodes = nodes.join(F.broadcast(sd), "node", "left").withColumn(
+            "is_seed", F.coalesce(F.col("_s"), F.lit(False))
+        ).drop("_s")
+    else:
+        nodes = nodes.withColumn("is_seed", F.col("node") % seed_mod == 0)
+    nodes = nodes.localCheckpoint(eager=True)
     counts = nodes.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_seed").cast("long")).alias("s"),
@@ -897,8 +911,10 @@ def ppr_portable(
     n, s = counts["n"], counts["s"] or 0
     if s == 0:
         raise ValueError(
-            f"ppr_portable: no seed nodes (node % {seed_mod} == 0) in the "
-            "graph — personalized teleport has nowhere to restart"
+            "ppr_portable: no seed nodes "
+            + ("(seed frame matched nothing)" if seeds is not None
+               else f"(node % {seed_mod} == 0)")
+            + " in the graph — personalized teleport has nowhere to restart"
         )
     if n > PR_BROADCAST_MAX:
         raise ValueError(

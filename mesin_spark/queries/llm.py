@@ -234,7 +234,13 @@ def q_simhash_portable(spark, sf_dir):
 @query(
     "q_dedup_ngram",
     oracle="""
-    WITH toks AS (
+    WITH dup AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, source, text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
         SELECT doc_id, source,
                list_distinct(list_transform(
                    range(1, greatest(len(tk) - 1, 1) + 1),
@@ -243,7 +249,7 @@ def q_simhash_portable(spark, sf_dir):
         FROM (
             SELECT doc_id, source,
                    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
-            FROM documents
+            FROM dup
         )
         WHERE len(tk) >= 2
     )
@@ -255,13 +261,14 @@ def q_simhash_portable(spark, sf_dir):
      AND len(a.g) // 2 = len(b.g) // 2
      AND a.doc_id < b.doc_id
     WHERE floor((len(list_intersect(a.g, b.g))::DOUBLE
-          / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.055
+          / len(list_distinct(list_concat(a.g, b.g)))) * 1000000.0 + 0.5) / 1000000.0 >= 0.9
     """,
 )
 def q_dedup_ngram(spark, sf_dir):
-    """Word-2-gram Jaccard pairs blocked on (source, length-band) — exact
-    pairwise similarity within each block, fully oracle-checkable (the
-    oracle mirrors the identical integer band arithmetic, `len(g) // 2`).
+    """Word-2-gram Jaccard pairs blocked on (source, length-band) at the
+    PRODUCTION threshold (0.9) — exact pairwise similarity within each
+    block, fully oracle-checkable (the oracle mirrors the identical
+    integer band arithmetic, `len(g) // 2`).
 
     The length band bounds block occupancy: blocking on `source` alone is
     low-cardinality, so candidate pairs grew with occupancy² as the corpus
@@ -271,19 +278,26 @@ def q_dedup_ngram(spark, sf_dir):
     measured 3×-data slope under 2; the documented tolerance is that
     near-dup pairs whose gram counts straddle a band boundary are not
     reported (a size-similarity prefilter — standard in pair-generation
-    dedup; J ≥ 0.2 pairs with very different sizes are already rare —
-    ±1 distinct gram at threshold 0.2 is only excluded when the pair sits
-    right on a band edge).
+    dedup; high-Jaccard pairs with very different sizes are already rare
+    — a pair is only excluded when it sits right on a band edge).
 
-    Threshold 0.055 is FIXTURE-CALIBRATED (like q_dedup_embed's 0.40):
-    the synthetic corpus has no planted verbatim near-dups, so a
-    production-style 0.2 certified on a single surviving pair at sf0.01
-    — technically non-vacuous but weak evidence against pair-set bugs.
-    0.055 certifies 17/19/1969 pairs at sf 0.001/0.01/0.1 (nearest
-    jaccard to the boundary 5.5e-5 away, and both engines compare the
-    identically-rounded integer-count division, so the boundary can't
-    flip). Pair semantics are unchanged — only the reporting cut."""
-    docs = T(spark, sf_dir, "documents").filter(TX.token_count("text") >= 2)
+    The synthetic corpus has no natural near-dups (max natural jaccard
+    ~0.52), so near-dups are PLANTED (the q_dedup_embed pattern,
+    mirrored in the oracle SQL): every 10th document gets a verbatim
+    clone at doc_id+1000000 in the same source block — identical text →
+    identical gram set → same length band — and exactly those
+    (original, clone, 1.0) pairs must survive the 0.9 cut, with
+    jaccard = 1.0 far from any rounding boundary. This replaced the
+    round-3..8 fixture-tuned 0.055 threshold: the production
+    decision now fires on the driver fixture directly. Shingle-level
+    NEAR-dup recall (jaccard strictly between 0.9 and 1.0) through the
+    same auto-routed plan stays pytest-proven on a crafted corpus
+    (test_stats.py::test_auto_ngram_route_is_blocked)."""
+    raw = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    clones = raw.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+    )
+    docs = raw.unionByName(clones).filter(TX.token_count("text") >= 2)
     # n_salts=4, not the 16 default: the length band multiplies block
     # cardinality ~50x, so parallelism comes from the blocks themselves
     # and heavy salting only replicates the gram-array side's shuffle
@@ -294,7 +308,7 @@ def q_dedup_ngram(spark, sf_dir):
     # corpus whose blocks outgrow the band prefilter flips to the
     # PPJoin prefix path instead of going quadratic
     return D.ngram_jaccard_pairs(
-        docs, "doc_id", block_col="source", n=2, threshold=0.055,
+        docs, "doc_id", block_col="source", n=2, threshold=0.9,
         length_band=2, n_salts=4, prefix_filter="auto",
     ).orderBy("id_a", "id_b")
 

@@ -1573,16 +1573,26 @@ def q_hits_portable(spark, sf_dir):
     )
 
 
-def _ppr_portable_oracle(rounds: int, seed_mod: int) -> str:
+def _ppr_portable_oracle(rounds: int, n_seeds: int) -> str:
     """Unrolled fixed-point PERSONALIZED power iteration (MATERIALIZED
     CTE per round): the q_pagerank_portable oracle with the teleport
-    and dangling mass restricted to the seed set (node % seed_mod == 0),
-    mirroring ext/graph.ppr_portable literally — all integer add /
-    multiply / truncating `//` on non-negatives."""
+    and dangling mass restricted to the seed set (the ``n_seeds``
+    highest-TOTAL-DEGREE nodes, ties to the smallest id — a total
+    order, so the seed SET is engine-independent), mirroring
+    ext/graph.ppr_portable literally — all integer add / multiply /
+    truncating `//` on non-negatives."""
     head = f"""e AS MATERIALIZED ({_EDGE_SQL.strip().split('(', 1)[1].rsplit(')', 1)[0]}),
     outd AS MATERIALIZED (SELECT src AS node, count(*) AS od FROM e GROUP BY src),
+    seeds AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT node, count(*) AS deg
+            FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+            GROUP BY node
+        ) ORDER BY deg DESC, node ASC LIMIT {n_seeds}
+    ),
     nodes AS MATERIALIZED (
-        SELECT n.node, outd.od, (n.node % {seed_mod} = 0) AS is_seed
+        SELECT n.node, outd.od,
+               (n.node IN (SELECT node FROM seeds)) AS is_seed
         FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
         LEFT JOIN outd ON outd.node = n.node
     ),
@@ -1627,22 +1637,37 @@ def _ppr_portable_oracle(rounds: int, seed_mod: int) -> str:
     )
 
 
-@query("q_ppr_portable", oracle=_ppr_portable_oracle(6, 50))
+@query("q_ppr_portable", oracle=_ppr_portable_oracle(6, 20))
 def q_ppr_portable(spark, sf_dir):
     """PERSONALIZED PageRank over the purchase graph in integer
-    fixed-point arithmetic (ext/graph.ppr_portable, 6 rounds, seeds =
-    node % 50 == 0 — a FIXTURE-CALIBRATED seed predicate chosen to hit
-    both shared-integer key domains, custkey AND suppkey; realistic
-    hand-picked seed semantics are pytest-proven on a crafted graph):
-    teleport and dangling mass restart at the seed set
-    only, so rank concentrates in the seeds' neighborhood — the
-    graph-curation primitive ("entities close to these trusted
-    sources", Jeh & Widom 2003). Same bit-reproducible strategy and
-    shuffle shape as q_pagerank_portable; the oracle unrolls the
-    identical seeded arithmetic into MATERIALIZED DuckDB rounds."""
+    fixed-point arithmetic (ext/graph.ppr_portable, 6 rounds). Seeds
+    are the 20 highest-TOTAL-DEGREE nodes (ties to the smallest id —
+    a total order, so the seed set is deterministic and
+    engine-independent): a fixture-independent predicate that works on
+    ANY graph — "personalize on the hubs" is the realistic curation
+    query ("entities close to these trusted sources", Jeh & Widom
+    2003), and it replaced the round-5..8 fixture-tuned node % 50
+    predicate. Teleport and dangling mass restart at the seed set
+    only, so rank concentrates in the seeds' neighborhood. Same
+    bit-reproducible strategy and shuffle shape as
+    q_pagerank_portable; the oracle unrolls the identical seeded
+    arithmetic into MATERIALIZED DuckDB rounds, deriving the identical
+    seed set from the same degree aggregation. Hand-picked seed
+    semantics stay pytest-proven on a crafted graph
+    (test_ppr_portable_reduces_to_pagerank_and_concentrates_on_seeds)."""
     from mesin_spark.ext.graph import ppr_portable
 
-    return ppr_portable(_purchase_edges(spark, sf_dir), seed_mod=50, rounds=6).select(
+    e = _purchase_edges(spark, sf_dir).distinct()
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    seeds = deg.orderBy(F.desc("deg"), F.asc("node")).limit(20).select("node")
+    return ppr_portable(
+        _purchase_edges(spark, sf_dir), rounds=6, seeds=seeds
+    ).select(
         F.col("node").cast("bigint").alias("node"),
         F.col("rank_fp").cast("bigint").alias("rank_fp"),
     )

@@ -1,6 +1,7 @@
 """Governance gate for fixture-calibrated thresholds (round-6 verdict,
 "What's wrong" #3): parameters tuned to the synthetic corpus's measured
-distribution (q_dedup_ngram 0.055, q_ppr_portable seed_mod=50) are
+distribution (historically q_dedup_ngram 0.055, q_ppr_portable
+seed_mod=50 — all graduated by round 9) are
 legitimate — the synthetic tables
 plant no near-duplicates, so production-range settings certify vacuous
 0-row oracle matches — but each one MUST keep a crafted-corpus pytest
@@ -28,32 +29,21 @@ QUERY_DIR = REPO / "mesin_spark" / "queries"
 TESTS_DIR = Path(__file__).resolve().parent
 
 # calibrated registry query -> (test module, crafted-corpus test proving
-# the PRODUCTION-range setting of the same operator)
-PRODUCTION_TWINS = {
-    # q_dedup_embed graduated OFF this list in round 8 together with
-    # q_semdedup_portable: the registry query now plants identical
-    # clones and runs the production 0.99 threshold directly (its
-    # planted-clone operator test, test_llm_ops.py::
-    # test_embedding_neardup_finds_planted_clones, remains).
-    # production 0.9 Jaccard on a planted verbatim duplicate through the
-    # auto-routed ngram plan (plus banding still intact)
-    "q_dedup_ngram": (
-        "test_stats.py",
-        "test_auto_ngram_route_is_blocked",
-    ),
-    # q_semdedup_portable graduated OFF this list in round 8: the
-    # registry query now plants identical clones (vec_id+100000) and
-    # runs the PRODUCTION 0.95 threshold directly — its crafted-corpus
-    # test (test_semdedup_portable_crafted_components_and_determinism)
-    # remains as the component-policy proof, but no calibration caveat
-    # is left to govern.
-    # hand-picked seed set on a crafted graph: all-seeds degenerates to
-    # uniform pagerank, single-seed rank concentrates on the seed side
-    "q_ppr_portable": (
-        "test_llm5_ops.py",
-        "test_ppr_portable_reduces_to_pagerank_and_concentrates_on_seeds",
-    ),
-}
+# the PRODUCTION-range setting of the same operator).
+#
+# EMPTY as of round 9 — the caveat class is fully burned down:
+# q_dedup_embed + q_semdedup_portable graduated in round 8 (planted
+# identical clones, production 0.99/0.95 thresholds), q_dedup_ngram +
+# q_ppr_portable in round 9 (planted verbatim document clones at the
+# production 0.9 Jaccard cut; top-20-total-degree hub seeds instead of
+# the fixture-tuned node % 50 predicate). Their crafted-corpus operator
+# tests remain (test_embedding_neardup_finds_planted_clones,
+# test_semdedup_portable_crafted_components_and_determinism,
+# test_auto_ngram_route_is_blocked,
+# test_ppr_portable_reduces_to_pagerank_and_concentrates_on_seeds).
+# The governance mechanism below stays armed: the FIRST new calibrated
+# threshold to land without the marker + a twin entry fails the suite.
+PRODUCTION_TWINS = {}
 
 MARKER = "FIXTURE-CALIBRATED"
 
@@ -84,10 +74,8 @@ def test_every_calibrated_query_has_a_registered_production_twin():
         for name, fname, doc in _scan_query_docstrings()
         if MARKER in doc
     }
-    assert marked, (
-        f"the {MARKER} marker scan found nothing — if the marker convention "
-        "changed, update this test AND FIXTURES.md together"
-    )
+    # empty is the GOAL state (round-9 burn-down); the scan machinery is
+    # exercised below either way, so an empty result is not a scan bug
     unregistered = sorted(set(marked) - set(PRODUCTION_TWINS))
     assert not unregistered, (
         f"fixture-calibrated queries without a production-semantics twin: "

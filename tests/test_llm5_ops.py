@@ -1006,3 +1006,31 @@ def test_levenshtein_auto_routing_by_occupancy(spark):
     )
     plan2 = unrouted._jdf.queryExecution().optimizedPlan().toString()
     assert "least(" not in plan2, plan2[:500]
+
+
+def test_ppr_portable_seed_frame_matches_seed_mod(spark):
+    """The seeds-DataFrame path (q_ppr_portable's top-k-hub selection
+    rides on it) must produce bit-identical ranks to the seed_mod
+    predicate selecting the same node set, and must raise the designed
+    error when the frame matches no graph node."""
+    import pytest as _pytest
+
+    from mesin_spark.ext.graph import ppr_portable
+
+    edges = [(i, (i * 3) % 11) for i in range(11)] + [(i, (i + 1) % 11) for i in range(11)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    by_mod = {
+        r["node"]: r["rank_fp"]
+        for r in ppr_portable(df, seed_mod=3, rounds=6).collect()
+    }
+    seed_frame = spark.createDataFrame(
+        [(n,) for n in range(0, 11, 3)], "node bigint"
+    )
+    by_frame = {
+        r["node"]: r["rank_fp"]
+        for r in ppr_portable(df, rounds=6, seeds=seed_frame).collect()
+    }
+    assert by_mod == by_frame
+    empty = spark.createDataFrame([(999,)], "node bigint")
+    with _pytest.raises(ValueError, match="seed frame matched nothing"):
+        ppr_portable(df, rounds=2, seeds=empty)
