@@ -1623,12 +1623,26 @@ def levenshtein_pairs(
 ) -> DataFrame:
     """Exact edit-distance self-join: all pairs within a blocking key at
     Levenshtein distance <= k. Returns (id_a, id_b, name_a, name_b,
-    dist), id_a < id_b. Two candidate strategies, IDENTICAL output:
+    dist), id_a < id_b.
+
+    DUPLICATE COLLAPSE FIRST (the exact-dedup-first discipline of the
+    dedup tier): all candidate machinery runs over the DISTINCT
+    (block, name) table, never the row table — the row table's verbatim
+    duplicates (60+ copies per name in the TPC-H-ish part fixture, any
+    real entity corpus's repeated canonical strings) would otherwise
+    multiply EVERY candidate bucket by copies² while adding zero
+    information, since ed(a, b) depends only on the texts. Identical-id
+    pairs expand afterwards by two (block, name)-keyed joins:
+    same-name pairs (dist 0) as one equi-self-join, cross-name
+    candidate pairs as a verify-then-expand — both keyed, both linear
+    in their TRUE output (which is the answer, not overhead).
+
+    Candidate strategies over the distinct-name table, IDENTICAL output:
 
     - ``segment_filter=False``: salted all-pairs join within the block
       (ext.similarity.salted_all_pairs) + codegen'd levenshtein verify —
-      candidates grow with block-occupancy², the right trade while
-      blocks stay bounded.
+      candidates grow with distinct-name-occupancy², the right trade
+      while blocks stay bounded.
     - ``segment_filter=True``: PassJoin-style segment pigeonhole (Li,
       Deng, Feng 2011 — public VLDB work): every string is partitioned
       into k+1 contiguous segments (even split, integer boundaries
@@ -1640,20 +1654,22 @@ def levenshtein_pairs(
       probe side emits every substring of matching length at positions
       within the ±k window for each candidate indexed length
       L ∈ [m−k, m+k] — a CONSTANT ≤(2k+1)²(k+1) rows per string, so
-      candidate generation is linear in the corpus, and candidates are
-      bounded by exact-substring collisions instead of occupancy².
-      Joining probe→index catches every qualifying pair in at least one
-      orientation (both sides probe and index), `least/greatest`
-      canonicalizes, and the final codegen'd levenshtein verify keeps
-      the output exactly equal to the all-pairs path — a pigeonhole,
-      not an approximation (no recall loss, pytest-asserted).
+      candidate generation is linear in the distinct-name table, and
+      candidates are bounded by exact-substring collisions instead of
+      occupancy². Joining probe→index catches every qualifying pair in
+      at least one orientation (both sides probe and index),
+      least/greatest canonicalizes, and the final codegen'd levenshtein
+      verify keeps the output exactly equal to the all-pairs path — a
+      pigeonhole, not an approximation (no recall loss,
+      pytest-asserted).
     - ``segment_filter="auto"``: measure-then-route (the
       ngram_jaccard_pairs discipline): one count-only aggregate over
-      the blocked projection computes the all-pairs candidate space and
-      flips to the segment path past ``auto_pairs_per_doc`` candidates
-      per row — the 100 TB guard that keeps a low-cardinality canopy
-      key (brand, first token, soundex) off the occupancy² cliff while
-      small corpora keep the cheaper all-pairs plan.
+      the distinct-name projection computes the all-pairs candidate
+      space and flips to the segment path past ``auto_pairs_per_doc``
+      candidates per distinct name — the 100 TB guard that keeps a
+      low-cardinality canopy key (brand, first token, soundex) off the
+      occupancy² cliff while small corpora keep the cheaper all-pairs
+      plan.
 
     Empty segments (strings shorter than k+1) are kept on both sides:
     for a string with |s| <= k every within-k partner may align all
@@ -1675,15 +1691,31 @@ def levenshtein_pairs(
         raise ValueError(f"levenshtein_pairs: k must be >= 0, got {k}")
     kp1 = k + 1
     blk0 = F.col(block_col) if block_col else F.lit(1)
-    base = (
+    rows = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(blk0.alias("blk"), F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"))
     )
+    # ---- duplicate collapse: the candidate universe is distinct names
+    names = rows.select("blk", "_nm").distinct()
+    # ---- same-name pairs (dist 0): one (blk, name)-keyed equi-self-join;
+    # its output IS the verbatim-duplicate answer, produced with no
+    # candidate machinery at all
+    ra = rows.select("blk", "_nm", F.col("_id").alias("id_a"))
+    rb = rows.select("blk", "_nm", F.col("_id").alias("id_b"))
+    same = (
+        ra.join(rb.hint("shuffle_hash"), ["blk", "_nm"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.col("_nm").alias("name_a"), F.col("_nm").alias("name_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
     if segment_filter == "auto":
-        # count-only occupancy probe (select("blk") prunes everything
-        # else from the scan); occupancies go through double before the
-        # multiply — the ngram probe's overflow discipline
-        occ = base.select("blk").groupBy("blk").agg(
+        # count-only occupancy probe over DISTINCT names (the candidate
+        # universe); occupancies go through double before the multiply —
+        # the ngram probe's overflow discipline
+        occ = names.select("blk").groupBy("blk").agg(
             F.count(F.lit(1)).cast("double").alias("_occ")
         )
         row = occ.agg(
@@ -1694,20 +1726,19 @@ def levenshtein_pairs(
         segment_filter = pairs_per_doc > auto_pairs_per_doc
         from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        names = names.persist(StorageLevel.MEMORY_AND_DISK)
         global _FUZZY_PERSISTED
         prev = _FUZZY_PERSISTED
-        _FUZZY_PERSISTED = base
+        _FUZZY_PERSISTED = names
         if prev is not None:
             try:
                 prev.unpersist(blocking=False)
             except Exception:  # session may be gone — nothing to release
                 pass
     if segment_filter:
-        # index side: k+1 even segments per string (integer boundaries)
-        idx = base.select(
+        # index side: k+1 even segments per distinct name
+        idx = names.select(
             "blk",
-            F.col("_id").alias("id_i"),
             F.col("_nm").alias("_nm_i"),
             F.explode(
                 F.expr(
@@ -1720,17 +1751,16 @@ def levenshtein_pairs(
             ).alias("s"),
         ).select(
             "blk",
-            "id_i",
-            F.col("s.i").alias("i"),
-            F.col("s.L").alias("L"),
+            "_nm_i",
+            F.col("s.i").cast("int").alias("i"),
+            F.col("s.L").cast("int").alias("L"),
             F.expr("substring(_nm_i, cast(s.p as int) + 1, cast(s.len as int))").alias("seg"),
         )
         # probe side: for every candidate indexed length L in [m-k, m+k]
         # and segment index i, every substring of that segment's length
         # starting within the ±k alignment window (clamped to the string)
-        probe = base.select(
+        probe = names.select(
             "blk",
-            F.col("_id").alias("id_p"),
             F.col("_nm").alias("_nm_p"),
             F.explode(
                 F.expr(
@@ -1748,40 +1778,52 @@ def levenshtein_pairs(
             ).alias("s"),
         ).select(
             "blk",
-            "id_p",
+            "_nm_p",
             F.col("s.i").cast("int").alias("i"),
             F.col("s.L").cast("int").alias("L"),
             F.expr("substring(_nm_p, cast(s.p as int) + 1, cast(s.len as int))").alias("seg"),
         )
-        idx = idx.select(
-            "blk", "id_i", F.col("i").cast("int").alias("i"),
-            F.col("L").cast("int").alias("L"), "seg",
-        )
-        cands = (
+        # the levenshtein verify runs INSIDE the candidate join (both
+        # texts are already on the row) and the <=k filter runs BEFORE
+        # the dedup exchange — only true near-dup name pairs shuffle
+        name_pairs = (
             probe.join(idx.hint("shuffle_hash"), ["blk", "i", "L", "seg"])
-            .filter(F.col("id_p") != F.col("id_i"))
+            .filter(F.col("_nm_p") != F.col("_nm_i"))
             .select(
                 "blk",
-                F.least("id_p", "id_i").alias("id_a"),
-                F.greatest("id_p", "id_i").alias("id_b"),
+                F.least("_nm_p", "_nm_i").alias("nm_a"),
+                F.greatest("_nm_p", "_nm_i").alias("nm_b"),
             )
+            .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+            .filter(F.col("dist") <= k)
             .distinct()
-        )
-        na = base.select("blk", F.col("_id").alias("id_a"), F.col("_nm").alias("name_a"))
-        nb = base.select("blk", F.col("_id").alias("id_b"), F.col("_nm").alias("name_b"))
-        pairs = cands.join(na.hint("shuffle_hash"), ["blk", "id_a"]).join(
-            nb.hint("shuffle_hash"), ["blk", "id_b"]
         )
     else:
         from mesin_spark.ext.similarity import salted_all_pairs
 
-        a = base.select("blk", F.col("_id").alias("id_a"), F.col("_nm").alias("name_a"))
-        b = base.select("blk", F.col("_id").alias("id_b"), F.col("_nm").alias("name_b"))
-        pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
-            F.col("id_a") < F.col("id_b")
+        a = names.select("blk", F.col("_nm").alias("nm_a"))
+        b = names.select("blk", F.col("_nm").alias("nm_b"))
+        name_pairs = (
+            salted_all_pairs(a, b, "nm_a", n_salts)
+            .filter(F.col("nm_a") < F.col("nm_b"))
+            .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+            .filter(F.col("dist") <= k)
         )
-    return (
-        pairs.withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= k)
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    # ---- expand verified name pairs back to id pairs: two keyed joins,
+    # output-linear; id order decides which side is name_a in the result
+    ea = rows.select("blk", F.col("_nm").alias("nm_a"), F.col("_id").alias("ia"))
+    eb = rows.select("blk", F.col("_nm").alias("nm_b"), F.col("_id").alias("ib"))
+    cross = (
+        name_pairs.join(ea.hint("shuffle_hash"), ["blk", "nm_a"])
+        .join(eb.hint("shuffle_hash"), ["blk", "nm_b"])
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.when(F.col("ia") < F.col("ib"), F.col("nm_a"))
+            .otherwise(F.col("nm_b")).alias("name_a"),
+            F.when(F.col("ia") < F.col("ib"), F.col("nm_b"))
+            .otherwise(F.col("nm_a")).alias("name_b"),
+            "dist",
+        )
     )
+    return same.unionByName(cross)

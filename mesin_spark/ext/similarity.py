@@ -687,26 +687,32 @@ def embedding_neardup_pairs(
             ]
         )
         banded = base.select(
-            "blk", "_id", F.posexplode(sigs).alias("_band", "_sig")
+            "blk", "_id", "_vec", "_nrm",
+            F.posexplode(sigs).alias("_band", "_sig"),
         )
-        ca = banded.select("blk", "_band", "_sig", F.col("_id").alias("id_a"))
-        cb = banded.select("blk", "_band", "_sig", F.col("_id").alias("id_b"))
-        cands = (
-            ca.join(cb.hint("shuffle_hash"), ["blk", "_band", "_sig"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("blk", "id_a", "id_b")
-            .distinct()
-        )
-        va = base.select(
-            "blk", F.col("_id").alias("id_a"),
+        # the cosine verify runs INSIDE the bucket join and the ≥threshold
+        # filter runs BEFORE any further exchange: vectors ship once per
+        # banded row (n·bands rows), never once per candidate pair — the
+        # candidates-then-join-back shape measured 185 GiB shuffle /
+        # 243 GB spill at the 100x probe (1.5e8 candidate pairs × ~1 KiB
+        # of vector payload each), vs ~0.5 GiB for the banded sides here;
+        # the ≤bands-fold duplicated dot products are codegen'd JVM work
+        # that costs seconds, and survivors (a near-dup output, tiny by
+        # definition) dedupe across bands at the end
+        ca = banded.select(
+            "blk", "_band", "_sig", F.col("_id").alias("id_a"),
             F.col("_vec").alias("vec_a"), F.col("_nrm").alias("nrm_a"),
         )
-        vb = base.select(
-            "blk", F.col("_id").alias("id_b"),
+        cb = banded.select(
+            "blk", "_band", "_sig", F.col("_id").alias("id_b"),
             F.col("_vec").alias("vec_b"), F.col("_nrm").alias("nrm_b"),
         )
-        pairs = cands.join(va.hint("shuffle_hash"), ["blk", "id_a"]).join(
-            vb.hint("shuffle_hash"), ["blk", "id_b"]
+        return (
+            ca.join(cb.hint("shuffle_hash"), ["blk", "_band", "_sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("sim"))
+            .filter(F.col("sim") >= threshold)
+            .distinct()
         )
     else:
         a = base.select(

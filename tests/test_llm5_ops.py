@@ -978,15 +978,17 @@ def test_levenshtein_auto_routing_by_occupancy(spark):
     from mesin_spark.ext.dedup import levenshtein_pairs
 
     fat = spark.createDataFrame(
-        [(i, "one", f"alpha beta gamma doc{i % 9}") for i in range(40)],
+        [(i, "one", f"alpha beta gamma doc{i}") for i in range(40)],
         "id long, brand string, name string",
     )
     routed = levenshtein_pairs(
         fat, "id", "name", "brand", k=2,
         segment_filter="auto", auto_pairs_per_doc=4.0,
     )
+    # the all-pairs route is recognizable by its salt column; the
+    # segment route never salts (bucket keys carry the parallelism)
     plan = routed._jdf.queryExecution().optimizedPlan().toString()
-    assert "least(" in plan, plan[:500]
+    assert "_salt" not in plan, plan[:500]
     got = sorted(tuple(r) for r in routed.collect())
     want = sorted(
         tuple(r)
@@ -1005,7 +1007,7 @@ def test_levenshtein_auto_routing_by_occupancy(spark):
         segment_filter="auto", auto_pairs_per_doc=4.0,
     )
     plan2 = unrouted._jdf.queryExecution().optimizedPlan().toString()
-    assert "least(" not in plan2, plan2[:500]
+    assert "_salt" in plan2, plan2[:500]
 
 
 def test_ppr_portable_seed_frame_matches_seed_mod(spark):

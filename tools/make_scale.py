@@ -15,7 +15,6 @@ Usage (also importable: ``ensure_scaled(sf_dir, factor)``):
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 import sys
@@ -63,20 +62,7 @@ def _rot2(i: int) -> str:
 #: text-transform scheme fingerprint, written into _OK so a cache built
 #: by an OLDER transform is detected and rebuilt instead of silently
 #: reused with the wrong text distribution
-_TRANSFORM_SCHEME = "rot2p5e"
-
-
-def _nth_perm(n: int, idx: int) -> list[int]:
-    """idx-th permutation of range(n) in the factorial number system —
-    n! distinct word orders from a shard index, deterministically."""
-    items = list(range(n))
-    out: list[int] = []
-    idx %= math.factorial(n)
-    for j in range(n, 0, -1):
-        f = math.factorial(j - 1)
-        out.append(items.pop(idx // f))
-        idx %= f
-    return out
+_TRANSFORM_SCHEME = "rot2t6e"
 
 
 def _ok_stamp(sf_dir: str, factor: int) -> str:
@@ -166,28 +152,25 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
                         ),
                     )
             if table == "part" and i > 0:
-                # permute the 5 p_name color words by shard (120 distinct
-                # orders — unique per shard up to factor 120): verbatim
-                # per-shard name copies would otherwise plant C(factor,2)
-                # edit-distance-0 pairs per part — an artificial
-                # near-dup forest that grows with factor² and corrupts
-                # exactly the fuzzy-join slopes this tool measures (the
-                # documents-rotation rationale). Word PERMUTATION, not
-                # letter rotation, so substring predicates on p_name
-                # (q9's LIKE '%green%') still match every shard and the
-                # TPC-H result drivers keep scaling by exactly `factor`.
-                perm = _nth_perm(5, i)
-                w = F.split(F.col("p_name"), " ")
-                permuted = F.concat_ws(
-                    " ", *[F.element_at(w, p + 1) for p in perm]
-                )
-                # non-5-word names (none in TPC-H data, but don't assume)
-                # fall back to a deterministic word reversal
+                # suffix a per-shard 6-digit tag (shard id repeated 3×):
+                # verbatim per-shard name copies would otherwise plant
+                # C(factor,2) edit-distance-0 pairs per part — an
+                # artificial near-dup forest that grows with factor² and
+                # corrupts exactly the fuzzy-join slopes this tool
+                # measures (the documents-rotation rationale). Any two
+                # distinct tags differ in ≥3 of 6 positions (each
+                # repeated digit pair differs somewhere), so same-name
+                # cross-shard distance is ≥3 > the k=2 join radius,
+                # while WITHIN-shard distances are exactly preserved
+                # (same suffix cancels — the orthogonal-transform
+                # property, string edition). A suffix keeps every
+                # substring/prefix predicate on p_name matching every
+                # shard (q9 '%red%', q20 'small%', fn-menu '%steel%'),
+                # so the TPC-H row drivers still scale by exactly
+                # `factor` — a letter rotation would break them.
                 s = s.withColumn(
                     "p_name",
-                    F.when(F.size(w) == 5, permuted).otherwise(
-                        F.concat_ws(" ", F.reverse(w))
-                    ),
+                    F.concat(F.col("p_name"), F.lit(f" {i:02d}" * 3)),
                 )
             shards.append(s)
         out = shards[0]

@@ -43,6 +43,9 @@ from tools.shuffle_audit import audit, fmt  # noqa: E402
 
 PORTABLE = [
     "q_hits_portable",
+    "q_hits",  # engine-native floats (round-8 addition): same |E|-join /
+    # |V|-exchange round shape, no fixed-point envelope — the 10x row the
+    # round-8 verdict asked for
     "q_ppr_portable",
     "q_pagerank_portable",
     "q_kmeans_portable",
