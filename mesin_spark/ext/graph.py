@@ -861,6 +861,7 @@ def ppr_portable(
     src: str = "src",
     dst: str = "dst",
     seeds: DataFrame | None = None,
+    seed_top_degree: int | None = None,
 ) -> DataFrame:
     """PERSONALIZED PageRank in the same integer fixed-point arithmetic
     as pagerank_portable: the teleport mass (and the dangling mass)
@@ -869,11 +870,16 @@ def ppr_portable(
     "select documents/entities close to these trusted sources"
     (public design: Jeh & Widom 2003; dangling-to-seeds convention).
 
-    Seeds come from ``seeds`` (a 1-column DataFrame of node ids — any
-    deterministic selection, e.g. the top-k total-degree hubs) when
-    given, else the nodes with ``node % seed_mod == 0`` — either way a
-    predicate an independent engine reproduces exactly, like the
-    hash-seeded walks. rank'(v) = [v∈S]·(15·SCALE)//(100·s)
+    Seeds come from ``seed_top_degree=k`` (the k highest-total-degree
+    hubs, ties to the smallest id — a total order, so the set is
+    engine-independent; derived from the SAME checkpointed distinct
+    edge list the iteration uses, one |E|-linear degree aggregate + a
+    TakeOrdered k — deriving it from a second scan of the raw edges
+    measured a 38 GB re-join spill at the 100x probe), or from
+    ``seeds`` (any 1-column DataFrame of node ids), else the nodes with
+    ``node % seed_mod == 0`` — in every case a predicate an independent
+    engine reproduces exactly, like the hash-seeded walks.
+    rank'(v) = [v∈S]·(15·SCALE)//(100·s)
     + (85·(c(v) + [v∈S]·(dg//s)))//100 with c(v) = Σ_in rank//od, all
     truncating integer ops on non-negatives, so the full per-node rank
     vector is bit-reproducible cross-engine. Plan shape identical to
@@ -891,6 +897,16 @@ def ppr_portable(
         .distinct()
         .join(outdeg.select(F.col("src").alias("node"), "od"), "node", "left")
     )
+    if seed_top_degree is not None and seeds is None:
+        seeds = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .orderBy(F.desc("_deg"), F.asc("node"))
+            .limit(seed_top_degree)
+            .select("node")
+        )
     if seeds is not None:
         # a seed LIST (top-k hubs etc.) is k rows — broadcast the flag
         sd = (

@@ -1657,16 +1657,8 @@ def q_ppr_portable(spark, sf_dir):
     (test_ppr_portable_reduces_to_pagerank_and_concentrates_on_seeds)."""
     from mesin_spark.ext.graph import ppr_portable
 
-    e = _purchase_edges(spark, sf_dir).distinct()
-    deg = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    seeds = deg.orderBy(F.desc("deg"), F.asc("node")).limit(20).select("node")
     return ppr_portable(
-        _purchase_edges(spark, sf_dir), rounds=6, seeds=seeds
+        _purchase_edges(spark, sf_dir), rounds=6, seed_top_degree=20
     ).select(
         F.col("node").cast("bigint").alias("node"),
         F.col("rank_fp").cast("bigint").alias("rank_fp"),

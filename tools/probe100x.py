@@ -71,8 +71,9 @@ OPERATORS = [
 #: error — a matching failure is a PASS (the envelope held); completing
 #: anyway is recorded too (envelope wider than declared, worth a look).
 EXPECTED_ENVELOPES = {
-    "q_hits_portable": "fixed-point envelope",  # >1e6 nodes by design;
-    # the gap is closed by the engine-native q_hits (floats, any |V|)
+    "q_hits_portable": "exceeds HITS_SCALE",  # >1e6 nodes by design
+    # (fixed-point scores would floor to 0); the gap is closed by the
+    # engine-native q_hits (floats, any |V|)
 }
 
 #: per-operator wall-clock ceiling, seconds (child killed past it)
