@@ -69,6 +69,80 @@ def _ok_stamp(sf_dir: str, factor: int) -> str:
     return f"{sf_dir} x{factor} {_TRANSFORM_SCHEME}"
 
 
+def part_tag(i: int) -> str:
+    """Shard i's p_name suffix. Any two distinct tags are at Levenshtein
+    distance >= 3 (each repeated digit pair differs in >= 1 of its 2
+    characters, three repetitions) — strictly outside the k=2 fuzzy-join
+    radius, so same-name cross-shard copies never pair
+    (property-verified over all shard pairs in tests/test_make_scale.py)."""
+    return f" {i:02d}" * 3
+
+
+def shard_transform(s, table: str, i: int):
+    """The per-shard content transform for shard i of `table` (identity
+    for shard 0 and for tables without one). Factored out of
+    ensure_scaled so the three anti-near-dup-forest transforms are unit-
+    testable: documents letter-rotation (distinct text per shard),
+    embeddings orthogonal shift+sign (within-shard cosines EXACT,
+    cross-shard twins scrambled), part name tags (within-shard edit
+    distances EXACT, cross-shard same-name distance >= 3 > k)."""
+    from pyspark.sql import functions as F
+
+    if i <= 0:
+        return s
+    if table == "documents":
+        s = s.withColumn("text", F.translate("text", _ROT_SRC, _rot(i)))
+        if i >= len(_ROT_SRC):
+            s = s.withColumn("text", F.translate("text", _ROT_SRC2, _rot2(i)))
+    if table == "embeddings":
+        # ORTHOGONAL per-shard vector transform: circular shift
+        # by i (mod dim) composed, for shards >= 64, with a
+        # deterministic ±1 sign pattern. Verbatim per-shard
+        # vector copies would plant C(factor,2) cosine-1.0
+        # twins per vector — the embedding sibling of the
+        # documents/part near-dup forests, and one no bucketing
+        # can subdivide (identical vectors collide in every LSH
+        # bucket by design). Both component transforms are
+        # orthogonal, so every WITHIN-shard cosine (planted
+        # clones, natural pairs, cluster structure) is
+        # preserved exactly while cross-shard similarities
+        # scramble; norms are untouched.
+        s = s.withColumn(
+            "embedding",
+            F.expr(
+                f"concat(slice(embedding, ({i} % size(embedding)) + 1, "
+                f"size(embedding) - ({i} % size(embedding))), "
+                f"slice(embedding, 1, {i} % size(embedding)))"
+            ),
+        )
+        if i >= 64:
+            # CASE keeps the element type (no cast): flip
+            # component d iff bit 16 of d·2654435761 is set
+            s = s.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, d) -> CASE WHEN "
+                    "((d * 2654435761) div 65536) % 2 = 1 "
+                    "THEN -x ELSE x END)"
+                ),
+            )
+    if table == "part":
+        # suffix a per-shard 6-digit tag: verbatim per-shard name
+        # copies would otherwise plant C(factor,2) edit-distance-0
+        # pairs per part — an artificial near-dup forest that grows
+        # with factor² and corrupts exactly the fuzzy-join slopes
+        # this tool measures (the documents-rotation rationale).
+        # WITHIN-shard distances are exactly preserved (same suffix
+        # cancels — the orthogonal-transform property, string
+        # edition), and a suffix keeps every substring/prefix
+        # predicate on p_name matching every shard (q9 '%red%',
+        # q20 'small%', fn-menu '%steel%'), so the TPC-H row
+        # drivers still scale by exactly `factor` — a letter
+        # rotation would break them.
+        s = s.withColumn("p_name", F.concat(F.col("p_name"), F.lit(part_tag(i))))
+    return s
+
+
 def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
     """Build (or reuse) the scaled copy; returns its path. The build is
     atomic (staging dir + rename) so a crashed run never leaves a
@@ -113,65 +187,7 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
             s = df
             for k in keys:
                 s = s.withColumn(k, F.col(k) + F.lit(i * _OFFSET))
-            if table == "documents" and i > 0:
-                s = s.withColumn("text", F.translate("text", _ROT_SRC, _rot(i)))
-                if i >= len(_ROT_SRC):
-                    s = s.withColumn(
-                        "text", F.translate("text", _ROT_SRC2, _rot2(i))
-                    )
-            if table == "embeddings" and i > 0:
-                # ORTHOGONAL per-shard vector transform: circular shift
-                # by i (mod dim) composed, for shards >= 64, with a
-                # deterministic ±1 sign pattern. Verbatim per-shard
-                # vector copies would plant C(factor,2) cosine-1.0
-                # twins per vector — the embedding sibling of the
-                # documents/part near-dup forests, and one no bucketing
-                # can subdivide (identical vectors collide in every LSH
-                # bucket by design). Both component transforms are
-                # orthogonal, so every WITHIN-shard cosine (planted
-                # clones, natural pairs, cluster structure) is
-                # preserved exactly while cross-shard similarities
-                # scramble; norms are untouched.
-                s = s.withColumn(
-                    "embedding",
-                    F.expr(
-                        f"concat(slice(embedding, ({i} % size(embedding)) + 1, "
-                        f"size(embedding) - ({i} % size(embedding))), "
-                        f"slice(embedding, 1, {i} % size(embedding)))"
-                    ),
-                )
-                if i >= 64:
-                    # CASE keeps the element type (no cast): flip
-                    # component d iff bit 16 of d·2654435761 is set
-                    s = s.withColumn(
-                        "embedding",
-                        F.expr(
-                            "transform(embedding, (x, d) -> CASE WHEN "
-                            "((d * 2654435761) div 65536) % 2 = 1 "
-                            "THEN -x ELSE x END)"
-                        ),
-                    )
-            if table == "part" and i > 0:
-                # suffix a per-shard 6-digit tag (shard id repeated 3×):
-                # verbatim per-shard name copies would otherwise plant
-                # C(factor,2) edit-distance-0 pairs per part — an
-                # artificial near-dup forest that grows with factor² and
-                # corrupts exactly the fuzzy-join slopes this tool
-                # measures (the documents-rotation rationale). Any two
-                # distinct tags differ in ≥3 of 6 positions (each
-                # repeated digit pair differs somewhere), so same-name
-                # cross-shard distance is ≥3 > the k=2 join radius,
-                # while WITHIN-shard distances are exactly preserved
-                # (same suffix cancels — the orthogonal-transform
-                # property, string edition). A suffix keeps every
-                # substring/prefix predicate on p_name matching every
-                # shard (q9 '%red%', q20 'small%', fn-menu '%steel%'),
-                # so the TPC-H row drivers still scale by exactly
-                # `factor` — a letter rotation would break them.
-                s = s.withColumn(
-                    "p_name",
-                    F.concat(F.col("p_name"), F.lit(f" {i:02d}" * 3)),
-                )
+            s = shard_transform(s, table, i)
             shards.append(s)
         out = shards[0]
         for s in shards[1:]:
