@@ -37,6 +37,10 @@ _HASH_SPACE = 1 << 31
 #: the next call (single-slot lifecycle; see ngram_jaccard_pairs)
 _AUTO_PERSISTED = None
 
+#: the previous collapse-routed containment call's persisted member map
+#: (same single-slot lifecycle, separate slot)
+_COLLAPSE_PERSISTED = None
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: keep the minimum id per content key, count copies.
@@ -1086,6 +1090,8 @@ def ngram_containment_pairs(
     n_salts: int = 16,
     prefix_filter: bool | str = False,
     auto_pairs_per_doc: float = 64.0,
+    collapse_dups: bool | str = "auto",
+    dup_ratio: float = 1.25,
 ) -> DataFrame:
     """Exact word-n-gram CONTAINMENT over pairs within a blocking key:
     containment(a ⊆ b) = |grams(a) ∩ grams(b)| / |grams(a)| — the
@@ -1133,6 +1139,52 @@ def ngram_containment_pairs(
         F.col(id_col).alias("_id"),
         grams.alias("_g"),
     )
+    # DUPLICATE COLLAPSE (the fuzzy-join lesson generalized to the set
+    # tier): containment depends only on the gram SETS, so on a corpus
+    # with verbatim duplicates (real crawls repeat boilerplate; a group
+    # of m copies multiplies every candidate product by m² while adding
+    # zero information) the candidate+verify machinery runs over ONE
+    # representative per distinct (blk, gram-set) group. Same-set pairs
+    # (containment exactly 1.0, both directions) come from one keyed
+    # equi-self-join; verified rep pairs expand back through two keyed
+    # joins — both linear in their TRUE output. MEASURED, not
+    # unconditional (the routing discipline of every tier here): one
+    # count + HLL aggregate estimates the duplication ratio, and an
+    # all-distinct corpus SKIPS the collapse — running it anyway was
+    # measured at +56 GiB / +95 s at the 100x probe, because the
+    # group-min window's shuffled output feeds every downstream consumer
+    # (when the collapse IS taken, `members` persists once for the same
+    # reason — the fuzzy/ngram single-slot lifecycle).
+    if isinstance(collapse_dups, str) and collapse_dups != "auto":
+        raise ValueError(
+            f"collapse_dups must be True, False, or 'auto' — got "
+            f"{collapse_dups!r}"
+        )
+    if collapse_dups == "auto":
+        st = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("_g").alias("d"),
+        ).collect()[0]
+        collapse_dups = (st["n"] or 0) / max(st["d"] or 1, 1) > dup_ratio
+    members = None
+    if collapse_dups:
+        from pyspark import StorageLevel
+
+        gw = Window.partitionBy("blk", "_g")
+        members = base.withColumn("_gid", F.min("_id").over(gw)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        global _COLLAPSE_PERSISTED
+        prev = _COLLAPSE_PERSISTED
+        _COLLAPSE_PERSISTED = members
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:  # session may be gone — nothing to release
+                pass
+        base = members.filter(F.col("_id") == F.col("_gid")).select(
+            "blk", "_id", "_g"
+        )
     if isinstance(prefix_filter, str) and prefix_filter != "auto":
         raise ValueError(
             f"prefix_filter must be True, False, or 'auto' — got "
@@ -1206,10 +1258,39 @@ def ngram_containment_pairs(
         pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
             (F.col("id_a") != F.col("id_b")) & (F.size("g_a") > 0)
         )
-    return (
-        pairs.select("id_a", "id_b", R(cont, 6).alias("containment"))
+    if members is None:
+        return (
+            pairs.select("id_a", "id_b", R(cont, 6).alias("containment"))
+            .filter(F.col("containment") >= threshold)
+        )
+    rep_pairs = (
+        pairs.select("blk", "id_a", "id_b", R(cont, 6).alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+    # expand verified rep pairs to id pairs (cross products of the two
+    # groups' members — the true directed output), plus the same-set
+    # pairs the collapse folded away (containment exactly 1.0 in both
+    # directions, skipping empty gram sets — no division by zero)
+    ma = members.select("blk", F.col("_gid").alias("id_a"), F.col("_id").alias("ia"))
+    mb = members.select("blk", F.col("_gid").alias("id_b"), F.col("_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma.hint("shuffle_hash"), ["blk", "id_a"])
+        .join(mb.hint("shuffle_hash"), ["blk", "id_b"])
+        .select(
+            F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "containment"
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    m_nz = members.filter(F.size("_g") > 0)
+    sa = m_nz.select("blk", "_gid", F.col("_id").alias("id_a"))
+    sb = m_nz.select("blk", "_gid", F.col("_id").alias("id_b"))
+    same = (
+        sa.join(sb.hint("shuffle_hash"), ["blk", "_gid"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("containment"))
+    )
+    return same.unionByName(cross)
 
 
 # -- Adaptive banding (SURVEY.md §7.4 candidate #5) ------------------------

@@ -1036,3 +1036,63 @@ def test_ppr_portable_seed_frame_matches_seed_mod(spark):
     empty = spark.createDataFrame([(999,)], "node bigint")
     with _pytest.raises(ValueError, match="seed frame matched nothing"):
         ppr_portable(df, rounds=2, seeds=empty)
+
+
+def test_containment_duplicate_collapse_expansion(spark):
+    """The duplicate-collapse path must reproduce EXACT directed
+    semantics on a verbatim-duplicate-heavy corpus: every ordered pair
+    within a copy family surfaces at containment exactly 1.0, family×
+    family cross pairs expand from one verified rep pair, and both
+    candidate routes agree — the copies²→1 cut that candidate machinery
+    never sees a duplicate."""
+    from mesin_spark.ext.dedup import ngram_containment_pairs
+
+    rows = []
+    base_text = "alpha beta gamma delta epsilon zeta"
+    for c in range(4):  # a 4-copy family
+        rows.append((c, "A", base_text))
+    # a longer doc embedding the family text verbatim (cross-group pair)
+    rows.append((100, "A", base_text + " " + " ".join(f"w{j}" for j in range(30))))
+    # an unrelated doc
+    rows.append((200, "A", "one two three four five six seven"))
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    for pf in (False, True):
+        got = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(
+                df, "doc_id", block_col="src", threshold=0.8, prefix_filter=pf
+            ).collect()
+        }
+        # all 12 ordered within-family pairs at exactly 1.0
+        fam = {(a, b) for a in range(4) for b in range(4) if a != b}
+        assert fam <= set(got) and all(got[p] == 1.0 for p in fam), got
+        # every family member is contained in the long doc (expanded
+        # from ONE rep pair), never the reverse
+        assert all((c, 100) in got and got[(c, 100)] == 1.0 for c in range(4))
+        assert not any((100, c) in got for c in range(4))
+        assert not any(200 in p for p in got)
+    a = sorted(
+        tuple(r) for r in ngram_containment_pairs(
+            df, "doc_id", block_col="src", threshold=0.8, prefix_filter=False
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in ngram_containment_pairs(
+            df, "doc_id", block_col="src", threshold=0.8, prefix_filter=True
+        ).collect()
+    )
+    assert a == b
+    # the collapse is a routing decision, never a semantics change:
+    # forcing it on or off must give the identical directed pair set
+    for forced in (True, False):
+        c = sorted(
+            tuple(r) for r in ngram_containment_pairs(
+                df, "doc_id", block_col="src", threshold=0.8,
+                prefix_filter=False, collapse_dups=forced,
+            ).collect()
+        )
+        assert c == a, forced
+    with pytest.raises(ValueError, match="collapse_dups must be"):
+        ngram_containment_pairs(
+            df, "doc_id", block_col="src", collapse_dups="yes"
+        )
