@@ -460,6 +460,51 @@ def q_fuzzy_join(spark, sf_dir):
 
 
 @query(
+    "q_fuzzy_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), und AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), nds AS (
+        SELECT DISTINCT src AS node FROM und
+    ), reach(node, lbl) AS (
+        SELECT node, node FROM nds
+        UNION
+        SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+    )
+    SELECT node, CAST(min(lbl) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY node
+    ORDER BY node
+    """,
+)
+def q_fuzzy_clusters(spark, sf_dir):
+    """Entity resolution end-to-end: the brand-blocked edit-distance
+    pair set (q_fuzzy_join's auto-routed levenshtein_pairs) closed
+    transitively into canonical entities — connected components with
+    min-label pointer jumping (ext/dedup.dedup_clusters), every part
+    mapping to its entity's minimum id (the survivor a pipeline keeps).
+    The fuzzy pair list is deterministic (exact pigeonhole + exact
+    verify), so the CLUSTER MAP itself is exactly checkable: the oracle
+    closes the identical pair set with a recursive CTE and takes each
+    component's minimum — precisely the min-label fixed point. The
+    composition q_dedup_ngram → q_clusters_portable proved for set
+    similarity, now on the edit-distance tier."""
+    from mesin_spark.ext.dedup import dedup_clusters, levenshtein_pairs
+
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    pairs = levenshtein_pairs(
+        p, "p_partkey", "p_name", "p_brand", k=2, segment_filter="auto"
+    )
+    return dedup_clusters(pairs).orderBy("node")
+
+
+@query(
     "q_quantile_bins",
     oracle=f"""
     WITH edges AS (
