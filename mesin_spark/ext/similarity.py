@@ -676,8 +676,15 @@ def embedding_neardup_pairs(
         rows_n = lsh_rows or 8
         dim_row = base.select(F.size("_vec").alias("d")).head()
         if dim_row is None:
-            return base.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, sim double"
+            # empty-input early return DERIVES its schema from base (a
+            # false-filtered select), never a hardcoded "id_a long":
+            # with a non-long id column a literal schema would differ
+            # from the non-empty path's, so downstream unions/joins
+            # would fail only in the empty-input corner
+            return base.filter(F.lit(False)).select(
+                F.col("_id").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.lit(0.0).alias("sim"),
             )
         dim = dim_row["d"]
         sigs = F.array(

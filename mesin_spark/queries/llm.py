@@ -30,7 +30,7 @@ def _docs_with_dups(spark, sf_dir):
     """documents ∪ shifted copy — planted exact duplicates so dedup queries
     actually dedup (the raw table has none)."""
     d = T(spark, sf_dir, "documents")
-    return d.union(d.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return d.union(d.withColumn("doc_id", F.col("doc_id") + 1000000000000))
 
 
 @query(
@@ -39,7 +39,7 @@ def _docs_with_dups(spark, sf_dir):
     WITH dup AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents
+        SELECT doc_id + 1000000000000, text FROM documents
     )
     SELECT text, MIN(doc_id) AS doc_id, count(*) AS n_copies
     FROM dup GROUP BY text
@@ -55,7 +55,7 @@ def q_dedup_exact(spark, sf_dir):
 @query("q_dedup_minhash")  # rows-only: xxhash64-based sketches are Spark-native
 def q_dedup_minhash(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard verified at
-    ≥0.7. With planted exact duplicates every (id, id+1e6) pair must
+    ≥0.7. With planted exact duplicates every (id, id+1e12) pair must
     surface — asserted in tests; here the driver checks rows/schema."""
     dup = _docs_with_dups(spark, sf_dir).select("doc_id", "text")
     return D.minhash_lsh_dedup(dup, "doc_id", threshold=0.7)
@@ -74,7 +74,7 @@ _PERM_PARAMS_SQL = "[" + ", ".join(
 _MINHASH_PORTABLE_CTES = f"""dup AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents
+        SELECT doc_id + 1000000000000, text FROM documents
     ), tk AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS t
@@ -164,7 +164,7 @@ def q_dedup_simhash(spark, sf_dir):
     WITH dup AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents
+        SELECT doc_id + 1000000000000, text FROM documents
     ), tk AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS t
@@ -237,7 +237,7 @@ def q_simhash_portable(spark, sf_dir):
     WITH dup AS (
         SELECT doc_id, source, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000 AS doc_id, source, text
+        SELECT doc_id + 1000000000000 AS doc_id, source, text
         FROM documents WHERE doc_id % 10 = 0
     ),
     toks AS (
@@ -284,7 +284,7 @@ def q_dedup_ngram(spark, sf_dir):
     The synthetic corpus has no natural near-dups (max natural jaccard
     ~0.52), so near-dups are PLANTED (the q_dedup_embed pattern,
     mirrored in the oracle SQL): every 10th document gets a verbatim
-    clone at doc_id+1000000 in the same source block — identical text →
+    clone at doc_id+10**12 in the same source block — identical text →
     identical gram set → same length band — and exactly those
     (original, clone, 1.0) pairs must survive the 0.9 cut, with
     jaccard = 1.0 far from any rounding boundary. This replaced the
@@ -295,7 +295,7 @@ def q_dedup_ngram(spark, sf_dir):
     (test_stats.py::test_auto_ngram_route_is_blocked)."""
     raw = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     clones = raw.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"), "source", "text"
     )
     docs = raw.unionByName(clones).filter(TX.token_count("text") >= 2)
     # n_salts=4, not the 16 default: the length band multiplies block
@@ -319,7 +319,7 @@ def q_dedup_ngram(spark, sf_dir):
     WITH planted AS (
         SELECT vec_id, embedding, label FROM embeddings
         UNION ALL
-        SELECT vec_id + 100000 AS vec_id, embedding, label
+        SELECT vec_id + 1000000000000 AS vec_id, embedding, label
         FROM embeddings WHERE vec_id % 10 = 0
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -346,7 +346,7 @@ def q_dedup_embed(spark, sf_dir):
     The synthetic embeddings have no natural near-dups (max within-label
     cosine 0.45/0.47/0.51 at sf 0.001/0.01/0.1), so near-dups are
     PLANTED (the q_image_dedup pattern, mirrored in the oracle SQL):
-    every 10th vector gets an identical clone at vec_id+100000 in the
+    every 10th vector gets an identical clone at vec_id+10**12 in the
     same label block, and exactly those (original, clone, 1.0) pairs
     must survive the 0.99 cut — the production decision fires on the
     driver fixture, with sim = 1.0 far from any rounding boundary.
@@ -354,7 +354,7 @@ def q_dedup_embed(spark, sf_dir):
     test_llm_ops.py."""
     emb = T(spark, sf_dir, "embeddings")
     clones = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+        (F.col("vec_id") + 1_000_000_000_000).alias("vec_id"), "embedding", "label"
     )
     planted = emb.select("vec_id", "embedding", "label").unionByName(clones)
     return S.embedding_neardup_pairs(

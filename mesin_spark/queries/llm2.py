@@ -76,7 +76,7 @@ def q_quality_repetition(spark, sf_dir):
     train AS (
         SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0
         UNION ALL
-        SELECT doc_id + 1000000, g FROM bench
+        SELECT doc_id + 1000000000000, g FROM bench
     ),
     bgrams AS (SELECT DISTINCT unnest(g) AS gram FROM bench),
     hit AS (
@@ -91,12 +91,12 @@ def q_quality_repetition(spark, sf_dir):
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every 97th doc is the 'benchmark suite';
     the training corpus is the rest plus planted leaked copies of the
-    benchmark (id+1e6). A doc is contaminated iff it shares any word
+    benchmark (id+1e12). A doc is contaminated iff it shares any word
     5-gram with the benchmark — each planted copy MUST flag true."""
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0).union(
-        bench.withColumn("doc_id", F.col("doc_id") + 1000000)
+        bench.withColumn("doc_id", F.col("doc_id") + 1000000000000)
     )
     return D.contamination_flags(train, bench, "doc_id", n=5).orderBy("doc_id")
 

@@ -446,7 +446,7 @@ def q_dedup_suppress(spark, sf_dir):
     WITH RECURSIVE corpus AS (
         SELECT doc_id, source, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, source, text FROM documents
+        SELECT doc_id + 1000000000000, source, text FROM documents
     ),
     toks AS (
         SELECT doc_id, source,
@@ -500,7 +500,7 @@ def q_cluster_components(spark, sf_dir):
     from mesin_spark.ext import text as TX
 
     d = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1000000)).filter(
+    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1000000000000)).filter(
         TX.token_count("text") >= 2
     )
     pairs = D.ngram_jaccard_pairs(dup, "doc_id", block_col="source", n=2,

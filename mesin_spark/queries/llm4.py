@@ -170,7 +170,7 @@ def q_ivfpq_ann(spark, sf_dir):
 @query("q_image_dedup")  # rows-only: binary codec + perceptual hash (no SQL analogue)
 def q_image_dedup(spark, sf_dir):
     """Image near-dup detection on real decoded bytes: synthesize a PPM
-    per document (ids +1e6 get the same image re-encoded with pixel
+    per document (ids +1e12 get the same image re-encoded with pixel
     noise — planted near-dups an exact byte-hash misses), perceptual
     average-hash each (ext.multimodal.image_ahash: decode → gray → 8x8 →
     threshold bits), and group on the hash. Decode+hash are map-side
@@ -181,7 +181,7 @@ def q_image_dedup(spark, sf_dir):
     from mesin_spark.ext import multimodal as MM
 
     d = T(spark, sf_dir, "documents").select("doc_id")
-    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000_000_000))
     hashed = MM.image_ahash(MM.synth_image(dup))
     # `ids` is emitted as a comma-joined string, not array<bigint>: the
     # driver's pandas canonicalizer lexsorts every output column and
@@ -205,7 +205,7 @@ def q_image_dedup(spark, sf_dir):
 @query("q_image_jpeg")  # rows-only: lossy binary codec path (no SQL analogue)
 def q_image_jpeg(spark, sf_dir):
     """Image dedup THROUGH a real lossy codec: synthesize PPMs (ids
-    +1e6 are planted near-dups), transcode every payload to baseline
+    +1e12 are planted near-dups), transcode every payload to baseline
     JPEG with the pure-Python T.81 encoder (ext/jpeg.py — the
     storage-compaction step a 100 TB image corpus runs at ingest),
     decode the JPEGs back, and perceptual-hash the RECOMPRESSED pixels.
@@ -223,7 +223,7 @@ def q_image_jpeg(spark, sf_dir):
     # own GlobalLimit over the scan, and an unordered LIMIT can pick
     # DIFFERENT ids per branch — planted pairs would lose partners
     d = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 300)
-    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    dup = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000_000_000))
     jpg = MM.transcode_to_jpeg(MM.synth_image(dup), quality=90)
     hashed = MM.image_ahash(jpg.select("doc_id", "payload"))
     # comma-joined string `ids` for the driver canonicalizer (no raw arrays)
@@ -278,7 +278,7 @@ def q_cdc_dedup(spark, sf_dir):
         .select("doc_id", F.encode(F.col("_blob"), "UTF-8").alias("payload"))
     )
     twins = d.select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
         F.concat(
             F.encode(
                 F.concat(F.lit("PFX-"), F.col("doc_id").cast("string")), "UTF-8"
@@ -289,11 +289,11 @@ def q_cdc_dedup(spark, sf_dir):
     chunks = chunk_payloads(
         d.unionByName(twins), avg_size=256, min_size=64, max_size=1024
     ).filter(F.col("error").isNull())
-    orig = chunks.filter(F.col("doc_id") < 1_000_000).select(
+    orig = chunks.filter(F.col("doc_id") < 1_000_000_000_000).select(
         "doc_id", "chunk_idx", "chunk_hash"
     )
-    twin = chunks.filter(F.col("doc_id") >= 1_000_000).select(
-        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+    twin = chunks.filter(F.col("doc_id") >= 1_000_000_000_000).select(
+        (F.col("doc_id") - 1_000_000_000_000).alias("doc_id"),
         F.col("chunk_hash").alias("t_hash"),
     ).distinct()
     shared = orig.join(

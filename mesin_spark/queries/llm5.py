@@ -243,7 +243,7 @@ def q_dedup_incremental(spark, sf_dir):
     WITH RECURSIVE planted AS (
         SELECT vec_id, embedding FROM embeddings
         UNION ALL
-        SELECT vec_id + 100000 AS vec_id, embedding
+        SELECT vec_id + 1000000000000 AS vec_id, embedding
         FROM embeddings WHERE vec_id % 10 = 0
     ), seeds AS (
         SELECT vec_id AS j, embedding AS c FROM planted WHERE vec_id < 16
@@ -295,7 +295,7 @@ def q_semdedup_portable(spark, sf_dir):
     components via a recursive CTE). The synthetic embeddings top out
     near cosine 0.5, so near-dups are PLANTED (the q_image_dedup
     pattern): every 10th vector gets an identical clone at
-    vec_id+100000 that must lose to its original through the full
+    vec_id+10**12 that must lose to its original through the full
     assign → in-cluster pair → component-min pipeline, making the
     0.95 decision non-vacuous on this fixture. Same scale shape:
     bounded codebook collect, map-side assignment, pair space bounded
@@ -304,7 +304,7 @@ def q_semdedup_portable(spark, sf_dir):
 
     emb = T(spark, sf_dir, "embeddings")
     clones = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 1_000_000_000_000).alias("vec_id"), "embedding"
     )
     planted = emb.select("vec_id", "embedding").unionByName(clones)
     return (

@@ -98,6 +98,30 @@ def q_filter(spark, sf_dir):
 
 
 @query(
+    "q_select_distinct",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def q_select_distinct(spark, sf_dir):
+    """Query-level SELECT DISTINCT — a DOCUMENTED DIVERGENCE from the
+    reference (the global-agg-quirk treatment, SURVEY §2.2): sqlparser
+    populates `select.distinct`, but plan_query_body never consults it
+    (tmp/select.rs:186-230 builds Projection/Filter/Aggregate only; only
+    the aggregate-argument flag `func.distinct` at tmp/select.rs:580 is
+    used), so the reference would silently return duplicate rows. We
+    implement the standard semantics: projection then dropDuplicates —
+    Catalyst plans it as a partial/final HashAggregate on the projected
+    columns (map-side dedup before the exchange, the scale-correct
+    shape), and the scan reads ONLY the two projected columns."""
+    return (
+        T(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .dropDuplicates()
+    )
+
+
+@query(
     "q_pred_arith",
     oracle="""
     SELECT l_orderkey, l_linenumber,

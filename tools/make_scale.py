@@ -115,17 +115,25 @@ def shard_transform(s, table: str, i: int):
                 f"slice(embedding, 1, {i} % size(embedding)))"
             ),
         )
-        if i >= 64:
-            # CASE keeps the element type (no cast): flip
-            # component d iff bit 16 of d·2654435761 is set
-            s = s.withColumn(
-                "embedding",
-                F.expr(
-                    "transform(embedding, (x, d) -> CASE WHEN "
-                    "((d * 2654435761) div 65536) % 2 = 1 "
-                    "THEN -x ELSE x END)"
-                ),
-            )
+        # The flip boundary derives from the RUNTIME dim (shards past
+        # one full shift cycle compose the sign flip), not a hardcoded
+        # 64: with the boundary pinned at 64 and dim < 64, shards i and
+        # i + dim (both < 64) would apply IDENTICAL transforms and
+        # silently reintroduce the cross-shard cosine-1.0 twin forest
+        # this transform exists to remove. CASE keeps the element type
+        # (no cast): flip component d iff bit 16 of d·2654435761 is
+        # set, applied iff i >= size(embedding). Distinctness holds up
+        # to factor = 2·dim (asserted in ensure_scaled): one shift
+        # cycle unflipped, one flipped.
+        s = s.withColumn(
+            "embedding",
+            F.expr(
+                f"CASE WHEN {i} >= size(embedding) THEN "
+                "transform(embedding, (x, d) -> CASE WHEN "
+                "((d * 2654435761) div 65536) % 2 = 1 "
+                "THEN -x ELSE x END) ELSE embedding END"
+            ),
+        )
     if table == "part":
         # suffix a per-shard 6-digit tag: verbatim per-shard name
         # copies would otherwise plant C(factor,2) edit-distance-0
@@ -182,6 +190,21 @@ def ensure_scaled(sf_dir: str, factor: int, out_dir: str | None = None) -> str:
         if not os.path.exists(src):
             continue
         df = read_parquet(spark, src)
+        if table == "embeddings":
+            # sibling of the text-rotation guard above: shift(i % dim)
+            # + the one i >= dim sign flip give exactly 2·dim distinct
+            # orthogonal transforms — past that, shards i and i − 2·dim
+            # would repeat a transform and plant cross-shard cosine-1.0
+            # twins (the forest shard_transform exists to remove)
+            head = df.select(F.size("embedding").alias("d")).head()
+            dim = head["d"] if head is not None else factor
+            if factor > 2 * dim:
+                raise ValueError(
+                    f"ensure_scaled: factor {factor} exceeds the 2*dim="
+                    f"{2 * dim} distinct embedding transforms — shards "
+                    "would repeat vectors and fake cross-shard near-dup "
+                    "pairs"
+                )
         shards = []
         for i in range(factor):
             s = df
