@@ -64,8 +64,27 @@ def fmt(n: float) -> str:
 
 
 def execution_metric_totals(store, first_id: int) -> dict[str, float]:
-    """Sum byte metrics across every SQL execution with id >= first_id."""
-    totals = {"scan": 0.0, "shuffle": 0.0, "spill": 0.0}
+    """Sum byte metrics across every SQL execution with id >= first_id.
+
+    Deduped by accumulator id: a plan that reuses an exchange (AQE
+    ReusedExchange) or embeds a cached child plan (InMemoryTableScan
+    repeats the cached plan's nodes — one per consumer) lists the SAME
+    metric accumulator once per plan-tree appearance, while the bytes
+    were physically written exactly once. Summing per appearance
+    multi-counted those exchanges by their consumer count (measured
+    4-8x on q_dedup_containment's persisted gram table in round 10 —
+    108.4 GiB as-counted vs ~20 GiB physically written at the 100x
+    probe). Counting each accumulator once reports physical bytes
+    written — the number that predicts cluster network/disk cost."""
+    kinds = {
+        "size of files read": "scan",
+        "shuffle bytes written": "shuffle",
+        "spill size": "spill",
+    }
+    # acc id -> (kind, bytes); accumulator values only grow, so keep the
+    # max seen across executions (a cache rebuilt in a later execution
+    # accumulates further onto the same accumulator)
+    by_acc: dict[int, tuple[str, float]] = {}
     execs = store.executionsList()
     for i in range(execs.size()):
         ex = execs.apply(i)
@@ -76,16 +95,19 @@ def execution_metric_totals(store, first_id: int) -> dict[str, float]:
         it = mets.iterator()
         while it.hasNext():
             m = it.next()
+            kind = kinds.get(m.name())
+            if kind is None:
+                continue
             v = vals.get(m.accumulatorId())
             if not v.isDefined():
                 continue
-            name, text = m.name(), v.get()
-            if name == "size of files read":
-                totals["scan"] += parse_bytes(text)
-            elif name == "shuffle bytes written":
-                totals["shuffle"] += parse_bytes(text)
-            elif name == "spill size":
-                totals["spill"] += parse_bytes(text)
+            b = parse_bytes(v.get())
+            prev = by_acc.get(m.accumulatorId())
+            if prev is None or b > prev[1]:
+                by_acc[m.accumulatorId()] = (kind, b)
+    totals = {"scan": 0.0, "shuffle": 0.0, "spill": 0.0}
+    for kind, b in by_acc.values():
+        totals[kind] += b
     return totals
 
 
