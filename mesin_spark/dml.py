@@ -36,6 +36,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as Ty
 
+from mesin_spark.ext.ckpt import ckpt
+
 from mesin_spark.catalog import Catalog, CatalogError, IndexMeta, TableMeta
 
 
@@ -603,7 +605,7 @@ class ManagedTable:
                 # even under non-deterministic assignment expressions;
                 # inside the lock so the key checks can't race a
                 # concurrent writer (same TOCTOU argument as _append)
-                df = df.localCheckpoint(eager=True)
+                df = df.transform(ckpt, eager=True)
                 self.validate_constraints(candidate=df)
             cur = self.current_version()
             if cur is not None:

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mesin_spark.ext.ckpt import ckpt
+
 from mesin_spark.ext.text import tokens
 
 __all__ = ["word_counts", "train_bpe", "apply_merge", "encode_words"]
@@ -78,7 +80,7 @@ def train_bpe(
     pair's weighted count drops below ``min_count``."""
     spark = docs.sparkSession
     wc = word_counts(docs, text_col)
-    syms = wc.select(_chars(F.col("word")).alias("s"), "wcount").localCheckpoint(
+    syms = wc.select(_chars(F.col("word")).alias("s"), "wcount").transform(ckpt, 
         eager=True
     )
     merges: list[dict] = []
@@ -129,7 +131,7 @@ def _train_loop(
         if (rank + 1) % checkpoint_every == 0:
             # lazy: the NEXT iteration's pair-count job materializes the
             # checkpoint, so each round costs ONE job, not two
-            syms = syms.localCheckpoint(eager=False)
+            syms = syms.transform(ckpt, eager=False)
     return merges
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mesin_spark.ext.ckpt import ckpt
+
 
 def pagerank_round(
     nodes: DataFrame,
@@ -137,10 +139,17 @@ def pagerank(
       costs more than it saves (measured at sf0.1: every-1 6.1s,
       every-2 4.9s, every-4 4.5s, never 11.7s), and periodic truncation
       keeps recovery bounded.
-    Note: under AQE a localCheckpoint does NOT preserve hash
-    partitioning (LogicalRDD surfaces UnknownPartitioning — verified on
-    the executed plan), so the static e_norm/nodes frames re-shuffle
-    each round (4 exchanges/round vs the algorithmic minimum 2). The
+    Note: under AQE a checkpoint of either backend does NOT preserve
+    hash partitioning (LogicalRDD surfaces UnknownPartitioning —
+    verified on the executed plan), so the static e_norm/nodes frames
+    re-shuffle each round (4 exchanges/round vs the algorithmic
+    minimum 2). Checkpoints go through ext.ckpt.ckpt: the default
+    ``local`` backend keeps blocks executor-local (fast, but a lost
+    executor kills the iteration — no lineage survives truncation);
+    set ``mesin.checkpoint.backend=reliable`` (+
+    ``mesin.checkpoint.dir`` on durable storage) on a real cluster so
+    node churn refetches from storage instead of failing a 40-round
+    job. Results are backend-identical (pytest-asserted). The
     obvious fix — repartition the static frames once on their join keys
     and persist() (which DOES keep outputPartitioning) — was measured
     and REJECTED at bench scale: a fixed-width repartition is exempt
@@ -198,12 +207,12 @@ def pagerank(
         ).head()["n"]
         broadcast_ranks = est_nodes <= broadcast_max_nodes
     if broadcast_ranks is False:
-        e = e.distinct().localCheckpoint(eager=True)
+        e = e.distinct().transform(ckpt, eager=True)
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
         e_norm = (
             e.join(outdeg, "src")
             .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-            .localCheckpoint(eager=True)
+            .transform(ckpt, eager=True)
         )
     else:
         # one exchange instead of two: hash(src) satisfies BOTH the
@@ -219,7 +228,7 @@ def pagerank(
             .withColumn(
                 "w", F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src"))
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt, eager=True)
         )
     srcs = e_norm.select(F.col("src").alias("node")).distinct()
     nodes = (
@@ -228,7 +237,7 @@ def pagerank(
         .distinct()
         .join(srcs.withColumn("_has_out", F.lit(True)), "node", "left")
         .select("node", F.col("_has_out").isNull().alias("is_dang"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -259,7 +268,7 @@ def pagerank(
         )
         if at_ckpt:
             if it < max_iter - 1 or final_checkpoint:
-                ranks = ranks.localCheckpoint(eager=True)
+                ranks = ranks.transform(ckpt, eager=True)
             if check_tol:
                 # convergence exit, evaluated only at checkpoint rounds:
                 # the round output carries the previous rank as _prev,
@@ -322,7 +331,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         # the canonicalized edge list feeds the degree agg AND the
         # orientation join; materialize once (same discipline as
         # pagerank's e_norm) instead of re-running the dedup shuffle
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -344,7 +353,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         # o fans out into all three legs of the wedge join — without a
         # materialization the orient join would execute three times
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     e1 = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = o.select(F.col("a").alias("y"), F.col("b").alias("z"))
@@ -386,7 +395,7 @@ def link_scores(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     adj = e.select(F.col("u").alias("n"), F.col("v").alias("nb")).union(
         e.select(F.col("v").alias("n"), F.col("u").alias("nb"))
@@ -437,7 +446,7 @@ def k_core(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     n_edges = e.count()
     converged = False
@@ -455,7 +464,7 @@ def k_core(
         e2 = (
             e.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
             .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(ckpt, eager=True)
         )
         n2 = e2.count()
         if n2 == n_edges:
@@ -530,7 +539,7 @@ def random_walks(
         .withColumn("rk", F.row_number().over(W.partitionBy("n").orderBy("nb")) - 1)
     )
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
-    adj = adj.join(deg, "n").localCheckpoint(eager=True)
+    adj = adj.join(deg, "n").transform(ckpt, eager=True)
     walk = adj.select(F.col("n").alias("start")).distinct().select(
         "start", F.lit(0).alias("step"), F.col("start").alias("node")
     )
@@ -556,7 +565,7 @@ def random_walks(
             cur.join(adj.select(F.col("n").alias("node"), "rk", "nb", "deg"), "node")
             .filter(F.col("rk") == pick)
             .select("start", F.lit(t).alias("step"), F.col("nb").alias("node"))
-            .localCheckpoint(eager=True)
+            .transform(ckpt, eager=True)
         )
         out.append(nxt)
         cur = nxt
@@ -601,14 +610,14 @@ def pagerank_portable(
     job is cross-engine proof at certification scale.
     Returns (node, rank_fp) with rank_fp ≈ rank * 1e12."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(ckpt, eager=True)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .join(outdeg.select(F.col("src").alias("node"), "od"), "node", "left")
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -645,7 +654,7 @@ def pagerank_portable(
             )
         )
         if (it + 1) % 2 == 0 or it == rounds - 1:
-            r = r.localCheckpoint(eager=True)
+            r = r.transform(ckpt, eager=True)
     return r.select("node", F.col("rank").alias("rank_fp"))
 
 
@@ -694,12 +703,12 @@ def hits_portable(
         # the final join with an opaque TypeError — refuse up front.
         raise ValueError("hits_portable: rounds must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(ckpt, eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -741,7 +750,7 @@ def hits_portable(
                 F.col("dst").alias("node"),
                 F.expr(f"(raw * {HITS_SCALE}) div nm").alias("a"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt, eager=True)
         )
         h_raw = (
             e.join(F.broadcast(a), e["dst"] == a["node"])
@@ -759,7 +768,7 @@ def hits_portable(
                 F.col("src").alias("node"),
                 F.expr(f"(raw * {HITS_SCALE}) div nm").alias("h"),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt, eager=True)
         )
     return (
         nodes.join(h, "node", "left")
@@ -806,12 +815,12 @@ def hits(
     if rounds < 1:
         raise ValueError("hits: rounds must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(ckpt, eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -835,7 +844,7 @@ def hits(
                 F.col(out_key).alias("node"),
                 (F.col("raw") / F.col("nm")).alias(out_col),
             )
-            .localCheckpoint(eager=True)
+            .transform(ckpt, eager=True)
         )
 
     h = nodes.withColumn("h", F.lit(1.0 / n))
@@ -889,7 +898,7 @@ def ppr_portable(
     checkpoints every 2 rounds — node-keyed shuffles, partitions
     cleanly at 100 TB. Returns (node, rank_fp)."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(ckpt, eager=True)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -919,7 +928,7 @@ def ppr_portable(
         ).drop("_s")
     else:
         nodes = nodes.withColumn("is_seed", F.col("node") % seed_mod == 0)
-    nodes = nodes.localCheckpoint(eager=True)
+    nodes = nodes.transform(ckpt, eager=True)
     counts = nodes.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_seed").cast("long")).alias("s"),
@@ -971,7 +980,7 @@ def ppr_portable(
             )
         )
         if (it + 1) % 2 == 0 or it == rounds - 1:
-            r = r.localCheckpoint(eager=True)
+            r = r.transform(ckpt, eager=True)
     return r.select("node", F.col("rank").alias("rank_fp"))
 
 
@@ -999,13 +1008,13 @@ def label_propagation(
     sym = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     w = Window.partitionBy("n").orderBy(F.col("c").desc(), F.col("lbl").asc())
     for _ in range(n_rounds):
@@ -1020,6 +1029,6 @@ def label_propagation(
             freq.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(F.col("n").alias("node"), "lbl")
-            .localCheckpoint(eager=True)
+            .transform(ckpt, eager=True)
         )
     return labels.select("node", F.col("lbl").alias("label"))

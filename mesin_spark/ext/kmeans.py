@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mesin_spark.ext.ckpt import ckpt
+
 from mesin_spark.ext.pca import _tdiv
 
 __all__ = ["kmeans_portable_assign", "kmeans_portable_train"]
@@ -83,7 +85,7 @@ def _quantized_frame(
     this is purely a recompute-avoidance knob."""
     return emb.select(
         F.col(id_col), _quant_col(vec_col, q_scale).alias("_xq")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt, eager=True)
 
 
 def kmeans_portable_train(

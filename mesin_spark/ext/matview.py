@@ -60,6 +60,8 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mesin_spark.ext.ckpt import ckpt
+
 from mesin_spark.dml import CatalogError, DdlSession, ManagedTable
 
 _STATE_FILE = "_MV_STATE.json"
@@ -201,7 +203,7 @@ class AggView:
         # the delta aggregate is view-sized or smaller; materialize it
         # once for the stats AND the merge (changes() joins two snapshot
         # reads — recomputing it inside the merge would double that work)
-        dagg = dagg.localCheckpoint(eager=True)
+        dagg = dagg.transform(ckpt, eager=True)
         touched = dagg.count()
         delta_rows = (
             dagg.agg(F.sum("_d_events").alias("n")).collect()[0]["n"] or 0

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mesin_spark.ext.ckpt import ckpt
+
 from mesin_spark.ext import pq as PQ
 from mesin_spark.ext import spans as SP
 from mesin_spark.queries import R, T, query, sr, scratch_dir
@@ -339,8 +341,8 @@ def q_image_progressive(spark, sf_dir):
     # each transcode frame feeds TWO actions (its hash branch and the
     # byte-size join); materialize once so the pure-Python JPEG encode —
     # the dominant cost — runs once per image per variant, not twice
-    base = MM.transcode_to_jpeg(imgs, quality=90).localCheckpoint(eager=True)
-    prog = MM.transcode_to_jpeg(imgs, quality=90, progressive=True).localCheckpoint(
+    base = MM.transcode_to_jpeg(imgs, quality=90).transform(ckpt, eager=True)
+    prog = MM.transcode_to_jpeg(imgs, quality=90, progressive=True).transform(ckpt, 
         eager=True
     )
     hb = MM.image_ahash(base.select("doc_id", "payload")).select(
