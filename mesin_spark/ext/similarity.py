@@ -23,6 +23,9 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mesin_spark.ext.ckpt import ckpt
+from mesin_spark.ext.pin import PINNED
+
 from mesin_spark.functions import stable_round as R
 
 
@@ -547,9 +550,6 @@ def salted_all_pairs(
     return a_s.join(b_s, on=[block_col, "_salt"]).drop("_salt")
 
 
-#: the previous auto-routed embedding call's persisted projection
-#: (single-slot lifecycle — the ngram_jaccard_pairs discipline)
-_EMB_AUTO_PERSISTED = None
 
 
 def portable_lsh_band_signature(
@@ -587,6 +587,7 @@ def embedding_neardup_pairs(
     lsh_rows: int | None = None,
     auto_pairs_per_doc: float = 512.0,
     lsh_target_occupancy: float = 128.0,
+    approx_ok: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (cosine ≥ threshold) within a blocking key.
     Returns (id_a, id_b, sim), id_a < id_b.
@@ -613,7 +614,14 @@ def embedding_neardup_pairs(
       sizes ``lsh_rows`` as ⌈log2(max_occ / lsh_target_occupancy)⌉
       (clamped to [4, 16]) so expected bucket occupancy lands near the
       target however big the fattest block grows. Below the cliff the
-      exact all-pairs plan runs unchanged.
+      exact all-pairs plan runs unchanged. UNLIKE every other "auto"
+      route in this repo (prefix_filter, segment_filter, collapse_dups,
+      verify_join — all exact-equivalent strategy switches), crossing
+      the cliff here changes SEMANTICS (exact → ~98%-recall
+      approximate), so it additionally requires the explicit
+      ``approx_ok=True``; without it a past-the-cliff corpus raises
+      (naming both escape hatches) instead of silently dropping
+      non-identical near-dups or silently going occupancy-quadratic.
 
     Per-row norms are computed once BEFORE the pair join, so the per-pair
     work is a single dot-product pass (the naive per-pair cosine costs
@@ -649,6 +657,16 @@ def embedding_neardup_pairs(
         ).collect()[0]
         pairs_per_doc = (row["_pairs"] or 0.0) / max(row["_docs"] or 1.0, 1.0)
         candidates = pairs_per_doc > auto_pairs_per_doc
+        if candidates and not approx_ok:
+            raise ValueError(
+                "embedding_neardup_pairs: measured occupancy "
+                f"({pairs_per_doc:.0f} all-pairs candidates/row) is past "
+                f"the exact-route cliff ({auto_pairs_per_doc:.0f}) and the "
+                "only scale route (hyperplane LSH) is APPROXIMATE "
+                "(~98% recall for non-identical near-dups). Pass "
+                "approx_ok=True to accept it, or candidates=False to force "
+                "the exact all-pairs plan at occupancy-squared cost."
+            )
         if candidates and lsh_rows is None:
             import math
 
@@ -658,17 +676,7 @@ def embedding_neardup_pairs(
                     max((row["_max"] or 1.0) / lsh_target_occupancy, 2.0)
                 ))),
             )
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-        global _EMB_AUTO_PERSISTED
-        prev = _EMB_AUTO_PERSISTED
-        _EMB_AUTO_PERSISTED = base
-        if prev is not None:
-            try:
-                prev.unpersist(blocking=False)
-            except Exception:  # session may be gone — nothing to release
-                pass
+        base = PINNED.pin(base)
     sim = R(
         dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
@@ -850,14 +858,14 @@ def dbscan(
     sym = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
         .union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     core = (
         sym.groupBy("s")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_pts)
         .select(F.col("s").alias("node"))
-        .localCheckpoint(eager=True)
+        .transform(ckpt, eager=True)
     )
     core_edges = (
         sym.join(core.select(F.col("node").alias("s")), "s", "left_semi")
@@ -1032,7 +1040,7 @@ def semantic_dedup_portable(
     )
     assigned = emb.select(
         id_col, vec_col, (-F.array_max(cells)["negj"]).alias("sem_cluster")
-    ).localCheckpoint(eager=True)
+    ).transform(ckpt, eager=True)
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(

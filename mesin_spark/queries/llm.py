@@ -343,6 +343,16 @@ def q_dedup_embed(spark, sf_dir):
     share every band signature, so planted-clone recall survives the
     route (pytest-asserted with candidates forced on).
 
+    approx_ok=True is the EXPLICIT opt-in the LSH fallback requires
+    (crossing the cliff changes semantics — exact → ~98% recall for
+    non-identical near-dups — so unlike the repo's other auto routes it
+    cannot flip silently). It is deliberate here: every oracle-checked
+    fixture scale stays below the cliff (exact route, oracle-green),
+    and past it — the 100x probe — the only ≥0.99 pairs this fixture
+    family CAN contain are planted identical clones, which share every
+    band signature and are never missed, so the documented recall trade
+    affects no fixture answer.
+
     The synthetic embeddings have no natural near-dups (max within-label
     cosine 0.45/0.47/0.51 at sf 0.001/0.01/0.1), so near-dups are
     PLANTED (the q_image_dedup pattern, mirrored in the oracle SQL):
@@ -358,7 +368,7 @@ def q_dedup_embed(spark, sf_dir):
     )
     planted = emb.select("vec_id", "embedding", "label").unionByName(clones)
     return S.embedding_neardup_pairs(
-        planted, threshold=0.99, candidates="auto"
+        planted, threshold=0.99, candidates="auto", approx_ok=True
     ).orderBy("id_a", "id_b")
 
 

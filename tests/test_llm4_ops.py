@@ -341,7 +341,7 @@ def test_q_image_dedup_recalls_all_planted_pairs(spark):
     for g in groups:
         ids = {int(x) for x in g["ids"].split(",")}  # driver-safe CSV string
         for i in ids:
-            if i < 1_000_000 and i + 1_000_000 in ids:
+            if i < 1_000_000_000_000 and i + 1_000_000_000_000 in ids:
                 paired.add(i)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(paired) == n_docs
@@ -441,7 +441,7 @@ def test_q_image_jpeg_dedup_survives_recompression(spark):
     for g in groups:
         s = {int(x) for x in g["ids"].split(",")}  # driver-safe CSV string
         for i in s:
-            if i < 1_000_000 and i + 1_000_000 in s:
+            if i < 1_000_000_000_000 and i + 1_000_000_000_000 in s:
                 paired.add(i)
     # all 300 sampled docs' planted pairs survive the recompression
     assert len(paired) == 300

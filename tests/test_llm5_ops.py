@@ -1096,3 +1096,48 @@ def test_containment_duplicate_collapse_expansion(spark):
         ngram_containment_pairs(
             df, "doc_id", block_col="src", collapse_dups="yes"
         )
+
+
+def test_gram_verify_join_routes_identical(spark):
+    """The verify-route knob (round-10 payload fix) is a PHYSICAL
+    strategy choice only: broadcast (per-pair arrays never re-exchange)
+    and shuffle (the 100 TB pinned path) must return identical pair
+    sets with identical values on BOTH prefix forms, and the size
+    pigeonholes inside the candidate joins must keep boundary pairs
+    that 6-dp-round up to the threshold (the crafted corpus plants
+    short-in-long containment pairs exactly at |A∩B|/|A| = 4/5)."""
+    from mesin_spark.ext.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = []
+    for i in range(24):
+        base = f"alpha beta gamma delta epsilon zeta doc{i % 4} tail{i % 7}"
+        rows.append((i, "A" if i % 2 else "B", base))
+        if i % 5 == 0:
+            rows.append(
+                (3000 + i, "A" if i % 2 else "B",
+                 base + " " + " ".join(f"pad{i}y{j}" for j in range(25)))
+            )
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    for fn, kw in (
+        (ngram_containment_pairs, dict(threshold=0.8, collapse_dups=False)),
+        (ngram_jaccard_pairs, dict(threshold=0.5)),
+    ):
+        got = {}
+        for route in ("broadcast", "shuffle"):
+            got[route] = sorted(
+                tuple(r)
+                for r in fn(
+                    df, "doc_id", block_col="src", prefix_filter=True,
+                    verify_join=route, **kw
+                ).collect()
+            )
+        assert got["broadcast"] == got["shuffle"] and len(got["shuffle"]) > 0, (
+            fn.__name__, len(got["broadcast"]), len(got["shuffle"]))
+    with pytest.raises(ValueError, match="verify_join must be"):
+        ngram_containment_pairs(
+            df, "doc_id", block_col="src", prefix_filter=True,
+            verify_join="bcast", collapse_dups=False,
+        ).collect()

@@ -649,9 +649,15 @@ def test_embedding_neardup_auto_routing_by_occupancy(spark, emb):
     df = fat.union(
         fat.withColumn("vec_id", F.col("vec_id") + 100000)
     )
+    # crossing the cliff changes semantics (exact -> ~98%-recall LSH),
+    # so unlike every other auto route it demands the explicit opt-in
+    with pytest.raises(ValueError, match="approx_ok"):
+        S.embedding_neardup_pairs(
+            df, threshold=0.99, candidates="auto", auto_pairs_per_doc=8.0
+        )
     routed = S.embedding_neardup_pairs(
         df, threshold=0.99, candidates="auto",
-        auto_pairs_per_doc=8.0, lsh_bands=4,
+        auto_pairs_per_doc=8.0, lsh_bands=4, approx_ok=True,
     )
     plan = routed._jdf.queryExecution().optimizedPlan().toString()
     assert "posexplode" in plan, plan[:500]
