@@ -44,6 +44,17 @@ SCALE_FACTOR = 3
 #: regeneration keeps everything at/below this line in SHUFFLE.md
 MANUAL_MARKER = "<!-- MANUAL SECTIONS -->"
 
+#: audited beyond bench.HEADLINE (which stays fixed for cross-round
+#: record comparability): the round-9 operators whose new routing would
+#: otherwise only be byte-checked by a full 100x probe rerun, not by
+#: the per-round drift-proof audit (round-9 verdict ask #3)
+AUDIT_EXTRA = [
+    "q_fuzzy_join",
+    "q_fuzzy_clusters",
+    "q_dedup_embed",
+    "q_dedup_containment",
+]
+
 
 def parse_bytes(text: str) -> float:
     """'1018.0 KiB' / '12.3 MiB' / '213.0 B' → bytes. Metric strings for
@@ -142,7 +153,8 @@ def main() -> int:
     registry = entrymod.queries()
     store = spark._jsparkSession.sharedState().statusStore()
 
-    base = audit(spark, store, registry, HEADLINE, sf_dir)
+    names = HEADLINE + AUDIT_EXTRA
+    base = audit(spark, store, registry, names, sf_dir)
     for name, t in base.items():
         ratio = (t["shuffle"] / t["scan"]) if t["scan"] else 0.0
         print(
@@ -157,7 +169,7 @@ def main() -> int:
             from tools.make_scale import ensure_scaled
 
             scaled_dir = ensure_scaled(sf_dir, SCALE_FACTOR)
-            scaled = audit(spark, store, registry, HEADLINE, scaled_dir)
+            scaled = audit(spark, store, registry, names, scaled_dir)
             scaled_note = (
                 f"Scaled pass: same queries at {SCALE_FACTOR}x data "
                 f"({scaled_dir}). shuffle-slope = shuffle bytes at "
@@ -191,6 +203,15 @@ def main() -> int:
         "broadcast joins, pruned scans); ratio >~ 1 = the data crosses the",
         "network and the query is exchange-bound at 100 TB. Spill must be",
         "0 — nonzero means a partition outgrew its task's memory.",
+        "",
+        "METHODOLOGY (changed round 10): byte totals dedupe by metric",
+        "accumulator id, so a reused/cached exchange counts its bytes",
+        "ONCE (physical bytes written) instead of once per plan-tree",
+        "consumer. Rounds <= 9 summed per appearance and so OVERSTATE",
+        "cache-heavy queries by their consumer count (measured 4-8x on",
+        "q_dedup_containment); do not compare raw byte values across the",
+        "methodology boundary — the round-10 manual section below keeps",
+        "both numbers for the affected operators.",
         "",
     ]
     if scaled_note:
