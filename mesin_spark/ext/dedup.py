@@ -1111,8 +1111,16 @@ def ngram_jaccard_pairs(
         b = base.select(
             F.col("blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b")
         )
+        # the same exact size pigeonhole as the prefix route, applied
+        # BEFORE the per-pair set ops: F.size is O(1) against the
+        # array_intersect/array_union passes it culls
         pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
-            F.col("id_a") < F.col("id_b")
+            (F.col("id_a") < F.col("id_b"))
+            & F.expr(
+                f"1000000 * cast(least(size(g_a), size(g_b)) as bigint) >= "
+                f"{_threshold_num(threshold)} * "
+                f"cast(greatest(size(g_a), size(g_b)) as bigint)"
+            )
         )
     return (
         pairs.select("id_a", "id_b", R(jac, 6).alias("jaccard"))
@@ -1343,8 +1351,16 @@ def ngram_containment_pairs(
         b = base.select(
             F.col("blk"), F.col("_id").alias("id_b"), F.col("_g").alias("g_b")
         )
+        # asymmetric size pigeonhole pre-verify (the prefix route's
+        # filter applied to the salted path): culls |B| < t'|A| pairs
+        # before the per-pair array_intersect
         pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
-            (F.col("id_a") != F.col("id_b")) & (F.size("g_a") > 0)
+            (F.col("id_a") != F.col("id_b"))
+            & (F.size("g_a") > 0)
+            & F.expr(
+                f"1000000 * cast(size(g_b) as bigint) >= "
+                f"{_threshold_num(threshold)} * cast(size(g_a) as bigint)"
+            )
         )
     if members is None:
         return (
