@@ -43,6 +43,11 @@ NOTES = {
     "q_funnel": "three shrinking per-user min-aggregates; AQE broadcasts each stage frame into the next filtered scan — no fact-fact shuffle",
     "q_pmi_bigrams": "map-side bigram explode; two token-keyed count shuffles; count tables AQE-broadcast back; top-20 fused to TakeOrderedAndProject",
     "q_dedup_incremental": "single LeftAnti hash join on content hash — only the arriving batch shuffles against the snapshot's hash index",
+    # AUDIT_EXTRA (round 10): the round-9 ops byte-audited per round
+    "q_fuzzy_join": "duplicate collapse to distinct names first; measured route (all-pairs below the 64-cands/name crossover, PassJoin segments past it); levenshtein verify INSIDE the candidate join, <=k filter before the dedup exchange",
+    "q_fuzzy_clusters": "fuzzy pairs closed into components: min-label iteration over the (small) pair graph, checkpointed via ext/ckpt",
+    "q_dedup_embed": "norms computed once pre-pair; exact all-pairs below the occupancy cliff (oracle scales), LSH band sub-blocking past it with cosine inside the bucket join (explicit approx_ok opt-in)",
+    "q_dedup_containment": "asymmetric size pigeonhole inside the candidate join; verify route on MEASURED gram bytes — broadcast under 256 MiB (per-pair arrays never re-exchange), pinned shuffle_hash past it",
 }
 
 
@@ -62,7 +67,9 @@ def main() -> None:
         "must exhibit (asserted for key queries in tests/test_scale_plans.py).",
         "",
     ]
-    for name in HEADLINE:
+    from tools.shuffle_audit import AUDIT_EXTRA
+
+    for name in HEADLINE + AUDIT_EXTRA:
         if name not in NOTES:
             continue
         df = registry[name](spark, sf_dir)
