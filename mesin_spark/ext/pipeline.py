@@ -71,6 +71,56 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frac_train: float = 0.9,
+    n_buckets: int = 10000,
+    salt: int = 0,
+) -> DataFrame:
+    """Duplicate-cluster-aware train/val split: every document in a
+    duplicate cluster gets the SAME split, so a val document can never
+    have a train-side verbatim copy — the eval-leakage failure plain
+    hash_split has (a doc and its clone hash to DIFFERENT ids, land on
+    opposite sides of the cut, and the benchmark silently scores
+    memorization; the canonical motivation in Lee et al. 2021,
+    'Deduplicating Training Data Makes Language Models Better').
+
+    Returns (id, cluster_id, split): cluster_id = min id over identical
+    text, split = hash_split's portable bucket ON THE CLUSTER id (same
+    Knuth-mix arithmetic, so singleton clusters split exactly like
+    hash_split would).
+
+    Scale shape: ONE window shuffle keyed by the portable text
+    fingerprint (a compact long — the raw text never becomes a shuffle
+    key), then a map-side bucket CASE. Clustering is by fingerprint
+    equality: fp collisions (~n²/2e9 pairs) can only MERGE clusters,
+    which is leakage-SAFE (two unrelated docs forced to one side) at a
+    negligible stratification cost. For NEAR-dup leakage, feed
+    dedup_clusters' component map through the same cluster-id bucket
+    instead — this function is the exact-duplicate tier of that
+    composition."""
+    from mesin_spark.ext.text import fingerprint
+
+    d = df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+    )
+    w = Window.partitionBy("_fp")
+    cut = int(round(frac_train * n_buckets))
+    return (
+        d.withColumn("cluster_id", F.min(id_col).over(w))
+        .withColumn(
+            "split",
+            F.when(
+                split_bucket("cluster_id", n_buckets, salt) < cut,
+                F.lit("train"),
+            ).otherwise(F.lit("val")),
+        )
+        .select(id_col, "cluster_id", "split")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -663,6 +663,57 @@ def q_hash_split(spark, sf_dir):
 
 
 @query(
+    "q_split_leakage_safe",
+    oracle="""
+    WITH dup AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split(text, ''), c -> length(c) > 0),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                   (h, c) -> (h * 131 + c) % 1000000007
+               ) AS f
+        FROM dup
+    ),
+    cl AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS cluster_id FROM fp
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN (CAST((CAST(cluster_id AS HUGEINT) * 2654435761)
+                      % 4294967296 AS BIGINT)) % 10000 < 9000
+                THEN 'train' ELSE 'val' END AS split
+    FROM cl
+    """,
+)
+def q_split_leakage_safe(spark, sf_dir):
+    """Duplicate-cluster-aware train/val split
+    (ext/pipeline.leakage_safe_split): the split bucket is computed on
+    the CLUSTER id (min doc_id over identical text), so a document and
+    its verbatim copy can never straddle the train/val cut — the eval-
+    leakage failure plain q_hash_split has by construction (Lee et al.
+    2021's dedup-before-split motivation). Clones planted at
+    doc_id+1e12 (the q_dedup_exact pattern, mirrored in the oracle)
+    guarantee the fixture HAS multi-member clusters, and exactly those
+    pairs must agree on the split. One window shuffle keyed by the
+    portable text fingerprint; singleton clusters split exactly like
+    q_hash_split. Same-split invariant additionally pytest-asserted."""
+    raw = T(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = raw.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"), "text"
+    )
+    return P.leakage_safe_split(
+        raw.unionByName(clones), "doc_id", "text", frac_train=0.9
+    ).orderBy("doc_id")
+
+
+@query(
     "q_scrub_text",
     oracle="""
     SELECT doc_id,

@@ -674,3 +674,38 @@ def test_embedding_neardup_auto_routing_by_occupancy(spark, emb):
         df.limit(5), threshold=0.99, candidates="auto", auto_pairs_per_doc=8.0
     )
     assert "posexplode" not in thin._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_leakage_safe_split_invariants(spark):
+    """leakage_safe_split: (1) every member of a duplicate cluster gets
+    the SAME split — the invariant plain hash_split violates (asserted:
+    the planted clone pairs straddle hash_split's cut somewhere on this
+    fixture, proving the operator isn't vacuously equal to it);
+    (2) singleton clusters split exactly like hash_split (same bucket
+    arithmetic on the same id); (3) train fraction lands near 0.9."""
+    from mesin_spark.ext.pipeline import hash_split, leakage_safe_split
+
+    d = spark.createDataFrame(
+        [(i, f"text body number {i}") for i in range(400)]
+        + [(10_000 + i, f"text body number {i}") for i in range(0, 400, 3)],
+        "doc_id long, text string",
+    )
+    out = leakage_safe_split(d, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == len(by_id) == 534
+    # (1) clone pairs always agree
+    for i in range(0, 400, 3):
+        assert by_id[i]["split"] == by_id[10_000 + i]["split"]
+        assert by_id[10_000 + i]["cluster_id"] == i
+    # ...while hash_split's independent buckets split some pair apart
+    hs = {r["doc_id"]: r["split"] for r in hash_split(
+        d.select("doc_id"), "doc_id").collect()}
+    assert any(hs[i] != hs[10_000 + i] for i in range(0, 400, 3))
+    # (2) singleton clusters reduce to hash_split on the id
+    for i in range(1, 400, 3):
+        if i % 3 != 0:
+            assert by_id[i]["split"] == hs[i] and by_id[i]["cluster_id"] == i
+    # (3) cluster-level train share near frac_train
+    clusters = {r["cluster_id"]: r["split"] for r in out}
+    share = sum(s == "train" for s in clusters.values()) / len(clusters)
+    assert 0.84 < share < 0.96, share
