@@ -186,6 +186,49 @@ def word_ngrams(col: Column | str, n: int = 2) -> Column:
     return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def ngram_novelty(
+    docs: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> "DataFrame":
+    """Corpus-order n-gram novelty per document: the fraction of a
+    document's DISTINCT word n-grams whose first appearance (smallest
+    id) in the corpus is this document. Returns (id, n_grams, novelty).
+
+    The curation metric behind 'is new data still adding content':
+    boilerplate-saturated or templated documents score near 0 (their
+    grams all debuted earlier), genuinely novel text near 1 — the
+    corpus-level diversity diagnostic that motivates dedup-before-train
+    (Lee et al. 2021's memorization analysis) without needing a
+    pairwise dedup pass. Ordering is by id (ingestion order in this
+    corpus); any monotone ingestion key works.
+
+    Scale shape: ONE distinct-gram explode (map-side), one gram-keyed
+    groupBy computing min(id) with map-side partial aggregation, one
+    keyed join back, one id-keyed count — every exchange is keyed and
+    linear in total distinct-gram postings; no pair space exists at all.
+    Documents with fewer than n tokens carry no n-grams and are
+    excluded (mirror the same filter in any oracle)."""
+    g = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_tok"),
+    )
+    first = g.groupBy("_tok").agg(F.min(id_col).alias("_first"))
+    from mesin_spark.functions import stable_round as R
+
+    return (
+        g.join(first.hint("shuffle_hash"), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            R(
+                F.avg((F.col("_first") == F.col(id_col)).cast("double")), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 def dup_token_ratio(col: Column | str) -> Column:
     """Fraction of tokens that are repeats of an earlier token:
     1 − distinct/total (0 for empty docs). The cheap Gopher-style

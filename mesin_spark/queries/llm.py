@@ -647,6 +647,47 @@ def q_fingerprint(spark, sf_dir):
 
 
 @query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> len(t) > 0) AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct([
+                   w[i] || ' ' || w[i + 1]
+                   FOR i IN generate_series(1, len(w) - 1)
+               ])) AS tok
+        FROM tk WHERE len(w) >= 2
+    ),
+    first AS (SELECT tok, min(doc_id) AS first_id FROM g GROUP BY tok)
+    SELECT g.doc_id, count(*) AS n_grams,
+           {sr(
+               "avg(CASE WHEN f.first_id = g.doc_id THEN 1.0 ELSE 0.0 END)", 6
+           )} AS novelty
+    FROM g JOIN first f ON g.tok = f.tok
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Corpus-order 2-gram novelty per document (ext/text.ngram_novelty):
+    the fraction of a doc's distinct bigrams FIRST introduced by that
+    doc — the is-new-data-still-adding-content curation diagnostic (the
+    corpus-level view of Lee et al. 2021's memorization analysis),
+    computable with no pair space at all: one distinct-gram explode, one
+    gram-keyed min(id) groupBy (map-side partial agg), one keyed join
+    back, one per-doc count — every exchange keyed and linear in the
+    gram postings. Docs with <2 tokens carry no bigrams and are
+    excluded (mirrored in the oracle)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return TX.ngram_novelty(d, "doc_id", "text", n=2).orderBy("doc_id")
+
+
+@query(
     "q_hash_split",
     oracle="""
     SELECT doc_id,

@@ -709,3 +709,24 @@ def test_leakage_safe_split_invariants(spark):
     clusters = {r["cluster_id"]: r["split"] for r in out}
     share = sum(s == "train" for s in clusters.values()) / len(clusters)
     assert 0.84 < share < 0.96, share
+
+
+def test_ngram_novelty_planted_properties(spark):
+    """ngram_novelty: the corpus's first doc debuts all its grams
+    (novelty 1); a verbatim later clone debuts none (novelty 0); a doc
+    mixing one old and one new bigram scores the exact fraction; <2-token
+    docs are excluded."""
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # grams: 'alpha beta','beta gamma'
+            (2, "alpha beta gamma"),          # clone -> 0.0
+            (3, "alpha beta delta epsilon"),  # 1 old, 2 new -> 2/3
+            (4, "solo"),                      # <2 tokens -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.ngram_novelty(d).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["novelty"] == 1.0 and out[1]["n_grams"] == 2
+    assert out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 0.666667 and out[3]["n_grams"] == 3
