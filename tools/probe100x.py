@@ -49,6 +49,7 @@ OPERATORS = [
     "q_dedup_minhash", "q_dedup_ngram", "q_minhash_portable",
     "q_simhash_portable", "q_clusters_portable", "q_dedup_embed",
     "q_fuzzy_join", "q_fuzzy_clusters", "q_span_removal", "q_decontaminate",
+    "q_split_leakage_safe", "q_ngram_novelty",  # round-10 curation ops
     # text / sketch tier
     "q_tfidf", "q_tfidf_pairs", "q_bm25", "q_pmi_bigrams",
     "q_text_tokens", "q_bpe_train",
