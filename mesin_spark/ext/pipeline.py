@@ -121,6 +121,37 @@ def leakage_safe_split(
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates (exact_dedup)
+    or suppressing the worse copy (suppress_lower_quality), keep every
+    row and emit a training sample weight 1/n_copies, so a document
+    duplicated m times contributes the same total gradient mass as a
+    unique one (the reweight-don't-delete strategy — public SoftDeDup
+    line of work; useful when duplicates carry distinct metadata the
+    pipeline must keep). Returns (id, cluster_id, n_copies, weight).
+
+    Same cluster machinery as leakage_safe_split: one window shuffle
+    keyed by the portable text fingerprint (compact long key, never the
+    raw text); fingerprint collisions can only merge clusters, which
+    UNDER-weights the merged docs — conservative for training. Weight
+    is 6-dp stable-rounded so the value is engine-portable."""
+    from mesin_spark.ext.text import fingerprint
+    from mesin_spark.functions import stable_round as R
+
+    d = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+    w = Window.partitionBy("_fp")
+    return d.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        R(F.lit(1.0) / F.count(F.lit(1)).over(w), 6).alias("weight"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

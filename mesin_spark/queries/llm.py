@@ -704,6 +704,51 @@ def q_hash_split(spark, sf_dir):
 
 
 @query(
+    "q_dedup_softweight",
+    oracle="""
+    WITH dup AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split(text, ''), c -> length(c) > 0),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                   (h, c) -> (h * 131 + c) % 1000000007
+               ) AS f
+        FROM dup
+    )
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY f) AS cluster_id,
+           count(*) OVER (PARTITION BY f) AS n_copies,
+           floor((1.0 / count(*) OVER (PARTITION BY f)) * 1000000.0 + 0.5)
+               / 1000000.0 AS weight
+    FROM fp
+    """,
+)
+def q_dedup_softweight(spark, sf_dir):
+    """Soft deduplication (ext/pipeline.soft_dedup_weights): every row
+    kept, training weight 1/n_copies per duplicate cluster — the
+    reweight-don't-delete third member of the dedup triple (drop =
+    q_dedup_exact, suppress-worse = q_dedup_suppress, reweight = this).
+    Clones planted at doc_id+1e12 guarantee multi-member clusters whose
+    members must all carry weight 0.5. One window shuffle keyed by the
+    portable text fingerprint, mirrored exactly in the oracle."""
+    raw = T(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = raw.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"), "text"
+    )
+    return P.soft_dedup_weights(
+        raw.unionByName(clones), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+@query(
     "q_split_leakage_safe",
     oracle="""
     WITH dup AS (

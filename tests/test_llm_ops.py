@@ -730,3 +730,28 @@ def test_ngram_novelty_planted_properties(spark):
     assert out[1]["novelty"] == 1.0 and out[1]["n_grams"] == 2
     assert out[2]["novelty"] == 0.0
     assert out[3]["novelty"] == 0.666667 and out[3]["n_grams"] == 3
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """soft_dedup_weights: each duplicate cluster's weights sum to 1
+    (gradient-mass conservation — the property that makes reweighting
+    equivalent to dedup in expectation), singletons get weight 1.0, and
+    every row is KEPT (the distinction from exact_dedup)."""
+    from mesin_spark.ext.pipeline import soft_dedup_weights
+
+    d = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(21)]      # 7 clusters of 3
+        + [(100 + i, f"unique {i}") for i in range(5)],  # 5 singletons
+        "doc_id long, text string",
+    )
+    out = soft_dedup_weights(d).collect()
+    assert len(out) == 26  # every row kept
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(by_cluster) == 12
+    for rows in by_cluster.values():
+        assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-5
+        assert all(r["n_copies"] == len(rows) for r in rows)
+    singles = [r for r in out if r["doc_id"] >= 100]
+    assert all(r["weight"] == 1.0 for r in singles)
