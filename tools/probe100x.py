@@ -50,6 +50,7 @@ OPERATORS = [
     "q_simhash_portable", "q_clusters_portable", "q_dedup_embed",
     "q_fuzzy_join", "q_fuzzy_clusters", "q_span_removal", "q_decontaminate",
     "q_split_leakage_safe", "q_ngram_novelty",  # round-10 curation ops
+    "q_dedup_softweight",  # same fingerprint-window shape, probed for drift
     # text / sketch tier
     "q_tfidf", "q_tfidf_pairs", "q_bm25", "q_pmi_bigrams",
     "q_text_tokens", "q_bpe_train",
