@@ -152,6 +152,50 @@ def soft_dedup_weights(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplicate-contamination matrix: for every pair of
+    sources, how many DISTINCT texts appear in both, and what share of
+    each source's distinct texts that overlap is. The dataset-curation
+    diagnostic behind 'is domain B just a mirror of domain A' and
+    'did the eval split's source leak into a training source' —
+    computed corpus-wide with NO document pair space: texts fold to the
+    portable fingerprint, (source, fp) pairs dedupe, and the self-join
+    key is the fingerprint, whose per-key match count is bounded by the
+    SOURCE cardinality (a handful), never by corpus size. Returns
+    (source_a, source_b, n_shared, share_of_a, share_of_b),
+    source_a < source_b, 6-dp stable-rounded shares."""
+    from mesin_spark.ext.text import fingerprint
+    from mesin_spark.functions import stable_round as R
+
+    sf = df.select(
+        F.col(source_col).alias("_src"), fingerprint(F.col(text_col)).alias("_fp")
+    ).distinct()
+    counts = sf.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    a = sf.select(F.col("_src").alias("source_a"), "_fp")
+    b = sf.select(F.col("_src").alias("source_b"), "_fp")
+    shared = (
+        a.join(b, "_fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = counts.select(F.col("_src").alias("source_a"), F.col("_n").alias("_na"))
+    cb = counts.select(F.col("_src").alias("source_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared",
+            R(F.col("n_shared") / F.col("_na"), 6).alias("share_of_a"),
+            R(F.col("n_shared") / F.col("_nb"), 6).alias("share_of_b"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

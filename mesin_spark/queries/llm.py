@@ -704,6 +704,60 @@ def q_hash_split(spark, sf_dir):
 
 
 @query(
+    "q_source_overlap",
+    oracle="""
+    WITH planted AS (
+        SELECT source, text FROM documents
+        UNION ALL
+        SELECT source || '-mirror' AS source, text
+        FROM documents WHERE doc_id % 4 = 0
+    ),
+    fp AS (
+        SELECT DISTINCT source,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split(text, ''), c -> length(c) > 0),
+                           c -> CAST(unicode(c) AS BIGINT))),
+                   (h, c) -> (h * 131 + c) % 1000000007
+               ) AS f
+        FROM planted
+    ),
+    counts AS (SELECT source, count(*) AS n FROM fp GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           floor((n_shared::DOUBLE / ca.n) * 1000000.0 + 0.5) / 1000000.0 AS share_of_a,
+           floor((n_shared::DOUBLE / cb.n) * 1000000.0 + 0.5) / 1000000.0 AS share_of_b
+    FROM shared
+    JOIN counts ca ON ca.source = source_a
+    JOIN counts cb ON cb.source = source_b
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source duplicate-contamination matrix
+    (ext/pipeline.source_overlap): distinct shared texts per source
+    pair + each side's overlap share — the is-domain-B-a-mirror-of-A /
+    did-eval-leak-into-train curation diagnostic. Mirrors of every 4th
+    doc are planted under '<source>-mirror' (oracle-mirrored) so the
+    fixture HAS cross-source duplicates with exact known shares. No
+    document pair space: the self-join key is the text fingerprint,
+    whose per-key fan-out is bounded by source CARDINALITY, and the
+    per-source totals broadcast back (source-count-sized dims)."""
+    raw = T(spark, sf_dir, "documents").select("source", "text", "doc_id")
+    mirror = raw.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.col("source"), F.lit("-mirror")).alias("source"), "text"
+    )
+    planted = raw.select("source", "text").unionByName(mirror)
+    return P.source_overlap(planted, "source", "text").orderBy(
+        "source_a", "source_b"
+    )
+
+
+@query(
     "q_dedup_softweight",
     oracle="""
     WITH dup AS (

@@ -755,3 +755,25 @@ def test_soft_dedup_weights_mass_conservation(spark):
         assert all(r["n_copies"] == len(rows) for r in rows)
     singles = [r for r in out if r["doc_id"] >= 100]
     assert all(r["weight"] == 1.0 for r in singles)
+
+
+def test_source_overlap_exact_shares(spark):
+    """source_overlap: planted cross-source mirrors yield exact known
+    shares; disjoint sources produce NO row (inner join, not a padded
+    matrix); within-source duplicates don't inflate counts (distinct
+    (source, fp) before pairing)."""
+    from mesin_spark.ext.pipeline import source_overlap
+
+    rows = (
+        [("A", f"text number {i}") for i in range(10)]
+        + [("B", f"text number {i}") for i in range(5)]       # 5 of A's
+        + [("B", f"only b {i}") for i in range(5)]            # B total 10
+        + [("B", "text number 0")]                            # within-B dup
+        + [("C", "nothing shared here")]
+    )
+    d = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["source_a"], r["source_b"]): r for r in source_overlap(d).collect()}
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert r["n_shared"] == 5
+    assert r["share_of_a"] == 0.5 and r["share_of_b"] == 0.5

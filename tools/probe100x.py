@@ -49,7 +49,7 @@ OPERATORS = [
     "q_dedup_minhash", "q_dedup_ngram", "q_minhash_portable",
     "q_simhash_portable", "q_clusters_portable", "q_dedup_embed",
     "q_fuzzy_join", "q_fuzzy_clusters", "q_span_removal", "q_decontaminate",
-    "q_split_leakage_safe", "q_ngram_novelty",  # round-10 curation ops
+    "q_split_leakage_safe", "q_ngram_novelty", "q_source_overlap",
     "q_dedup_softweight",  # same fingerprint-window shape, probed for drift
     # text / sketch tier
     "q_tfidf", "q_tfidf_pairs", "q_bm25", "q_pmi_bigrams",
