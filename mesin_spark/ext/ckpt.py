@@ -34,11 +34,46 @@ metadata for AQE planning purposes), and both materialize eagerly by
 default so the truncation happens at a deterministic point in the loop.
 Equality of results across backends is pytest-asserted
 (tests/test_ckpt.py::test_checkpoint_backend_equivalence).
+
+Operational notes for the reliable backend:
+
+- ``mesin.checkpoint.dir`` is re-applied whenever it differs from the
+  SparkContext's current checkpoint dir (modulo the scheme-qualified
+  prefix Spark adds), so changing the conf mid-session takes effect on
+  the next ``ckpt()`` instead of being silently ignored.
+- Reliable checkpoint files are cleaned by Spark's ContextCleaner only
+  when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (it
+  defaults to false); without it a 40-round iteration leaves one
+  durable frame copy per checkpoint for the app's lifetime. Set it
+  alongside the backend knob::
+
+      --conf mesin.checkpoint.backend=reliable \
+      --conf mesin.checkpoint.dir=hdfs:///ckpt/mesin \
+      --conf spark.cleaner.referenceTracking.cleanCheckpoints=true
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+#: one-shot flag for the missing-cleaner warning (list so it's mutable
+#: without a global statement)
+_WARNED_NO_CLEAN: list = []
+
+
+def _same_ckpt_dir(have: str, want: str) -> bool:
+    """getCheckpointDir returns a scheme-qualified, timestamped child of
+    the dir that was SET (e.g. file:/tmp/mesin_ckpt/<uuid>), so compare
+    by prefix after normalizing the scheme."""
+    h = have.split("://", 1)[-1]
+    if h.startswith("file:"):
+        h = h[len("file:"):]
+    w = want.split("://", 1)[-1]
+    if w.startswith("file:"):
+        w = w[len("file:"):]
+    return h.rstrip("/").startswith(w.rstrip("/"))
 
 
 def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -55,9 +90,32 @@ def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
         backend = "local"
     if backend == "reliable":
         sc = spark.sparkContext
-        if sc.getCheckpointDir() is None:
-            sc.setCheckpointDir(
-                spark.conf.get("mesin.checkpoint.dir", "/tmp/mesin_ckpt")
+        want = spark.conf.get("mesin.checkpoint.dir", "/tmp/mesin_ckpt")
+        have = sc.getCheckpointDir()
+        if have is None:
+            sc.setCheckpointDir(want)
+        elif not _same_ckpt_dir(have, want):
+            # conf changed mid-session — honor it (a silent ignore was
+            # the round-10 ADVICE finding) and say so once per change
+            warnings.warn(
+                f"mesin.checkpoint.dir changed to {want!r} (was {have!r}); "
+                "re-setting the SparkContext checkpoint dir. Earlier "
+                "checkpoints in the old dir are NOT moved or cleaned — "
+                "enable spark.cleaner.referenceTracking.cleanCheckpoints "
+                "to have Spark clean checkpoints it no longer references.",
+                stacklevel=2,
+            )
+            sc.setCheckpointDir(want)
+        if spark.conf.get(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+        ).lower() != "true" and not _WARNED_NO_CLEAN:
+            _WARNED_NO_CLEAN.append(True)
+            warnings.warn(
+                "reliable checkpoint backend without "
+                "spark.cleaner.referenceTracking.cleanCheckpoints=true: "
+                "checkpoint files accumulate for the app lifetime "
+                "(one durable frame copy per ckpt() call)",
+                stacklevel=2,
             )
         return df.checkpoint(eager=eager)
     if backend != "local":

@@ -879,13 +879,30 @@ def _gram_verify_join(cands, ga, gb, base, verify_join, max_bytes):
       scan width of a computed-array projection and routing a corpus-
       sized table into a BroadcastExchange; routing on measured bytes is
       immune to that. Past the cutoff the shuffle path runs unchanged
-      (a 100 TB gram table can never broadcast)."""
+      (a 100 TB gram table can never broadcast).
+
+    ``max_bytes`` is a PER-SIDE data-size cutoff: the broadcast route
+    ships BOTH gram sides (ga and gb are the same base projection under
+    different aliases, but each gets its own BroadcastExchange +
+    HashedRelation), and a JVM hashed relation costs ~2-3x its input
+    bytes (UnsafeRow copies + the open-addressing map). Peak driver +
+    per-executor memory on the broadcast route is therefore
+    ≈ 2 × max_bytes × 2..3 — the default 256 MiB cutoff budgets
+    ≈ 1-1.5 GiB of relation memory, sized against the 4-8 GiB executor
+    heaps a 100 TB deployment runs, not against the cutoff alone.
+
+    ``base`` is pinned (PinnedCache, keyed/bounded) before the measuring
+    aggregate so the measurement does not pay a full recompute of the
+    gram projection when the caller reached this join without pinning
+    (explicit ``prefix_filter=True`` skips the auto-route's pin) — and
+    the verify join that follows reuses the same cache."""
     if verify_join not in ("auto", "broadcast", "shuffle"):
         raise ValueError(
             f"verify_join must be 'auto', 'broadcast', or 'shuffle' — "
             f"got {verify_join!r}"
         )
     if verify_join == "auto":
+        base = PINNED.pin(base)
         st = base.agg(
             F.sum(F.size("_g")).alias("_s"), F.count(F.lit(1)).alias("_n")
         ).collect()[0]

@@ -14,14 +14,26 @@ frame stays pinned until the next call.
 
 This registry replaces the slots:
 
-- keyed by ``(session id, DataFrame.semanticHash())`` — a re-persist of
-  the SAME projection returns the already-persisted frame (no duplicate
-  cache), while different pipelines get different keys and never evict
-  each other;
+- keyed by ``(session key, DataFrame.semanticHash())`` — a re-persist
+  of the SAME projection returns the already-persisted frame (no
+  duplicate cache), while different pipelines get different keys and
+  never evict each other. ``semanticHash`` is a 32-bit hash, so a key
+  hit is CONFIRMED with ``sameSemantics`` before the pinned frame is
+  returned; a collision falls back to persisting the requested frame
+  (correct, one extra cache entry) instead of silently answering with
+  a different plan's data. The session key is the JVM session object's
+  ``hashCode`` (stable for the session's lifetime, never reused the way
+  a GC'd Python ``id()`` can be), falling back to ``id`` only when no
+  JVM handle is reachable;
 - bounded LRU (default 8 pinned frames) — eviction unpersists the
   least-recently-pinned frame; any lazy plan still referencing it
   recomputes from lineage (correct, just unaccelerated), and the
   application never accumulates pins for its lifetime;
+- a ``threading.Lock`` guards every registry mutation — the interleaved
+  pipelines the registry was built for may run from multiple driver
+  threads, and OrderedDict pop/insert/evict is not atomic. The
+  persist/unpersist JVM calls stay outside the critical section (they
+  are idempotent; the lock only serializes bookkeeping);
 - session-scoped keys mean a new SparkSession never resurrects a frame
   bound to a stopped one; dead-session entries age out of the LRU, and
   their unpersist failures are swallowed (nothing left to release).
@@ -29,10 +41,21 @@ This registry replaces the slots:
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+
+def _session_key(df: DataFrame):
+    """Stable per-session key: the JVM SparkSession's hashCode outlives
+    any Python-side wrapper and is never recycled the way ``id()`` of a
+    collected wrapper can be."""
+    try:
+        return df.sparkSession._jsparkSession.hashCode()
+    except Exception:
+        return id(df.sparkSession)
 
 
 class PinnedCache:
@@ -41,22 +64,47 @@ class PinnedCache:
             raise ValueError(f"capacity must be >= 1, got {capacity}")
         self._entries: OrderedDict[tuple, DataFrame] = OrderedDict()
         self._cap = capacity
+        self._lock = threading.Lock()
 
     def pin(self, df: DataFrame) -> DataFrame:
         """Persist ``df`` (MEMORY_AND_DISK) under its semantic key, or
         return the identically-keyed frame already pinned."""
         try:
-            key = (id(df.sparkSession), df.semanticHash())
+            key = (_session_key(df), df.semanticHash())
         except Exception:  # analysis-stage corner: fall back to plan text
-            key = (id(df.sparkSession), hash(df._jdf.queryExecution().toString()))
-        hit = self._entries.pop(key, None)
+            key = (_session_key(df), hash(df._jdf.queryExecution().toString()))
+        with self._lock:
+            hit = self._entries.get(key)
         if hit is not None:
-            self._entries[key] = hit  # LRU refresh
-            return hit
+            # semanticHash is 32-bit: confirm before trusting the hit.
+            # sameSemantics failures (dead session) count as a miss.
+            same = False
+            try:
+                same = hit is df or df.sameSemantics(hit)
+            except Exception:
+                same = False
+            if same:
+                with self._lock:
+                    if self._entries.get(key) is hit:  # LRU refresh
+                        self._entries.move_to_end(key)
+                return hit
+            # collision: evict the impostor's slot so the real frame wins
+            with self._lock:
+                if self._entries.get(key) is hit:
+                    del self._entries[key]
+            try:
+                hit.unpersist(blocking=False)
+            except Exception:
+                pass
         pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
-        self._entries[key] = pinned
-        while len(self._entries) > self._cap:
-            _, old = self._entries.popitem(last=False)
+        evicted = []
+        with self._lock:
+            self._entries[key] = pinned
+            self._entries.move_to_end(key)
+            while len(self._entries) > self._cap:
+                _, old = self._entries.popitem(last=False)
+                evicted.append(old)
+        for old in evicted:
             try:
                 old.unpersist(blocking=False)
             except Exception:  # session may be gone — nothing to release
@@ -64,7 +112,8 @@ class PinnedCache:
         return pinned
 
     def __len__(self) -> int:
-        return len(self._entries)
+        with self._lock:
+            return len(self._entries)
 
 
 #: the shared registry for the auto-routed tiers (grams, fuzzy names,

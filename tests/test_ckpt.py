@@ -86,3 +86,73 @@ def test_pinned_cache_keyed_and_bounded(spark):
     assert pa1.count() == 10 and c.count() == 5
     with pytest.raises(ValueError, match="capacity"):
         PinnedCache(capacity=0)
+
+
+def test_pinned_cache_collision_falls_back(spark):
+    """semanticHash is 32-bit: a key hit must be CONFIRMED with
+    sameSemantics before it is returned (round-10 ADVICE). Simulate a
+    collision by planting a DIFFERENT frame under the key and assert the
+    registry detects the mismatch and pins the requested frame instead
+    of answering with the impostor's data."""
+    from mesin_spark.ext.pin import PinnedCache, _session_key
+
+    reg = PinnedCache(capacity=4)
+    a = spark.range(10).selectExpr("id", "id * 2 AS v")
+    impostor = spark.range(99).selectExpr("id", "id * 7 AS v")
+    key = (_session_key(a), a.semanticHash())
+    with reg._lock:
+        reg._entries[key] = impostor
+    got = reg.pin(a)
+    assert got.sameSemantics(a) and got.count() == 10
+    with reg._lock:
+        assert reg._entries[key] is got  # impostor slot reclaimed
+
+
+def test_pinned_cache_thread_safety(spark):
+    """Concurrent pins of the same and different frames must not race
+    the registry bookkeeping (round-10 ADVICE: lock the OrderedDict)."""
+    import threading
+
+    from mesin_spark.ext.pin import PinnedCache
+
+    reg = PinnedCache(capacity=4)
+    frames = [spark.range(10 + i).selectExpr("id", f"id * {i + 2} AS v") for i in range(6)]
+    errs = []
+
+    def work(f):
+        try:
+            for _ in range(5):
+                assert reg.pin(f).count() >= 10
+        except Exception as e:  # pragma: no cover - failure reporter
+            errs.append(e)
+
+    ts = [threading.Thread(target=work, args=(f,)) for f in frames for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs and len(reg) <= 4
+
+
+def test_reliable_ckpt_dir_change_takes_effect(spark, tmp_path):
+    """Changing mesin.checkpoint.dir mid-session must be honored (with a
+    warning), not silently ignored (round-10 ADVICE)."""
+    import os
+    import warnings as w
+
+    from mesin_spark.ext.ckpt import ckpt
+
+    d1, d2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    _with_backend(spark, "reliable", d1)
+    try:
+        ckpt(spark.range(4))
+        assert os.path.isdir(d1)
+        spark.conf.set("mesin.checkpoint.dir", d2)
+        with w.catch_warnings(record=True) as rec:
+            w.simplefilter("always")
+            ckpt(spark.range(5))
+        assert any("mesin.checkpoint.dir changed" in str(r.message) for r in rec)
+        assert os.path.isdir(d2) and any(os.scandir(d2))
+    finally:
+        _reset(spark)
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ck_reset"))
