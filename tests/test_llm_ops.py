@@ -172,6 +172,53 @@ def test_dedup_clusters_chains(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dedup_clusters_prepartition_route_equality(spark):
+    """The measured edge-prepartition route (round-11: one up-front
+    repartition+pin of the STATIC edge table instead of one exchange per
+    pointer-jump round) moves an exchange, never semantics: both forced
+    routes and auto must return identical cluster maps, and string ids
+    must size via measured octet lengths without error."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (20, 21), (30, 30)],
+        "id_a long, id_b long",
+    )
+    outs = {
+        route: sorted(map(tuple, D.dedup_clusters(pairs, prepartition=route).collect()))
+        for route in (False, True, "auto")
+    }
+    assert outs[False] == outs[True] == outs["auto"]
+    # string keys exercise the octet-length branch of _row_bytes_expr
+    spairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    souts = {
+        route: sorted(map(tuple, D.dedup_clusters(spairs, prepartition=route).collect()))
+        for route in (False, True)
+    }
+    assert souts[False] == souts[True]
+    assert dict(souts[True])["c"] == "a"
+    # within the prepartitioned tier, the broadcast-labels route (|V|
+    # under the ceiling: src-partitioned edges + per-round broadcast)
+    # and the web-scale route (dst-partitioned edges + shuffled labels)
+    # must also agree
+    bouts = {
+        cap: sorted(
+            map(
+                tuple,
+                D.dedup_clusters(
+                    pairs, prepartition=True, broadcast_max_nodes=cap
+                ).collect(),
+            )
+        )
+        for cap in (0, 8_000_000)
+    }
+    assert bouts[0] == bouts[8_000_000] == outs[False]
+    with pytest.raises(ValueError, match="prepartition"):
+        D.dedup_clusters(pairs, prepartition="maybe")
+
+
 def test_hash_split_deterministic_and_fractional(spark, docs):
     from mesin_spark.ext import pipeline as P
 
