@@ -74,13 +74,29 @@ def train_bpe(
     min_count: int = 2,
     text_col: str = "text",
     checkpoint_every: int = 1,
+    batch: int = 8,
+    fetch_factor: int = 4,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges; returns [{rank, left, right, merged,
     pair_count}, ...] in merge order. Stops early when the best remaining
-    pair's weighted count drops below ``min_count``."""
+    pair's weighted count drops below ``min_count``.
+
+    ``batch`` collapses the trainer's driver rounds: instead of one
+    pair-count shuffle + one 1-row argmax collect PER MERGE (a 32k-job
+    sequential driver bottleneck at a production vocab — no executor
+    count fixes a per-merge driver round-trip), each round collects the
+    top ``batch * fetch_factor`` pairs and accepts a greedy prefix of up
+    to ``batch`` merges whose sequential equivalence is PROVABLE from
+    the snapshot (see _select_batch) — byte-for-byte the merges
+    sequential BPE would learn, just in ~batch-fold fewer Spark jobs.
+    ``batch=1`` is the classic loop."""
+    if batch < 1 or fetch_factor < 1:
+        raise ValueError(
+            f"batch and fetch_factor must be >= 1 — got {batch}, {fetch_factor}"
+        )
     spark = docs.sparkSession
     wc = word_counts(docs, text_col)
-    syms = wc.select(_chars(F.col("word")).alias("s"), "wcount").transform(ckpt, 
+    syms = wc.select(_chars(F.col("word")).alias("s"), "wcount").transform(ckpt,
         eager=True
     )
     merges: list[dict] = []
@@ -91,17 +107,94 @@ def train_bpe(
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        merges = _train_loop(syms, n_merges, min_count, checkpoint_every)
+        merges = _train_loop(
+            syms, n_merges, min_count, checkpoint_every, batch, fetch_factor
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior)
     return merges
 
 
+def _select_batch(top: list, limit: int, batch: int, min_count: int,
+                  vocab: set) -> list:
+    """Greedy prefix of ``top`` (already in sequential-argmax order:
+    count desc, then lexicographic) that is PROVABLY what sequential BPE
+    would pick, judged entirely from this snapshot:
+
+    - STOP at the first pair sharing a symbol with an accepted merge
+      (don't skip it: sequential revisits it with updated counts we
+      can't know). Stopping here also covers count DECREASES exactly —
+      any pair whose count an accepted merge could reduce ranks at or
+      after the conflict we stopped at.
+    - Pairs CREATED by an accepted merge (a, b)→ab derive from existing
+      neighbor pairs (x, a) / (b, y): their new count is bounded by that
+      neighbor's old count. Every such neighbor conflicts, so it ranks
+      at or after our stop point; its count is therefore ≤ the candidate
+      we are accepting — a strict count gap makes it impossible for the
+      created pair to outrank the candidate, and a TIE is unsafe (ties
+      break lexicographically on strings the snapshot can't enumerate),
+      so accept only while the candidate's count strictly exceeds both
+      every later-ranked conflicting count and the last collected row
+      (the bound on every pair BELOW the snapshot).
+    - If the accepted merge's token already exists in the vocabulary
+      (distinct derivations can collide: "abc" via ab+c earlier, now
+      a+bc), merging BOOSTS existing pairs around that token by up to
+      the merge's own count — unbounded by rank. ``vocab`` (driver-side:
+      initial charset ∪ merges so far) detects this exactly; accept the
+      colliding merge itself, then stop the batch.
+
+    The first element is always accepted (it IS the sequential argmax).
+    Equivalence is asserted merge-for-merge against a pure-Python
+    sequential trainer in pytest, interacting fixtures included."""
+    accepted = [top[0]]
+    if top[0]["l"] + top[0]["r"] in vocab:
+        return accepted
+    used = {top[0]["l"], top[0]["r"], top[0]["l"] + top[0]["r"]}
+    # anything not collected is bounded by the last collected count; a
+    # fully-collected table (fewer rows than asked) has no unknown region
+    unknown_bound = top[-1]["n"] if len(top) == limit else 0
+    for i in range(1, len(top)):
+        if len(accepted) == batch:
+            break
+        p = top[i]
+        if p["n"] < min_count:
+            break
+        if p["l"] in used or p["r"] in used:
+            break  # sequential revisits with updated counts — stop, not skip
+        # strict-dominance guard against created pairs and ties
+        conflict_bound = max(
+            (q["n"] for q in top[i + 1:] if q["l"] in used or q["r"] in used),
+            default=0,
+        )
+        if p["n"] <= max(unknown_bound, conflict_bound):
+            break
+        t = p["l"] + p["r"]
+        accepted.append(p)
+        if t in vocab:
+            break  # boost channel: p itself is safe, nothing after it is
+        used.update((p["l"], p["r"], t))
+    return accepted
+
+
 def _train_loop(
-    syms: DataFrame, n_merges: int, min_count: int, checkpoint_every: int
+    syms: DataFrame, n_merges: int, min_count: int, checkpoint_every: int,
+    batch: int = 1, fetch_factor: int = 4,
 ) -> list[dict]:
     merges: list[dict] = []
-    for rank in range(n_merges):
+    vocab: set | None = None
+    if batch > 1:
+        # the vocabulary is tracked driver-side for the boost check:
+        # initial charset (bounded by the alphabet) ∪ merged tokens.
+        # It OVERAPPROXIMATES live symbols (fully-merged-away symbols
+        # stay in), which can only truncate a batch early — never
+        # accept an unsafe merge.
+        vocab = {
+            r["c"]
+            for r in syms.select(F.explode("s").alias("c")).distinct().collect()
+        }
+    rounds = 0
+    while len(merges) < n_merges:
+        rounds += 1
         pairs = syms.filter(F.size("s") >= 2).select(
             F.explode(
                 F.transform(
@@ -114,21 +207,36 @@ def _train_loop(
             ).alias("p"),
             "wcount",
         )
+        limit = batch * fetch_factor if batch > 1 else 1
         top = (
             pairs.groupBy("p.l", "p.r")
             .agg(F.sum("wcount").alias("n"))
             .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
-            .limit(1)
+            .limit(limit)
             .collect()
         )
         if not top or top[0]["n"] < min_count:
             break
-        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-        merges.append(
-            {"rank": rank, "left": l, "right": r, "merged": l + r, "pair_count": n}
-        )
-        syms = syms.select(apply_merge(F.col("s"), l, r).alias("s"), "wcount")
-        if (rank + 1) % checkpoint_every == 0:
+        if batch > 1:
+            accepted = _select_batch(
+                top, limit, min(batch, n_merges - len(merges)), min_count, vocab
+            )
+        else:
+            accepted = [top[0]]
+        s = F.col("s")
+        for p in accepted:
+            l, r, n = p["l"], p["r"], int(p["n"])
+            merges.append(
+                {"rank": len(merges), "left": l, "right": r,
+                 "merged": l + r, "pair_count": n}
+            )
+            if vocab is not None:
+                vocab.add(l + r)
+            # accepted merges are symbol-disjoint, so the nested folds
+            # commute with sequential application; one select applies all
+            s = apply_merge(s, l, r)
+        syms = syms.select(s.alias("s"), "wcount")
+        if rounds % checkpoint_every == 0:
             # lazy: the NEXT iteration's pair-count job materializes the
             # checkpoint, so each round costs ONE job, not two
             syms = syms.transform(ckpt, eager=False)

@@ -137,13 +137,17 @@ def q_pq_ann(spark, sf_dir):
 @query("q_bpe_train")  # rows-only: iterative training has no SQL mirror
 def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): 12
-    merges learned from the corpus word-frequency table. Each iteration is
-    one pair-count shuffle over the DISTINCT-word table + a 1-row argmax
-    collect; exact equivalence with a pure-Python reference trainer on the
-    same corpus (at 24 merges) is asserted in tests/test_llm4_ops.py.
-    Returns the merge table (the trained artifact). The merge count is
-    data-independent per-round cost (~0.8s/merge locally), so the
-    registered query trains 12 — the test tier goes deeper."""
+    merges learned from the corpus word-frequency table. Each round is
+    one pair-count shuffle over the DISTINCT-word table + one bounded
+    top-k collect from which a snapshot-provable PREFIX of merges is
+    accepted (ext/bpe._select_batch) — byte-identical to sequential
+    argmax-per-merge training but ~batch-fold fewer driver rounds, the
+    fix for the 32k-sequential-jobs bottleneck a production vocab would
+    hit. Exact merge-for-merge equivalence with a pure-Python reference
+    trainer (at 24 merges, interactions included) is asserted in
+    tests/test_llm4_ops.py. Returns the merge table (the trained
+    artifact); the registered query trains 12 — the test tier goes
+    deeper."""
     from mesin_spark.ext.bpe import train_bpe
 
     d = T(spark, sf_dir, "documents")

@@ -737,3 +737,96 @@ def test_progressive_jpeg_truncated_between_scans_raises(spark):
     with pytest.raises(ValueError, match="truncated progressive"):
         decode_jpeg(prog[: sos[1]])
     decode_jpeg(prog)  # the untruncated stream still decodes
+
+
+def test_bpe_select_batch_guards():
+    """Unit: the snapshot-provable acceptance rules of the batched
+    trainer (ext/bpe._select_batch) — each divergence channel stops the
+    batch exactly where sequential equivalence stops being provable."""
+    from mesin_spark.ext.bpe import _select_batch
+
+    def row(l, r, n):
+        return {"l": l, "r": r, "n": n}
+
+    # conflict stop: (b,c) shares b with accepted (a,b) -> batch = 1
+    top = [row("a", "b", 100), row("b", "c", 90), row("d", "e", 80)]
+    got = _select_batch(top, limit=16, batch=8, min_count=2, vocab={"a", "b", "c", "d", "e"})
+    assert [(p["l"], p["r"]) for p in got] == [("a", "b")]
+
+    # disjoint with strict gaps: all three accepted in order
+    top = [row("a", "b", 100), row("c", "d", 90), row("e", "f", 80), row("g", "h", 10)]
+    got = _select_batch(top, limit=16, batch=8, min_count=2,
+                        vocab=set("abcdefgh"))
+    assert [(p["l"], p["r"]) for p in got] == [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
+
+    # tie with a conflicting later pair: (c,d)=90 ties (x,a)=90 which
+    # shares a with accepted (a,b) -> created pairs could tie -> stop
+    top = [row("a", "b", 100), row("c", "d", 90), row("x", "a", 90)]
+    got = _select_batch(top, limit=16, batch=8, min_count=2, vocab=set("abcdx"))
+    assert [(p["l"], p["r"]) for p in got] == [("a", "b")]
+
+    # unknown-region tie: snapshot full at limit -> candidates at the
+    # last collected count can't prove dominance -> stop before them
+    top = [row("a", "b", 100), row("c", "d", 50), row("e", "f", 50)]
+    got = _select_batch(top, limit=3, batch=8, min_count=2, vocab=set("abcdef"))
+    assert [(p["l"], p["r"]) for p in got] == [("a", "b")]
+    # same rows but table exhausted (limit > len) -> no unknown region
+    got = _select_batch(top, limit=4, batch=8, min_count=2, vocab=set("abcdef"))
+    assert [(p["l"], p["r"]) for p in got] == [("a", "b"), ("c", "d"), ("e", "f")]
+
+    # boost channel: merged token already in vocab -> accept it, stop
+    top = [row("ab", "c", 100), row("d", "e", 90)]
+    got = _select_batch(top, limit=16, batch=8, min_count=2,
+                        vocab={"ab", "c", "d", "e", "abc"})
+    assert [(p["l"], p["r"]) for p in got] == [("ab", "c")]
+
+    # min_count floor inside the batch
+    top = [row("a", "b", 100), row("c", "d", 1)]
+    got = _select_batch(top, limit=16, batch=8, min_count=2, vocab=set("abcd"))
+    assert [(p["l"], p["r"]) for p in got] == [("a", "b")]
+
+
+def test_bpe_batched_equals_sequential_and_collapses_rounds(spark):
+    """Integration: batch>1 learns byte-identical merges to batch=1 on
+    the real fixture (interactions included) in measurably fewer SQL
+    executions — the driver-round bottleneck the batching removes."""
+    from mesin_spark.ext.bpe import train_bpe
+    from mesin_spark.queries import T
+
+    docs = T(spark, SF_DIR, "documents")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def run(batch):
+        first = store.executionsList().size()
+        out = train_bpe(docs, n_merges=24, min_count=2, batch=batch)
+        return out, store.executionsList().size() - first
+
+    seq, seq_execs = run(1)
+    bat, bat_execs = run(8)
+    assert [(m["left"], m["right"], m["pair_count"]) for m in bat] == [
+        (m["left"], m["right"], m["pair_count"]) for m in seq
+    ]
+    # real text interacts (common chars co-occur: (t,h) blocks (h,e)),
+    # so the fixture's collapse is partial — but it must be a real
+    # reduction, not a wash
+    assert bat_execs < seq_execs * 0.8, (bat_execs, seq_execs)
+
+    # on a disjoint-pair corpus the collapse reaches ~batch-fold: 8
+    # frequent pairs sharing no symbol, strictly decreasing counts ->
+    # one batched round learns what 8 sequential rounds would
+    words = [("ab", 900), ("cd", 800), ("ef", 700), ("gh", 600),
+             ("ij", 500), ("kl", 400), ("mn", 300), ("op", 200)]
+    docs2 = spark.createDataFrame(
+        [(" ".join([w] * c),) for w, c in words], ["text"]
+    )
+    def run2(batch):
+        first = store.executionsList().size()
+        out = train_bpe(docs2, n_merges=8, min_count=2, batch=batch)
+        return out, store.executionsList().size() - first
+    seq2, seq2_execs = run2(1)
+    bat2, bat2_execs = run2(8)
+    assert [(m["left"], m["right"]) for m in bat2] == [
+        (m["left"], m["right"]) for m in seq2
+    ]
+    assert len(bat2) == 8
+    assert bat2_execs * 3 <= seq2_execs, (bat2_execs, seq2_execs)
