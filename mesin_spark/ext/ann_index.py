@@ -25,6 +25,7 @@ import os
 import tempfile
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,6 +48,7 @@ class IvfPqIndex:
         codebooks: np.ndarray,
         id_col: str,
         corpus_dir: str = CORPUS_DIR,
+        stats: dict | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -54,6 +56,9 @@ class IvfPqIndex:
         self.codebooks = codebooks
         self.id_col = id_col
         self.corpus_dir = corpus_dir
+        #: per-list build baselines + cumulative append counters
+        #: ({"lists": {list: {rows, fit}}, "appended": {list: {rows, fit}}})
+        self.stats = stats or {"lists": {}, "appended": {}}
 
     @property
     def k(self) -> int:
@@ -92,6 +97,50 @@ class IvfPqIndex:
         )
 
 
+def _ivf_fit(centroids, vec_col: str = "embedding"):
+    """Per-vector coarse-quantizer FIT: cosine to the NEAREST stored
+    centroid (== the similarity ivf_assign maximized). The scalar whose
+    per-list batch average, compared to the build-time baseline, detects
+    distribution drift without touching the built corpus."""
+    C = centroids
+
+    @F.pandas_udf("double")
+    def fit(vs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vs), dtype=np.float64)
+        for i, v in enumerate(vs):
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a)
+            if n > 0:
+                out[i] = float(np.max(C @ (a / n)))
+        return pd.Series(out)
+
+    return fit(F.col(vec_col))
+
+
+def _list_stats(coded) -> dict:
+    """Bounded per-list aggregate (≤ n_list rows): row count + mean fit."""
+    rows = (
+        coded.groupBy("ivf_list")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("_fit").alias("fit"))
+        .collect()
+    )
+    return {
+        str(int(r["ivf_list"])): {
+            "rows": int(r["n"]),
+            "fit": round(float(r["fit"] or 0.0), 6),
+        }
+        for r in rows
+    }
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, META_FILE))
+
+
 def build_index(
     emb: DataFrame,
     path: str,
@@ -100,20 +149,31 @@ def build_index(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> IvfPqIndex:
     """Train (seeded, deterministic) and persist the index: ONE pass over
     the corpus computes both the IVF assignment and the PQ codes
-    (Arrow-batched), written partitioned by ``ivf_list``. Rebuilds are
-    full-refresh by design — incremental adds would append to the same
-    partition dirs with the SAME frozen codebooks (standard FAISS
-    practice: retrain only when the distribution drifts)."""
+    (Arrow-batched), written partitioned by ``ivf_list``. Incremental
+    adds go through ``append_batch`` (frozen artifacts, per-list drift
+    counters — standard FAISS practice: retrain only when the
+    distribution drifts); a rebuild is a fresh ``build_index`` (the
+    versioned corpus dir + atomic meta replace keep readers consistent
+    throughout).
+
+    ``corpus`` (default: ``emb``) separates the TRAINING frame from the
+    INGESTED frame — the hook that makes append-vs-rebuild equality
+    exactly testable (train both on the same frame, ingest differently)
+    and lets a deployment train on a stratified sample while coding the
+    full table."""
     spark = emb.sparkSession
     C = ivf_centroids(emb, n_list, id_col, vec_col)
     B = pq_codebooks(emb, m=m, k=k, id_col=id_col, vec_col=vec_col)
     coded = (
-        emb.withColumn("ivf_list", ivf_assign(C, vec_col))
+        (corpus if corpus is not None else emb)
+        .withColumn("ivf_list", ivf_assign(C, vec_col))
         .withColumn("codes", pq_encode(B, vec_col))
-        .select(id_col, "codes", "ivf_list")
+        .withColumn("_fit", _ivf_fit(C, vec_col))
+        .select(id_col, "codes", "ivf_list", "_fit")
     )
     # VERSIONED corpus dir named in the meta: codes must never be read
     # under other codebooks, so writing corpus and meta to fixed names
@@ -127,9 +187,17 @@ def build_index(
         if d.startswith(CORPUS_DIR) and os.path.isdir(os.path.join(path, d))
     ]
     corpus_dir = f"{CORPUS_DIR}_v{len(existing) + 1:05d}"
-    coded.write.partitionBy("ivf_list").mode("overwrite").parquet(
-        os.path.join(path, corpus_dir)
-    )
+    # the codes table is consumed twice (the partitioned write + the
+    # bounded per-list stats aggregate) — persist so the Arrow-batched
+    # encode pass runs once
+    coded = coded.persist()
+    try:
+        coded.drop("_fit").write.partitionBy("ivf_list").mode("overwrite").parquet(
+            os.path.join(path, corpus_dir)
+        )
+        lists = _list_stats(coded)
+    finally:
+        coded.unpersist(blocking=False)
     meta = {
         "id_col": id_col,
         "corpus_dir": corpus_dir,
@@ -139,13 +207,105 @@ def build_index(
         "dsub": int(B.shape[2]),
         "centroids": C.tolist(),
         "codebooks": B.tolist(),
+        "lists": lists,
+        "appended": {},
     }
-    os.makedirs(path, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, META_FILE))
-    return IvfPqIndex(spark, path, C, B, id_col, corpus_dir)
+    _write_meta(path, meta)
+    return IvfPqIndex(
+        spark, path, C, B, id_col, corpus_dir,
+        stats={"lists": lists, "appended": {}},
+    )
+
+
+def append_batch(
+    index: IvfPqIndex,
+    batch: DataFrame,
+    vec_col: str = "embedding",
+    occupancy_factor: float = 1.0,
+    fit_drop_max: float = 0.05,
+) -> DataFrame:
+    """Incremental index maintenance — the Delta-ingest ANN pattern a
+    100 TB corpus needs: encode ONLY the arriving batch with the
+    PERSISTED (frozen) centroids + codebooks, APPEND its (id, codes)
+    rows to the partitioned codes table, and track per-list drift so a
+    retrain is a measured decision instead of a per-batch rebuild.
+
+    Appended codes are byte-identical to what a rebuild with the same
+    artifacts would produce (pytest-asserted: build-on-part + append ≡
+    build-on-full when both train on the same frame), so queries over
+    the reopened index see the union seamlessly — partition pruning,
+    ADC scan, and recall behavior unchanged.
+
+    Drift is two bounded per-list signals, judged against the
+    build-time baselines stored in the index meta:
+
+    - occupancy: cumulative appended rows vs built rows — a list
+      absorbing more than ``occupancy_factor`` x its built population
+      has outgrown its build-time geometry (probe cost for that list
+      grows past its share);
+    - fit: the batch's mean cosine to its assigned centroid vs the
+      build-time per-list mean — a drop past ``fit_drop_max`` means the
+      frozen quantizer no longer represents arriving vectors
+      (reassignment-share proxy measurable WITHOUT re-training).
+
+    Returns the per-list drift report (ivf_list, built_rows, built_fit,
+    appended_rows cumulative, batch_rows, batch_fit, occupancy_ratio,
+    fit_drop, needs_rebuild), deterministic order by ivf_list. Meta
+    counters update atomically (same single-commit replace as build),
+    so a reopened index resumes the cumulative occupancy history."""
+    coded = (
+        batch.withColumn("ivf_list", ivf_assign(index.centroids, vec_col))
+        .withColumn("codes", pq_encode(index.codebooks, vec_col))
+        .withColumn("_fit", _ivf_fit(index.centroids, vec_col))
+        .select(index.id_col, "codes", "ivf_list", "_fit")
+        .persist()
+    )
+    try:
+        coded.drop("_fit").write.partitionBy("ivf_list").mode("append").parquet(
+            os.path.join(index.path, index.corpus_dir)
+        )
+        batch_stats = _list_stats(coded)
+    finally:
+        coded.unpersist(blocking=False)
+
+    # fold this batch into the cumulative append counters (weighted fit)
+    appended = index.stats.setdefault("appended", {})
+    for lst, st in batch_stats.items():
+        prev = appended.get(lst, {"rows": 0, "fit": 0.0})
+        n = prev["rows"] + st["rows"]
+        appended[lst] = {
+            "rows": n,
+            "fit": round(
+                (prev["fit"] * prev["rows"] + st["fit"] * st["rows"]) / max(n, 1), 6
+            ),
+        }
+    with open(os.path.join(index.path, META_FILE)) as f:
+        meta = json.load(f)
+    meta["appended"] = appended
+    meta.setdefault("lists", index.stats.get("lists", {}))
+    _write_meta(index.path, meta)
+
+    built = index.stats.get("lists", {})
+    report = []
+    for lst in sorted(set(built) | set(appended), key=int):
+        b = built.get(lst, {"rows": 0, "fit": 0.0})
+        a = appended.get(lst, {"rows": 0, "fit": 0.0})
+        s = batch_stats.get(lst, {"rows": 0, "fit": 0.0})
+        occ = a["rows"] / max(b["rows"], 1)
+        drop = round(b["fit"] - s["fit"], 6) if s["rows"] else 0.0
+        report.append(
+            (
+                int(lst), b["rows"], float(b["fit"]), a["rows"], s["rows"],
+                float(s["fit"]), round(occ, 6), drop,
+                bool(occ > occupancy_factor or drop > fit_drop_max),
+            )
+        )
+    return index.spark.createDataFrame(
+        report,
+        "ivf_list int, built_rows long, built_fit double, appended_rows long, "
+        "batch_rows long, batch_fit double, occupancy_ratio double, "
+        "fit_drop double, needs_rebuild boolean",
+    )
 
 
 def load_index(spark: SparkSession, path: str) -> IvfPqIndex:
@@ -159,4 +319,8 @@ def load_index(spark: SparkSession, path: str) -> IvfPqIndex:
         meta["id_col"],
         # older metas predate corpus versioning — fall back to the fixed dir
         meta.get("corpus_dir", CORPUS_DIR),
+        stats={
+            "lists": meta.get("lists", {}),
+            "appended": meta.get("appended", {}),
+        },
     )

@@ -427,6 +427,31 @@ def q_ann_index(spark, sf_dir):
     return idx.topk(qvec, topk=10, n_probe=4)
 
 
+@query("q_ann_incremental")  # rows-only: seeded trainers have no SQL mirror
+def q_ann_incremental(spark, sf_dir):
+    """Incremental ANN index maintenance (ext/ann_index.append_batch):
+    day-1 index built on 4/5 of the embeddings, then the remaining 1/5
+    arrives as a batch — encoded ONLY with the persisted frozen
+    centroids/codebooks and APPENDED to the partitioned codes table (no
+    rebuild pass over the built corpus). Returns the per-list drift
+    report: cumulative occupancy vs build baselines plus the batch's
+    coarse-quantizer fit drop — the measured signals that turn
+    retraining into a decision instead of a per-batch reflex. The
+    in-distribution batch must not trip a rebuild anywhere (asserted
+    here by construction of the fixture; append≡rebuild equality and
+    reopen/recall are pytested in tests/test_llm4_ops.py)."""
+    from mesin_spark.ext import ann_index as AI
+
+    emb = T(spark, sf_dir, "embeddings")
+    path = scratch_dir(prefix="mesin_annincr_")
+    idx = AI.build_index(
+        emb, path, n_list=16, m=8, k=16,
+        corpus=emb.filter(F.col("vec_id") % 5 != 0),
+    )
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    return AI.append_batch(idx, batch).orderBy("ivf_list")
+
+
 @query(
     "q_ann_sq8",
     oracle=f"""

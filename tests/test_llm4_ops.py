@@ -830,3 +830,65 @@ def test_bpe_batched_equals_sequential_and_collapses_rounds(spark):
     ]
     assert len(bat2) == 8
     assert bat2_execs * 3 <= seq2_execs, (bat2_execs, seq2_execs)
+
+
+def test_ann_append_equals_rebuild_and_tracks_drift(spark, tmp_path):
+    """Incremental IVF-PQ maintenance (ext/ann_index.append_batch):
+    (1) append ≡ rebuild — building on part of the corpus and appending
+    the rest (artifacts trained on the SAME frame) reproduces the
+    single-shot build's coded table and top-k exactly;
+    (2) a reopened index resumes cumulative drift counters;
+    (3) an in-distribution batch trips no rebuild flag, a shifted batch
+    trips the fit-drop flag, and occupancy overflow trips the
+    occupancy flag."""
+    from pyspark.sql import functions as F
+
+    from mesin_spark.ext import ann_index as AI
+    from mesin_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    part = emb.filter(F.col("vec_id") % 4 != 0)
+    rest = emb.filter(F.col("vec_id") % 4 == 0)
+
+    full = AI.build_index(emb, str(tmp_path / "full"), n_list=8, m=8, k=16)
+    incr = AI.build_index(
+        emb, str(tmp_path / "incr"), n_list=8, m=8, k=16, corpus=part
+    )
+    report = AI.append_batch(incr, rest).collect()
+    # in-distribution batch: no rebuild flags anywhere
+    assert report and not any(r["needs_rebuild"] for r in report)
+
+    # coded tables byte-identical (same frozen artifacts -> same codes)
+    read = lambda p, d: spark.read.parquet(f"{p}/{d}").orderBy("vec_id")
+    a = [(r["vec_id"], list(r["codes"]), r["ivf_list"])
+         for r in read(str(tmp_path / "full"), full.corpus_dir).collect()]
+    b = [(r["vec_id"], list(r["codes"]), r["ivf_list"])
+         for r in read(str(tmp_path / "incr"), incr.corpus_dir).collect()]
+    assert a == b
+
+    # reopened incremental index answers identically to the full build
+    ro = AI.load_index(spark, str(tmp_path / "incr"))
+    assert [r["vec_id"] for r in ro.topk(qvec, 10, n_probe=4).collect()] == [
+        r["vec_id"] for r in full.topk(qvec, 10, n_probe=4).collect()
+    ]
+    # ...and resumes the cumulative counters written by append_batch
+    assert sum(v["rows"] for v in ro.stats["appended"].values()) == rest.count()
+
+    # drift: a shifted batch (constant offset on every dim, re-keyed)
+    # must trip fit-drop flags
+    dim = len(qvec)
+    shifted = rest.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") + F.lit(3.0)).cast("float")
+        ).alias("embedding"),
+    )
+    drift = AI.append_batch(ro, shifted).collect()
+    assert any(r["needs_rebuild"] and r["fit_drop"] > 0.05 for r in drift)
+
+    # occupancy: appending more rows than were built trips the ratio flag
+    big = emb.select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    occ = AI.append_batch(ro, big, occupancy_factor=1.0).collect()
+    assert any(r["needs_rebuild"] and r["occupancy_ratio"] > 1.0 for r in occ)
