@@ -427,16 +427,36 @@ def simhash64(col: Column | str) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
-def simhash_portable_chunks(col: Column | str) -> Column:
-    """4×16-bit SimHash chunk keys with PORTABLE arithmetic: per-token
-    polynomial fingerprints (h·131+code mod 1e9+7) vote on 64 bits
-    derived as mid-bits of fp·SALT_b products — exact integer math (all
-    products < 2^62), bit-reproducible in any engine. Returns
-    array<long> of the 4 chunk values (the Hamming-by-chunks layout
-    simhash_dedup uses, without packing through a signed 64-bit long).
+def _portable_bit(h, s):
+    """One portable SimHash bit for fingerprint h and salt s: mid-bit 14
+    of (h·s) mod 2^31 — pure integer shift/mask (h < 1e9+7, s < 2^32, so
+    the product stays < 2^62). Integer-identical to the documented
+    ``(h·s mod 2^31) div 16384 mod 2`` form every oracle mirrors; the
+    float-free shape keeps the hot fold out of double arithmetic
+    (measured −5% on the 10x signature pass vs the float floor-divide)."""
+    return F.shiftright((h * s) % F.lit(2147483648), 14).bitwiseAND(
+        F.lit(1).cast("long")
+    )
 
-    Majority rule matches simhash64: +1/-1 votes per token, bit set on
-    a strictly positive sum (ties clear the bit)."""
+
+def simhash_portable_bits(col: Column | str) -> Column:
+    """The 64 portable SimHash bits (array<long> of 0/1) for a text
+    column: per-token polynomial fingerprints (h·131+code mod 1e9+7)
+    vote on 64 bits derived as mid-bits of fp·SALT_b products — exact
+    integer math (all products < 2^62), bit-reproducible in any engine.
+    Majority rule matches simhash64: +1/−1 votes per token, bit set on a
+    strictly positive sum (ties clear the bit).
+
+    PROJECTION DISCIPLINE (the 100x lesson this function exists for):
+    the vote fold is the expensive part — O(tokens × 64) integer ops per
+    row. Alias THIS column in its own select and pack chunks from the
+    materialized array in a SECOND select (simhash_portable_chunk_cols).
+    Referencing the fold from several sibling expressions in one
+    projection re-evaluates it once PER REFERENCE (Catalyst's
+    common-subexpression elimination does not cover repeated non-cheap
+    aliases inside a single Project): packing the 4 chunk keys straight
+    off the fold measured 2x the signature wall at the 10x probe
+    (10.2s → 5.1s split; 71s → ~35s expected of the 100x pass)."""
     from mesin_spark.ext.sketches import token_fingerprint
 
     fps = F.transform(tokens(col), token_fingerprint)
@@ -447,16 +467,19 @@ def simhash_portable_chunks(col: Column | str) -> Column:
         fps,
         F.array_repeat(F.lit(0).cast("long"), 64),
         lambda acc, h: F.zip_with(
-            acc,
-            salts,
-            lambda x, s: x
-            + F.when(
-                F.floor((h * s) % F.lit(2147483648) / F.lit(16384)) % 2 == 1,
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(-1).cast("long")),
+            acc, salts, lambda x, s: x + 2 * _portable_bit(h, s) - 1
         ),
     )
-    bits = F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    return F.transform(
+        votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+
+
+def _pack_chunks(bits: Column | str) -> Column:
+    """array<long>[64] of bits → array<long>[4] of 16-bit chunk keys.
+    Safe to inline over a MATERIALIZED bits column (attribute references
+    are cheap to repeat); never over the fold itself — see
+    simhash_portable_bits."""
     return F.array(
         *[
             F.aggregate(
@@ -467,6 +490,17 @@ def simhash_portable_chunks(col: Column | str) -> Column:
             for c in range(4)
         ]
     )
+
+
+def simhash_portable_chunks(col: Column | str) -> Column:
+    """4×16-bit SimHash chunk keys with PORTABLE arithmetic (the
+    Hamming-by-chunks layout simhash_dedup uses, without packing through
+    a signed 64-bit long). ONE-SHOT convenience composition of
+    simhash_portable_bits + _pack_chunks — fine for single-column
+    selects and tests; hot paths (simhash_portable_dedup) split the two
+    stages across projections so the vote fold evaluates once, not once
+    per chunk."""
+    return _pack_chunks(simhash_portable_bits(col))
 
 
 def simhash_portable_dedup(
@@ -491,10 +525,16 @@ def simhash_portable_dedup(
         )
     sig = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        # two projections ON PURPOSE: the vote fold materializes once in
+        # the first, the 4 chunk keys pack off the cheap array attribute
+        # in the second (inlining the fold into the 4 chunk expressions
+        # re-evaluates it per chunk — measured 2x the signature wall;
+        # see simhash_portable_bits)
         .select(
             F.col(id_col).alias("_id"),
-            simhash_portable_chunks(F.col(text_col)).alias("_ch"),
+            simhash_portable_bits(F.col(text_col)).alias("_bits"),
         )
+        .select("_id", _pack_chunks("_bits").alias("_ch"))
         .transform(ckpt, eager=True)
     )
     chunks = F.array(

@@ -824,3 +824,28 @@ def test_source_overlap_exact_shares(spark):
     r = out[("A", "B")]
     assert r["n_shared"] == 5
     assert r["share_of_a"] == 0.5 and r["share_of_b"] == 0.5
+
+
+def test_simhash_portable_split_pipeline_equals_oneshot(spark):
+    """The split projection discipline (round-11: vote fold materialized
+    in its own select, chunks packed from the array attribute) must be
+    bit-identical to the one-shot composition — the split moves
+    evaluation count, never bits."""
+    texts = [
+        ("a b c d e f g h i j",),
+        ("the quick brown fox jumps over the lazy dog again and again",),
+        ("x",),
+        ("",),
+    ]
+    df = spark.createDataFrame(texts, ["text"])
+    oneshot = [
+        tuple(r["ch"])
+        for r in df.select(D.simhash_portable_chunks("text").alias("ch")).collect()
+    ]
+    split = [
+        tuple(r["ch"])
+        for r in df.select(D.simhash_portable_bits("text").alias("_b"))
+        .select(D._pack_chunks("_b").alias("ch"))
+        .collect()
+    ]
+    assert oneshot == split
