@@ -650,21 +650,11 @@ def simhash_dedup(
     )
 
 
-def _row_bytes_expr(df: DataFrame, cols: list[str]):
-    """Per-row shuffle-byte estimate for ``cols``: 8 B for fixed-width
-    types, measured octet length + 8 B header for strings/binary, plus a
-    16 B UnsafeRow/record overhead — the same measured-bytes discipline
-    as _gram_verify_join, generalized to arbitrary key dtypes."""
-    dt = dict(df.dtypes)
-    total = F.lit(16).cast("bigint")
-    for c in cols:
-        if dt.get(c) in ("string", "binary"):
-            total = total + F.coalesce(
-                F.octet_length(F.col(c)).cast("bigint"), F.lit(0)
-            ) + F.lit(8)
-        else:
-            total = total + F.lit(8)
-    return total
+# shared measured-routing helpers (ext/measure): the same dtype-aware
+# byte measure + width sizing the graph tier's edge prepartition uses
+from mesin_spark.ext.measure import partition_width, row_bytes_expr
+
+_row_bytes_expr = row_bytes_expr  # local alias, same discipline
 
 
 def dedup_clusters(
@@ -776,10 +766,7 @@ def dedup_clusters(
         if prepartition:
             broadcast_labels = est_nodes <= broadcast_max_nodes
             key = "src" if broadcast_labels else "dst"
-            width = max(
-                directed.sparkSession.sparkContext.defaultParallelism,
-                int(est_bytes / target_partition_bytes) + 1,
-            )
+            width = partition_width(directed, est_bytes, target_partition_bytes)
             # repartition-then-dedup: HashPartitioning(key) satisfies the
             # (src, dst) dedup's clustering, so the prepartition exchange
             # replaces (not adds to) the distinct's exchange; the sort

@@ -19,6 +19,47 @@ from pyspark.sql import functions as F
 from mesin_spark.ext.ckpt import ckpt
 
 
+def _measured_edge_pin(
+    e: DataFrame,
+    key: str,
+    prepartition: bool | str = "auto",
+    prepartition_min_bytes: float = 192 * 2**20,
+    target_partition_bytes: float = 64 * 2**20,
+) -> DataFrame:
+    """Measured prepartition for a STATIC edge frame consumed by every
+    round of an iterative loop (the dedup_clusters round-11 discipline,
+    shared by the graph tier): checkpoint leaves surface
+    UnknownPartitioning, so each round's aggregate otherwise re-emits
+    per-partition-distinct keys through a partial-combine exchange —
+    edge-order bytes PER ROUND at the 100x probe (hits 3.2 GiB, ppr
+    1.3 GiB, pagerank 0.7 GiB). Past the measured cutoff the frame
+    exchanges ONCE by the loop's grouping (broadcast-score path) or
+    join (keyed-shuffle path) key and pins (PinnedCache); rounds then
+    aggregate/join in place. Below it the AQE-coalesced rounds are kept
+    (a fixed-width repartition is exempt from coalescing — measured 2x
+    slower on bench-scale data). Integer-arithmetic loops are
+    value-identical across routes; float loops may move final ulps
+    (summation grouping), the caveat their rows-only certification
+    already carries — and the auto cutoff never flips at oracle-sweep
+    scales."""
+    if prepartition not in (True, False, "auto"):
+        raise ValueError(
+            f"prepartition must be True, False, or 'auto' — got {prepartition!r}"
+        )
+    if prepartition is False:
+        return e
+    from mesin_spark.ext.measure import partition_width, row_bytes_expr
+
+    st = e.agg(F.sum(row_bytes_expr(e, list(e.columns))).alias("_b")).collect()[0]
+    est_bytes = float(st["_b"] or 0)
+    if prepartition == "auto" and est_bytes < prepartition_min_bytes:
+        return e
+    from mesin_spark.ext.pin import PINNED
+
+    width = partition_width(e, est_bytes, target_partition_bytes)
+    return PINNED.pin(e.repartition(width, F.col(key)))
+
+
 def pagerank_round(
     nodes: DataFrame,
     e_norm: DataFrame,
@@ -245,6 +286,13 @@ def pagerank(
             "pagerank: edge list is empty (after any upstream filter) — "
             "no graph to rank"
         )
+    # edge prepartition MEASURED AND REJECTED here (round 11): unlike
+    # hits (whose 12 half-round combines emitted edge-order bytes —
+    # 3.2 GiB at 100x), pagerank's per-round combine output is |V|-small
+    # (~40 MiB/round at 100x), so pinning e_norm by the group key ADDED
+    # an edge-sized exchange without per-round savings (744 → 1,109 MiB
+    # measured at the 100x probe). The per-round partial-combine
+    # exchange IS this loop's floor.
     # NOT checkpointed: the initial ranks frame is a constant-literal
     # projection of the just-checkpointed nodes frame — re-evaluating it
     # per round-1 branch is a map-side no-op, and skipping the eager
@@ -630,6 +678,8 @@ def pagerank_portable(
             "this size"
         )
     base = (15 * PR_SCALE) // (100 * n)
+    # no edge pin: measured and rejected for the pagerank loop shape
+    # (|V|-small per-round combine output — see pagerank()'s note)
     r = nodes.withColumn("rank", F.lit(PR_SCALE // n))
     for it in range(rounds):
         rr = r.filter(F.col("od").isNotNull())
@@ -725,11 +775,16 @@ def hits_portable(
             "and re-derive the max-degree overflow bound in the docstring"
         )
     lim = (2**63 - 1) // HITS_SCALE
+    # scores always broadcast here (the HITS_SCALE guard caps |V|), so
+    # pin one edge copy per GROUP key — both half-round aggregates then
+    # run exchange-free (measured routing; integer sums route-identical)
+    e_auth = _measured_edge_pin(e, "dst")
+    e_hub = _measured_edge_pin(e, "src")
     h = nodes.withColumn("h", F.lit(HITS_SCALE // n))
     a = None
     for it in range(rounds):
         a_raw = (
-            e.join(F.broadcast(h), e["src"] == h["node"])
+            e_auth.join(F.broadcast(h), e_auth["src"] == h["node"])
             .groupBy("dst")
             .agg(F.sum("h").alias("raw"))
         )
@@ -753,7 +808,7 @@ def hits_portable(
             .transform(ckpt, eager=True)
         )
         h_raw = (
-            e.join(F.broadcast(a), e["dst"] == a["node"])
+            e_hub.join(F.broadcast(a), e_hub["dst"] == a["node"])
             .groupBy("src")
             .agg(F.sum("a").alias("raw"))
         )
@@ -788,6 +843,9 @@ def hits(
     dst: str = "dst",
     broadcast_scores: bool | None = None,
     broadcast_max_nodes: int = 8_000_000,
+    prepartition: bool | str = "auto",
+    prepartition_min_bytes: float = 192 * 2**20,
+    target_partition_bytes: float = 64 * 2**20,
 ) -> DataFrame:
     """HITS in engine-native doubles — the UNBOUNDED-graph sibling of
     hits_portable, exactly as pagerank() pairs with pagerank_portable:
@@ -811,14 +869,80 @@ def hits(
     normalization references its raw aggregate twice (values + norm),
     so an un-truncated chain doubles the logical plan per half-round
     (the hits_portable cadence note; structural, not tunable). Returns
-    (node, hub, auth) with absent sides as 0.0."""
+    (node, hub, auth) with absent sides as 0.0.
+
+    ``prepartition`` (measured, default auto at ≥192 MiB edge bytes —
+    the dedup_clusters discipline): the STATIC edge list otherwise
+    re-exchanges every half-round THROUGH THE AGGREGATE — the checkpoint
+    leaf surfaces UnknownPartitioning, so the half-round's partial
+    combine emits per-partition-distinct keys (edge-order bytes, ~270
+    MiB × 12 half-rounds = 3.2 GiB physical at the 100x probe, the
+    heaviest graph-tier entry). HITS alternates its grouping key, so the
+    route pins TWO copies of the edge frame: one partitioned by dst
+    (authority halves) and one by src (hub halves) — on the
+    broadcast-scores path each half's groupBy aggregates IN PLACE (zero
+    exchange); on the keyed-shuffle path the copies co-partition the
+    JOIN side instead (the aggregate exchange is then the Pregel
+    minimum). One extra cached copy is the price. Routes may differ in
+    final float ulps (summation grouping changes with partitioning —
+    the exact engine-partitioning caveat this operator's rows-only
+    certification already carries; the integer hits_portable is the
+    bit-exact tier)."""
     if rounds < 1:
         raise ValueError("hits: rounds must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = e.transform(ckpt, eager=True)
+    if prepartition not in (True, False, "auto"):
+        raise ValueError(
+            f"prepartition must be True, False, or 'auto' — got {prepartition!r}"
+        )
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if prepartition is False:
+        e_auth = e_hub = base = raw.distinct().transform(ckpt, eager=True)
+    else:
+        # checkpoint the RAW projection (block store, no shuffle) so the
+        # measuring aggregate and both routes read a leaf
+        raw = raw.transform(ckpt, eager=True)
+        from mesin_spark.ext.measure import partition_width, row_bytes_expr
+
+        # ONE bounded aggregate measures bytes AND estimates |V| (the
+        # pagerank pre-pass: |distinct src| + |distinct dst| is an upper
+        # bound — conservative in the safe, never-broadcast-too-big
+        # direction), so the score route resolves BEFORE the pin keys
+        # are chosen
+        st = raw.agg(
+            F.sum(row_bytes_expr(raw, ["src", "dst"])).alias("_b"),
+            (
+                F.approx_count_distinct("src") + F.approx_count_distinct("dst")
+            ).alias("_n"),
+        ).collect()[0]
+        est_bytes = float(st["_b"] or 0)
+        if broadcast_scores is None:
+            broadcast_scores = int(st["_n"] or 0) <= broadcast_max_nodes
+        if prepartition == "auto":
+            prepartition = est_bytes >= prepartition_min_bytes
+        if prepartition:
+            from mesin_spark.ext.pin import PINNED
+
+            width = partition_width(raw, est_bytes, target_partition_bytes)
+            # fused distinct-into-prepartition (the dedup_clusters
+            # shape): one-key hash partitioning satisfies the two-key
+            # dedup's clustering, so the FIRST pin's exchange is also
+            # the dedup pass — 3 edge-sized exchanges become 2. The
+            # second copy re-keys the already-deduped cache. Keys:
+            # broadcast path partitions by the GROUP key (aggregate in
+            # place); shuffle path by the JOIN key (co-partition the
+            # score join; the aggregate exchange is then irreducible).
+            k_auth = "dst" if broadcast_scores else "src"
+            k_hub = "src" if broadcast_scores else "dst"
+            e_auth = PINNED.pin(
+                raw.repartition(width, F.col(k_auth)).dropDuplicates()
+            )
+            e_hub = PINNED.pin(e_auth.repartition(width, F.col(k_hub)))
+            base = e_auth
+        else:
+            e_auth = e_hub = base = raw.distinct().transform(ckpt, eager=True)
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        base.select(F.col("src").alias("node"))
+        .union(base.select(F.col("dst").alias("node")))
         .distinct()
         .transform(ckpt, eager=True)
     )
@@ -831,9 +955,9 @@ def hits(
     def _bc(frame):
         return F.broadcast(frame) if broadcast_scores else frame
 
-    def _half(score_frame, score_col, join_key, out_key, out_col):
+    def _half(edge_frame, score_frame, score_col, join_key, out_key, out_col):
         raw = (
-            e.join(_bc(score_frame), e[join_key] == score_frame["node"])
+            edge_frame.join(_bc(score_frame), edge_frame[join_key] == score_frame["node"])
             .groupBy(out_key)
             .agg(F.sum(score_col).alias("raw"))
         )
@@ -850,8 +974,8 @@ def hits(
     h = nodes.withColumn("h", F.lit(1.0 / n))
     a = None
     for _ in range(rounds):
-        a = _half(h, "h", "src", "dst", "a")
-        h = _half(a, "a", "dst", "src", "h")
+        a = _half(e_auth, h, "h", "src", "dst", "a")
+        h = _half(e_hub, a, "a", "dst", "src", "h")
     return (
         nodes.join(h, "node", "left")
         .join(a, "node", "left")
@@ -948,6 +1072,11 @@ def ppr_portable(
             "shuffle path for graphs this size"
         )
     base = (15 * PR_SCALE) // (100 * s)
+    # edge prepartition measured and REJECTED (round 11, same verdict as
+    # pagerank): this loop's per-round combine output is |V|-small, and
+    # the dst pin moved the 100x probe 1,331 → 1,681 MiB — the pin costs
+    # an edge-sized exchange the rounds never repay. hits() is the loop
+    # shape where it pays (edge-order combine output per half-round).
     r = nodes.withColumn(
         "rank",
         F.when(F.col("is_seed"), F.lit(PR_SCALE // s)).otherwise(F.lit(0)),
