@@ -1209,7 +1209,13 @@ def ngram_jaccard_pairs(
         )
         freq = flat.groupBy("blk", "_tok").agg(F.count(F.lit(1)).alias("_f"))
         w = Window.partitionBy("blk", "_id").orderBy("_f", "_tok")
-        prefix = (
+        # PINNED: the prefix frame feeds BOTH sides of the candidate
+        # self-join, and the differing per-side projections defeat
+        # exchange reuse — unpinned, the whole flat⋈freq+window pipeline
+        # executed twice (measured at the 100x probe as pairs of
+        # equal-value exchange accumulators: 576+536+406 MiB each side,
+        # ~1.5 GiB of q_dedup_ngram's 3.3 GiB total)
+        prefix = PINNED.pin(
             flat.join(freq.hint("shuffle_hash"), ["blk", "_tok"])
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= _pigeonhole_prefix_len("_sz", threshold))
