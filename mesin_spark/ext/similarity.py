@@ -701,9 +701,15 @@ def embedding_neardup_pairs(
                 for b in range(lsh_bands)
             ]
         )
-        banded = base.select(
-            "blk", "_id", "_vec", "_nrm",
-            F.posexplode(sigs).alias("_band", "_sig"),
+        # PINNED: the banded frame feeds BOTH sides of the bucket
+        # self-join, and the per-side projections defeat exchange reuse
+        # (the q_dedup_ngram prefix find, same bug class) — unpinned,
+        # the bands×rows×dim signature arithmetic ran once per side
+        banded = PINNED.pin(
+            base.select(
+                "blk", "_id", "_vec", "_nrm",
+                F.posexplode(sigs).alias("_band", "_sig"),
+            )
         )
         # the cosine verify runs INSIDE the bucket join and the ≥threshold
         # filter runs BEFORE any further exchange: vectors ship once per
