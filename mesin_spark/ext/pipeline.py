@@ -578,3 +578,92 @@ def shuffle_shards(
     )
     w = Window.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
+
+
+def token_budget_calibrate(
+    docs: DataFrame,
+    budget_frac: float | None = None,
+    budget_tokens: int | None = None,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Quality-threshold calibration for a token budget — the curation
+    step that turns "train on the best N tokens" into a concrete filter:
+    rank the corpus by quality_score and find the threshold that keeps
+    (approximately, at quality-bin granularity) the budgeted token
+    count, highest quality first (the FineWeb/DCLM-style keep-top-
+    fraction-by-score recipe, Penedo et al. 2024).
+
+    Exactly one of ``budget_frac`` (fraction of total corpus tokens) or
+    ``budget_tokens`` (absolute) must be given. Returns ONE row:
+    (threshold, kept_docs, kept_tokens, total_docs, total_tokens) —
+    ``threshold`` is the minimum quality bin kept (NULL when the budget
+    keeps nothing); the doc-level filter is then
+    ``quality_score(text) >= threshold``. Whole bins keep or drop
+    together, so kept_tokens may overshoot the budget by part of the
+    boundary bin — deterministic, engine-independent semantics an
+    oracle can replay, unlike a row-level cut that would depend on
+    tie-order within a bin. Empty corpus → zero rows.
+
+    Scale shape — deliberately NOT a global sort + running sum over the
+    corpus (a single-task window at 100 TB): quality rounds to
+    ``round_to`` decimals, so the corpus aggregates to AT MOST
+    10^round_to + 1 bins in one partial-combined groupBy whatever the
+    corpus size; the cumulative-sum window then orders a BOUNDED bin
+    table (single partition over ≤1e6 tiny rows — the same bounded
+    single-partition window as a quantile table, not a corpus window).
+    One corpus pass total; the bin table pins (PinnedCache) across its
+    totals + window consumers."""
+    if (budget_frac is None) == (budget_tokens is None):
+        raise ValueError(
+            "token_budget_calibrate: give exactly one of budget_frac or "
+            "budget_tokens"
+        )
+    if budget_frac is not None and not (0.0 <= budget_frac <= 1.0):
+        raise ValueError(
+            f"budget_frac must be in [0, 1] — got {budget_frac}"
+        )
+    from mesin_spark.ext.pin import PINNED
+    from mesin_spark.ext.text import quality_score
+
+    bins = PINNED.pin(
+        docs.select(
+            R(quality_score(F.col(text_col)), round_to).alias("qbin"),
+            token_count(F.col(text_col)).alias("_t"),
+        )
+        .groupBy("qbin")
+        .agg(
+            F.sum("_t").alias("_toks"),
+            F.count(F.lit(1)).alias("_docs"),
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("qbin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bins.withColumn(
+        "_before", F.coalesce(F.sum("_toks").over(w), F.lit(0))
+    ).crossJoin(
+        F.broadcast(
+            bins.agg(F.sum("_toks").alias("_tt"), F.sum("_docs").alias("_td"))
+        )
+    )
+    budget = (
+        F.lit(float(budget_frac)) * F.col("_tt")
+        if budget_frac is not None
+        else F.lit(int(budget_tokens))
+    )
+    keep = F.col("_before") < budget
+    return cum.groupBy("_tt", "_td").agg(
+        F.min(F.when(keep, F.col("qbin"))).alias("threshold"),
+        F.coalesce(F.sum(F.when(keep, F.col("_docs"))), F.lit(0)).alias(
+            "kept_docs"
+        ),
+        F.coalesce(F.sum(F.when(keep, F.col("_toks"))), F.lit(0)).alias(
+            "kept_tokens"
+        ),
+    ).select(
+        "threshold", "kept_docs", "kept_tokens",
+        F.col("_td").alias("total_docs"),
+        F.col("_tt").alias("total_tokens"),
+    )

@@ -854,6 +854,56 @@ def q_split_leakage_safe(spark, sf_dir):
 
 
 @query(
+    "q_token_budget",
+    oracle="""
+    WITH t AS (
+        SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tk
+        FROM documents
+    ), scored AS (
+        SELECT floor((0.4 * least(len(tk) / 100.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN len(tk) > 0
+                 THEN len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(tk)
+                 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN len(tk) > 0
+                 THEN list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk)
+                 ELSE 0.0 END) / 8.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS qbin,
+            len(tk) AS nt
+        FROM t
+    ), bins AS (
+        SELECT qbin, sum(nt) AS toks, count(*) AS docs FROM scored GROUP BY qbin
+    ), cum AS (
+        SELECT qbin, toks, docs,
+               coalesce(sum(toks) OVER (
+                   ORDER BY qbin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before_toks
+        FROM bins
+    ), tot AS (SELECT sum(toks) AS tt, sum(docs) AS td FROM bins)
+    SELECT min(CASE WHEN before_toks < 0.5 * tt THEN qbin END) AS threshold,
+           CAST(coalesce(sum(CASE WHEN before_toks < 0.5 * tt THEN docs END), 0) AS BIGINT) AS kept_docs,
+           CAST(coalesce(sum(CASE WHEN before_toks < 0.5 * tt THEN toks END), 0) AS BIGINT) AS kept_tokens,
+           CAST(max(td) AS BIGINT) AS total_docs,
+           CAST(max(tt) AS BIGINT) AS total_tokens
+    FROM cum CROSS JOIN tot
+    """,
+)
+def q_token_budget(spark, sf_dir):
+    """Token-budget quality calibration
+    (ext/pipeline.token_budget_calibrate): find the quality-score
+    threshold that keeps HALF the corpus tokens, highest quality first
+    — the FineWeb/DCLM keep-top-fraction-by-score curation step as one
+    exact-oracle report row. The plan is the 100 TB shape: one
+    partial-combined corpus aggregate into a BOUNDED quality-bin table
+    (≤10^6+1 rows at 6-dp rounding, whatever the corpus size), then a
+    cumulative window over the bins only — never a global sort or a
+    corpus-wide running sum. Bin-granular keep semantics make the
+    report engine-independent (no within-bin tie order), and the DuckDB
+    oracle replays the identical binning, window, and budget cut."""
+    d = T(spark, sf_dir, "documents")
+    return P.token_budget_calibrate(d, budget_frac=0.5)
+
+
+@query(
     "q_scrub_text",
     oracle="""
     SELECT doc_id,

@@ -849,3 +849,52 @@ def test_simhash_portable_split_pipeline_equals_oneshot(spark):
         .collect()
     ]
     assert oneshot == split
+
+
+def test_token_budget_calibrate_semantics(spark, docs):
+    """Bin-granular budget cut (ext/pipeline.token_budget_calibrate):
+    full budget keeps everything, zero budget keeps nothing, a half
+    budget keeps at least the budget and overshoots by at most the
+    boundary bin, and the returned threshold actually reproduces the
+    kept set as a doc-level filter."""
+    import pytest
+
+    from mesin_spark.ext import pipeline as P
+    from mesin_spark.functions import stable_round as R
+
+    full = P.token_budget_calibrate(docs, budget_frac=1.0).head()
+    assert full["kept_docs"] == full["total_docs"]
+    assert full["kept_tokens"] == full["total_tokens"]
+
+    none = P.token_budget_calibrate(docs, budget_tokens=0).head()
+    assert none["threshold"] is None
+    assert none["kept_docs"] == 0 and none["kept_tokens"] == 0
+    assert none["total_docs"] == full["total_docs"]
+
+    half = P.token_budget_calibrate(docs, budget_frac=0.5).head()
+    budget = 0.5 * half["total_tokens"]
+    assert half["kept_tokens"] >= budget  # bins keep until budget filled
+    # overshoot bounded by the boundary bin's own tokens
+    thr = half["threshold"]
+    boundary = (
+        docs.select(R(TX.quality_score("text"), 6).alias("q"),
+                    TX.token_count("text").alias("t"))
+        .filter(F.col("q") == thr)
+        .agg(F.sum("t").alias("bt"))
+        .head()["bt"]
+    )
+    assert half["kept_tokens"] - budget <= boundary
+    # threshold reproduces the kept set as a plain filter
+    kept = (
+        docs.select(R(TX.quality_score("text"), 6).alias("q"),
+                    TX.token_count("text").alias("t"))
+        .filter(F.col("q") >= thr)
+        .agg(F.count(F.lit(1)).alias("d"), F.sum("t").alias("t"))
+        .head()
+    )
+    assert (kept["d"], kept["t"]) == (half["kept_docs"], half["kept_tokens"])
+
+    with pytest.raises(ValueError, match="exactly one"):
+        P.token_budget_calibrate(docs)
+    with pytest.raises(ValueError, match="budget_frac"):
+        P.token_budget_calibrate(docs, budget_frac=1.5)
