@@ -580,15 +580,15 @@ def shuffle_shards(
     return out.withColumn("pos", F.row_number().over(w).cast("long")).drop("_h")
 
 
-def token_budget_calibrate(
+def token_budget_threshold(
     docs: DataFrame,
     budget_frac: float | None = None,
     budget_tokens: int | None = None,
     text_col: str = "text",
     round_to: int = 6,
 ) -> DataFrame:
-    """Quality-threshold calibration for a token budget — the curation
-    step that turns "train on the best N tokens" into a concrete filter:
+    """Quality threshold for a token budget — the curation step that
+    turns "train on the best N tokens" into a concrete filter:
     rank the corpus by quality_score and find the threshold that keeps
     (approximately, at quality-bin granularity) the budgeted token
     count, highest quality first (the FineWeb/DCLM-style keep-top-
@@ -616,7 +616,7 @@ def token_budget_calibrate(
     totals + window consumers."""
     if (budget_frac is None) == (budget_tokens is None):
         raise ValueError(
-            "token_budget_calibrate: give exactly one of budget_frac or "
+            "token_budget_threshold: give exactly one of budget_frac or "
             "budget_tokens"
         )
     if budget_frac is not None and not (0.0 <= budget_frac <= 1.0):

@@ -888,8 +888,8 @@ def q_split_leakage_safe(spark, sf_dir):
     """,
 )
 def q_token_budget(spark, sf_dir):
-    """Token-budget quality calibration
-    (ext/pipeline.token_budget_calibrate): find the quality-score
+    """Token-budget quality threshold
+    (ext/pipeline.token_budget_threshold): find the quality-score
     threshold that keeps HALF the corpus tokens, highest quality first
     — the FineWeb/DCLM keep-top-fraction-by-score curation step as one
     exact-oracle report row. The plan is the 100 TB shape: one
@@ -900,7 +900,7 @@ def q_token_budget(spark, sf_dir):
     report engine-independent (no within-bin tie order), and the DuckDB
     oracle replays the identical binning, window, and budget cut."""
     d = T(spark, sf_dir, "documents")
-    return P.token_budget_calibrate(d, budget_frac=0.5)
+    return P.token_budget_threshold(d, budget_frac=0.5)
 
 
 @query(

@@ -851,8 +851,8 @@ def test_simhash_portable_split_pipeline_equals_oneshot(spark):
     assert oneshot == split
 
 
-def test_token_budget_calibrate_semantics(spark, docs):
-    """Bin-granular budget cut (ext/pipeline.token_budget_calibrate):
+def test_token_budget_threshold_semantics(spark, docs):
+    """Bin-granular budget cut (ext/pipeline.token_budget_threshold):
     full budget keeps everything, zero budget keeps nothing, a half
     budget keeps at least the budget and overshoots by at most the
     boundary bin, and the returned threshold actually reproduces the
@@ -862,16 +862,16 @@ def test_token_budget_calibrate_semantics(spark, docs):
     from mesin_spark.ext import pipeline as P
     from mesin_spark.functions import stable_round as R
 
-    full = P.token_budget_calibrate(docs, budget_frac=1.0).head()
+    full = P.token_budget_threshold(docs, budget_frac=1.0).head()
     assert full["kept_docs"] == full["total_docs"]
     assert full["kept_tokens"] == full["total_tokens"]
 
-    none = P.token_budget_calibrate(docs, budget_tokens=0).head()
+    none = P.token_budget_threshold(docs, budget_tokens=0).head()
     assert none["threshold"] is None
     assert none["kept_docs"] == 0 and none["kept_tokens"] == 0
     assert none["total_docs"] == full["total_docs"]
 
-    half = P.token_budget_calibrate(docs, budget_frac=0.5).head()
+    half = P.token_budget_threshold(docs, budget_frac=0.5).head()
     budget = 0.5 * half["total_tokens"]
     assert half["kept_tokens"] >= budget  # bins keep until budget filled
     # overshoot bounded by the boundary bin's own tokens
@@ -895,6 +895,6 @@ def test_token_budget_calibrate_semantics(spark, docs):
     assert (kept["d"], kept["t"]) == (half["kept_docs"], half["kept_tokens"])
 
     with pytest.raises(ValueError, match="exactly one"):
-        P.token_budget_calibrate(docs)
+        P.token_budget_threshold(docs)
     with pytest.raises(ValueError, match="budget_frac"):
-        P.token_budget_calibrate(docs, budget_frac=1.5)
+        P.token_budget_threshold(docs, budget_frac=1.5)
