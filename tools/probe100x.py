@@ -51,6 +51,8 @@ OPERATORS = [
     "q_fuzzy_join", "q_fuzzy_clusters", "q_span_removal", "q_decontaminate",
     "q_split_leakage_safe", "q_ngram_novelty", "q_source_overlap",
     "q_dedup_softweight",  # same fingerprint-window shape, probed for drift
+    "q_token_budget",      # bounded-bin budget cut (round 11)
+    "q_ann_incremental",   # frozen-artifact batch encode + append (round 11)
     # text / sketch tier
     "q_tfidf", "q_tfidf_pairs", "q_bm25", "q_pmi_bigrams",
     "q_text_tokens", "q_bpe_train",
