@@ -252,7 +252,28 @@ def append_batch(
     appended_rows cumulative, batch_rows, batch_fit, occupancy_ratio,
     fit_drop, needs_rebuild), deterministic order by ivf_list. Meta
     counters update atomically (same single-commit replace as build),
-    so a reopened index resumes the cumulative occupancy history."""
+    so a reopened index resumes the cumulative occupancy history.
+
+    Consistency contract (round-11 ADVICE): appends assume a SINGLE
+    WRITER — the parquet append into the live corpus dir is not
+    atomic, so concurrent appends (or a reader racing one) can observe
+    a partially-written batch; the versioned-dir + atomic-meta story
+    covers REBUILDS only. To make a crashed append detectable instead
+    of silently undercounting forever, the append is bracketed: a
+    ``pending_batch`` marker commits to the meta BEFORE the data write
+    and clears in the same atomic replace that folds the batch into the
+    counters. ``load_index`` warns when the marker is still set — the
+    recovery is a rebuild (or re-run of the batch after removing the
+    marker; re-appending duplicates rows, so rebuild is the safe
+    default)."""
+    # meta-first: commit the pending marker so a crash mid-append is
+    # visible to every future open (counters would otherwise silently
+    # exclude the batch's rows from occupancy/fit baselines forever)
+    with open(os.path.join(index.path, META_FILE)) as f:
+        meta = json.load(f)
+    batch_id = int(meta.get("n_batches", 0)) + 1
+    meta["pending_batch"] = {"batch_id": batch_id}
+    _write_meta(index.path, meta)
     coded = (
         batch.withColumn("ivf_list", ivf_assign(index.centroids, vec_col))
         .withColumn("codes", pq_encode(index.codebooks, vec_col))
@@ -279,10 +300,13 @@ def append_batch(
                 (prev["fit"] * prev["rows"] + st["fit"] * st["rows"]) / max(n, 1), 6
             ),
         }
-    with open(os.path.join(index.path, META_FILE)) as f:
-        meta = json.load(f)
+    # one atomic replace both folds the counters AND clears the pending
+    # marker — at every instant the meta is either "batch not started"
+    # or "batch fully accounted", never torn between data and counters
     meta["appended"] = appended
     meta.setdefault("lists", index.stats.get("lists", {}))
+    meta["n_batches"] = batch_id
+    meta["pending_batch"] = None
     _write_meta(index.path, meta)
 
     built = index.stats.get("lists", {})
@@ -311,6 +335,18 @@ def append_batch(
 def load_index(spark: SparkSession, path: str) -> IvfPqIndex:
     with open(os.path.join(path, META_FILE)) as f:
         meta = json.load(f)
+    if meta.get("pending_batch"):
+        import warnings
+
+        warnings.warn(
+            f"ANN index at {path!r} has an uncommitted append "
+            f"(batch_id={meta['pending_batch'].get('batch_id')}): a prior "
+            "append_batch crashed between its data write and its counter "
+            "commit. The codes table may hold rows the occupancy/fit "
+            "baselines do not account for — rebuild the index (or verify "
+            "and clear the marker) before trusting drift reports.",
+            stacklevel=2,
+        )
     return IvfPqIndex(
         spark,
         path,

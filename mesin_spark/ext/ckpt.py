@@ -63,17 +63,35 @@ from pyspark.sql import DataFrame
 _WARNED_NO_CLEAN: list = []
 
 
+def _ckpt_path_only(s: str) -> str:
+    """Strip scheme AND authority, keep the path: Spark's
+    getCheckpointDir returns fully-qualified forms (``file:/tmp/x``,
+    ``hdfs://nn:8020/ckpt/...``) while the conf is usually written
+    authority-less (``hdfs:///ckpt/mesin``), so only the path component
+    compares stably. Dirs on different authorities with the same path
+    therefore compare equal — acceptable: the conf names ONE deployment
+    filesystem, and a false "same" merely skips a redundant re-set."""
+    if "://" in s:
+        rest = s.split("://", 1)[1]
+        # authority (may be empty) runs to the first '/'; path from there
+        slash = rest.find("/")
+        rest = rest[slash:] if slash >= 0 else "/"
+    elif s.startswith("file:"):
+        rest = s[len("file:"):]
+    else:
+        rest = s
+    return rest.rstrip("/") or "/"
+
+
 def _same_ckpt_dir(have: str, want: str) -> bool:
     """getCheckpointDir returns a scheme-qualified, timestamped child of
-    the dir that was SET (e.g. file:/tmp/mesin_ckpt/<uuid>), so compare
-    by prefix after normalizing the scheme."""
-    h = have.split("://", 1)[-1]
-    if h.startswith("file:"):
-        h = h[len("file:"):]
-    w = want.split("://", 1)[-1]
-    if w.startswith("file:"):
-        w = w[len("file:"):]
-    return h.rstrip("/").startswith(w.rstrip("/"))
+    the dir that was SET (e.g. file:/tmp/mesin_ckpt/<uuid>), so the
+    current dir matches the conf iff it IS the conf path or a child of
+    it — a path-COMPONENT boundary, not a bare string prefix
+    (``/data/ckpt_old`` is not a child of ``/data/ckpt``)."""
+    h = _ckpt_path_only(have)
+    w = _ckpt_path_only(want)
+    return h == w or h.startswith(w + "/")
 
 
 def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:

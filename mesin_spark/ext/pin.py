@@ -99,6 +99,29 @@ class PinnedCache:
         pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
         evicted = []
         with self._lock:
+            # two threads can both miss and both persist; the insert is
+            # the serialization point. An equal-plan racer shares ONE
+            # CacheManager entry with us (Spark keys the cache by
+            # canonicalized plan — the second persist logs "already
+            # cached" and adds nothing), so the incumbent is kept and
+            # RETURNED: unpersisting either side would evict the shared
+            # entry for both. Only a genuinely different plan (32-bit
+            # semanticHash collision racing the same instant) holds its
+            # own cache entry — that one is released like an LRU
+            # eviction so the overwrite doesn't leak it (round-11
+            # ADVICE). sameSemantics here is a driver-side plan
+            # canonicalization, cheap enough to hold the lock across.
+            prior = self._entries.get(key)
+            if prior is not None and prior is not pinned:
+                same = False
+                try:
+                    same = pinned.sameSemantics(prior)
+                except Exception:
+                    same = False
+                if same:
+                    self._entries.move_to_end(key)
+                    return prior
+                evicted.append(prior)
             self._entries[key] = pinned
             self._entries.move_to_end(key)
             while len(self._entries) > self._cap:

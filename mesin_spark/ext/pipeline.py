@@ -603,7 +603,10 @@ def token_budget_threshold(
     together, so kept_tokens may overshoot the budget by part of the
     boundary bin — deterministic, engine-independent semantics an
     oracle can replay, unlike a row-level cut that would depend on
-    tie-order within a bin. Empty corpus → zero rows.
+    tie-order within a bin. Empty corpus → zero rows. A budget at or
+    above the corpus total keeps EVERY bin — including zero-token bins
+    (empty docs) that a strict before-under-budget cut would drop once
+    the running sum reaches the exhausted budget.
 
     Scale shape — deliberately NOT a global sort + running sum over the
     corpus (a single-task window at 100 TB): quality rounds to
@@ -653,7 +656,12 @@ def token_budget_threshold(
         if budget_frac is not None
         else F.lit(int(budget_tokens))
     )
-    keep = F.col("_before") < budget
+    # a bin keeps while tokens BEFORE it are under budget; the explicit
+    # full-budget arm keeps zero-token bins (empty docs) whose _before
+    # already EQUALS an exhausted budget — with budget >= total tokens
+    # every doc is kept, including token-free ones (round-11 ADVICE:
+    # budget_frac=1.0 must give kept_docs == total_docs)
+    keep = (F.col("_before") < budget) | (F.col("_tt") <= budget)
     return cum.groupBy("_tt", "_td").agg(
         F.min(F.when(keep, F.col("qbin"))).alias("threshold"),
         F.coalesce(F.sum(F.when(keep, F.col("_docs"))), F.lit(0)).alias(

@@ -134,6 +134,77 @@ def test_pinned_cache_thread_safety(spark):
     assert not errs and len(reg) <= 4
 
 
+def test_same_ckpt_dir_boundary_and_authority():
+    """Dir comparison must be by path COMPONENT with the authority
+    stripped (round-11 ADVICE): /data/ckpt_old is not a child of
+    /data/ckpt, and hdfs://nn:8020/... must match the authority-less
+    hdfs:///... conf form instead of warning every call."""
+    from mesin_spark.ext.ckpt import _same_ckpt_dir
+
+    # a sibling sharing a string prefix is NOT the same dir
+    assert not _same_ckpt_dir("file:/data/ckpt_old/u1", "/data/ckpt")
+    assert not _same_ckpt_dir("/a/bc", "/a/b")
+    # the timestamped child Spark creates IS
+    assert _same_ckpt_dir("file:/tmp/mesin_ckpt/u1", "/tmp/mesin_ckpt")
+    assert _same_ckpt_dir("/a/b", "/a/b/")
+    # authority-qualified getCheckpointDir vs authority-less conf
+    assert _same_ckpt_dir("hdfs://nn:8020/ckpt/mesin/u1", "hdfs:///ckpt/mesin")
+    assert _same_ckpt_dir("hdfs://nn:8020/ckpt/mesin", "hdfs:///ckpt/mesin")
+    assert not _same_ckpt_dir("hdfs://nn:8020/ckpt/old", "hdfs:///ckpt/mesin")
+
+
+def test_pinned_cache_race_converges_on_one_entry(spark):
+    """Two threads that both miss and both persist serialize at the
+    insert (round-11 ADVICE): because Spark's CacheManager keys the
+    cache by canonicalized plan, the two equal-plan persists share ONE
+    cache entry — the registry must keep the incumbent and hand it to
+    the loser (unpersisting either side would evict the shared entry
+    for both). A barrier inside persist() holds both threads past the
+    miss-check so the race is deterministic."""
+    import threading
+
+    from pyspark.sql import DataFrame
+
+    from mesin_spark.ext.pin import PinnedCache
+
+    reg = PinnedCache(capacity=4)
+    frames = [spark.range(40).selectExpr("id", "id * 11 AS v") for _ in range(2)]
+    bar = threading.Barrier(2, timeout=30)
+    orig = DataFrame.persist
+    errs, rets = [], {}
+
+    def gated_persist(self, *a, **k):
+        r = orig(self, *a, **k)
+        bar.wait()  # both threads persisted before either inserts
+        return r
+
+    def work(i, f):
+        try:
+            rets[i] = reg.pin(f)
+        except Exception as e:  # pragma: no cover - failure reporter
+            errs.append(e)
+
+    DataFrame.persist = gated_persist
+    try:
+        ts = [threading.Thread(target=work, args=(i, f))
+              for i, f in enumerate(frames)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+    finally:
+        DataFrame.persist = orig
+    assert not errs and len(reg) == 1
+    # both callers converge on the SAME pinned frame (the incumbent),
+    # and the shared cache entry survives
+    assert rets[0] is rets[1]
+    assert rets[0].storageLevel.useMemory
+    with reg._lock:
+        assert next(iter(reg._entries.values())) is rets[0]
+    # a later pin of an equal frame still returns the single incumbent
+    assert reg.pin(spark.range(40).selectExpr("id", "id * 11 AS v")) is rets[0]
+
+
 def test_reliable_ckpt_dir_change_takes_effect(spark, tmp_path):
     """Changing mesin.checkpoint.dir mid-session must be honored (with a
     warning), not silently ignored (round-10 ADVICE)."""

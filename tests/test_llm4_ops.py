@@ -892,3 +892,47 @@ def test_ann_append_equals_rebuild_and_tracks_drift(spark, tmp_path):
     big = emb.select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
     occ = AI.append_batch(ro, big, occupancy_factor=1.0).collect()
     assert any(r["needs_rebuild"] and r["occupancy_ratio"] > 1.0 for r in occ)
+
+
+def test_ann_append_pending_marker_detects_torn_batch(spark, tmp_path):
+    """Append bracketing (round-11 ADVICE): the pending_batch marker
+    commits BEFORE the data write and clears in the same atomic replace
+    that folds the counters — a completed append leaves no marker, a
+    crash between the two leaves one that load_index surfaces as a
+    warning instead of silently undercounting forever."""
+    import json
+    import os
+    import warnings as w
+
+    from mesin_spark.ext import ann_index as AI
+    from mesin_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").limit(400)
+    part = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = AI.build_index(emb, str(tmp_path), n_list=4, m=8, k=8, corpus=part)
+
+    # a COMPLETED append: marker cleared, batch counter advanced
+    AI.append_batch(idx, rest)
+    mp = os.path.join(str(tmp_path), AI.META_FILE)
+    with open(mp) as f:
+        meta = json.load(f)
+    assert meta["pending_batch"] is None and meta["n_batches"] == 1
+
+    # simulate the crash window: marker set, counters not folded
+    meta["pending_batch"] = {"batch_id": 2}
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        reopened = AI.load_index(spark, str(tmp_path))
+    assert any("uncommitted append" in str(r.message) for r in rec)
+    # the handle still works (warning, not refusal) and a subsequent
+    # successful append clears the stale marker
+    AI.append_batch(reopened, rest.limit(10).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    ))
+    with open(mp) as f:
+        meta2 = json.load(f)
+    assert meta2["pending_batch"] is None and meta2["n_batches"] == 2

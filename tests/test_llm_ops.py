@@ -684,6 +684,49 @@ def test_embedding_neardup_lsh_route_clone_recall(spark, emb):
         S.embedding_neardup_pairs(df, candidates="yes")
 
 
+def test_flat_vector_exprs_bit_identical_to_hof(spark, emb):
+    """The flat codegen'd vector expressions (dot_fixed / norm_fixed /
+    portable_lsh_band_signature_flat — the round-12 q_dedup_embed CPU
+    fix) must be BIT-IDENTICAL to the higher-order-function forms they
+    replace: same 0.0 seed, same IEEE left-fold in index order, exact
+    float→double casts. Exact double equality over real fixture
+    vectors, not a tolerance — any reordering would show up here."""
+    from mesin_spark.ext.similarity import (
+        _as_double, dot, dot_fixed, norm, norm_fixed,
+        portable_lsh_band_signature, portable_lsh_band_signature_flat,
+    )
+
+    base = emb.select("vec_id", "embedding").orderBy("vec_id").limit(200)
+    dim = len(base.head()["embedding"])
+    vd = _as_double(F.col("embedding"))
+    rows = base.select(
+        norm(vd).alias("n_hof"),
+        norm_fixed(F.col("embedding"), dim).alias("n_flat"),
+        *[
+            portable_lsh_band_signature(vd, b, 8, dim).alias(f"s{b}_hof")
+            for b in range(3)
+        ],
+        *[
+            portable_lsh_band_signature_flat(
+                F.col("embedding"), b, 8, dim
+            ).alias(f"s{b}_flat")
+            for b in range(3)
+        ],
+    ).collect()
+    for r in rows:
+        assert r["n_hof"] == r["n_flat"]  # exact, not approx
+        for b in range(3):
+            assert r[f"s{b}_hof"] == r[f"s{b}_flat"]
+    # pairwise dot over a small self-join (distinct vectors both sides)
+    a = base.selectExpr("vec_id AS ia", "embedding AS ea").limit(40)
+    b = base.selectExpr("vec_id AS ib", "embedding AS eb").limit(40)
+    prs = a.crossJoin(b).select(
+        dot(_as_double(F.col("ea")), _as_double(F.col("eb"))).alias("d_hof"),
+        dot_fixed(F.col("ea"), F.col("eb"), dim).alias("d_flat"),
+    ).collect()
+    assert prs and all(r["d_hof"] == r["d_flat"] for r in prs)
+
+
 def test_embedding_neardup_auto_routing_by_occupancy(spark, emb):
     """candidates='auto' measures block occupancy and routes: a small
     corpus keeps the exact all-pairs plan (salt-explode Generate, no
@@ -898,3 +941,31 @@ def test_token_budget_threshold_semantics(spark, docs):
         P.token_budget_threshold(docs)
     with pytest.raises(ValueError, match="budget_frac"):
         P.token_budget_threshold(docs, budget_frac=1.5)
+
+
+def test_token_budget_full_budget_keeps_zero_token_docs(spark):
+    """Round-11 ADVICE edge: with the budget at (or above) the corpus
+    total, zero-token docs (empty text) whose cumulative _before already
+    EQUALS the exhausted budget must still be kept — budget_frac=1.0
+    means kept_docs == total_docs even when the lowest-quality bin is
+    token-free. An all-empty corpus (budget 0 >= total 0) keeps all."""
+    from mesin_spark.ext import pipeline as P
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "some reasonable middle quality text here"),
+         (3, ""), (4, "   ")],
+        "doc_id bigint, text string",
+    )
+    full = P.token_budget_threshold(d, budget_frac=1.0).head()
+    assert full["total_docs"] == 4
+    assert full["kept_docs"] == 4  # zero-token docs kept at full budget
+    assert full["kept_tokens"] == full["total_tokens"]
+    over = P.token_budget_threshold(
+        d, budget_tokens=int(full["total_tokens"]) + 100
+    ).head()
+    assert over["kept_docs"] == 4
+    # all-empty corpus: total 0, budget 0 — full budget, keep everything
+    e = spark.createDataFrame([(1, ""), (2, "")], "doc_id bigint, text string")
+    fe = P.token_budget_threshold(e, budget_frac=1.0).head()
+    assert fe["kept_docs"] == 2 and fe["total_tokens"] == 0
