@@ -49,6 +49,40 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (norm(ad) * norm(bd))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` for a KNOWN dimension as a FLAT codegen'd expression —
+    bit-identical values (same 0.0 seed, same IEEE left-fold in index
+    order, float→double casts exact), radically cheaper execution.
+
+    Spark's higher-order functions (``aggregate``/``zip_with``/
+    ``transform``) evaluate OUTSIDE whole-stage codegen: every element
+    is an interpreted lambda call plus a per-row array allocation for
+    the zipped pairs. At the 100x probe that interpretation WAS the
+    q_dedup_embed wall (110 s at only 0.7 GiB shuffle — CPU, not
+    exchange): ~1e9 candidate pairs × 64 interpreted multiply-adds for
+    the verify, plus bands×rows×64 more per row for the signatures.
+    A flat ``element_at``-chain is ordinary codegen'd arithmetic —
+    same numbers, JVM speed. Out-of-range ``element_at`` yields null
+    and propagates exactly like the HOF's zip-padding nulls."""
+    acc = F.lit(0.0)
+    for d in range(1, dim + 1):
+        acc = acc + (
+            F.element_at(a, d).cast("double")
+            * F.element_at(b, d).cast("double")
+        )
+    return acc
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    """``norm`` for a KNOWN dimension as a flat codegen'd expression —
+    bit-identical fold order (see dot_fixed)."""
+    acc = F.lit(0.0)
+    for d in range(1, dim + 1):
+        x = F.element_at(a, d).cast("double")
+        acc = acc + x * x
+    return F.sqrt(acc)
+
+
 def lit_vector(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vec])
 
@@ -575,6 +609,31 @@ def portable_lsh_band_signature(
     return sig
 
 
+def portable_lsh_band_signature_flat(
+    vec_col, band: int, rows: int, dim: int = 64
+) -> "Column":
+    """``portable_lsh_band_signature`` as a FLAT codegen'd expression —
+    the dot_fixed treatment for the ±1 plane projections: identical
+    weights (portable_plane_weight), identical 0.0-seeded IEEE
+    left-fold in index order, so every signature bit matches the HOF
+    form exactly (pytest-asserted), while the bands×rows×dim arithmetic
+    runs inside whole-stage codegen instead of one interpreted lambda
+    call per element. With ±1 weights each term is a codegen'd
+    multiply-add; repeated ``element_at(vec, d)`` across planes is
+    shared by Catalyst's subexpression elimination."""
+    sig = F.lit(0).cast("long")
+    for r in range(rows):
+        p = band * rows + r
+        acc = F.lit(0.0)
+        for d in range(dim):
+            acc = acc + (
+                F.element_at(vec_col, d + 1).cast("double")
+                * F.lit(portable_plane_weight(p, d, dim))
+            )
+        sig = sig + F.when(acc > 0, F.lit(1 << r)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -639,12 +698,37 @@ def embedding_neardup_pairs(
     spread = emb.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    vd = _as_double(F.col(vec_col))
+    # Probe the dimension up front (one first-row job): a KNOWN dim
+    # switches every per-element fold here — norms, band signatures,
+    # and the per-pair verify dot — from interpreted higher-order
+    # functions to flat codegen'd arithmetic (dot_fixed: bit-identical
+    # values, JVM speed; the round-12 q_dedup_embed 110 s wall was this
+    # interpretation). _vec stays the RAW (float) array — casts happen
+    # per element inside the flat expressions, float→double is exact,
+    # and the pair join ships half the vector bytes.
+    dim_row = spread.select(F.size(F.col(vec_col)).alias("d")).head()
+    if dim_row is None:
+        # empty-input early return DERIVES its schema from the input (a
+        # false-filtered select), never a hardcoded "id_a long": with a
+        # non-long id column a literal schema would differ from the
+        # non-empty path's, so downstream unions/joins would fail only
+        # in the empty-input corner
+        return spread.filter(F.lit(False)).select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("sim"),
+        )
+    dim = dim_row["d"]
+    if dim is None:
+        raise ValueError(
+            "embedding_neardup_pairs: first row's vector is NULL — "
+            "filter null embeddings before deduping"
+        )
     base = spread.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("_id"),
-        vd.alias("_vec"),
-        norm(vd).alias("_nrm"),
+        F.col(vec_col).alias("_vec"),
+        norm_fixed(F.col(vec_col), dim).alias("_nrm"),
     )
     if candidates == "auto":
         occ = base.select("blk").groupBy("blk").agg(
@@ -678,26 +762,14 @@ def embedding_neardup_pairs(
             )
         base = PINNED.pin(base)
     sim = R(
-        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+        dot_fixed(F.col("vec_a"), F.col("vec_b"), dim)
+        / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
     if candidates:
         rows_n = lsh_rows or 8
-        dim_row = base.select(F.size("_vec").alias("d")).head()
-        if dim_row is None:
-            # empty-input early return DERIVES its schema from base (a
-            # false-filtered select), never a hardcoded "id_a long":
-            # with a non-long id column a literal schema would differ
-            # from the non-empty path's, so downstream unions/joins
-            # would fail only in the empty-input corner
-            return base.filter(F.lit(False)).select(
-                F.col("_id").alias("id_a"),
-                F.col("_id").alias("id_b"),
-                F.lit(0.0).alias("sim"),
-            )
-        dim = dim_row["d"]
         sigs = F.array(
             *[
-                portable_lsh_band_signature(F.col("_vec"), b, rows_n, dim)
+                portable_lsh_band_signature_flat(F.col("_vec"), b, rows_n, dim)
                 for b in range(lsh_bands)
             ]
         )
