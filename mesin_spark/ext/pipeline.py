@@ -586,6 +586,7 @@ def token_budget_threshold(
     budget_tokens: int | None = None,
     text_col: str = "text",
     round_to: int = 6,
+    quality_col: Column | None = None,
 ) -> DataFrame:
     """Quality threshold for a token budget — the curation step that
     turns "train on the best N tokens" into a concrete filter:
@@ -629,9 +630,14 @@ def token_budget_threshold(
     from mesin_spark.ext.pin import PINNED
     from mesin_spark.ext.text import quality_score
 
+    # quality_col: the model-based-curation hook — a TRAINED scorer
+    # (ext/classifier.logreg_score, or the fixed-point twin's p_fp/Q)
+    # replaces the heuristic quality_score; token counting still comes
+    # from text_col, and the bin-granular budget semantics are unchanged
+    q = quality_col if quality_col is not None else quality_score(F.col(text_col))
     bins = PINNED.pin(
         docs.select(
-            R(quality_score(F.col(text_col)), round_to).alias("qbin"),
+            R(q, round_to).alias("qbin"),
             token_count(F.col(text_col)).alias("_t"),
         )
         .groupBy("qbin")

@@ -506,3 +506,187 @@ def q_cluster_components(spark, sf_dir):
     pairs = D.ngram_jaccard_pairs(dup, "doc_id", block_col="source", n=2,
                                   threshold=0.1)
     return D.dedup_clusters(pairs).orderBy("node")
+
+
+# ----------------------------------------------------- trained quality tier
+
+
+def _logreg_portable_oracle(
+    epochs: int = 3,
+    label_sql: str = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+) -> str:
+    """Unrolled-epoch DuckDB mirror of ext/classifier's fixed-point
+    logistic trainer (the kmeans/pca CTE pattern): integer features in
+    Q units, hard-sigmoid link with truncating division (DuckDB ``//``
+    == Spark ``div``), per-term-divided integer gradient sums
+    (order-independent), integer mean step. The final per-doc
+    (p_fp, pred, y) table compares bit-for-bit."""
+    from mesin_spark.ext.classifier import Q_FP, _HALF, _LEN_SAT
+    from mesin_spark.ext.text import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    parts = [
+        f"""xf AS MATERIALIZED (
+        SELECT doc_id, CAST({label_sql} AS BIGINT) AS y,
+               CAST({Q_FP} AS BIGINT) AS x0,
+               least(CAST(tok AS BIGINT) * {Q_FP} // {_LEN_SAT}, {Q_FP}) AS x1,
+               (CAST(stop AS BIGINT) * {Q_FP}) // greatest(CAST(tok AS BIGINT), 1) AS x2
+        FROM (
+            SELECT doc_id, lang, len(tk) AS tok,
+                   len(list_filter(tk, t -> t IN ({stops}))) AS stop
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split_regex(lower(text), '\\s+'),
+                                     t -> len(t) > 0) AS tk
+                  FROM documents)
+        )
+    )""",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, "
+        "CAST(0 AS BIGINT) AS w2)",
+    ]
+    z = f"(x.x0 * w.w0 + x.x1 * w.w1 + x.x2 * w.w2) // {Q_FP}"
+    p = f"least(greatest(({z}) // 4 + {_HALF}, 0), {Q_FP})"
+    for r in range(1, epochs + 1):
+        parts.append(
+            f"""p{r} AS (SELECT x.doc_id, x.y, x.x0, x.x1, x.x2, {p} AS p
+        FROM xf x CROSS JOIN w{r - 1} w)"""
+        )
+        parts.append(
+            f"""g{r} AS (SELECT count(*) AS n,
+        CAST(sum(((p - {Q_FP} * y) * x0) // {Q_FP}) AS BIGINT) AS g0,
+        CAST(sum(((p - {Q_FP} * y) * x1) // {Q_FP}) AS BIGINT) AS g1,
+        CAST(sum(((p - {Q_FP} * y) * x2) // {Q_FP}) AS BIGINT) AS g2
+        FROM p{r})"""
+        )
+        parts.append(
+            f"""w{r} AS (SELECT w.w0 - g.g0 // g.n AS w0,
+        w.w1 - g.g1 // g.n AS w1, w.w2 - g.g2 // g.n AS w2
+        FROM w{r - 1} w CROSS JOIN g{r} g)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT x.doc_id, CAST({p} AS BIGINT) AS p_fp,
+           CAST(CASE WHEN {p} >= {_HALF} THEN 1 ELSE 0 END AS BIGINT) AS pred,
+           CAST(x.y AS BIGINT) AS y
+    FROM xf x CROSS JOIN w{epochs} w
+    ORDER BY doc_id
+    """
+    )
+
+
+_LM_LABEL = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+
+
+@query("q_lm_classifier_portable", oracle=_logreg_portable_oracle(3, _LM_LABEL))
+def q_lm_classifier_portable(spark, sf_dir):
+    """Fixed-point logistic-regression quality classifier TRAINED
+    IN-ENGINE (ext/classifier.logreg_portable_train, 3 epochs) — the
+    model-based curation tier's cross-engine proof, extending the
+    kmeans/pca portable-training program to supervised learning:
+    integer features in Q units (bias / saturating length / stopword
+    ratio), hard-sigmoid link via truncating division, per-term-divided
+    integer gradient sums (order-independent under any partitioning),
+    integer mean step from zero weights. Label: lang = 'en' (the
+    English-stopword feature genuinely separates it — trained accuracy
+    is pytest-pinned, and a pure-Python mirror reproduces the weights
+    merge-for-merge). Scale shape: per epoch ONE corpus scan + one
+    single-row aggregate (map-side partial combine); weights bake into
+    the next epoch's codegen'd plan as literals — no join, no UDF, no
+    data shuffle. The oracle unrolls the identical epochs into CTEs and
+    the per-doc (p_fp, pred, y) table compares bit-for-bit. Ref parity
+    n/a (charter extension; reference has no ML surface)."""
+    from mesin_spark.ext import classifier as C
+
+    d = T(spark, sf_dir, "documents")
+    xf = C.portable_feature_frame(d, _LM_LABEL)
+    w = C.logreg_portable_train(xf, epochs=3)
+    return C.logreg_portable_score_frame(xf, w).orderBy("doc_id")
+
+
+@query("q_lm_classifier")
+def q_lm_classifier(spark, sf_dir):
+    """Float logistic-regression quality scorer trained in-engine
+    (ext/classifier.logreg_train, sigmoid link, 8 epochs, one
+    single-row gradient aggregate per epoch) scoring every doc —
+    rows-only BY ARITHMETIC (float exp/division can't hash identically
+    cross-engine; the sibling q_lm_classifier_portable carries the
+    exact-oracle proof, and held-out AUC on separable data is
+    pytest-asserted in tests/test_classifier.py). Output: (doc_id,
+    score, pred) with score at 6dp."""
+    from mesin_spark.ext import classifier as C
+
+    d = T(spark, sf_dir, "documents")
+    w = C.logreg_train(
+        d, F.expr(_LM_LABEL), epochs=8, lr=1.0
+    )
+    score = C.logreg_score(w)
+    return d.select(
+        "doc_id",
+        R(score, 6).alias("score"),
+        F.when(score >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("pred"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_token_budget_learned",
+    oracle="WITH "
+    + _logreg_portable_oracle(3, _LM_LABEL)
+    .split("WITH ", 1)[1]
+    .rsplit("SELECT x.doc_id", 1)[0]
+    + """, scored AS (
+        SELECT x.doc_id,
+               CAST(least(greatest(((x.x0 * w.w0 + x.x1 * w.w1 + x.x2 * w.w2)
+                   // 1000000) // 4 + 500000, 0), 1000000) AS DOUBLE)
+                   / 1000000.0 AS q,
+               tok.nt AS nt
+        FROM xf x CROSS JOIN w3 w
+        JOIN (SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                     t -> len(t) > 0)) AS nt
+              FROM documents) tok USING (doc_id)
+    ), bins AS (
+        SELECT floor(q * 1000000.0 + 0.5) / 1000000.0 AS qbin,
+               sum(nt) AS toks, count(*) AS docs
+        FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT qbin, toks, docs,
+               coalesce(sum(toks) OVER (
+                   ORDER BY qbin DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before_toks
+        FROM bins
+    ), tot AS (SELECT sum(toks) AS tt, sum(docs) AS td FROM bins)
+    SELECT min(CASE WHEN before_toks < 0.5 * tt THEN qbin END) AS threshold,
+           CAST(coalesce(sum(CASE WHEN before_toks < 0.5 * tt THEN docs END), 0) AS BIGINT) AS kept_docs,
+           CAST(coalesce(sum(CASE WHEN before_toks < 0.5 * tt THEN toks END), 0) AS BIGINT) AS kept_tokens,
+           CAST(max(td) AS BIGINT) AS total_docs,
+           CAST(max(tt) AS BIGINT) AS total_tokens
+    FROM cum CROSS JOIN tot
+    """,
+)
+def q_token_budget_learned(spark, sf_dir):
+    """Token-budget thresholding on the LEARNED quality score — the
+    composition the trained tier exists for (DCLM: train a scorer, keep
+    the top-scored token budget): the fixed-point classifier's
+    hard-sigmoid probability (exact integers, q_lm_classifier_portable's
+    weights) becomes token_budget_threshold's quality column via its
+    ``quality_col`` hook, and the half-budget cut stays EXACT-oracle —
+    training unroll, scoring, binning, and budget window all replayed in
+    one DuckDB statement. Same 100 TB shape as q_token_budget: bounded
+    bin table (p_fp has ≤Q+1 values), corpus-size-independent window."""
+    from mesin_spark.ext import classifier as C
+    from mesin_spark.ext import pipeline as P
+
+    d = T(spark, sf_dir, "documents")
+    xf = C.portable_feature_frame(d, _LM_LABEL)
+    w = C.logreg_portable_train(xf, epochs=3)
+    scored = d.join(
+        C.logreg_portable_score_frame(xf, w).select("doc_id", "p_fp"),
+        "doc_id",
+    )
+    return P.token_budget_threshold(
+        scored,
+        budget_frac=0.5,
+        quality_col=F.col("p_fp").cast("double") / F.lit(1000000.0),
+    )
