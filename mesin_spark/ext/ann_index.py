@@ -332,6 +332,110 @@ def append_batch(
     )
 
 
+def compact_index(
+    index: IvfPqIndex, max_files_per_list: int = 8, force: bool = False
+) -> dict:
+    """Small-file compaction for the incremental codes table — the
+    steady-state maintenance append_batch makes necessary: every append
+    writes its own parquet file(s) into each touched ``ivf_list=``
+    partition, so after thousands of batches a probe's partition-pruned
+    read degrades into a small-file walk (footer reads + task-per-file
+    scheduling dominate the scan). This is the dml.DdlSession.compact
+    (OPTIMIZE) discipline applied to the index's own layout:
+
+    - decision from DRIVER-SIDE listing only (no Spark job): count data
+      files per list partition; compact when any list exceeds
+      ``max_files_per_list`` (or ``force``);
+    - rewrite = one distributed read of the live codes dir,
+      ``repartition(ivf_list)`` so each list lands in exactly one task
+      → ONE file per list partition dir, written ``partitionBy`` into
+      the NEXT versioned corpus dir;
+    - commit = the same atomic meta replace a rebuild uses: readers see
+      the old dir until the pointer swaps, then the compacted one —
+      never a half-rewritten table. Occupancy/fit baselines are
+      untouched (compaction moves bytes, not rows).
+
+    Old corpus dirs stay on disk for in-flight readers / rollback;
+    ``vacuum_index`` removes the non-current ones. Maintenance cadence:
+    run when the drift report is quiet but appends are frequent —
+    e.g. every ~``max_files_per_list`` batches; a rebuild (which always
+    writes compact) resets the clock. Returns a report dict
+    (compacted, files_before, files_after, worst_list_files,
+    corpus_dir)."""
+    src = os.path.join(index.path, index.corpus_dir)
+    per_list: dict[str, int] = {}
+    for entry in os.scandir(src):
+        if entry.is_dir() and entry.name.startswith("ivf_list="):
+            per_list[entry.name] = sum(
+                1
+                for f in os.scandir(entry.path)
+                if f.is_file()
+                and (f.name.endswith(".parquet") or f.name.startswith("part-"))
+            )
+    files_before = sum(per_list.values())
+    worst = max(per_list.values(), default=0)
+    if worst <= max_files_per_list and not force:
+        return {
+            "compacted": False,
+            "files_before": files_before,
+            "files_after": files_before,
+            "worst_list_files": worst,
+            "corpus_dir": index.corpus_dir,
+        }
+    existing = [
+        d for d in os.listdir(index.path)
+        if d.startswith(CORPUS_DIR) and os.path.isdir(os.path.join(index.path, d))
+    ]
+    nxt = f"{CORPUS_DIR}_v{len(existing) + 1:05d}"
+    (
+        index.spark.read.parquet(src)
+        .repartition(F.col("ivf_list"))
+        .write.partitionBy("ivf_list")
+        .mode("overwrite")
+        .parquet(os.path.join(index.path, nxt))
+    )
+    with open(os.path.join(index.path, META_FILE)) as f:
+        meta = json.load(f)
+    meta["corpus_dir"] = nxt
+    _write_meta(index.path, meta)
+    index.corpus_dir = nxt
+    after = 0
+    for entry in os.scandir(os.path.join(index.path, nxt)):
+        if entry.is_dir() and entry.name.startswith("ivf_list="):
+            after += sum(
+                1
+                for f in os.scandir(entry.path)
+                if f.is_file()
+                and (f.name.endswith(".parquet") or f.name.startswith("part-"))
+            )
+    return {
+        "compacted": True,
+        "files_before": files_before,
+        "files_after": after,
+        "worst_list_files": worst,
+        "corpus_dir": nxt,
+    }
+
+
+def vacuum_index(index: IvfPqIndex) -> list[str]:
+    """Remove corpus dirs the meta no longer points at (the VACUUM to
+    compact_index's OPTIMIZE). Call once no reader can still hold the
+    old dir open — same contract as table vacuum after compaction.
+    Returns the removed dir names."""
+    import shutil
+
+    removed = []
+    for d in sorted(os.listdir(index.path)):
+        if (
+            d.startswith(CORPUS_DIR)
+            and d != index.corpus_dir
+            and os.path.isdir(os.path.join(index.path, d))
+        ):
+            shutil.rmtree(os.path.join(index.path, d))
+            removed.append(d)
+    return removed
+
+
 def load_index(spark: SparkSession, path: str) -> IvfPqIndex:
     with open(os.path.join(path, META_FILE)) as f:
         meta = json.load(f)

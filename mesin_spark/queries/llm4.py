@@ -452,6 +452,47 @@ def q_ann_incremental(spark, sf_dir):
     return AI.append_batch(idx, batch).orderBy("ivf_list")
 
 
+@query("q_ann_compact")  # rows-only: physical-layout maintenance cycle
+def q_ann_compact(spark, sf_dir):
+    """Steady-state ANN maintenance cycle end to end
+    (ext/ann_index.compact_index + vacuum_index — round-11 ask #3):
+    build on 4/5 of the embeddings, append the rest as THREE separate
+    batches (each append lays its own parquet files into every touched
+    ivf_list partition — the small-file growth every incremental ingest
+    accrues), then bin-pack the codes table into the next versioned
+    corpus dir (one file per list, committed by the same atomic meta
+    swap a rebuild uses) and vacuum the superseded dir. Output is the
+    cycle's self-check — compaction fired, the probe's top-k is
+    byte-identical across the rewrite, exactly one old corpus dir was
+    vacuumed — deterministic under any CPU count (file COUNTS are not:
+    task parallelism decides how many files an append writes, so they
+    stay out of the row). Reopen-equality, counter survival, and
+    below-threshold no-op are pytested in tests/test_llm4_ops.py.
+    Maintenance cadence: compact every ~max_files_per_list appends;
+    a rebuild resets the clock (it always writes compact)."""
+    from mesin_spark.ext import ann_index as AI
+
+    emb = T(spark, sf_dir, "embeddings")
+    path = scratch_dir(prefix="mesin_anncmp_")
+    idx = AI.build_index(
+        emb, path, n_list=16, m=8, k=16,
+        corpus=emb.filter(F.col("vec_id") % 5 != 0),
+    )
+    for i in range(3):
+        AI.append_batch(idx, emb.filter(
+            (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == i)
+        ))
+    qvec = query_vector(emb, 0)
+    before = [tuple(r) for r in idx.topk(qvec, topk=10, n_probe=4).collect()]
+    rep = AI.compact_index(idx, max_files_per_list=2)
+    after = [tuple(r) for r in idx.topk(qvec, topk=10, n_probe=4).collect()]
+    removed = AI.vacuum_index(idx)
+    return spark.createDataFrame(
+        [(bool(rep["compacted"]), before == after, len(removed))],
+        "compacted boolean, topk_unchanged boolean, vacuumed_dirs int",
+    )
+
+
 @query(
     "q_ann_sq8",
     oracle=f"""

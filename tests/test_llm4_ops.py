@@ -894,6 +894,59 @@ def test_ann_append_equals_rebuild_and_tracks_drift(spark, tmp_path):
     assert any(r["needs_rebuild"] and r["occupancy_ratio"] > 1.0 for r in occ)
 
 
+def test_ann_compact_bounds_files_and_preserves_topk(spark, tmp_path):
+    """compact_index (round-11 ask #3): after N appends the codes table
+    holds N+1 file generations per touched list; compaction rewrites
+    the live dir into the next versioned corpus dir (one file per list)
+    behind the same atomic meta swap a rebuild uses — top-k identical
+    before/after, a reopened index reads the compacted dir, appends
+    keep working, and vacuum removes only the superseded dirs."""
+    import os
+
+    from mesin_spark.ext import ann_index as AI
+    from mesin_spark.queries import T
+    from tests.conftest import SF_DIR
+
+    emb = T(spark, SF_DIR, "embeddings").limit(300)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    idx = AI.build_index(emb, str(tmp_path), n_list=4, m=8, k=8)
+    for i in range(4):
+        AI.append_batch(idx, emb.limit(40).select(
+            (F.col("vec_id") + (i + 1) * 100_000).alias("vec_id"), "embedding"
+        ))
+    before = [tuple(r) for r in idx.topk(qvec, 10, n_probe=4).collect()]
+
+    # below-threshold call is a metadata-only no-op
+    noop = AI.compact_index(idx, max_files_per_list=1000)
+    assert not noop["compacted"] and noop["corpus_dir"] == idx.corpus_dir
+
+    rep = AI.compact_index(idx, max_files_per_list=2)
+    assert rep["compacted"] and rep["worst_list_files"] > 2
+    assert rep["files_after"] <= 4  # one file per ivf_list partition
+    assert rep["files_after"] < rep["files_before"]
+    assert idx.corpus_dir == rep["corpus_dir"]
+    assert [tuple(r) for r in idx.topk(qvec, 10, n_probe=4).collect()] == before
+
+    # reopen follows the swapped meta pointer; counters survived
+    ro = AI.load_index(spark, str(tmp_path))
+    assert ro.corpus_dir == rep["corpus_dir"]
+    assert [tuple(r) for r in ro.topk(qvec, 10, n_probe=4).collect()] == before
+    assert sum(v["rows"] for v in ro.stats["appended"].values()) == 160
+
+    # appends continue into the compacted dir
+    AI.append_batch(ro, emb.limit(10).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    ))
+    assert ro.topk(qvec, 10, n_probe=4).count() == 10
+
+    # vacuum drops only superseded corpus dirs
+    removed = AI.vacuum_index(ro)
+    assert removed and rep["corpus_dir"] not in removed
+    left = [d for d in os.listdir(str(tmp_path)) if d.startswith(AI.CORPUS_DIR)]
+    assert left == [rep["corpus_dir"]]
+    assert ro.topk(qvec, 10, n_probe=4).count() == 10  # reads post-vacuum
+
+
 def test_ann_append_pending_marker_detects_torn_batch(spark, tmp_path):
     """Append bracketing (round-11 ADVICE): the pending_batch marker
     commits BEFORE the data write and clears in the same atomic replace
