@@ -53,6 +53,9 @@ OPERATORS = [
     "q_dedup_softweight",  # same fingerprint-window shape, probed for drift
     "q_token_budget",      # bounded-bin budget cut (round 11)
     "q_ann_incremental",   # frozen-artifact batch encode + append (round 11)
+    "q_ann_compact",       # bin-pack + vacuum maintenance cycle (round 12)
+    "q_lm_classifier", "q_lm_classifier_portable",  # in-engine trained
+    "q_token_budget_learned",  # budget cut on the learned score (round 12)
     # text / sketch tier
     "q_tfidf", "q_tfidf_pairs", "q_bm25", "q_pmi_bigrams",
     "q_text_tokens", "q_bpe_train",
