@@ -53,14 +53,30 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 def shingles(col: Column | str, k: int = 3) -> Column:
     """k-token shingles of a text column (short docs fall back to a single
-    whole-doc shingle)."""
-    t = tokens(col)
-    n = F.size(t)
-    windows = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
-    )
-    return F.when(n >= k, F.array_distinct(windows)).otherwise(F.array(F.concat_ws(" ", t)))
+    whole-doc shingle).
+
+    The token array is LET-BOUND (ext/text.let_bound) so the window
+    lambda slices a lambda VARIABLE, not the tokenize expression:
+    higher-order lambdas re-evaluate captured subexpressions per element,
+    so the previous inline shape re-ran the whole regex tokenize once per
+    shingle position — O(tokens²) work per document, measured 21.3 s →
+    0.94 s (22.6x) on ~540-token docs at sf0.1 and bit-identical output
+    (round 12). At web-document lengths the quadratic dominates every
+    shingle consumer (minhash, ngram, span, decontaminate)."""
+    from mesin_spark.ext.text import let_bound
+
+    def _shingles(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - k),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+                )
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+
+    return let_bound(tokens(col), _shingles)
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -145,14 +161,25 @@ def _hashed_shingle_frame(
     """(_id, _h) with _h = 31-bit shingle hashes, spread to full parallelism
     (a small parquet file arrives as one partition; the repartition both
     parallelizes the CPU-heavy shingling and is the layout you want at
-    scale — signature work balanced by id)."""
+    scale — signature work balanced by id).
+
+    EAGERLY CHECKPOINTED here (round 12), not at the call sites, for two
+    reasons: (a) every consumer reuses the frame (signature path + the
+    Jaccard-verify join), so the text is shingled exactly once; (b) the
+    shingle expression is now let-bound (see shingles) and a let-bound
+    tree contains NESTED lambdas — feeding that tree directly as a
+    pandas-UDF argument trips a Spark 4.1 UDF-extraction fragility
+    (order-dependent ``Cannot evaluate expression: sig(...)`` INTERNAL
+    error when CollapseProject inlines the projection into the UDF arg).
+    The checkpoint makes ``_h`` a leaf attribute, so the UDF argument is
+    always a plain column."""
     spread = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
     return spread.select(
         F.col(id_col).alias("_id"),
         shingle_hashes(F.col(text_col), shingle_k).alias("_h"),
-    )
+    ).transform(ckpt, eager=True)
 
 
 def _band_pairs(
@@ -265,9 +292,7 @@ def minhash_lsh_dedup(
     duplicate groups exceed 64); ``hashed`` lets adaptive callers share
     one shingling pass."""
     if hashed is None:
-        hashed = _hashed_shingle_frame(df, id_col, text_col, shingle_k).transform(ckpt, 
-            eager=True
-        )
+        hashed = _hashed_shingle_frame(df, id_col, text_col, shingle_k)
     sig = hashed.select(
         "_id", minhash_signature_numpy(num_perm)(F.col("_h")).alias("_sig")
     )
@@ -1610,9 +1635,7 @@ def candidate_similarity_histogram(
     pass adaptive thresholding reads instead of guessing a corpus's
     similarity structure. Bins are [i/n_bins, (i+1)/n_bins)."""
     if hashed is None:
-        hashed = _hashed_shingle_frame(df, id_col, text_col, shingle_k).transform(ckpt, 
-            eager=True
-        )
+        hashed = _hashed_shingle_frame(df, id_col, text_col, shingle_k)
     sig = hashed.select(
         "_id", minhash_signature_numpy(num_perm)(F.col("_h")).alias("_sig")
     )
@@ -1691,9 +1714,7 @@ def adaptive_minhash_dedup(
     # ONE shingling+signature pass: the hashed frame is the dominant
     # cost of the whole pipeline — the histogram pass and the dedup pass
     # share it instead of each building (and caching) their own
-    shared = _hashed_shingle_frame(df, id_col, text_col, shingle_k).transform(ckpt, 
-        eager=True
-    )
+    shared = _hashed_shingle_frame(df, id_col, text_col, shingle_k)
     if threshold is None:
         hist = candidate_similarity_histogram(
             df, id_col, text_col, num_perm=num_perm, shingle_k=shingle_k,

@@ -271,13 +271,16 @@ def pagerank(
             )
             .transform(ckpt, eager=True)
         )
-    srcs = e_norm.select(F.col("src").alias("node")).distinct()
+    # (node, is_dang) in ONE aggregate (round 12): src rows vote
+    # has-out=true, dst rows vote false, max() settles each node — the
+    # previous shape (srcs distinct + union distinct + left join) paid
+    # an extra exchange and a join for the same integer-exact output.
+    # Same keys as the old union-distinct, so no new skew exposure.
     nodes = (
-        e_norm.select(F.col("src").alias("node"))
-        .union(e_norm.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(srcs.withColumn("_has_out", F.lit(True)), "node", "left")
-        .select("node", F.col("_has_out").isNull().alias("is_dang"))
+        e_norm.select(F.col("src").alias("node"), F.lit(True).alias("_o"))
+        .union(e_norm.select(F.col("dst").alias("node"), F.lit(False).alias("_o")))
+        .groupBy("node")
+        .agg((~F.max("_o")).alias("is_dang"))
         .transform(ckpt, eager=True)
     )
     n = nodes.count()

@@ -530,18 +530,29 @@ def chunk_documents(
     pre-training chunker. Token windows of ``chunk_tokens`` starting every
     ``stride`` tokens (the final partial window is kept so no text drops).
     Explode is map-side; output rows carry (id, chunk_id, chunk_text,
-    n_tokens)."""
-    t = tokens(F.col(text_col))
-    n = F.greatest(F.size(t), F.lit(0))  # size(NULL) is -1 with ANSI off
-    starts = F.sequence(F.lit(0), F.greatest(F.ceil((n - chunk_tokens) / stride), F.lit(0)))
-    windows = F.transform(
-        starts,
-        lambda i: F.struct(
-            i.alias("chunk_id"),
-            F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_tokens)).alias("chunk_text"),
-            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
-        ),
-    )
+    n_tokens). Token array let-bound (ext/text.let_bound): the window
+    lambda previously captured the tokenize expression and re-ran it per
+    chunk window — the O(tokens²/stride) class fixed across the text
+    tier this round."""
+    from mesin_spark.ext.text import let_bound
+
+    def _windows(t):
+        n = F.greatest(F.size(t), F.lit(0))  # size(NULL) is -1 with ANSI off
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.ceil((n - chunk_tokens) / stride), F.lit(0))
+        )
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.concat_ws(" ", F.slice(t, i * stride + 1, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+            ),
+        )
+
+    windows = let_bound(tokens(F.col(text_col)), _windows)
     return df.select(F.col(id_col), F.explode(windows).alias("c")).select(
         id_col,
         F.col("c.chunk_id").alias("chunk_id"),

@@ -44,9 +44,22 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array columns (computed in double)."""
-    ad, bd = _as_double(a), _as_double(b)
-    return dot(ad, bd) / (norm(ad) * norm(bd))
+    """Cosine similarity of two array columns (computed in double).
+
+    The cast-to-double arrays are let-bound (ext/text.let_bound): each
+    side feeds BOTH the dot product and its norm, so the inline form
+    re-ran the O(dim) cast-transform twice per side per pair (round 12;
+    same sibling-reference class as the shingle fix — values
+    bit-identical, the identical folds just read a bound variable)."""
+    from mesin_spark.ext.text import let_bound
+
+    def _cos(s: Column) -> Column:
+        ad, bd = s["a"], s["b"]
+        return dot(ad, bd) / (norm(ad) * norm(bd))
+
+    return let_bound(
+        F.struct(_as_double(a).alias("a"), _as_double(b).alias("b")), _cos
+    )
 
 
 def dot_fixed(a: Column, b: Column, dim: int) -> Column:

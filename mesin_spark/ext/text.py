@@ -38,6 +38,33 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: F.length(t) > 0)
 
 
+def let_bound(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable — the expression-level let binding.
+
+    Why it exists (round 12): a higher-order lambda that CAPTURES an
+    outer expression re-evaluates that expression on every element
+    (Catalyst performs no loop-invariant hoisting out of lambda bodies),
+    and sibling references outside the lambda each re-evaluate it too
+    (no common-subexpression elimination across repeated non-cheap
+    subtrees in one Project — the round-11 simhash lesson). Binding the
+    value through a 1-element ``transform`` makes every use a lambda-
+    variable read. shingles() measured 21.3 s → 0.94 s on ~540-token
+    docs (the captured tokenize ran once per shingle position —
+    O(tokens²) per row); same class fixed in word_ngrams/chunk_docs and
+    the factor-k re-tokenize in the signal columns. Output values are
+    bit-identical: the same subexpression evaluated once instead of
+    k times.
+
+    CAVEAT (Spark 4.1): do NOT feed a let-bound tree directly as a
+    Python-UDF argument — the nested lambdas trip an order-dependent
+    UDF-extraction fragility (``Cannot evaluate expression`` INTERNAL
+    error) when CollapseProject inlines the projection into the UDF
+    argument. Materialize the column first (eager ckpt — see
+    dedup._hashed_shingle_frame) so the UDF sees a leaf attribute."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (the cheap proxy; see bpe_token_estimate for
     the BPE-ish regex variant)."""
@@ -59,17 +86,23 @@ def bpe_token_estimate(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    t = tokens(col)
-    n = F.size(t)
-    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
-    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+    # let-bound: n and hits both read the same tokenize (was 2x per row)
+    def _ratio(t: Column) -> Column:
+        n = F.size(t)
+        hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+        return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+    return let_bound(tokens(col), _ratio)
 
 
 def avg_token_len(col: Column | str) -> Column:
-    t = tokens(col)
-    n = F.size(t)
-    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-    return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    # let-bound: size and the length fold share one tokenize (was 2x)
+    def _avg(t: Column) -> Column:
+        n = F.size(t)
+        total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        return F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+    return let_bound(tokens(col), _avg)
 
 
 def _signal_fold(col: Column | str, finish) -> Column:
@@ -176,14 +209,21 @@ def pipeline_keep(
 
 def word_ngrams(col: Column | str, n: int = 2) -> Column:
     """Word n-grams of a text column (array<string>); empty array for docs
-    with fewer than n tokens. Pure higher-order functions — map-side."""
-    t = tokens(col)
-    cnt = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), cnt - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-    )
-    return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+    with fewer than n tokens. Pure higher-order functions — map-side.
+
+    Token array let-bound (see let_bound): the window lambda previously
+    captured the tokenize expression and re-ran it per gram position —
+    the same O(tokens²) class fixed in dedup.shingles this round."""
+
+    def _grams(t: Column) -> Column:
+        cnt = F.size(t)
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+        return F.when(cnt >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(tokens(col), _grams)
 
 
 def ngram_novelty(
@@ -233,9 +273,14 @@ def dup_token_ratio(col: Column | str) -> Column:
     """Fraction of tokens that are repeats of an earlier token:
     1 − distinct/total (0 for empty docs). The cheap Gopher-style
     repetition signal — heavily templated/boilerplate text scores high."""
-    t = tokens(col)
-    n = F.size(t)
-    return F.when(n > 0, 1.0 - F.size(F.array_distinct(t)) / n).otherwise(F.lit(0.0))
+    # let-bound: size + array_distinct shared one tokenize (was 2x per row)
+    def _ratio(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(n > 0, 1.0 - F.size(F.array_distinct(t)) / n).otherwise(
+            F.lit(0.0)
+        )
+
+    return let_bound(tokens(col), _ratio)
 
 
 def top_ngram_ratio(col: Column | str, n: int = 2) -> Column:
@@ -250,26 +295,29 @@ def top_ngram_ratio(col: Column | str, n: int = 2) -> Column:
     expression inside the lambda, re-evaluating it per distinct element —
     O(g²·tokens) per row, measured 38s vs <1s for the whole documents
     table at sf0.01."""
-    g = word_ngrams(col, n)
-    total = F.size(g)
-
     def merge(a: Column, x: Column) -> Column:
         run = F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long"))
         return F.struct(
             x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
         )
 
-    top = F.aggregate(
-        F.array_sort(g),
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        ),
-        merge,
-        lambda a: a["best"],
-    )
-    return F.when(total > 0, top / total).otherwise(F.lit(0.0))
+    # gram array let-bound: size + the sort/fold shared one evaluation
+    # already costs 2x the (formerly quadratic) gram build per row
+    def _ratio(g: Column) -> Column:
+        total = F.size(g)
+        top = F.aggregate(
+            F.array_sort(g),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            merge,
+            lambda a: a["best"],
+        )
+        return F.when(total > 0, top / total).otherwise(F.lit(0.0))
+
+    return let_bound(word_ngrams(col, n), _ratio)
 
 
 def repetition_signals(col: Column | str, round_to: int = 6) -> list[Column]:
