@@ -63,20 +63,22 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """``dot`` for a KNOWN dimension as a FLAT codegen'd expression —
-    bit-identical values (same 0.0 seed, same IEEE left-fold in index
-    order, float→double casts exact), radically cheaper execution.
+    """``dot`` for a KNOWN dimension as a FLAT expression — bit-identical
+    values (same 0.0 seed, same IEEE left-fold in index order,
+    float→double casts exact).
 
-    Spark's higher-order functions (``aggregate``/``zip_with``/
-    ``transform``) evaluate OUTSIDE whole-stage codegen: every element
-    is an interpreted lambda call plus a per-row array allocation for
-    the zipped pairs. At the 100x probe that interpretation WAS the
-    q_dedup_embed wall (110 s at only 0.7 GiB shuffle — CPU, not
-    exchange): ~1e9 candidate pairs × 64 interpreted multiply-adds for
-    the verify, plus bands×rows×64 more per row for the signatures.
-    A flat ``element_at``-chain is ordinary codegen'd arithmetic —
-    same numbers, JVM speed. Out-of-range ``element_at`` yields null
-    and propagates exactly like the HOF's zip-padding nulls."""
+    MEASURED AND REJECTED for the q_dedup_embed hot path (round 12):
+    the theory was that higher-order functions evaluate outside
+    whole-stage codegen (interpreted lambda per element) so a flat
+    ``element_at`` chain would run at JVM speed. The 100x probe says
+    otherwise: wired into embedding_neardup_pairs, the flat forms ran
+    **1071.9 s vs 201.3 s** for the HOF fold in a same-host fresh-JVM
+    A/B — the 64-term dot per pair and bands×rows×dim signature terms
+    per row make expression trees large enough to leave codegen's happy
+    path and evaluate as per-node interpreted trees, which lose badly
+    to the HOF's tight fold loop. Kept (with norm_fixed /
+    portable_lsh_band_signature_flat and the equivalence pytest) as the
+    recorded rejection; do not re-wire without a fresh A/B."""
     acc = F.lit(0.0)
     for d in range(1, dim + 1):
         acc = acc + (
@@ -701,6 +703,16 @@ def embedding_neardup_pairs(
     shuffle_hash pins: the vector frames are computed projections whose
     static size estimates undercount — the broadcast-OOM class the 100x
     sweep caught on the ngram prefix path."""
+    # ROUND-12 MEASURED REVERT: the "flatten to codegen" variant
+    # (dot_fixed / norm_fixed / portable_lsh_band_signature_flat wired in
+    # here, commit 16246b1) was probed at the 100x corpus AFTER the fact:
+    # 1071.9 s vs 201.3 s for this HOF shape in a same-host fresh-JVM A/B
+    # (artifacts/r12/probe100x_batch1.json vs probe_ab_preflat) — a 5.3x
+    # REGRESSION. The giant flat expression trees (64-term dot per pair,
+    # bands*rows*dim signature terms per row) leave whole-stage codegen's
+    # happy path and evaluate as per-node interpreted trees, which lose
+    # badly to the higher-order-function fold loops. The flat helpers stay
+    # in this module with the equivalence pytest as the recorded rejection.
     if isinstance(candidates, str) and candidates != "auto":
         raise ValueError(
             f"candidates must be True, False, or 'auto' — got {candidates!r}"
@@ -711,37 +723,12 @@ def embedding_neardup_pairs(
     spread = emb.repartition(
         emb.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
     )
-    # Probe the dimension up front (one first-row job): a KNOWN dim
-    # switches every per-element fold here — norms, band signatures,
-    # and the per-pair verify dot — from interpreted higher-order
-    # functions to flat codegen'd arithmetic (dot_fixed: bit-identical
-    # values, JVM speed; the round-12 q_dedup_embed 110 s wall was this
-    # interpretation). _vec stays the RAW (float) array — casts happen
-    # per element inside the flat expressions, float→double is exact,
-    # and the pair join ships half the vector bytes.
-    dim_row = spread.select(F.size(F.col(vec_col)).alias("d")).head()
-    if dim_row is None:
-        # empty-input early return DERIVES its schema from the input (a
-        # false-filtered select), never a hardcoded "id_a long": with a
-        # non-long id column a literal schema would differ from the
-        # non-empty path's, so downstream unions/joins would fail only
-        # in the empty-input corner
-        return spread.filter(F.lit(False)).select(
-            F.col(id_col).alias("id_a"),
-            F.col(id_col).alias("id_b"),
-            F.lit(0.0).alias("sim"),
-        )
-    dim = dim_row["d"]
-    if dim is None:
-        raise ValueError(
-            "embedding_neardup_pairs: first row's vector is NULL — "
-            "filter null embeddings before deduping"
-        )
+    vd = _as_double(F.col(vec_col))
     base = spread.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        norm_fixed(F.col(vec_col), dim).alias("_nrm"),
+        vd.alias("_vec"),
+        norm(vd).alias("_nrm"),
     )
     if candidates == "auto":
         occ = base.select("blk").groupBy("blk").agg(
@@ -775,14 +762,26 @@ def embedding_neardup_pairs(
             )
         base = PINNED.pin(base)
     sim = R(
-        dot_fixed(F.col("vec_a"), F.col("vec_b"), dim)
-        / (F.col("nrm_a") * F.col("nrm_b")), 6
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
     if candidates:
         rows_n = lsh_rows or 8
+        dim_row = base.select(F.size("_vec").alias("d")).head()
+        if dim_row is None:
+            # empty-input early return DERIVES its schema from base (a
+            # false-filtered select), never a hardcoded "id_a long":
+            # with a non-long id column a literal schema would differ
+            # from the non-empty path's, so downstream unions/joins
+            # would fail only in the empty-input corner
+            return base.filter(F.lit(False)).select(
+                F.col("_id").alias("id_a"),
+                F.col("_id").alias("id_b"),
+                F.lit(0.0).alias("sim"),
+            )
+        dim = dim_row["d"]
         sigs = F.array(
             *[
-                portable_lsh_band_signature_flat(F.col("_vec"), b, rows_n, dim)
+                portable_lsh_band_signature(F.col("_vec"), b, rows_n, dim)
                 for b in range(lsh_bands)
             ]
         )
