@@ -766,6 +766,12 @@ def embedding_neardup_pairs(
     )
     if candidates:
         rows_n = lsh_rows or 8
+        # Pin BEFORE the dim probe: on the explicit candidates=True path
+        # base was still unpinned here, so the probe head() ran the
+        # repartition+norm projection once for the probe job and again
+        # for the main job (advice r12). The auto path's earlier pin
+        # makes this a keyed re-hit, not a second persist.
+        base = PINNED.pin(base)
         dim_row = base.select(F.size("_vec").alias("d")).head()
         if dim_row is None:
             # empty-input early return DERIVES its schema from base (a
@@ -779,6 +785,16 @@ def embedding_neardup_pairs(
                 F.lit(0.0).alias("sim"),
             )
         dim = dim_row["d"]
+        if dim is None or dim < 0:
+            # F.size of a NULL vector is -1 with ANSI off (NULL with it
+            # on): range(dim) would yield empty plane weights, every band
+            # signature would collapse to 0, and the LSH route would
+            # silently degenerate to per-block all-pairs — the exact
+            # blowup it exists to avoid (advice r12; the pre-r12 guard).
+            raise ValueError(
+                "embedding_neardup_pairs: first row's vector is NULL — "
+                "filter null embeddings before deduping"
+            )
         sigs = F.array(
             *[
                 portable_lsh_band_signature(F.col("_vec"), b, rows_n, dim)

@@ -1,7 +1,7 @@
 """Dump .explain("formatted") for headline (and named extra) queries into
-plans/r12/<query>_<tag>.txt — the optimization round's plan evidence.
+plans/r13/<query>_<tag>.txt — the optimization round's plan evidence.
 
-Usage: python tools/dump_r12_plans.py <tag> [query ...]
+Usage: python tools/dump_r13_plans.py <tag> [query ...]
        (no query args = the full bench HEADLINE list)
 """
 
@@ -10,7 +10,8 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 from mesin_spark.session import get_session  # noqa: E402
 
@@ -22,10 +23,9 @@ def main() -> None:
 
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    spark = get_session("dump_r12_plans")
+    spark = get_session("dump_r13_plans")
     registry = entrymod.queries()
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r12")
+    out_dir = os.path.join(REPO_ROOT, "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:
