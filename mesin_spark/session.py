@@ -37,6 +37,16 @@ def get_session(app_name: str = "mesin_spark", cpus: int | None = None) -> Spark
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # spark.sql.files.openCostInBytes stays at the 4 MiB DEFAULT — a
+        # measured rejection (round 13): with the multi-row-group fixtures,
+        # drift-free interleaved A/B sweeps (tools/probe_opencost.py,
+        # artifacts/r13/opencost_ab*.json) showed 64 KiB over-splits the
+        # small-row tables (q_funnel 0.60→1.57 s, q_tpch_q1 1.51→2.35 s)
+        # for a ~0.1 s/query win on the CPU-dense document scans, and
+        # 1 MiB is a wash overall (events tier −0.2 s total, TPC-H and
+        # span/pipeline +0.5 s total). The per-split scheduling overhead
+        # at sf0.1 outweighs scan parallelism except where an operator
+        # already carries an explicit spread.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -22,6 +22,16 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from mesin_spark.sources import read_parquet
+    import os
+
+    return read_parquet(spark, os.path.join(SF_DIR, "documents.parquet"))
+
 
 # -- 1. let_bound fed to a pandas UDF ---------------------------------------
 
@@ -168,6 +178,95 @@ def test_reduceat_empties_interleaved(spark):
             assert got[i] == _reference_sig(hs), f"doc {i}"
         else:
             assert got[i] == [_MERSENNE] * 64, f"doc {i}"
+
+
+# -- simhash numpy twin: integer-identical to the expression fold -----------
+
+
+def test_simhash_numpy_matches_fold(spark):
+    from mesin_spark.ext.ckpt import ckpt
+    from mesin_spark.ext.dedup import (
+        _pack_chunks,
+        simhash_portable_bits,
+        simhash_portable_chunks_numpy,
+    )
+    from mesin_spark.ext.text import tokens
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, ""),  # empty doc -> no tokens -> all-zero votes -> chunks 0
+        (2, "   "),  # whitespace only
+        (3, "Der schnelle braune Fuchs üöä ß"),  # non-ASCII BMP chars
+        (4, "的 了 是 在 我 有 和 不"),  # CJK
+        (5, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (6, "repeated repeated repeated repeated token token"),
+        (7, "MiXeD CaSe ToKeNs lower UPPER"),
+        (8, "x" * 500),  # one long token
+        (9, "short"),
+    ] + [(100 + i, f"doc number {i} with words alpha beta gamma {i*7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fold = {
+        r.doc_id: list(r.ch)
+        for r in df.select(
+            "doc_id", simhash_portable_bits(F.col("text")).alias("_bits")
+        ).select("doc_id", _pack_chunks("_bits").alias("ch")).collect()
+    }
+    toks = ckpt(
+        df.select("doc_id", tokens("text").alias("_t")), eager=True
+    )
+    np_ = {
+        r.doc_id: list(r.ch)
+        for r in toks.select(
+            "doc_id", simhash_portable_chunks_numpy()(F.col("_t")).alias("ch")
+        ).collect()
+    }
+    assert fold == np_ and len(fold) == 50
+    # the fingerprint-split twin (array<long> boundary) must also match
+    from mesin_spark.ext.dedup import simhash_chunks_from_fps_numpy
+    from mesin_spark.ext.sketches import token_fingerprint
+
+    fps = ckpt(
+        df.select(
+            "doc_id",
+            F.transform(tokens("text"), token_fingerprint).alias("_fps"),
+        ),
+        eager=True,
+    )
+    np_fps = {
+        r.doc_id: list(r.ch)
+        for r in fps.select(
+            "doc_id", simhash_chunks_from_fps_numpy()(F.col("_fps")).alias("ch")
+        ).collect()
+    }
+    assert fold == np_fps
+
+
+def test_simhash_numpy_fixture_docs(spark, docs):
+    """Same equivalence over real fixture documents (the corpus the
+    oracle certifies against)."""
+    from mesin_spark.ext.ckpt import ckpt
+    from mesin_spark.ext.dedup import (
+        _pack_chunks,
+        simhash_portable_bits,
+        simhash_portable_chunks_numpy,
+    )
+    from mesin_spark.ext.text import tokens
+
+    d = docs.limit(200)
+    fold = {
+        r.doc_id: list(r.ch)
+        for r in d.select(
+            "doc_id", simhash_portable_bits(F.col("text")).alias("_bits")
+        ).select("doc_id", _pack_chunks("_bits").alias("ch")).collect()
+    }
+    toks = ckpt(d.select("doc_id", tokens("text").alias("_t")), eager=True)
+    np_ = {
+        r.doc_id: list(r.ch)
+        for r in toks.select(
+            "doc_id", simhash_portable_chunks_numpy()(F.col("_t")).alias("ch")
+        ).collect()
+    }
+    assert fold == np_ and len(fold) == 200
 
 
 # -- 3. NULL-vector guard ----------------------------------------------------
