@@ -43,6 +43,52 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
+#: prefix length of the Cauchy-Schwarz verify prefilter (round 13): long
+#: enough that the residual-norm product alone sits far below a near-dup
+#: threshold on energy-spread vectors, short enough that the flat prefix
+#: dot stays a small codegen-friendly expression (the r12 flat-codegen
+#: rejection was 64-term trees; 16 terms measured fine).
+_CS_PREFIX = 16
+
+
+def _cs_rest_norm(vd: Column) -> Column:
+    """Per-row L2 norm of the vector's tail beyond _CS_PREFIX (0.0 when
+    the vector is shorter) — the per-row half of the Cauchy-Schwarz
+    verify prefilter."""
+    rest = F.slice(
+        vd,
+        F.lit(_CS_PREFIX + 1),
+        F.greatest(F.size(vd) - F.lit(_CS_PREFIX), F.lit(0)),
+    )
+    return F.sqrt(F.aggregate(rest, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cs_bound_pass(threshold: float) -> Column:
+    """EXACT verify prefilter over (vec_a, vec_b, nrm_a, nrm_b, rn_a,
+    rn_b) pair columns: Cauchy-Schwarz gives
+    dot(a,b) <= dot(a[:P], b[:P]) + ||a[P:]||*||b[P:]||, so a pair whose
+    bound falls below (threshold - 1e-6)*||a||*||b|| can NEVER reach the
+    6-dp-rounded threshold (rounding needs sim >= threshold - 5e-7; the
+    extra margin dwarfs the ~1e-14 relative float error of evaluating
+    the bound) — no false negatives, survivors' sims computed by the
+    unchanged full fold, output identical. The prefix dot is a FLAT
+    16-term sum (no per-pair array allocations — the HOF slice/zip_with
+    form of the same bound measured 43.1 s vs 5.0 s on the 100x band-0
+    probe precisely because of the three per-pair allocations);
+    coalesce covers vectors shorter than the prefix (missing terms
+    contribute 0 and the rest norm is 0, so the bound degrades to the
+    exact dot — still correct)."""
+    pd = None
+    for i in range(1, _CS_PREFIX + 1):
+        t = F.coalesce(
+            F.element_at("vec_a", i) * F.element_at("vec_b", i), F.lit(0.0)
+        )
+        pd = t if pd is None else pd + t
+    return (pd + F.col("rn_a") * F.col("rn_b")) >= (
+        F.lit(threshold - 1e-6) * F.col("nrm_a") * F.col("nrm_b")
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array columns (computed in double).
 
@@ -729,6 +775,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("_id"),
         vd.alias("_vec"),
         norm(vd).alias("_nrm"),
+        _cs_rest_norm(vd).alias("_rn"),
     )
     if candidates == "auto":
         occ = base.select("blk").groupBy("blk").agg(
@@ -764,6 +811,7 @@ def embedding_neardup_pairs(
     sim = R(
         dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b")), 6
     )
+    cs_pass = _cs_bound_pass(threshold)
     if candidates:
         rows_n = lsh_rows or 8
         # Pin BEFORE the dim probe: on the explicit candidates=True path
@@ -807,7 +855,7 @@ def embedding_neardup_pairs(
         # the bands×rows×dim signature arithmetic ran once per side
         banded = PINNED.pin(
             base.select(
-                "blk", "_id", "_vec", "_nrm",
+                "blk", "_id", "_vec", "_nrm", "_rn",
                 F.posexplode(sigs).alias("_band", "_sig"),
             )
         )
@@ -823,14 +871,21 @@ def embedding_neardup_pairs(
         ca = banded.select(
             "blk", "_band", "_sig", F.col("_id").alias("id_a"),
             F.col("_vec").alias("vec_a"), F.col("_nrm").alias("nrm_a"),
+            F.col("_rn").alias("rn_a"),
         )
         cb = banded.select(
             "blk", "_band", "_sig", F.col("_id").alias("id_b"),
             F.col("_vec").alias("vec_b"), F.col("_nrm").alias("nrm_b"),
+            F.col("_rn").alias("rn_b"),
         )
+        # Cauchy-Schwarz verify prefilter (round 13): see _cs_bound_pass.
+        # Bucket pairs provably below the threshold (99.97% of the 291M
+        # at the 100x probe) are dropped by a flat 16-term prefix bound
+        # BEFORE the full 64-dim dot fold — band-0 verify 57.2 → 5.0 s.
         return (
             ca.join(cb.hint("shuffle_hash"), ["blk", "_band", "_sig"])
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cs_pass)
             .select("id_a", "id_b", sim.alias("sim"))
             .filter(F.col("sim") >= threshold)
             .distinct()
@@ -839,13 +894,15 @@ def embedding_neardup_pairs(
         a = base.select(
             "blk", F.col("_id").alias("id_a"),
             F.col("_vec").alias("vec_a"), F.col("_nrm").alias("nrm_a"),
+            F.col("_rn").alias("rn_a"),
         )
         b = base.select(
             "blk", F.col("_id").alias("id_b"),
             F.col("_vec").alias("vec_b"), F.col("_nrm").alias("nrm_b"),
+            F.col("_rn").alias("rn_b"),
         )
         pairs = salted_all_pairs(a, b, "id_a", n_salts).filter(
-            F.col("id_a") < F.col("id_b")
+            (F.col("id_a") < F.col("id_b")) & cs_pass
         )
     return (
         pairs.select("id_a", "id_b", sim.alias("sim"))

@@ -269,6 +269,94 @@ def test_simhash_numpy_fixture_docs(spark, docs):
     assert fold == np_ and len(fold) == 200
 
 
+# -- verify-join shuffle restructure (round 13): all routes identical -------
+
+
+def test_gram_verify_shuffle_routes_identical(spark):
+    """The round-13 shuffle-route restructure (broadcast the checkpointed
+    candidate pairs + semi-prune the container gram side) and its
+    past-the-cutoff fallback (the old double-pinned shape, forced here
+    with verify_broadcast_max_bytes=0) must return identical pairs to
+    the broadcast route."""
+    from mesin_spark.ext.dedup import ngram_containment_pairs
+
+    rows = []
+    for i in range(30):
+        base = f"alpha beta gamma delta epsilon zeta doc{i % 4} tail{i % 7}"
+        rows.append((i, "A" if i % 2 else "B", base))
+        if i % 5 == 0:
+            rows.append(
+                (3000 + i, "A" if i % 2 else "B",
+                 base + " " + " ".join(f"pad{i}y{j}" for j in range(25)))
+            )
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    got = {}
+    for label, kw in (
+        ("broadcast", dict(verify_join="broadcast")),
+        ("shuffle_new", dict(verify_join="shuffle")),
+        ("shuffle_fallback", dict(verify_join="shuffle",
+                                  verify_broadcast_max_bytes=0)),
+    ):
+        got[label] = sorted(
+            tuple(r)
+            for r in ngram_containment_pairs(
+                df, "doc_id", block_col="src", prefix_filter=True,
+                threshold=0.8, collapse_dups=False, **kw
+            ).collect()
+        )
+    assert got["broadcast"] == got["shuffle_new"] == got["shuffle_fallback"]
+    assert len(got["broadcast"]) > 0
+
+
+# -- Cauchy-Schwarz verify prefilter: zero false negatives ------------------
+
+
+def test_cs_prefilter_exact_vs_bruteforce(spark):
+    """The round-13 verify prefilter may only drop pairs that provably
+    cannot round up to the threshold. Compare the exact all-pairs route
+    (which now carries the prefilter) against a brute-force cosine with
+    NO prefilter, at a low threshold that puts many pairs near the
+    boundary, on vectors with energy concentrated in the TAIL (the
+    prefilter's weakest case: prefix dot ~0, bound dominated by rest
+    norms)."""
+    import random
+
+    from mesin_spark.ext.similarity import embedding_neardup_pairs
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(60):
+        head = [rng.uniform(-0.05, 0.05) for _ in range(16)]
+        tail = [rng.uniform(-1, 1) for _ in range(48)]
+        rows.append((i, "b", head + tail))
+    df = spark.createDataFrame(rows, "id long, blk string, v array<double>")
+    got = sorted(
+        tuple(r)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.3, block_col="blk", id_col="id", vec_col="v",
+            candidates=False,
+        ).collect()
+    )
+    # brute force in the same engine arithmetic, no prefilter
+    from mesin_spark.ext.similarity import _as_double, dot, norm
+    from mesin_spark.functions import stable_round as R
+
+    a = df.select(F.col("id").alias("id_a"),
+                  _as_double(F.col("v")).alias("va"))
+    b = df.select(F.col("id").alias("id_b"),
+                  _as_double(F.col("v")).alias("vb"))
+    sim = R(dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+    want = sorted(
+        tuple(r)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+
 # -- 3. NULL-vector guard ----------------------------------------------------
 
 
